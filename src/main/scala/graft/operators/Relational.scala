@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface (SURVEY.md §2.5) that
+  * need more than a one-liner of the DataFrame API. Everything here is
+  * composed from built-in operators so Catalyst keeps full visibility —
+  * no custom plan nodes are needed for these semantics.
+  */
+object Relational {
+
+  /** Top-k rows per group, deterministic via explicit tie-breaking order.
+    * The shuffle is one hash partition by `partitionCols`; no global sort.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      order: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("bigint"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.timeCol <= left.timeCol` within the same key.
+    *
+    * Implemented as the MERGE-join formulation: tag both sides, union, one
+    * window pass per key ordered by (time, side), then keep left rows with
+    * the last-seen right attributes. Cost is a single shuffle on the key —
+    * no range cross-product — so it scales linearly with input size, unlike
+    * a theta-join + dedup which explodes on hot keys at 100 TB.
+    *
+    * Right rows must be unique per (key, time); callers dedup first (see
+    * `RelationalQueries.q_asof_join`) or results are tie-arbitrary.
+    *
+    * @param rightCols right-side payload columns carried to the output.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal timestamps, so a right row at
+    // exactly t is visible to a left row at t (>= semantics).
+    val taggedRight = right.select(
+      Seq(col(rightKey).as("__key"), col(rightTime).as("__time"), lit(0).as("__side")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(leftKey).as("__key"), col(leftTime).as("__time"), lit(1).as("__side")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        leftCols.map(col): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__time"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.SchemaRegistry
+import graft.operators.Transforms
+import graft.sources.{Sinks, Tables}
+
+/** Reference-parity operators (SURVEY.md §2), each as a named query with a
+  * DuckDB oracle. Conventions shared by every registry in this package:
+  * results are totally ordered on a unique key, timestamps leave as
+  * formatted strings (DuckDB keeps nanos, Spark micros — raw timestamp
+  * columns would hash-mismatch), computed integers are cast to BIGINT
+  * (Spark's size/row_number return INT where DuckDB returns BIGINT), and
+  * float aggregates are rounded.
+  */
+object ParityQueries {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val OracleFmt = "%Y-%m-%d %H:%M:%S"
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Deterministic scratch dir for sink-exercising queries; overwrite mode
+    * keeps reruns idempotent.
+    */
+  private def scratch(sfDir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sink_${math.abs(sfDir.hashCode)}/$name"
+
+  /** Inline registry for K1/K6 — same JSON shape as the reference's
+    * `MYSQL_to_BigQuery_tables.json` (`config.py:27-29`). Widens customer's
+    * INT32 nationkey to INT64, so enforcement visibly does work.
+    */
+  val registryJson: String =
+    """{
+      |  "customer": [
+      |    {"name": "c_custkey",    "type": "INTEGER"},
+      |    {"name": "c_name",       "type": "STRING"},
+      |    {"name": "c_nationkey",  "type": "INTEGER"},
+      |    {"name": "c_acctbal",    "type": "FLOAT"},
+      |    {"name": "c_mktsegment", "type": "STRING"}
+      |  ],
+      |  "daily_log": [
+      |    {"name": "ID",         "type": "INTEGER"},
+      |    {"name": "BackupDate", "type": "TIMESTAMP"},
+      |    {"name": "Server",     "type": "STRING"},
+      |    {"name": "Size",       "type": "FLOAT"}
+      |  ]
+      |}""".stripMargin
+
+  lazy val registry: SchemaRegistry.Registry = SchemaRegistry.fromJson(registryJson)
+
+  /** Events recast to the reference's `daily_log` source shape
+    * (FIXTURES.md A): ID, backup_date, server, size, fileName.
+    */
+  private def eventsAsDailyLog(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(
+      col("event_id").as("ID"),
+      col("ts").as("backup_date"),
+      col("event_type").as("server"),
+      col("value").as("size"),
+      col("props").as("fileName"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1: full scan, all columns.
+    "s1_full_scan" -> ((s, d) => t(s, d, "customer").orderBy("c_custkey")),
+
+    // S2: incremental (daily) scan by date equality on the ts column.
+    "s2_incremental_scan" -> ((s, d) =>
+      Tables.incremental(t(s, d, "events"), "ts", java.time.LocalDate.parse("2024-01-15"))
+        .select(
+          col("event_id"),
+          date_format(col("ts"), Fmt).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")),
+
+    // S3: catalog discovery from the data directory.
+    "s3_catalog" -> ((s, d) => Tables.catalog(s, d)),
+
+    // S4: discovery intersected with an allowlist.
+    "s4_allowlist" -> ((s, d) =>
+      Tables.catalog(s, d, Some(Set("events", "lineitem", "orders")))),
+
+    // P1: type-driven timestamp→string reformat (all timestamp columns).
+    "p1_date_format" -> ((s, d) =>
+      Transforms.formatTimestamps(t(s, d, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P2+P3+P5: daily_log dispatch — rename to PascalCase, drop file name.
+    "p2_rename_dispatch" -> ((s, d) =>
+      Transforms.forTable("daily_log")(eventsAsDailyLog(s, d))
+        .select(
+          col("ID"),
+          date_format(col("BackupDate"), Fmt).as("BackupDate"),
+          col("Server"), col("Size"))
+        .orderBy("ID")),
+
+    // P3: absence-tolerant drop.
+    "p3_drop" -> ((s, d) =>
+      Transforms.dropColumns(t(s, d, "events"), "props", "ts", "no_such_column")
+        .orderBy("event_id")),
+
+    // P4: guarded boolean casts (nonzero→true), absent column ignored.
+    "p4_bool_cast" -> ((s, d) =>
+      Transforms.castBooleans(
+          t(s, d, "lineitem")
+            .withColumn("ln_flag", col("l_linenumber"))
+            .withColumn("disc_flag", col("l_discount")),
+          Seq("ln_flag", "disc_flag", "absent_col"))
+        .select("l_orderkey", "l_linenumber", "ln_flag", "disc_flag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5: dispatch default — unknown table passes through unchanged.
+    "p5_dispatch_identity" -> ((s, d) =>
+      Transforms.forTable("region")(t(s, d, "region")).orderBy("r_regionkey")),
+
+    // P6: date-equality predicate (pushdown-eligible).
+    "p6_date_predicate" -> ((s, d) =>
+      Tables.incremental(t(s, d, "lineitem"), "l_shipdate",
+          java.time.LocalDate.parse("1996-11-01"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P7: empty-input guard — filtered-to-empty extract yields empty output.
+    "p7_empty_guard" -> ((s, d) => {
+      val probe = t(s, d, "events")
+        .filter(col("event_type") === "no_such_type")
+        .select("event_id", "user_id")
+      Transforms.nonEmptyGuard(probe).getOrElse(probe.limit(0)).orderBy("event_id")
+    }),
+
+    // K1+K6: registry-declared schema bound before write (INT32→INT64).
+    "k1_schema_enforce" -> ((s, d) =>
+      SchemaRegistry.enforce(t(s, d, "customer"),
+          SchemaRegistry.schemaFor(registry, "customer"))
+        .orderBy("c_custkey")),
+
+    // K2+K3: full-refresh DAY-partitioned write, read back with the derived
+    // partition column.
+    "k3_partitioned_write" -> ((s, d) => {
+      val out = scratch(d, "daily_log")
+      val shaped = Transforms.forTable("daily_log")(eventsAsDailyLog(s, d))
+      Sinks.write(shaped, out, daily = false, dayPartitionField = Some("BackupDate"))
+      s.read.parquet(out)
+        .select(
+          col("ID"),
+          date_format(col("BackupDate"), Fmt).as("BackupDate"),
+          col(Sinks.PartitionCol).cast(StringType).as("p_day"))
+        .orderBy("ID")
+    }),
+
+    // K5: post-load row-count audit.
+    "k5_count_audit" -> ((s, d) => {
+      val out = scratch(d, "customer_audit")
+      Sinks.write(t(s, d, "customer"), out)
+      s.read.parquet(out).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" -> "SELECT * FROM customer ORDER BY c_custkey",
+
+    "s2_incremental_scan" ->
+      s"""SELECT event_id, strftime(ts, '$OracleFmt') AS ts, user_id, event_type, value, props
+         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""".stripMargin,
+
+    "s3_catalog" ->
+      """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),
+        |('lineitem'),('nation'),('orders'),('part'),('region'),('supplier'))
+        |AS t(table_name) ORDER BY table_name""".stripMargin,
+
+    "s4_allowlist" ->
+      """SELECT * FROM (VALUES ('events'),('lineitem'),('orders'))
+        |AS t(table_name) ORDER BY table_name""".stripMargin,
+
+    "p1_date_format" ->
+      s"""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '$OracleFmt') AS l_shipdate
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p2_rename_dispatch" ->
+      s"""SELECT event_id AS ID, strftime(ts, '$OracleFmt') AS BackupDate,
+         |event_type AS Server, value AS Size FROM events ORDER BY ID""".stripMargin,
+
+    "p3_drop" ->
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
+
+    "p4_bool_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BOOLEAN) AS ln_flag,
+        |CAST(l_discount AS BOOLEAN) AS disc_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p5_dispatch_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
+
+    "p6_date_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '1996-11-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p7_empty_guard" ->
+      "SELECT event_id, user_id FROM events WHERE event_type = 'no_such_type' ORDER BY event_id",
+
+    "k1_schema_enforce" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "k3_partitioned_write" ->
+      s"""SELECT event_id AS ID, strftime(ts, '$OracleFmt') AS BackupDate,
+         |CAST(CAST(ts AS DATE) AS VARCHAR) AS p_day FROM events ORDER BY ID""".stripMargin,
+
+    "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
+  )
+}

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Extension-tier relational analytics (SURVEY.md §2.5): joins of every
+  * flavor, hash aggregation with partial/map-side combine, grouping sets,
+  * window functions, set operations, top-k, as-of and range joins, and JSON
+  * extraction. All declarative DataFrame plans — Catalyst picks broadcast vs
+  * shuffle joins (small dims are explicitly hinted), AQE handles runtime
+  * re-planning at scale.
+  */
+object RelationalQueries {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val OracleFmt = "%Y-%m-%d %H:%M:%S"
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-side filter, hash agg with map-side combine.
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: 3-way join, agg, top-k on rounded revenue.
+    "q3_top_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(
+          col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way star join with broadcast dims, agg per nation.
+    "q5_region_revenue" -> ((s, d) => {
+      val dims = broadcast(
+        t(s, d, "nation")
+          .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Distinct aggregation (exact) + plain aggregates per group.
+    "q_agg_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")),
+
+    // ROLLUP hierarchy totals; NULL group markers coalesced for stable order.
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("chars"))
+        .orderBy("lang", "source")),
+
+    // CUBE over event_type × weekday.
+    "q_cube" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("dow", weekday(col("ts")).cast("bigint"))
+        .cube("event_type", "dow")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "dow")),
+
+    // GROUPING SETS via the SQL surface on registered views.
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+          |       count(1) AS n_docs
+          |FROM documents_v
+          |GROUP BY GROUPING SETS ((lang), (source))
+          |ORDER BY lang, source""".stripMargin)
+    }),
+
+    // Left outer join + count, keeping zero-order customers.
+    "q_outer_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spend"))
+        .orderBy("c_custkey")),
+
+    // Semi + anti joins, tagged and unioned.
+    "q_semi_anti" -> ((s, d) => {
+      val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val noOrders = customer
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      val hasOpen = customer
+        .join(orders.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_open_order").as("tag"), col("c_custkey"))
+      noOrders.unionByName(hasOpen).orderBy("tag", "c_custkey")
+    }),
+
+    // Set operations: union distinct / intersect / except, tagged.
+    "q_setops" -> ((s, d) => {
+      val bigSpenders = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      bigSpenders.union(building).distinct().withColumn("op", lit("union"))
+        .unionByName(bigSpenders.intersect(building).withColumn("op", lit("intersect")))
+        .unionByName(bigSpenders.except(building).withColumn("op", lit("except")))
+        .select("op", "custkey")
+        .orderBy("op", "custkey")
+    }),
+
+    // Window: ranking with deterministic tie-break, top 3 orders/customer.
+    "q_window_topk" -> ((s, d) =>
+      Relational.topKPerGroup(
+          t(s, d, "orders"),
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")),
+
+    // Window: running sum + lag over event time per user.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("running_value",
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), Fmt).as("ts"),
+          col("running_value"), col("prev_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Global sort + limit (top-k) with full tie-break.
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(15)),
+
+    // As-of join: each event matched to the user's latest prior order.
+    "q_asof_join" -> ((s, d) => {
+      // Dedup right side to unique (key, time): max orderkey wins.
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      Relational.asofJoin(
+          t(s, d, "events").select("event_id", "user_id", "ts"),
+          o, leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"))
+        .select(
+          col("event_id"), col("user_id"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+        .orderBy("event_id")
+    }),
+
+    // Range join: equi key + bounded time interval.
+    "q_range_join" -> ((s, d) =>
+      t(s, d, "lineitem").as("l")
+        .join(t(s, d, "orders").as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey") &&
+          col("l.l_shipdate") >= col("o.o_orderdate") &&
+          col("l.l_shipdate") <= col("o.o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
+        .orderBy("o_orderstatus")),
+
+    // JSON extraction from the events props column.
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(1) AS n,
+        | round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(CAST(isodow(ts) - 1 AS BIGINT), -1) AS dow,
+        | count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, (CAST(isodow(ts) - 1 AS BIGINT)))
+        |ORDER BY event_type, dow""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | count(1) AS n_docs
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'no_orders' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'has_open_order' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q_setops" ->
+      """WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0),
+        | bld AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, custkey FROM (SELECT custkey FROM big UNION SELECT custkey FROM bld)
+        |UNION ALL
+        |SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM bld)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM bld)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      s"""SELECT user_id, event_id, strftime(ts, '$OracleFmt') AS ts,
+         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+         | lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 15""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        | FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS order_day
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderstatus, count(1) AS n, round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(1) AS n,
+        | round(avg(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k,
+        | max(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.SchemaRegistry
+
+/** Parquet sink with the reference's load semantics
+  * (`bigquery_operations.py:21-48`):
+  *
+  *  - K1 schema enforcement: declared `StructType` bound before the write;
+  *  - K2 write disposition: daily ⇒ append, full ⇒ overwrite (truncate)
+  *    (`bigquery_operations.py:36`);
+  *  - K3 DAY time-partitioning: derived `p_date` partition column, the
+  *    file-layout analogue of BigQuery's `TimePartitioning(DAY, field=…)`
+  *    (`bigquery_operations.py:30-34`). Day partitioning keeps future
+  *    incremental reads partition-prunable, which is the 100 TB story: a
+  *    daily query touches one directory, not the table;
+  *  - K5 post-load row-count audit (`bigquery_operations.py:46-48`).
+  */
+object Sinks {
+
+  final case class LoadReport(table: String, rowsLoaded: Long, rowsTotal: Long)
+
+  /** Partition column name added by DAY partitioning. */
+  val PartitionCol = "p_date"
+
+  /** K2+K3: write with disposition + optional DAY partitioning. */
+  def write(
+      df: DataFrame,
+      path: String,
+      daily: Boolean = false,
+      dayPartitionField: Option[String] = None): Unit = {
+    val mode = if (daily) SaveMode.Append else SaveMode.Overwrite
+    dayPartitionField match {
+      case Some(f) =>
+        df.withColumn(PartitionCol, to_date(col(f)))
+          .write.mode(mode).partitionBy(PartitionCol).parquet(path)
+      case None =>
+        df.write.mode(mode).parquet(path)
+    }
+  }
+
+  /** K5: read-back count audit. */
+  def countAudit(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  /** K1+K2+K3+K5 composite — the whole `load_to_bigquery` contract against a
+    * parquet destination. Returns (rowsLoaded, rowsTotalAfterLoad) like the
+    * reference's two log lines (`bigquery_operations.py:47-48`).
+    */
+  def load(
+      spark: SparkSession,
+      df: DataFrame,
+      schema: StructType,
+      path: String,
+      daily: Boolean = false,
+      dayPartitionField: Option[String] = None): LoadReport = {
+    val bound = SchemaRegistry.enforce(df, schema)
+    val loaded = bound.count()
+    write(bound, path, daily, dayPartitionField)
+    LoadReport(path, loaded, countAudit(spark, path))
+  }
+}

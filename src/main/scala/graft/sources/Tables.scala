@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet-backed table source over the harness testdata layout
+  * (`<sfDir>/<table>.parquet`).
+  *
+  * Mirrors the reference's source surface: full scan (S1) and incremental
+  * scan (S2) from `mysql_operations.py:15-41`, catalog discovery (S3) and
+  * allowlisting (S4) from `mysql_operations.py:43-55`. The production JDBC
+  * path lives in [[Jdbc]]; this file is the file-based equivalent the
+  * verification harness exercises.
+  */
+object Tables {
+
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (plain reads
+    * fail with PARQUET_TYPE_ILLEGAL). Converted back to micros timestamps on
+    * load; integer `div` avoids the precision loss a double division would
+    * incur on ~1.7e18 nano values.
+    */
+  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** S1: full table scan. Column pruning + predicate pushdown are Catalyst's
+    * job — callers just compose on the returned (lazy) DataFrame.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.columns.contains(c) && df.schema(c).dataType == LongType)
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else df
+    }
+  }
+
+  /** S2: incremental ("daily") scan — date-equality predicate on the
+    * timestamp column, matching `WHERE DATE(backup_date) = '<day>'`
+    * (`mysql_operations.py:21-23`). Expressed as a Column predicate so
+    * Catalyst can push it into the scan (file skipping / JDBC WHERE).
+    */
+  def incremental(df: DataFrame, tsCol: String, day: java.time.LocalDate): DataFrame =
+    df.filter(to_date(col(tsCol)) === lit(java.sql.Date.valueOf(day)))
+
+  /** S3: catalog discovery — the parquet-directory analogue of
+    * `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`
+    * (`mysql_operations.py:50`). Local listing; a cluster deployment would
+    * swap in the Hadoop FileSystem API or a catalog, same contract.
+    */
+  def discover(sfDir: String): Seq[String] = {
+    val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+    files.toSeq.map(_.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  /** S4: allowlist filter (`mysql_operations.py:45,51`). */
+  def allowlisted(tables: Seq[String], allowed: Set[String]): Seq[String] =
+    tables.filter(allowed)
+
+  /** S3+S4 as a DataFrame, for oracle-comparable query registration. */
+  def catalog(spark: SparkSession, sfDir: String, allowed: Option[Set[String]] = None): DataFrame = {
+    import spark.implicits._
+    val names = allowed.fold(discover(sfDir))(a => allowlisted(discover(sfDir), a))
+    names.toDF("table_name").orderBy("table_name")
+  }
+}
