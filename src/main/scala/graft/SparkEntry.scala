@@ -21,7 +21,11 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ParityQueries.queries, ParityQueries.oracles),
-      (RelationalQueries.queries, RelationalQueries.oracles))
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (SessionQueries.queries, SessionQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

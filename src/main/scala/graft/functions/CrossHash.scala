@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing and vector primitives.
+  *
+  * Everything here is reproducible bit-for-bit in ANSI SQL (and therefore in
+  * the DuckDB oracle): the hash is "parse the first 15 hex chars of md5 as a
+  * base-16 integer" — 60 bits, fits a signed BIGINT — rather than xxhash64,
+  * which only Spark has. All helpers are Column expressions built from
+  * built-in functions (higher-order array functions, no UDFs), so they stay
+  * inside Catalyst and distribute trivially.
+  *
+  * DuckDB mirrors (used by the oracle SQL):
+  *   h60(x)          ('0x' || substr(md5(x), 1, 15))::BIGINT
+  *   tokens(t)       regexp_split_to_array(t, '\s+')
+  *   wordShingles    list_transform(range(1, len(toks)-w+2),
+  *                     i -> array_to_string(list_slice(toks, i, i+w-1), ' '))
+  *   charGrams       list_transform(range(1, length(t)-n+2),
+  *                     i -> substr(t, i, n))
+  *   dotD            list_sum(list_transform(range(1, n+1),
+  *                     i -> a[i]::DOUBLE * b[i]::DOUBLE))
+  */
+object CrossHash {
+
+  /** 60-bit hash both engines can compute identically. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant — the k "independent" hash functions of MinHash are
+    * h60 over a salted input, the standard trick when the engine gives you
+    * one strong hash instead of a (a*x+b) mod p family.
+    */
+  def h60Salted(salt: Int, c: Column): Column =
+    h60(concat(lit(s"$salt:"), c))
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** w-token shingles joined by single spaces. Requires >= w tokens
+    * (documents testdata min is 10; guarded upstream where not).
+    */
+  def wordShingles(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), size(toks) - (w - 1)),
+      i => array_join(slice(toks, i, lit(w)), " "))
+
+  /** Character n-grams of a string. */
+  def charGrams(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), length(text) - (n - 1)),
+      i => substr(text, i, lit(n)))
+
+  /** MinHash signature: element i = min over shingles of h60(i + ":" + s).
+    * One array column per row; k expressions over the same shingle array.
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => h60Salted(i, s)))
+    }: _*)
+
+  /** LSH band keys: the signature cut into `bands` slices of `rows` values,
+    * each slice joined into one string key. Two sets collide on a band iff
+    * that slice matches exactly — the classic banding scheme.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      array_join(
+        transform(slice(sig, j * rows + 1, rows), x => x.cast("string")), ",")
+    }: _*)
+
+  /** Jaccard similarity of two pre-distinct arrays, exact. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Dot product in double precision with a defined (left-to-right) fold
+    * order, so Spark and the oracle sum identical operands identically.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Driver-side h60 — same value as the Column version; used to precompute
+    * small deterministic constants (e.g. LSH hyperplanes) that are then
+    * embedded as literals / broadcast instead of recomputed per row.
+    */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+}

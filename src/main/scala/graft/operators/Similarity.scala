@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — extension tier (SURVEY.md §7).
+  *
+  * Two paths:
+  *  - brute-force exact top-k: the correctness baseline; a query×corpus
+  *    join that is fine for a bounded query set (broadcast the queries),
+  *    and the yardstick the ANN path's recall is measured against;
+  *  - hyperplane-LSH bucketed top-k: the 100 TB path — each vector gets
+  *    `tables` signature keys from sign patterns against deterministic
+  *    random hyperplanes; candidates are bucket collisions, so the join is
+  *    a hash shuffle on the bucket key instead of a cross product.
+  *
+  * Hyperplanes are integer weight vectors derived from h60 (deterministic,
+  * engine-portable), precomputed once on the driver and embedded as
+  * literals — the Spark analogue of broadcasting the projection matrix —
+  * while the oracle recomputes the same weights via md5 in SQL.
+  */
+object Similarity {
+
+  /** Integer hyperplane weights in [-1000, 1000]:
+    * w(p, d) = h60(p + "," + d) % 2001 - 1000.
+    * DuckDB mirror: (('0x'||substr(md5(p||','||d),1,15))::BIGINT % 2001) - 1000.
+    */
+  def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dims)((p, d) => h60Local(s"$p,${d + 1}") % 2001 - 1000)
+
+  /** Sign-bit signature of one plane group: bit j set iff emb · plane_j ≥ 0.
+    * Dot products run in double with left-to-right fold order (oracle
+    * matches the same order via range(1, dims+1)).
+    */
+  def hyperplaneSignature(emb: Column, weights: Array[Array[Long]]): Column = {
+    val bits = weights.zipWithIndex.map { case (w, j) =>
+      val dot = dotD(emb, typedlit(w.toSeq))
+      when(dot >= 0, 1L << j).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`,
+    * excluding self-matches. Queries are broadcast (bounded query set);
+    * ranking is (cosine desc, neighbor id asc) with the cosine rounded to
+    * 7 decimals so cross-engine double noise cannot flip ranks.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 7))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: `tables` independent sign signatures of
+    * `planesPerTable` hyperplanes each; candidates are rows sharing any
+    * table's bucket with the query; exact cosine re-ranks candidates.
+    * Recall < 1 by construction — measured against [[bruteForceTopK]] in the
+    * test suite. Cost: one explode (×tables) + hash join on (table, bucket).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tables: Int = 4,
+      planesPerTable: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val allPlanes = planeWeights(tables * planesPerTable, dims)
+    def sigs(df: DataFrame, id: String, e: String): DataFrame = {
+      val keyCols = (0 until tables).map { t =>
+        val w = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+        // reference the source column, not the alias defined in this same
+        // select — a lateral alias under explode() breaks Spark 4 analysis.
+        struct(lit(t).as("tbl"), hyperplaneSignature(col(embCol), w).as("bucket"))
+      }
+      df.select(col(idCol).as(id), col(embCol).as(e),
+        explode(array(keyCols: _*)).as("bk"))
+    }
+    val qs = sigs(queries, "query_id", "qe")
+    val cs = sigs(corpus, "neighbor_id", "ce")
+    val cand = qs.join(cs, qs("bk") === cs("bk") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
+      .distinct()
+    // explicit projection boundary: the window below must not see the cos
+    // alias laterally (Spark 4 analyzer rejects the merged form).
+    val scored = cand.select(
+      col("query_id"), col("neighbor_id"),
+      round(cosine(col("qe"), col("ce")), 7).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+}

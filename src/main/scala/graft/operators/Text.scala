@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Text-analysis operators for training-data pipelines — language ID,
+  * quality scoring, token counting, document fingerprinting (extension
+  * tier, SURVEY.md §7). Pure Column expressions over built-in functions:
+  * no UDFs, everything stays codegen-eligible and the DuckDB oracle can
+  * mirror each formula exactly.
+  */
+object Text {
+
+  /** Function-word lists per language for the n-gram/stopword language-ID
+    * heuristic. Fixed and deterministic; order of `langs` is the tie-break
+    * preference order.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "que", "y", "en", "los", "se", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "un", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  val langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  private def hits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(typedlit(stopwords(lang)), t)))
+
+  /** Per-language stopword-hit score: hits / token count, rounded. */
+  def langScore(toks: Column, lang: String): Column =
+    round(hits(toks, lang).cast("double") / size(toks), 4)
+
+  /** Predicted language: argmax score with ties broken by `langs` order.
+    * Chained CASE keeps the expression portable to the oracle.
+    */
+  def langPredict(scores: Map[String, Column]): Column = {
+    val best = greatest(langs.map(scores): _*)
+    langs.foldRight(lit(langs.last)) { (l, rest) =>
+      when(scores(l) === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, and any other
+    * non-space character each count as one token — the usual cheap proxy
+    * for tokenizer cost before a real BPE pass.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Quality-score components + composite in [0, 1]:
+    * volume (tokens/50 capped), fluency proxy (English stopword ratio),
+    * lexical weight (avg word length / 8 capped). Weights 0.5/0.3/0.2.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val tc = size(toks).cast("double")
+    val avgLen = length(regexp_replace(text, "\\s+", "")).cast("double") / tc
+    val stopRatio = hits(toks, "en").cast("double") / tc
+    round(
+      least(tc / 50.0, lit(1.0)) * 0.5 +
+        stopRatio * 0.3 +
+        least(avgLen / 8.0, lit(1.0)) * 0.2,
+      4)
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized text. */
+  def docFingerprint(text: Column): Column =
+    md5(regexp_replace(text, "\\s+", " "))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * invariant to word order and repetition; the key for "exact up to
+    * reordering" dedup.
+    */
+  def bagOfWordsFingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Winnowing-style content fingerprint: the minimum h60 over character
+    * 8-grams — a single stable representative of the rolling-hash window
+    * set, robust to small edits anywhere but at the minimizer.
+    */
+  def minGramFingerprint(text: Column, n: Int = 8): Column =
+    array_min(transform(charGrams(text, n), g => h60(g)))
+}

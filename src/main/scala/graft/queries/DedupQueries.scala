@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import graft.operators.{Dedup, Text}
+import graft.sources.Tables
+
+/** Deduplication tier over the `documents` / `embeddings` tables, each with
+  * a full DuckDB oracle built on the engine-portable h60 hash (see
+  * [[graft.functions.CrossHash]]). The sf0.01 corpus plants 25 near-dup
+  * pairs at word-shingle Jaccard ≥ 0.8 — the LSH pipelines must surface
+  * them.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def toks = CrossHash.tokens(col("text"))
+
+  /** Shared oracle CTE: tokens per document. */
+  private val ToksCte =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup on the order-invariant bag-of-words fingerprint.
+    "d_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", Text.bagOfWordsFingerprint(toks))
+        .orderBy("rep_doc_id")),
+
+    // MinHash (k=16) + LSH (4 bands × 4 rows) word-3-shingle near-dups.
+    "d_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashPairs(
+          t(s, d, "documents"), "doc_id",
+          CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+        .orderBy("a", "b")),
+
+    // SimHash signatures (60-bit, relational bit-vote formulation) over
+    // word-3-shingles — shingles, not raw tokens: the corpus vocabulary is
+    // small, so token-level simhash barely discriminates.
+    "d_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs, hamming ≤ 3 via lossless 4-band blocking.
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+          Dedup.simhash(t(s, d, "documents"), "doc_id",
+            CrossHash.wordShingles(toks, 3)), maxHamming = 3)
+        .orderBy("a", "b")),
+
+    // Character-4-gram Jaccard with length-bucket blocking.
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), "doc_id", col("text"),
+          n = 4, threshold = 0.6, bucketWidth = 50)
+        .orderBy("a", "b")),
+
+    // Embedding cosine near-dups within the precomputed cluster label.
+    "d_embedding_cos" -> ((s, d) =>
+      Dedup.embeddingPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
+        .orderBy("block", "a", "b"))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "d_exact" ->
+      s"""$ToksCte
+         |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+         |       min(doc_id) AS rep_doc_id, count(*) AS n_copies
+         |FROM t GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""$ToksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 16), i ->
+         |    list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(
+         |    list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',') AS key
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT a, b, round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |      / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+         |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
+
+    "d_simhash" ->
+      s"""$ToksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS dt
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh
+         |  FROM sh, unnest(dt) AS u(tok)),
+         |v AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN sum(((hh >> b) & 1) * 2 - 1) > 0
+         |         THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit
+         |  FROM h, range(0, 60) r(b) GROUP BY doc_id, b)
+         |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""$ToksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS dt
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh
+         |  FROM sh, unnest(dt) AS u(tok)),
+         |v AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN sum(((hh >> b) & 1) * 2 - 1) > 0
+         |         THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit
+         |  FROM h, range(0, 60) r(b) GROUP BY doc_id, b),
+         |s AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM v GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 2),
+        |           i -> substr(text, i, 4))) AS g,
+        |         floor(length(text) / 50.0)::BIGINT AS bucket
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, k FROM g, unnest([bucket, bucket + 1]) AS u(k)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.doc_id < y.doc_id),
+        |j AS (
+        |  SELECT a, b, round(len(list_intersect(ga.g, gb.g))::DOUBLE
+        |      / len(list_distinct(ga.g || gb.g)), 4) AS jaccard
+        |  FROM cand JOIN g ga ON cand.a = ga.doc_id JOIN g gb ON cand.b = gb.doc_id)
+        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    "d_embedding_cos" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (
+        |  SELECT x.label AS block, x.vec_id AS a, y.vec_id AS b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))), 4) AS cos
+        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
+        |SELECT block, a, b, cos FROM p WHERE cos >= 0.38 ORDER BY block, a, b""".stripMargin
+  )
+}

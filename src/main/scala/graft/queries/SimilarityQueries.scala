@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search tier over the `embeddings` table (64-dim float
+  * vectors): exact brute-force top-k as the baseline, hyperplane-LSH
+  * bucketed top-k as the scale path. Oracles recompute the same
+  * deterministic plane weights via md5 in SQL.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Query set: every 50th vector (10 queries at sf0.01). */
+  private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 50 === 0)
+
+  /** Oracle fragment: left-to-right double dot product of two list columns. */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 7)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact top-5 neighbors per query vector (cosine, broadcast queries).
+    "sim_knn_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(queriesOf(e), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hyperplane-LSH ANN: 4 tables × 4 planes, candidates from bucket
+    // collisions, exact cosine re-rank, top-3.
+    "sim_knn_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(queriesOf(e), e, "vec_id", "embedding",
+          k = 3, tables = 4, planesPerTable = 4, dims = 64)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "sim_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |w AS (
+         |  SELECT t, j, list_transform(range(1, 65), d ->
+         |    (((('0x' || substr(md5((t * 4 + j)::VARCHAR || ',' || d::VARCHAR), 1, 15))::BIGINT
+         |       % 2001) - 1000))::DOUBLE) AS wv
+         |  FROM range(0, 4) rt(t), range(0, 4) rj(j)),
+         |sigs AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN list_sum(list_transform(range(1, 65),
+         |          d -> embedding[d]::DOUBLE * wv[d])) >= 0
+         |        THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bucket
+         |  FROM e, w GROUP BY vec_id, t),
+         |q AS (SELECT vec_id AS qid FROM e WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |  FROM sigs x JOIN q ON x.vec_id = q.qid
+         |  JOIN sigs y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |s AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+         |  FROM cand JOIN e qe ON cand.query_id = qe.vec_id
+         |            JOIN e ce ON cand.neighbor_id = ce.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import graft.operators.{Multimodal, Text}
+import graft.sources.Tables
+
+/** Text-analysis + multimodal-plumbing tier over `documents`: language ID,
+  * quality scoring, token counting, fingerprinting, frame sampling. Every
+  * formula mirrors exactly in the DuckDB oracle.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def toks = CrossHash.tokens(col("text"))
+
+  /** Oracle fragment: stopword hits for one language. */
+  private def hitsSql(lang: String): String = {
+    val list = Text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($list, t)))"
+  }
+
+  private def scoreSql(lang: String): String =
+    s"round(${hitsSql(lang)}::DOUBLE / len(toks), 4)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: per-language stopword scores, argmax with fixed
+    // preference-order tie-break, compared against the metadata lang.
+    "tx_langid" -> ((s, d) => {
+      val scored = docs(s, d).withColumn("tk", toks)
+      val scores = Text.langs.map(l => l -> Text.langScore(col("tk"), l)).toMap
+      scored.select(
+          col("doc_id"),
+          col("lang"),
+          Text.langPredict(scores).as("pred_lang"),
+          greatest(Text.langs.map(scores): _*).as("best_score"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: volume / fluency-proxy / lexical-weight composite.
+    "tx_quality" -> ((s, d) =>
+      docs(s, d).withColumn("tk", toks)
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("tk")).as("n_tokens"),
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / size(col("tk")), 4).as("avg_word_len"),
+          Text.qualityScore(col("text"), col("tk")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace words, BPE-ish regex tokens, and a
+    // ceil(len/4) subword estimate.
+    "tx_tokens" -> ((s, d) =>
+      docs(s, d).withColumn("tk", toks)
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("tk")).as("n_tokens"),
+          Text.bpeishCount(col("text")).as("n_bpeish"),
+          aggregate(
+            transform(col("tk"), t => ceil(length(t) / 4.0)),
+            lit(0L), (acc, v) => acc + v).as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // Fingerprints: whole-doc md5, bag-of-words md5, winnowing-style
+    // min-8-gram rolling hash.
+    "tx_fingerprint" -> ((s, d) =>
+      docs(s, d).withColumn("tk", toks)
+        .select(
+          col("doc_id"),
+          Text.docFingerprint(col("text")).as("doc_fp"),
+          Text.bagOfWordsFingerprint(col("tk")).as("bow_fp"),
+          Text.minGramFingerprint(col("text"), 8).as("min_gram_fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal frame sampling: documents as binary payloads chopped into
+    // 64-byte frames, one fingerprint per frame (decode step stubbed —
+    // see graft.operators.Multimodal).
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromText(docs(s, d), "doc_id", "text"), frameBytes = 64)
+        .orderBy("asset_id", "frame_no"))
+  )
+
+  val oracles: Map[String, String] = {
+    val toksCte =
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents)""".stripMargin
+
+    val bestSql = s"greatest(${Text.langs.map(scoreSql).mkString(", ")})"
+    val predSql = Text.langs.init.foldRight(s"'${Text.langs.last}'") { (l, rest) =>
+      s"CASE WHEN ${scoreSql(l)} = best THEN '$l' ELSE $rest END"
+    }
+
+    Map(
+      "tx_langid" ->
+        s"""$toksCte,
+           |scored AS (SELECT doc_id, lang, toks, $bestSql AS best FROM t)
+           |SELECT doc_id, lang, $predSql AS pred_lang, best AS best_score,
+           |       ($predSql = lang) AS is_match
+           |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "tx_quality" ->
+        s"""$toksCte
+           |SELECT doc_id,
+           |  len(toks)::BIGINT AS n_tokens,
+           |  round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks), 4)
+           |    AS avg_word_len,
+           |  round(
+           |    least(len(toks) / 50.0, 1.0) * 0.5
+           |    + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
+           |    + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
+           |            / 8.0, 1.0) * 0.2, 4) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "tx_tokens" ->
+        s"""$toksCte
+           |SELECT doc_id,
+           |  len(toks)::BIGINT AS n_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpeish,
+           |  list_sum(list_transform(toks, tk -> ceil(length(tk) / 4.0)))::BIGINT AS n_subwords
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "tx_fingerprint" ->
+        s"""$toksCte
+           |SELECT doc_id,
+           |  md5(regexp_replace(text, '\\s+', ' ', 'g')) AS doc_fp,
+           |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fp,
+           |  list_min(list_transform(range(1, length(text) - 6),
+           |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)) AS min_gram_fp
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "mm_frames" ->
+        """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),
+          |i AS (SELECT asset_id, text, unnest(range(0, (nb + 63) // 64)) AS frame_no FROM m),
+          |f AS (SELECT asset_id, frame_no, substr(text, (frame_no * 64 + 1)::INT, 64) AS fr FROM i)
+          |SELECT asset_id, frame_no::BIGINT AS frame_no, md5(fr) AS frame_fingerprint,
+          |       length(fr)::BIGINT AS frame_bytes
+          |FROM f ORDER BY asset_id, frame_no""".stripMargin
+    )
+  }
+}
