@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape — the streaming
+  * twin of the batch tier (extension; the reference is batch-only,
+  * SURVEY.md §2.5 "streaming"). All transforms take/return streaming
+  * DataFrames; sinks/triggers are the caller's concern.
+  *
+  * Watermarks bound state: every stateful op here declares one, so state
+  * eviction works at scale instead of growing without bound. Tested with
+  * MemoryStream (deterministic) rather than a DuckDB oracle — streaming
+  * state semantics have no SQL equivalent (SURVEY.md §7.5).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type: the canonical
+    * watermark + window aggregation. Late events beyond `watermark` are
+    * dropped; in append mode a window emits once it is below the watermark.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows built in: gap-based sessions per user via
+    * `session_window` — the streaming equivalent of
+    * [[graft.operators.Sessions.sessionize]].
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` can't express (e.g.
+    * emitting only on session close, carrying custom accumulators). State
+    * per user is O(1); an event-time timeout (watermark-driven — a
+    * processing-time timeout would schedule empty micro-batches forever)
+    * closes idle sessions.
+    */
+  def statefulSessions(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

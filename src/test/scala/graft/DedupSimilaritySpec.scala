@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Behavior specs for the dedup / similarity / multimodal tier on small
+  * synthetic frames (the DuckDB oracle covers exact parity; these cover
+  * semantics the oracle can't, like LSH recall vs brute force).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals here"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  private def toks = CrossHash.tokens(col("text"))
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", md5(col("text")))
+      .orderBy("rep_doc_id").select("rep_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces the planted near-dup and exact-dup pairs only") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
+        k = 16, bands = 4, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("simhash: identical texts get identical hashes; near-dups are close") {
+    val sims = Dedup.simhash(docs, "doc_id", CrossHash.wordShingles(toks, 3))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(4L))
+    val hamming12 = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    val hamming13 = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(hamming12 < hamming13)
+  }
+
+  test("simhashPairs band blocking is lossless for hamming <= maxHamming") {
+    val sims = Seq((1L, 0L), (2L, 7L), (3L, 0xFFFFL)).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairs(sims, maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3L))) // hamming(0,7)=3 kept; 16-bit distance dropped
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 3L), (2L, 1L), (3L, 2L))) // identical vec first, orthogonal last
+  }
+
+  test("LSH top-k is a subset of candidates ranked identically to brute force") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = lsh.count(brute.contains).toDouble / lsh.size
+    assert(recall >= 0.2, s"LSH results should overlap brute-force top-10, got $recall")
+  }
+
+  test("multimodal frame sampling: ceil(n/frame) frames, last partial") {
+    val media = Multimodal.fromText(Seq((7L, "a" * 150)).toDF("id", "t"), "id", "t")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64)
+      .select("frame_no", "frame_bytes").as[(Long, Long)].collect().toSeq.sorted
+    assert(frames == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
+  }
+
+  test("multimodal decodeFeatures keeps partition-parallel shape") {
+    val media = Multimodal.fromText(
+      Seq((1L, "abc"), (2L, "def")).toDF("id", "t"), "id", "t")
+    val out = Multimodal.decodeFeatures(spark, media, dims = 4).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getSeq[Double](1).size == 4))
+    assert(out.forall(_.getSeq[Double](1).forall(v => v >= 0.0 && v <= 1.0)))
+  }
+}

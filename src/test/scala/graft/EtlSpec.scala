@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.SchemaRegistry
+
+/** End-to-end orchestration spec: the reference's full-refresh and daily
+  * pipelines (E1/E2) against a temp parquet destination.
+  */
+class EtlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val registry = SchemaRegistry.fromJson(
+    """{
+      |  "daily_log": [
+      |    {"name": "ID", "type": "INTEGER"},
+      |    {"name": "BackupDate", "type": "TIMESTAMP"},
+      |    {"name": "Server", "type": "STRING"}
+      |  ]
+      |}""".stripMargin)
+
+  private def sourceDf = Seq(
+    (1L, ts("2024-01-14 10:00:00"), "s1", "a.bak"),
+    (2L, ts("2024-01-15 11:00:00"), "s2", "b.bak"),
+    (3L, ts("2024-01-15 12:00:00"), "s1", "c.bak")
+  ).toDF("ID", "backup_date", "server", "fileName")
+
+  test("full refresh: transform dispatch + schema enforce + DAY partitioning") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val spec = Etl.TableSpec("daily_log",
+      incrementalCol = Some("BackupDate"), dayPartitionField = Some("BackupDate"))
+    val reports = Etl.run(spark, Seq(spec), _ => sourceDf, registry, out, daily = false)
+    assert(reports == Seq(Etl.RunReport("daily_log", 3, 3, 3)))
+    val written = spark.read.parquet(s"$out/daily_log")
+    // declared schema only (fileName dropped by transform, partition col added)
+    assert(written.columns.toSet == Set("ID", "BackupDate", "Server", "p_date"))
+    assert(written.select("p_date").distinct().count() == 2)
+  }
+
+  test("daily mode: incremental extract + append disposition") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val spec = Etl.TableSpec("daily_log",
+      incrementalCol = Some("backup_date"), dayPartitionField = Some("BackupDate"))
+    val day = java.time.LocalDate.parse("2024-01-15")
+    val r1 = Etl.run(spark, Seq(spec), _ => sourceDf, registry, out, daily = true, day = day)
+    assert(r1 == Seq(Etl.RunReport("daily_log", 2, 2, 2))) // only the two 01-15 rows
+    val r2 = Etl.run(spark, Seq(spec), _ => sourceDf, registry, out, daily = true, day = day)
+    assert(r2.head.total == 4) // append, not truncate
+  }
+
+  test("daily mode skips the table entirely on an empty day (P7 guard)") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val spec = Etl.TableSpec("daily_log", incrementalCol = Some("backup_date"))
+    val day = java.time.LocalDate.parse("1999-01-01")
+    val reports = Etl.run(spark, Seq(spec), _ => sourceDf, registry, out, daily = true, day = day)
+    assert(reports.isEmpty)
+    assert(!new java.io.File(s"$out/daily_log").exists())
+  }
+
+  test("fail-fast: a missing registry entry aborts the run (O3/K6)") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val specs = Seq(Etl.TableSpec("daily_log"), Etl.TableSpec("unregistered"))
+    intercept[IllegalArgumentException] {
+      Etl.run(spark, specs, _ => sourceDf, registry, out)
+    }
+  }
+
+  test("credentials parser handles comments, blanks, and values with '='") {
+    val parsed = Credentials.parse(
+      """# comment
+        |USER = alice
+        |PASS=a=b=c
+        |
+        |HOST=db.example.com""".stripMargin)
+    assert(parsed == Map("USER" -> "alice", "PASS" -> "a=b=c", "HOST" -> "db.example.com"))
+  }
+}

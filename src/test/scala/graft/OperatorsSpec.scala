@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CrossHash
+import graft.model.SchemaRegistry
+import graft.operators._
+
+/** Unit specs for the reference-parity operators (SURVEY.md §2) and the
+  * portable hash/text primitives.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("P1 formatTimestamps reformats every timestamp column, only those") {
+    val df = Seq((1L, ts("2024-01-02 03:04:05"), ts("2024-02-03 04:05:06"), "x"))
+      .toDF("id", "a", "b", "s")
+    val out = Transforms.formatTimestamps(df)
+    assert(out.schema("a").dataType == StringType)
+    assert(out.schema("b").dataType == StringType)
+    assert(out.schema("id").dataType == LongType)
+    val r = out.head()
+    assert(r.getString(1) == "2024-01-02 03:04:05")
+    assert(r.getString(2) == "2024-02-03 04:05:06")
+  }
+
+  test("P2 renameColumns tolerates absent sources like pandas.rename") {
+    val df = Seq((1L, "a")).toDF("id", "server")
+    val out = Transforms.renameColumns(df, Map("server" -> "Server", "ghost" -> "Ghost"))
+    assert(out.columns.toSeq == Seq("id", "Server"))
+  }
+
+  test("P4 castBooleans: nonzero=true, absent columns ignored") {
+    val df = Seq((0, 2.5), (1, 0.0)).toDF("a", "b")
+    val out = Transforms.castBooleans(df, Seq("a", "b", "nope"))
+    val rows = out.orderBy("a").collect()
+    assert(rows.map(_.getBoolean(0)).toSeq == Seq(false, true))
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, false))
+  }
+
+  test("P5 dispatch: daily_log renames + drops file name; unknown passes through") {
+    val df = Seq((1L, "s", "f.txt")).toDF("ID", "server", "fileName")
+    val out = Transforms.forTable("daily_log")(df)
+    assert(out.columns.toSeq == Seq("ID", "Server"))
+    val same = Transforms.forTable("mystery")(df)
+    assert(same.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("P7 nonEmptyGuard skips empty extracts") {
+    assert(Transforms.nonEmptyGuard(Seq(1).toDF("x")).isDefined)
+    assert(Transforms.nonEmptyGuard(Seq(1).toDF("x").filter(col("x") > 9)).isEmpty)
+  }
+
+  test("K6 SchemaRegistry: parse, hard miss, K1 enforce casts + ordering") {
+    val reg = SchemaRegistry.fromJson(
+      """{"t": [{"name": "b", "type": "INTEGER"}, {"name": "a", "type": "STRING"}]}""")
+    assert(SchemaRegistry.schemaFor(reg, "t").fieldNames.toSeq == Seq("b", "a"))
+    intercept[IllegalArgumentException](SchemaRegistry.schemaFor(reg, "missing"))
+    val df = Seq(("x", 1)).toDF("a", "b")
+    val out = SchemaRegistry.enforce(df, SchemaRegistry.schemaFor(reg, "t"))
+    assert(out.columns.toSeq == Seq("b", "a"))
+    assert(out.schema("b").dataType == LongType)
+  }
+
+  test("h60 column expression equals driver-side h60Local") {
+    val inputs = Seq("hello", "0:a b c", "7,42")
+    val fromSpark = inputs.toDF("s").select(CrossHash.h60(col("s"))).as[Long].collect().toSeq
+    assert(fromSpark == inputs.map(CrossHash.h60Local))
+  }
+
+  test("wordShingles and charGrams produce expected windows") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(CrossHash.wordShingles(CrossHash.tokens(col("t")), 3))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val gr = df.select(CrossHash.charGrams(col("t"), 3)).as[Seq[String]].head()
+    assert(gr.size == 5 && gr.head == "a b" && gr.last == "c d")
+  }
+
+  test("asofJoin picks latest right row at or before left time, per key") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")), (2L, 10L, ts("2024-01-01 08:00:00")),
+        (3L, 20L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), "early"), (10L, ts("2024-01-01 10:00:00"), "exact"),
+        (20L, ts("2024-01-02 00:00:00"), "future"))
+      .toDF("k", "rt", "tag")
+    val out = Relational.asofJoin(left, right, "user_id", "k", "t", "rt", Seq("tag"))
+      .orderBy("event_id").select("event_id", "tag").as[(Long, String)].collect().toSeq
+    // event 1: right row at exactly 10:00 visible (>= semantics); event 2: none yet;
+    // event 3: only a future right row -> null.
+    assert(out == Seq((1L, "exact"), (2L, null), (3L, null)))
+  }
+
+  test("Sessions.sessionize splits on gap > threshold only") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:20:00"), 1.0), // 20 min, same session
+      (3L, 1L, ts("2024-01-01 11:00:00"), 1.0), // 40 min, new session
+      (4L, 2L, ts("2024-01-01 10:00:00"), 1.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Deterministic MemoryStream tests for the streaming tier — watermark and
+  * session-state semantics have no DuckDB oracle (SURVEY.md §7.5), so they
+  * are pinned here instead.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "view", v: Double = 1.0) =
+    Event(id, ts(t), user, typ, v)
+
+  test("tumblingCounts aggregates per window and drops late data past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:05:00"),
+        ev(3, "2024-01-01 10:12:00"))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window closes...
+      input.addData(ev(4, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      // ...then a very late event for the closed window must be dropped.
+      input.addData(ev(5, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts("2024-01-01 10:00:00")) == 2L) // events 1+2; late event 5 dropped
+      assert(rows(ts("2024-01-01 10:10:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionWindows merges events within gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"), // one session
+        ev(3, "2024-01-01 12:00:00")) // second session
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-02 00:00:00")) // push watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("session_start", "n_events").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts("2024-01-01 10:00:00")) == 2L)
+      assert(rows(ts("2024-01-01 12:00:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("statefulSessions closes a session when the gap is exceeded in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.statefulSessions(input.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("stateful").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", v = 2.0), ev(2, "2024-01-01 10:10:00", v = 3.0),
+        ev(3, "2024-01-01 11:30:00", v = 4.0)) // gap 80min -> closes first session
+      q.processAllAvailable()
+      val rows = spark.table("stateful")
+        .select("session_start", "n_events", "sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      assert(rows == Seq((ts("2024-01-01 10:00:00"), 2L, 5.0)))
+    } finally q.stop()
+  }
+}
