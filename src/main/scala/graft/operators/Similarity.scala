@@ -56,9 +56,11 @@ object Similarity {
       embCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .withColumn("cn", l2Norm(col("ce")))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 7))
+      .withColumn("cos", round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 7))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -101,7 +103,7 @@ object Similarity {
     // alias laterally (Spark 4 analyzer rejects the merged form).
     val scored = cand.select(
       col("query_id"), col("neighbor_id"),
-      round(cosine(col("qe"), col("ce")), 7).as("cos"))
+      round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

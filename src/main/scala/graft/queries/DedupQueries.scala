@@ -53,11 +53,10 @@ object DedupQueries {
             CrossHash.wordShingles(toks, 3)), maxHamming = 3)
         .orderBy("a", "b")),
 
-    // Character-4-gram Jaccard with length-bucket blocking.
+    // Character-4-gram Jaccard, candidates via char-gram MinHash LSH.
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
-          t(s, d, "documents"), "doc_id", col("text"),
-          n = 4, threshold = 0.6, bucketWidth = 50)
+          t(s, d, "documents"), "doc_id", col("text"), n = 4, threshold = 0.6)
         .orderBy("a", "b")),
 
     // Embedding cosine near-dups within the precomputed cluster label.
@@ -81,11 +80,15 @@ object DedupQueries {
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
          |  FROM t),
+         |hs AS (
+         |  SELECT doc_id, sh, list_transform(sh, s ->
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id, sh, list_transform(range(0, 16), i ->
-         |    list_min(list_transform(sh, s ->
-         |      ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS sig
-         |  FROM sh),
+         |    list_min(list_transform(hs, h ->
+         |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
+         |  FROM hs),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(
          |    list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',') AS key
@@ -139,18 +142,28 @@ object DedupQueries {
     "d_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 2),
-        |           i -> substr(text, i, 4))) AS g,
-        |         floor(length(text) / 50.0)::BIGINT AS bucket
+        |           i -> substr(text, i, 4))) AS g
         |  FROM documents),
-        |keyed AS (
-        |  SELECT doc_id, k FROM g, unnest([bucket, bucket + 1]) AS u(k)),
+        |hs AS (
+        |  SELECT doc_id, g, list_transform(g, s ->
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM g),
+        |sig AS (
+        |  SELECT doc_id, g, list_transform(range(0, 24), i ->
+        |    list_min(list_transform(hs, h ->
+        |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(
+        |    list_transform(list_slice(sig, b * 6 + 1, b * 6 + 6), x -> x::VARCHAR), ',') AS key
+        |  FROM sig, range(0, 4) r(b)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.doc_id < y.doc_id),
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
         |j AS (
         |  SELECT a, b, round(len(list_intersect(ga.g, gb.g))::DOUBLE
         |      / len(list_distinct(ga.g || gb.g)), 4) AS jaccard
-        |  FROM cand JOIN g ga ON cand.a = ga.doc_id JOIN g gb ON cand.b = gb.doc_id)
+        |  FROM cand JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
 
     "d_embedding_cos" ->

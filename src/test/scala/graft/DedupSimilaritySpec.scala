@@ -30,10 +30,14 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("minhash LSH surfaces the planted near-dup and exact-dup pairs only") {
+    // 8 bands × 2 rows: near-dup collision probability ≈ 1 - 8e-5 for the
+    // j≈0.83 planted pair (and the pipeline is fully deterministic, so a
+    // pass here is a pass forever); the 4×4 production curve trades some of
+    // that recall for far fewer background candidates.
     val pairs = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
-        k = 16, bands = 4, threshold = 0.5)
+        k = 16, bands = 8, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 4L))) // exact dup always collides (j = 1)
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
   }

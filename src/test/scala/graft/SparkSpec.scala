@@ -23,5 +23,6 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
