@@ -219,6 +219,38 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
         .orderBy("o_orderstatus")),
 
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the definition; rounded).
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Conversion funnel: for each view, did the same user purchase within
+    // the next hour? One shuffle on user, sessionless event-sequence logic
+    // via the merge-ordered window (no self-join explosion).
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val nextPurchaseTs = ev
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("next_ts", min(when(col("event_type") === "purchase", col("ts")))
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      nextPurchaseTs
+        .filter(col("event_type") === "view")
+        .withColumn("converted",
+          col("next_ts").isNotNull &&
+            unix_micros(col("next_ts")) - unix_micros(col("ts")) <= 3600L * 1000000L)
+        .groupBy("converted")
+        .agg(count(lit(1)).as("n_views"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("converted")
+    }),
+
     // JSON extraction from the events props column.
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -362,6 +394,29 @@ object RelationalQueries {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |n AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM f)
+        |SELECT (next_ts IS NOT NULL
+        |        AND epoch_us(next_ts) - epoch_us(ts) <= 3600000000) AS converted,
+        |       count(*) AS n_views, count(DISTINCT user_id) AS n_users
+        |FROM n WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY converted""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(1) AS n,
