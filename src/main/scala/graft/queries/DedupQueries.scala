@@ -85,7 +85,7 @@ object DedupQueries {
          |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
          |  FROM sh),
          |sig AS (
-         |  SELECT doc_id, sh, list_transform(range(0, 16), i ->
+         |  SELECT doc_id, hs, list_transform(range(0, 16), i ->
          |    list_min(list_transform(hs, h ->
          |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
          |  FROM hs),
@@ -97,8 +97,8 @@ object DedupQueries {
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
          |j AS (
-         |  SELECT a, b, round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-         |      / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+         |  SELECT a, b, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |      / len(list_distinct(sa.hs || sb.hs)), 4) AS jaccard
          |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
 
@@ -149,7 +149,7 @@ object DedupQueries {
         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
         |  FROM g),
         |sig AS (
-        |  SELECT doc_id, g, list_transform(range(0, 24), i ->
+        |  SELECT doc_id, hs, list_transform(range(0, 24), i ->
         |    list_min(list_transform(hs, h ->
         |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
         |  FROM hs),
@@ -161,8 +161,8 @@ object DedupQueries {
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
         |j AS (
-        |  SELECT a, b, round(len(list_intersect(ga.g, gb.g))::DOUBLE
-        |      / len(list_distinct(ga.g || gb.g)), 4) AS jaccard
+        |  SELECT a, b, round(len(list_intersect(ga.hs, gb.hs))::DOUBLE
+        |      / len(list_distinct(ga.hs || gb.hs)), 4) AS jaccard
         |  FROM cand JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
 
