@@ -67,4 +67,46 @@ object Relational {
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(c)): _*)
   }
+
+  /** Salted equi-join for skewed keys: the left (large, skewed) side gets a
+    * random-ish salt in [0, `salts`) derived deterministically from a
+    * tie-break column; the right side is replicated `salts` times. The
+    * shuffle then spreads each hot key over `salts` reducers instead of
+    * one straggler task. AQE's skew-join handles moderate skew on its own —
+    * this is the explicit treatment for the "one key is 10% of the table"
+    * regime where even split sub-partitions overwhelm a single join key.
+    *
+    * Exact same rows as the unsalted join (salt columns are dropped).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int,
+      saltSource: String): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", pmod(hash(col(saltSource)), lit(salts)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt), then final aggregate on key. Spark's hash aggregate
+    * already does map-side partial combine, which covers most skew; this
+    * explicit form exists for aggregates whose partial state is large
+    * (e.g. collect-like) where the per-reducer state for a hot key must be
+    * split. `partial` and `merge` must form a commutative monoid.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      salts: Int,
+      saltSource: String,
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(saltSource)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.CrossHash
+import graft.operators.{Relational, Transforms}
+
+/** Property-based specs (SURVEY.md §5.3): invariants that must hold for
+  * arbitrary inputs, not just fixtures. Plain scalacheck `Properties`
+  * (the scalatest bridge isn't in the offline dependency set).
+  */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("h60 column == h60 driver-side") =
+    forAll(Gen.listOfN(10, word)) { ss =>
+      ss.isEmpty || {
+        val fromSpark = ss.toDF("s").select(CrossHash.h60(col("s"))).as[Long].collect().toSeq
+        fromSpark == ss.map(CrossHash.h60Local)
+      }
+    }
+
+  property("rename then inverse rename is identity") =
+    forAll(Gen.listOfN(4, word).map(_.distinct)) { names =>
+      names.size != 4 || {
+        val df = Seq((1, 2, 3, 4)).toDF(names: _*)
+        val fwd = names.map(n => n -> s"${n}_x").toMap
+        val out = Transforms.renameColumns(
+          Transforms.renameColumns(df, fwd), fwd.map(_.swap))
+        out.columns.toSeq == df.columns.toSeq
+      }
+    }
+
+  property("daily extract ⊆ full extract, equals the day partition") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(1, 28), Gen.choose(0L, 5L))),
+        Gen.choose(1, 28)) { (rows, day) =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex.map { case ((d, v), i) =>
+          (i.toLong, Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), v)
+        }.toDF("id", "ts", "v")
+        val inc = sources.Tables.incremental(df, "ts", java.time.LocalDate.parse(f"2024-01-$day%02d"))
+        val incIds = inc.select("id").as[Long].collect().toSet
+        val expected = rows.zipWithIndex.collect { case ((d, _), i) if d == day => i.toLong }.toSet
+        incIds == expected
+      }
+    }
+
+  property("jaccard: symmetric, reflexive=1, matches set formula") =
+    forAll(Gen.listOfN(6, word), Gen.listOfN(6, word)) { (a, b) =>
+      a.isEmpty || b.isEmpty || {
+        val r = Seq((a, b)).toDF("a", "b")
+          .select(
+            CrossHash.jaccard(array_distinct(col("a")), array_distinct(col("b"))).as("ab"),
+            CrossHash.jaccard(array_distinct(col("b")), array_distinct(col("a"))).as("ba"),
+            CrossHash.jaccard(array_distinct(col("a")), array_distinct(col("a"))).as("aa"))
+          .head()
+        val expected = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+        r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == 1.0 &&
+          math.abs(r.getDouble(0) - expected) < 1e-12
+      }
+    }
+
+  property("saltedJoin == plain join") =
+    forAll(
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 100L))),
+      Gen.listOfN(5, Gen.zip(Gen.choose(0L, 5L), word))) { (l, r) =>
+      l.isEmpty || r.isEmpty || {
+        val left = l.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+          .toDF("k", "v", "row_id")
+        val right = r.distinct.toDF("k", "name")
+        val plain = left.join(right, "k")
+          .select("row_id", "name").as[(Long, String)].collect().sorted.toSeq
+        val salted = Relational.saltedJoin(left, right, "k", salts = 4, saltSource = "row_id")
+          .select("row_id", "name").as[(Long, String)].collect().sorted.toSeq
+        salted == plain
+      }
+    }
+
+  // keep runtime bounded: each property is a Spark job per case
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+}
