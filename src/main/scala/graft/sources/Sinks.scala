@@ -35,7 +35,12 @@ object Sinks {
     val mode = if (daily) SaveMode.Append else SaveMode.Overwrite
     dayPartitionField match {
       case Some(f) =>
+        // repartition on the partition value first: otherwise every shuffle
+        // partition writes a sliver into every day directory — thousands of
+        // tiny files here, millions at 100 TB. One shuffle, one file per
+        // day per final partition.
         df.withColumn(PartitionCol, to_date(col(f)))
+          .repartition(col(PartitionCol))
           .write.mode(mode).partitionBy(PartitionCol).parquet(path)
       case None =>
         df.write.mode(mode).parquet(path)
