@@ -251,6 +251,39 @@ object RelationalQueries {
         .orderBy("converted")
     }),
 
+    // Pivot: daily event counts, one column per (fixed) event type.
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy("day")
+    }),
+
+    // Gap-fill + carry-forward: a complete day spine per event type, daily
+    // value sums, missing days filled with the last observed value. The
+    // spine is generated (sequence/explode), never collected.
+    "q_gapfill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(round(sum("value"), 2).as("v"))
+      val spine = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .crossJoin(ev.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day", "event_type"), "left")
+        .withColumn("v_filled", coalesce(last("v", ignoreNulls = true).over(w), lit(0.0)))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"),
+          col("v_filled"))
+        .orderBy("day", "event_type")
+    }),
+
     // JSON extraction from the events props column.
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -417,6 +450,32 @@ object RelationalQueries {
         |       count(*) AS n_views, count(DISTINCT user_id) AS n_users
         |FROM n WHERE event_type = 'view'
         |GROUP BY 1 ORDER BY converted""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day, event_type
+        |  FROM bounds, (SELECT DISTINCT event_type FROM events)),
+        |joined AS (
+        |  SELECT spine.day, spine.event_type, daily.v
+        |  FROM spine LEFT JOIN daily USING (day, event_type))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
+        |FROM joined ORDER BY day, event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(1) AS n,
