@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
@@ -62,6 +63,35 @@ class StreamingSpec extends SparkSpec {
         .select("session_start", "n_events").as[(Timestamp, Long)].collect().toMap
       assert(rows(ts("2024-01-01 10:00:00")) == 2L)
       assert(rows(ts("2024-01-01 12:00:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming lands in the day-partitioned parquet sink via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "15 minutes")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // daily=true => append: each micro-batch adds its closed windows.
+        graft.sources.Sinks.write(batch, s"$out/agg", daily = true,
+          dayPartitionField = Some("window_start"))
+      }
+      .start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-02 09:00:00")) // next day; closes day-1 windows
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-03 09:00:00")) // closes day-2 windows
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$out/agg")
+      assert(landed.select("p_date").distinct().count() >= 1)
+      val day1 = landed.filter(col("p_date") === "2024-01-01")
+        .select("n").as[Long].collect().toSeq
+      assert(day1 == Seq(2L)) // both 10:0x events in one closed window
     } finally q.stop()
   }
 
