@@ -68,7 +68,10 @@ object Etl {
       val report = Sinks.load(
         spark, transformed, schema, s"$outBase/${spec.name}",
         daily = daily, dayPartitionField = spec.dayPartitionField)
-      RunReport(spec.name, extracted.count(), report.rowsLoaded, report.rowsTotal)
+      // transforms are row-preserving (rename/drop/cast), so rowsLoaded IS
+      // the extract count — recounting `extracted` would re-run the whole
+      // source scan (a second full table transfer on the JDBC path).
+      RunReport(spec.name, report.rowsLoaded, report.rowsLoaded, report.rowsTotal)
     }
   }
 

@@ -39,19 +39,22 @@ object CrossHash {
   /** Whitespace word tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** w-token shingles joined by single spaces. Requires >= w tokens
-    * (documents testdata min is 10; guarded upstream where not).
+  /** Empty-input-safe windows helper: `sequence(1, upper)` turns DESCENDING
+    * for upper < 1 (Spark defaults the step to -1), which would fabricate
+    * windows for too-short inputs where the oracle's `range(1, upper+1)`
+    * is empty — so short inputs yield an explicitly empty array instead.
     */
-  def wordShingles(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(1), size(toks) - (w - 1)),
-      i => array_join(slice(toks, i, lit(w)), " "))
+  private def windows(upper: Column, make: Column => Column, elemType: String): Column =
+    when(upper < 1, lit(Array.empty[String]).cast(s"array<$elemType>"))
+      .otherwise(transform(sequence(lit(1), greatest(upper, lit(1))), make))
 
-  /** Character n-grams of a string. */
+  /** w-token shingles joined by single spaces; empty for < w tokens. */
+  def wordShingles(toks: Column, w: Int): Column =
+    windows(size(toks) - (w - 1), i => array_join(slice(toks, i, lit(w)), " "), "string")
+
+  /** Character n-grams of a string; empty for text shorter than n. */
   def charGrams(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), length(text) - (n - 1)),
-      i => substr(text, i, lit(n)))
+    windows(length(text) - (n - 1), i => substr(text, i, lit(n)), "string")
 
   /** LSH band keys: the signature cut into `bands` slices of `rows` values,
     * each slice joined into one string key. Two sets collide on a band iff

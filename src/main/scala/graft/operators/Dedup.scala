@@ -60,6 +60,10 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands — otherwise signature " +
+        "values are silently dropped (or every band key degenerates to \"\" " +
+        "and the join becomes an O(n²) cross product)")
     val rows = k / bands
     val hashed = df
       .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))

@@ -51,9 +51,12 @@ object Multimodal {
       col("asset_id"),
       col("meta.n_bytes").as("n_bytes"),
       posexplode(
-        transform(
-          sequence(lit(0), ceil(col("meta.n_bytes") / frameBytes).cast("long") - 1),
-          i => substr(col("payload"), i * frameBytes + 1, lit(frameBytes))))
+        // empty payload -> no frames: sequence(0, -1) would count DOWN and
+        // fabricate two bogus frames, so guard the degenerate case.
+        when(col("meta.n_bytes") <= 0, lit(Array.empty[Array[Byte]]).cast("array<binary>"))
+          .otherwise(transform(
+            sequence(lit(0), ceil(col("meta.n_bytes") / frameBytes).cast("long") - 1),
+            i => substr(col("payload"), i * frameBytes + 1, lit(frameBytes)))))
         .as(Seq("frame_no", "frame")))
       .select(
         col("asset_id"),

@@ -73,6 +73,11 @@ object Similarity {
     * table's bucket with the query; exact cosine re-ranks candidates.
     * Recall < 1 by construction — measured against [[bruteForceTopK]] in the
     * test suite. Cost: one explode (×tables) + hash join on (table, bucket).
+    *
+    * `dims` must equal the embedding length: the dot product is null on a
+    * length mismatch, which nulls every bucket and silently returns zero
+    * candidates (asserted in the spec, documented here because the plan
+    * cannot know the array length statically).
     */
   def lshTopK(
       queries: DataFrame,

@@ -56,14 +56,21 @@ object Jdbc {
     withParts.load()
   }
 
-  /** S2 over JDBC: date-equality filter, pushed to the source by Catalyst. */
+  /** S2 over JDBC: the daily date-equality semantics as a half-open
+    * timestamp range — attribute-vs-literal comparisons translate directly
+    * into the remote WHERE clause (a `to_date(col)` wrapper would depend
+    * on the optimizer unwrapping it before source translation).
+    */
   def readIncremental(
       spark: SparkSession,
       cfg: JdbcConfig,
       table: String,
       tsCol: String,
-      day: java.time.LocalDate): DataFrame =
-    read(spark, cfg, table).filter(to_date(col(tsCol)) === lit(java.sql.Date.valueOf(day)))
+      day: java.time.LocalDate): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf(day.atStartOfDay())
+    val hi = java.sql.Timestamp.valueOf(day.plusDays(1).atStartOfDay())
+    read(spark, cfg, table).filter(col(tsCol) >= lit(lo) && col(tsCol) < lit(hi))
+  }
 
   /** S3 over JDBC: base-table discovery via information_schema (the portable
     * spelling of `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`).

@@ -35,13 +35,18 @@ object Tables {
     }
   }
 
-  /** S2: incremental ("daily") scan — date-equality predicate on the
-    * timestamp column, matching `WHERE DATE(backup_date) = '<day>'`
-    * (`mysql_operations.py:21-23`). Expressed as a Column predicate so
-    * Catalyst can push it into the scan (file skipping / JDBC WHERE).
+  /** S2: incremental ("daily") scan — the `WHERE DATE(backup_date) = d`
+    * semantics of `mysql_operations.py:21-23`, written as the equivalent
+    * half-open timestamp range rather than `to_date(col) === d`: plain
+    * attribute-vs-literal comparisons are pushable by every source
+    * (parquet row-group skipping, JDBC WHERE translation), with no
+    * reliance on the optimizer unwrapping the date cast.
     */
-  def incremental(df: DataFrame, tsCol: String, day: java.time.LocalDate): DataFrame =
-    df.filter(to_date(col(tsCol)) === lit(java.sql.Date.valueOf(day)))
+  def incremental(df: DataFrame, tsCol: String, day: java.time.LocalDate): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf(day.atStartOfDay())
+    val hi = java.sql.Timestamp.valueOf(day.plusDays(1).atStartOfDay())
+    df.filter(col(tsCol) >= lit(lo) && col(tsCol) < lit(hi))
+  }
 
   /** S3: catalog discovery — the parquet-directory analogue of
     * `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`

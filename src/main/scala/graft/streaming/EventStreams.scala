@@ -89,8 +89,13 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                // |t - last| handles a cross-batch late (but within
+                // watermark) event: it must extend the session backwards,
+                // not drag `last` earlier and corrupt later gap checks.
+                case Some(s) if math.abs(t - s.last) <= gapMs =>
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t), last = math.max(s.last, t),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))

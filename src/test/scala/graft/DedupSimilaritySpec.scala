@@ -88,6 +88,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(frames == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
   }
 
+  test("multimodal frame sampling: empty payload yields zero frames") {
+    val media = Multimodal.fromText(Seq((8L, "")).toDF("id", "t"), "id", "t")
+    assert(Multimodal.sampleFrames(media, frameBytes = 64).count() == 0)
+  }
+
+  test("minhashPairs rejects a non-divisible band configuration") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 4, bands = 8)
+    }
+  }
+
   test("multimodal decodeFeatures keeps partition-parallel shape") {
     val media = Multimodal.fromText(
       Seq((1L, "abc"), (2L, "def")).toDF("id", "t"), "id", "t")

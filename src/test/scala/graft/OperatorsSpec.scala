@@ -83,6 +83,13 @@ class OperatorsSpec extends SparkSpec {
     assert(gr.size == 5 && gr.head == "a b" && gr.last == "c d")
   }
 
+  test("wordShingles and charGrams are empty (not bogus) on too-short input") {
+    val df = Seq("ab").toDF("t")
+    assert(df.select(CrossHash.wordShingles(CrossHash.tokens(col("t")), 3))
+      .as[Seq[String]].head().isEmpty)
+    assert(df.select(CrossHash.charGrams(col("t"), 4)).as[Seq[String]].head().isEmpty)
+  }
+
   test("asofJoin picks latest right row at or before left time, per key") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")), (2L, 10L, ts("2024-01-01 08:00:00")),
         (3L, 20L, ts("2024-01-01 10:00:00")))
