@@ -94,7 +94,7 @@ object Dedup {
     cand
       .join(sigd.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sigd.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + 1e-9, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

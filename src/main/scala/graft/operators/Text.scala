@@ -61,10 +61,15 @@ object Text {
     val tc = size(toks).cast("double")
     val avgLen = length(regexp_replace(text, "\\s+", "")).cast("double") / tc
     val stopRatio = hits(toks, "en").cast("double") / tc
+    // + 1e-9 before rounding: the score lives on a grid of exact decimals
+    // (tc/100 + 3·hits/(10·tc) + chars/(40·tc)) that can land EXACTLY on a
+    // 4th-decimal half (e.g. 0.25125); Spark rounds the decimal string
+    // (HALF_UP → .2513) while DuckDB rounds the binary double (→ .2512).
+    // The epsilon pushes ties off the boundary identically in both engines.
     round(
       least(tc / 50.0, lit(1.0)) * 0.5 +
         stopRatio * 0.3 +
-        least(avgLen / 8.0, lit(1.0)) * 0.2,
+        least(avgLen / 8.0, lit(1.0)) * 0.2 + 1e-9,
       4)
   }
 

@@ -98,7 +98,7 @@ object DedupQueries {
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
          |j AS (
          |  SELECT a, b, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |      / len(list_distinct(sa.hs || sb.hs)), 4) AS jaccard
+         |      / len(list_distinct(sa.hs || sb.hs)) + 0.000000001, 4) AS jaccard
          |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
 
@@ -162,7 +162,7 @@ object DedupQueries {
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
         |j AS (
         |  SELECT a, b, round(len(list_intersect(ga.hs, gb.hs))::DOUBLE
-        |      / len(list_distinct(ga.hs || gb.hs)), 4) AS jaccard
+        |      / len(list_distinct(ga.hs || gb.hs)) + 0.000000001, 4) AS jaccard
         |  FROM cand JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
 

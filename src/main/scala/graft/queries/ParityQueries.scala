@@ -68,9 +68,10 @@ object ParityQueries {
     // S1: full scan, all columns.
     "s1_full_scan" -> ((s, d) => t(s, d, "customer").orderBy("c_custkey")),
 
-    // S2: incremental (daily) scan by date equality on the ts column.
+    // S2: incremental (daily) scan by date equality on the ts column —
+    // the fused path pushes the range onto the raw nanos column.
     "s2_incremental_scan" -> ((s, d) =>
-      Tables.incremental(t(s, d, "events"), "ts", java.time.LocalDate.parse("2024-01-15"))
+      Tables.loadIncremental(s, d, "events", "ts", java.time.LocalDate.parse("2024-01-15"))
         .select(
           col("event_id"),
           date_format(col("ts"), Fmt).as("ts"),

@@ -115,7 +115,7 @@ object TextQueries {
            |    least(len(toks) / 50.0, 1.0) * 0.5
            |    + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
            |    + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
-           |            / 8.0, 1.0) * 0.2, 4) AS quality
+           |            / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
 
       "tx_tokens" ->

@@ -48,6 +48,34 @@ object Tables {
     df.filter(col(tsCol) >= lit(lo) && col(tsCol) < lit(hi))
   }
 
+  /** S2 fused with the scan: for nanos-backed columns the day range is
+    * applied to the RAW long column BEFORE the micros conversion, so the
+    * comparison is attribute-vs-literal and reaches the parquet scan
+    * (row-group skipping); filtering the converted column cannot push.
+    * Non-nanos tables fall through to [[incremental]] (already pushable).
+    */
+  def loadIncremental(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      tsCol: String,
+      day: java.time.LocalDate): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val isNanos = nanosColumns.getOrElse(name, Nil).contains(tsCol) &&
+      raw.columns.contains(tsCol) && raw.schema(tsCol).dataType == LongType
+    if (isNanos) {
+      val zone = java.time.ZoneOffset.UTC
+      val loNanos = day.atStartOfDay(zone).toInstant.getEpochSecond * 1000000000L
+      val hiNanos = day.plusDays(1).atStartOfDay(zone).toInstant.getEpochSecond * 1000000000L
+      val filtered = raw.filter(col(tsCol) >= loNanos && col(tsCol) < hiNanos)
+      nanosColumns(name).foldLeft(filtered) { (df, c) =>
+        if (df.columns.contains(c) && df.schema(c).dataType == LongType)
+          df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        else df
+      }
+    } else incremental(load(spark, sfDir, name), tsCol, day)
+  }
+
   /** S3: catalog discovery — the parquet-directory analogue of
     * `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`
     * (`mysql_operations.py:50`). Local listing; a cluster deployment would
