@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.SchemaRegistry
+import graft.sources.Tables
+
+/** CLI entry point — the Spark rendering of `run_etl.sh` +
+  * `etl_process.py [--daily]` (E1/E2 in SURVEY.md §3).
+  *
+  * Usage: EtlMain <config-file> [--daily] [--day YYYY-MM-DD]
+  *
+  * The config file uses the reference's KEY=VALUE grammar (`config.py:8-24`,
+  * parsed by [[Credentials.parse]]):
+  *
+  * {{{
+  * SOURCE_DIR = /data/landing            # parquet dir: <dir>/<table>.parquet
+  * OUT_DIR = /data/warehouse
+  * TABLES = backup_log, daily_log, servers_temp
+  * REGISTRY = /configs/tables.json       # {table: [{"name":..,"type":..}]}
+  * INCREMENTAL_COL.daily_log = backup_date
+  * PARTITION_FIELD.daily_log = BackupDate
+  * }}}
+  *
+  * `--daily` switches incremental-extract + append-load (E2); default is
+  * full refresh with truncate (E1). `--day` pins the incremental day
+  * (defaults to yesterday, like `mysql_operations.py:22`).
+  */
+object EtlMain {
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length == 1, "usage: EtlMain <config-file> [--daily] [--day YYYY-MM-DD]")
+    val daily = flags.contains("--daily")
+    val day = flags.find(_.startsWith("--day=")).map(f => LocalDate.parse(f.drop(6)))
+      .getOrElse(LocalDate.now().minusDays(1))
+
+    val conf = Credentials.parse(Files.readString(Paths.get(positional(0))))
+    def required(k: String): String =
+      conf.getOrElse(k, throw new IllegalArgumentException(s"config key $k missing"))
+    val sourceDir = required("SOURCE_DIR")
+    val outDir = required("OUT_DIR")
+    val tables = required("TABLES").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val registry = SchemaRegistry.fromJson(Files.readString(Paths.get(required("REGISTRY"))))
+
+    val specs = tables.map { t =>
+      Etl.TableSpec(t,
+        incrementalCol = conf.get(s"INCREMENTAL_COL.$t"),
+        dayPartitionField = conf.get(s"PARTITION_FIELD.$t"))
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val reports = Etl.run(
+        spark, specs, name => Tables.load(spark, sourceDir, name),
+        registry, outDir, daily = daily, day = day)
+      // O4-style run log: rows extracted / loaded / total after load.
+      reports.foreach { r =>
+        println(s"[etl] table=${r.table} extracted=${r.extracted} loaded=${r.loaded} total=${r.total}")
+      }
+      val skipped = tables.toSet -- reports.map(_.table).toSet
+      skipped.foreach(t => println(s"[etl] table=$t skipped (empty extract)"))
+    } finally spark.stop()
+  }
+}
