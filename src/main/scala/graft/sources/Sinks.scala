@@ -51,6 +51,26 @@ object Sinks {
   def countAudit(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** Bucketed, sorted table layout for shuffle-free co-located joins —
+    * the 100 TB answer to "this join runs every day on the same keys":
+    * both sides bucketed by the join key join with NO Exchange in the
+    * plan (asserted in SinksSpec). Uses the session catalog's parquet
+    * bucketing (no Hive dependency); `saveAsTable` is required because
+    * bucket metadata lives in the catalog, not the files.
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCol: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K1+K2+K3+K5 composite — the whole `load_to_bigquery` contract against a
     * parquet destination. Returns (rowsLoaded, rowsTotalAfterLoad) like the
     * reference's two log lines (`bigquery_operations.py:47-48`).
