@@ -73,6 +73,14 @@ object Text {
       4)
   }
 
+  /** Canonical text normalization for training corpora: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim. The
+    * usual first stage before dedup/fingerprinting so formatting noise
+    * doesn't defeat content hashing.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized text. */
   def docFingerprint(text: Column): Column =
     md5(regexp_replace(text, "\\s+", " "))

@@ -77,6 +77,16 @@ object TextQueries {
           Text.minGramFingerprint(col("text"), 8).as("min_gram_fp"))
         .orderBy("doc_id")),
 
+    // Normalization: the canonical lowercase/strip/collapse pipeline, with
+    // the fingerprint of the normalized form.
+    "tx_normalize" -> ((s, d) =>
+      docs(s, d).select(
+          col("doc_id"),
+          Text.normalize(col("text")).as("norm_text"),
+          md5(Text.normalize(col("text"))).as("norm_fp"),
+          length(Text.normalize(col("text"))).cast("long").as("norm_len"))
+        .orderBy("doc_id")),
+
     // Multimodal frame sampling: documents as binary payloads chopped into
     // 64-byte frames, one fingerprint per frame (decode step stubbed —
     // see graft.operators.Multimodal).
@@ -134,6 +144,15 @@ object TextQueries {
            |  list_min(list_transform(range(1, length(text) - 6),
            |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)) AS min_gram_fp
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "tx_normalize" ->
+        """WITH n AS (
+          |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+          |  FROM documents)
+          |SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
+          |       length(norm_text)::BIGINT AS norm_len
+          |FROM n ORDER BY doc_id""".stripMargin,
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),
