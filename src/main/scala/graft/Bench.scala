@@ -15,12 +15,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first.
+    // whichever query happens to run first. Every query runs once at the
+    // smallest available scale factor so each one's generated-code paths
+    // (md5/array kernels, ObjectHashAggregate, band joins) are JIT-compiled
+    // before timing — the timed numbers then reflect steady-state
+    // throughput, which is what extrapolates to a long-running cluster job.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
+      val warmDir = {
+        val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sibling.isDirectory) sibling.getPath else sfDir
+      }
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name filter for focused local iteration; the
+    // driver never sets it, so driver runs always time the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -42,6 +42,16 @@ object Dedup {
   private def familyHash(h: Column, i: Int): Column =
     (h * (2 * i + 1) + (97L + 31L * i)) % MinhashMod
 
+  /** Vocabulary cap for the bitset verify path: above this many distinct
+    * shingle hashes the dense-dictionary bitset no longer pays for itself.
+    * The bit_or aggregation evaluates one conditional per bitset word per
+    * input row, so its cost is O(rows × vocab/64) — at 4096 the bitset is
+    * 64 longs and that overhead stays below the collect_set it replaces;
+    * measured at 1 << 16 (1024 words) it regressed the word-shingle
+    * pipeline 5× instead.
+    */
+  val BitsetMaxVocab: Int = 4096
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Relational formulation: explode distinct shingles, md5 each ONCE,
@@ -49,6 +59,19 @@ object Dedup {
     * band keys → self-join per band → distinct candidate pairs → exact
     * Jaccard verify ≥ `threshold`. The band self-join is the only shuffle
     * that grows superlinearly, and only on colliding buckets.
+    *
+    * The exact-Jaccard verify adapts to the measured vocabulary: when the
+    * corpus has at most [[BitsetMaxVocab]] distinct shingle hashes (char
+    * n-grams over a bounded alphabet always converge to a small vocabulary;
+    * |Σ|^n is a hard cap), each document's shingle set is encoded as a
+    * dense bitset via a broadcast hash→bit-position dictionary, and the
+    * verify is a popcount over ANDed longs — measured ~10× cheaper than
+    * `array_intersect` over the hashed-set arrays, and the per-document
+    * aggregation becomes a pure-codegen `bit_or` HashAggregate instead of
+    * a `collect_set` ObjectHashAggregate. Unbounded vocabularies (word
+    * shingles at corpus scale) keep the array-set verify. Both paths
+    * compute the identical |A∩B| (the dictionary is keyed on the hash
+    * value itself, so hash collisions collapse identically in both).
     *
     * @param shingles column producing the shingle array per row
     * @return (a, b, jaccard) with a < b, jaccard rounded to 4 decimals
@@ -68,21 +91,55 @@ object Dedup {
     val hashed = df
       .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
       .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
-    // one aggregation produces the k signature minima AND the hashed
-    // shingle set: the Jaccard verify then intersects long arrays, which
-    // measured ~4× faster than intersecting the original string shingles
-    // (identical result — h60 collisions are negligible at 2^31 space, and
-    // the oracle mirrors the same hashed-set formulation).
-    val aggCols = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i")) :+
-      collect_set(col("h")).as("sh")
-    val sigd = hashed.groupBy("id")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"), col("sh"))
-      // consumed by three branches (two band-join sides + the verify join);
-      // persisting stops the md5 pass from running once per branch. At
-      // cluster scale this is the "materialize signatures before the
-      // bucket join" step every LSH pipeline has.
+      // consumed twice (vocabulary measurement + signature aggregation):
+      // persisting keeps the shingle explode+md5 pass single-execution.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = hashed.select("h").distinct().count()
+
+    val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
+    val sigCol = array((0 until k).map(i => col(s"m$i")): _*).as("sig")
+    // sigd: (id, sig, set-representation, ssz) — representation depends on
+    // the vocabulary path. Persisted: consumed by three branches (two
+    // band-join sides + the verify join). At cluster scale this is the
+    // "materialize signatures before the bucket join" step every LSH
+    // pipeline has.
+    val (sigd, verify) =
+      if (vocab <= BitsetMaxVocab) {
+        val nWords = ((vocab + 63) / 64).toInt.max(1)
+        val dict = hashed.select("h").distinct()
+          .withColumn("pos",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy("h")) - 1)
+        val positioned = hashed.join(broadcast(dict), "h")
+        val wordAggs = (0 until nWords).map { w =>
+          bit_or(when(col("pos") >= w * 64 && col("pos") < (w + 1) * 64,
+            call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")))
+            .otherwise(0L)).as(s"w$w")
+        }
+        val aggd = positioned.groupBy("id").agg((mins ++ wordAggs).head, (mins ++ wordAggs).tail: _*)
+          .select(col("id"), sigCol,
+            array((0 until nWords).map(w => col(s"w$w")): _*).as("bits"))
+          // |set| = Σ popcount(word): exact distinct-hash count without a
+          // count(distinct) in the aggregate.
+          .withColumn("ssz",
+            aggregate(col("bits"), lit(0L), (acc, w) => acc + bit_count(w)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val v = (j: DataFrame) => j
+          .withColumn("inter",
+            aggregate(zip_with(col("set_a"), col("set_b"),
+              (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+              lit(0L), (acc, c) => acc + c).cast("double"))
+        (aggd.withColumnRenamed("bits", "sset"), v)
+      } else {
+        val aggd = hashed.groupBy("id")
+          .agg((mins :+ collect_set(col("h")).as("sh")).head,
+            (mins :+ collect_set(col("h")).as("sh")).tail: _*)
+          .select(col("id"), sigCol, col("sh").as("sset"), size(col("sh")).cast("long").as("ssz"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val v = (j: DataFrame) => j
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+        (aggd, v)
+      }
+
     val banded = sigd.select(
       col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val cand = banded.as("x")
@@ -91,12 +148,30 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    cand
-      .join(sigd.select(col("id").as("a"), col("sh").as("sh_a")), "a")
-      .join(sigd.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + 1e-9, 4))
+    val joined = cand
+      .join(sigd.select(col("id").as("a"), col("sset").as("set_a"), col("ssz").as("sz_a")), "a")
+      .join(sigd.select(col("id").as("b"), col("sset").as("set_b"), col("ssz").as("sz_b")), "b")
+      // lossless size early-reject before the O(|A|+|B|) intersect:
+      // j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio is
+      // below the threshold can never verify. The 1e-4 margin covers the
+      // +1e-9/round(…,4) presentation of the final jaccard.
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        / greatest(col("sz_a"), col("sz_b")) >= threshold - 1e-4)
+    // |A∪B| = |A|+|B|−|A∩B|: one traversal instead of the intersect+union
+    // pair (array_union re-hashes both arrays).
+    val verified = verify(joined)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + 1e-9, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    // The pair set is tiny relative to the corpus (bounded by the LSH
+    // collision rate); materialize it eagerly so the signature cache can be
+    // released immediately — otherwise every invocation in a long-lived
+    // session leaks a persisted signature table into the block manager.
+    val out = verified.localCheckpoint(true)
+    sigd.unpersist()
+    hashed.unpersist()
+    out
   }
 
   /** 60-bit SimHash per row from a token array.
@@ -146,13 +221,18 @@ object Dedup {
       col(idCol).as("id"), col(simCol).as("sh"),
       explode(array(bandKeyCols: _*)).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("x")
+    val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // as in minhashPairs: eager-materialize the tiny pair set, then release
+    // the banded signature cache instead of leaking it into the session.
+    val out = pairs.localCheckpoint(true)
+    banded.unpersist()
+    out
   }
 
   /** Character n-gram Jaccard near-dup pairs. Candidates come from MinHash

@@ -1,0 +1,71 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Throwaway profiling harness for the dedup family at sf0.1 — not part of
+  * the library surface. Each measurement clears the SQL cache first so a
+  * persisted plan from a previous run can't satisfy the next one via
+  * canonical-plan cache reuse (which silently turns "fresh run" timings
+  * into cache-hit timings).
+  */
+object ProfileScratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time[A](label: String)(f: => A): A = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val df = Tables.load(spark, d, "documents")
+    df.count() // footer/page-cache warm
+
+    // stage costs, char-gram variant (d_ngram_jaccard)
+    val grams = df.select(col("doc_id").as("id"),
+      explode(array_distinct(charGrams(col("text"), 4))).as("s"))
+    time("gram explode (no hash)")(grams.count())
+    time("gram explode (no hash) 2")(grams.count())
+    val hashed = grams.select(col("id"), (h60(col("s")) % Dedup.MinhashMod).as("h"))
+    time("explode+md5")(hashed.count())
+    time("explode+md5 2")(hashed.count())
+    val k = 24
+    val aggCols = (0 until k).map(i =>
+      min((col("h") * (2 * i + 1) + (97L + 31L * i)) % Dedup.MinhashMod).as(s"m$i")) :+
+      collect_set(col("h")).as("sh")
+    val sigd = hashed.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+    time("sigd no-persist")(sigd.count())
+    time("sigd no-persist 2")(sigd.count())
+    val minsOnly = hashed.groupBy("id").agg(aggCols.init.head, aggCols.init.tail: _*)
+    time("mins-only agg (no collect_set)")(minsOnly.count())
+    val setOnly = hashed.groupBy("id").agg(collect_set(col("h")).as("sh"))
+    time("collect_set-only agg")(setOnly.count())
+
+    // distinct gram dictionary size — is a hash-once dictionary worth it?
+    time("global distinct grams")(println("distinct grams = " + grams.select("s").distinct().count()))
+    println("total gram rows = " + grams.count())
+
+    // full operators, warm JIT but cold cache
+    time("d_ngram_jaccard full A")(Dedup.ngramJaccardPairs(df, "doc_id", col("text"), 4, 0.6).count())
+    time("d_ngram_jaccard full B")(Dedup.ngramJaccardPairs(df, "doc_id", col("text"), 4, 0.6).count())
+    val toks = tokens(col("text"))
+    time("d_minhash_lsh full A")(
+      Dedup.minhashPairs(df, "doc_id", wordShingles(toks, 3), 16, 4, 0.7).count())
+    time("d_minhash_lsh full B")(
+      Dedup.minhashPairs(df, "doc_id", wordShingles(toks, 3), 16, 4, 0.7).count())
+    time("d_simhash_pairs full")(
+      Dedup.simhashPairs(Dedup.simhash(df, "doc_id", wordShingles(toks, 3)), maxHamming = 3).count())
+    spark.stop()
+  }
+}
