@@ -67,7 +67,8 @@ object Etl {
       val schema = SchemaRegistry.schemaFor(registry, spec.name)
       val report = Sinks.load(
         spark, transformed, schema, s"$outBase/${spec.name}",
-        daily = daily, dayPartitionField = spec.dayPartitionField)
+        daily = daily, dayPartitionField = spec.dayPartitionField,
+        table = Some(spec.name))
       // transforms are row-preserving (rename/drop/cast), so rowsLoaded IS
       // the extract count — recounting `extracted` would re-run the whole
       // source scan (a second full table transfer on the JDBC path).

@@ -11,7 +11,7 @@ import graft.sources.Tables
 /** CLI entry point — the Spark rendering of `run_etl.sh` +
   * `etl_process.py [--daily]` (E1/E2 in SURVEY.md §3).
   *
-  * Usage: EtlMain <config-file> [--daily] [--day YYYY-MM-DD]
+  * Usage: EtlMain <config-file> [--daily] [--day=YYYY-MM-DD | --day YYYY-MM-DD]
   *
   * The config file uses the reference's KEY=VALUE grammar (`config.py:8-24`,
   * parsed by [[Credentials.parse]]):
@@ -23,6 +23,7 @@ import graft.sources.Tables
   * REGISTRY = /configs/tables.json       # {table: [{"name":..,"type":..}]}
   * INCREMENTAL_COL.daily_log = backup_date
   * PARTITION_FIELD.daily_log = BackupDate
+  * LOG_DIR = /backup/logs                # optional: O4 dated run-log files
   * }}}
   *
   * `--daily` switches incremental-extract + append-load (E2); default is
@@ -32,11 +33,23 @@ import graft.sources.Tables
 object EtlMain {
 
   def main(args: Array[String]): Unit = {
-    val (flags, positional) = args.partition(_.startsWith("--"))
-    require(positional.length == 1, "usage: EtlMain <config-file> [--daily] [--day YYYY-MM-DD]")
+    // accept both `--day=YYYY-MM-DD` and `--day YYYY-MM-DD`
+    var dayOpt: Option[LocalDate] = None
+    val rest = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--day" if i + 1 < args.length =>
+          dayOpt = Some(LocalDate.parse(args(i + 1))); i += 2
+        case a if a.startsWith("--day=") =>
+          dayOpt = Some(LocalDate.parse(a.drop(6))); i += 1
+        case a => rest += a; i += 1
+      }
+    }
+    val (flags, positional) = rest.toList.partition(_.startsWith("--"))
+    require(positional.length == 1, "usage: EtlMain <config-file> [--daily] [--day=YYYY-MM-DD]")
     val daily = flags.contains("--daily")
-    val day = flags.find(_.startsWith("--day=")).map(f => LocalDate.parse(f.drop(6)))
-      .getOrElse(LocalDate.now().minusDays(1))
+    val day = dayOpt.getOrElse(LocalDate.now().minusDays(1))
 
     val conf = Credentials.parse(Files.readString(Paths.get(positional(0))))
     def required(k: String): String =
@@ -61,16 +74,23 @@ object EtlMain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // O4: dated-file run log (LOG_DIR config key; stdout always mirrors).
+    val runLog = conf.get("LOG_DIR").map(d =>
+      new RunLog(Paths.get(d), LocalDate.now()))
+    def logLine(s: String): Unit = { println(s); runLog.foreach(_.info(s)) }
     try {
       val reports = Etl.run(
         spark, specs, name => Tables.load(spark, sourceDir, name),
         registry, outDir, daily = daily, day = day)
-      // O4-style run log: rows extracted / loaded / total after load.
       reports.foreach { r =>
-        println(s"[etl] table=${r.table} extracted=${r.extracted} loaded=${r.loaded} total=${r.total}")
+        logLine(s"[etl] table=${r.table} extracted=${r.extracted} loaded=${r.loaded} total=${r.total}")
       }
       val skipped = tables.toSet -- reports.map(_.table).toSet
-      skipped.foreach(t => println(s"[etl] table=$t skipped (empty extract)"))
+      skipped.foreach(t => logLine(s"[etl] table=$t skipped (empty extract)"))
+    } catch {
+      case e: Throwable =>
+        runLog.foreach(_.error(s"[etl] run failed: ${e.getMessage}"))
+        throw e
     } finally spark.stop()
   }
 }

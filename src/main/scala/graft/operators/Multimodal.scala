@@ -30,16 +30,23 @@ object Multimodal {
   /** Wrap any (id, text) frame as media rows: payload = UTF-8 bytes, with
     * deterministic fake dimensions derived from the byte length. Stands in
     * for `spark.read.format("binaryFile")` in environments with real media.
+    *
+    * `n_bytes` is the OCTET length of the binary payload (`length` over
+    * BinaryType counts bytes), not the character count of the source text —
+    * `sampleFrames` derives frame counts from `n_bytes` and slices the
+    * payload bytewise, so the two must agree on non-ASCII input.
     */
-  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = col(textCol).cast("binary")
     df.select(
       col(idCol).cast("long").as("asset_id"),
-      col(textCol).cast("binary").as("payload"),
+      payload.as("payload"),
       struct(
         lit("text/plain").as("mime"),
-        length(col(textCol)).cast("long").as("n_bytes"),
-        (length(col(textCol)) % 320 + 16).cast("int").as("width"),
-        (length(col(textCol)) % 240 + 16).cast("int").as("height")).as("meta"))
+        length(payload).cast("long").as("n_bytes"),
+        (length(payload) % 320 + 16).cast("int").as("width"),
+        (length(payload) % 240 + 16).cast("int").as("height")).as("meta"))
+  }
 
   /** Frame sampling: split the payload into fixed-size byte windows and
     * fingerprint each — the explode shape a video frame-sampler produces

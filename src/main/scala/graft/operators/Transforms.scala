@@ -38,9 +38,14 @@ object Transforms {
   }
 
   /** P3: column drop, absence-tolerant (`errors='ignore'`,
-    * `transformations.py:20`; Spark's `drop` already ignores misses).
+    * `transformations.py:20`). Pre-filtered to exact-case matches: pandas
+    * column labels are case-sensitive, while Spark's `drop` resolves
+    * case-insensitively under the default `spark.sql.caseSensitive=false` —
+    * without the filter, dropping `fileName` would silently take the renamed
+    * `FileName` with it.
     */
-  def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+  def dropColumns(df: DataFrame, cols: String*): DataFrame =
+    df.drop(cols.filter(df.columns.contains): _*)
 
   /** P4: boolean cast of named columns, guarded by presence
     * (`transformations.py:33-37`; `astype(bool)` == nonzero→true, which is
@@ -81,18 +86,17 @@ object Transforms {
     * (`transformations.py:6-74`; unknown tables fall through unchanged,
     * which is how `servers_temp` flows).
     *
-    * Note `daily_log` drops the *source-cased* `fileName` after the rename,
-    * exactly as the reference does (rename targets `FileName` but the drop
-    * at `transformations.py:20` names `fileName`, so post-rename the drop is
-    * a no-op on the renamed column only if the source had `fileName` —
-    * replicated faithfully: rename first, then drop both spellings is NOT
-    * done; we drop `fileName` which after the rename no longer exists, so we
-    * drop the renamed `FileName` instead, matching the reference's observable
-    * output, which never contains the file-name column.)
+    * `daily_log` renames `fileName`→`FileName` FIRST, so the subsequent
+    * `drop(columns=['fileName'], errors='ignore')` at `transformations.py:20`
+    * is a no-op on a source that had `fileName` — the reference's transform
+    * output KEEPS `FileName`. Replicated order-faithfully here: the drop
+    * names only the source-cased spelling, and only the write-side schema
+    * enforcement ([[graft.model.SchemaRegistry.enforce]]) excludes it when
+    * the registry doesn't declare it.
     */
   val forTable: Map[String, DataFrame => DataFrame] = Map(
     "daily_log" -> ((df: DataFrame) =>
-      dropColumns(renameColumns(df, dailyLogRenames), "FileName", "fileName")),
+      dropColumns(renameColumns(df, dailyLogRenames), "fileName")),
     "backup_log" -> ((df: DataFrame) => renameColumns(df, backupLogRenames)),
     "database_list" -> ((df: DataFrame) => castBooleans(df, databaseListBoolColumns))
   ).withDefaultValue(identity[DataFrame])

@@ -91,13 +91,14 @@ object ParityQueries {
         .select("l_orderkey", "l_linenumber", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // P2+P3+P5: daily_log dispatch — rename to PascalCase, drop file name.
+    // P2+P3+P5: daily_log dispatch — rename to PascalCase; the reference's
+    // post-rename drop of 'fileName' is a no-op, so FileName survives.
     "p2_rename_dispatch" -> ((s, d) =>
       Transforms.forTable("daily_log")(eventsAsDailyLog(s, d))
         .select(
           col("ID"),
           date_format(col("BackupDate"), Fmt).as("BackupDate"),
-          col("Server"), col("Size"))
+          col("Server"), col("Size"), col("FileName"))
         .orderBy("ID")),
 
     // P3: absence-tolerant drop.
@@ -186,7 +187,8 @@ object ParityQueries {
 
     "p2_rename_dispatch" ->
       s"""SELECT event_id AS ID, strftime(ts, '$OracleFmt') AS BackupDate,
-         |event_type AS Server, value AS Size FROM events ORDER BY ID""".stripMargin,
+         |event_type AS Server, value AS Size, props AS FileName
+         |FROM events ORDER BY ID""".stripMargin,
 
     "p3_drop" ->
       "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",

@@ -67,9 +67,12 @@ object Jdbc {
       table: String,
       tsCol: String,
       day: java.time.LocalDate): DataFrame = {
-    val lo = java.sql.Timestamp.valueOf(day.atStartOfDay())
-    val hi = java.sql.Timestamp.valueOf(day.plusDays(1).atStartOfDay())
-    read(spark, cfg, table).filter(col(tsCol) >= lit(lo) && col(tsCol) < lit(hi))
+    val df = read(spark, cfg, table)
+    // type-aware UTC-pinned bounds (shared with the file source) — the JVM
+    // default timezone never participates, so the pushed WHERE range is the
+    // same on any host.
+    val (lo, hi) = Tables.dayBounds(df.schema(tsCol).dataType, day)
+    df.filter(col(tsCol) >= lo && col(tsCol) < hi)
   }
 
   /** S3 over JDBC: base-table discovery via information_schema (the portable

@@ -81,10 +81,13 @@ object Sinks {
       schema: StructType,
       path: String,
       daily: Boolean = false,
-      dayPartitionField: Option[String] = None): LoadReport = {
+      dayPartitionField: Option[String] = None,
+      table: Option[String] = None): LoadReport = {
     val bound = SchemaRegistry.enforce(df, schema)
     val loaded = bound.count()
     write(bound, path, daily, dayPartitionField)
-    LoadReport(path, loaded, countAudit(spark, path))
+    // report the logical table name, not the physical path; in Etl's layout
+    // the last path segment IS the table, and callers can override.
+    LoadReport(table.getOrElse(path.split('/').last), loaded, countAudit(spark, path))
   }
 }

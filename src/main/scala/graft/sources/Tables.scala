@@ -43,10 +43,29 @@ object Tables {
     * reliance on the optimizer unwrapping the date cast.
     */
   def incremental(df: DataFrame, tsCol: String, day: java.time.LocalDate): DataFrame = {
-    val lo = java.sql.Timestamp.valueOf(day.atStartOfDay())
-    val hi = java.sql.Timestamp.valueOf(day.plusDays(1).atStartOfDay())
-    df.filter(col(tsCol) >= lit(lo) && col(tsCol) < lit(hi))
+    val (lo, hi) = dayBounds(df.schema(tsCol).dataType, day)
+    df.filter(col(tsCol) >= lo && col(tsCol) < hi)
   }
+
+  /** Half-open [day, day+1) bounds as literals of the COLUMN's own type, so
+    * the comparison stays attribute-vs-literal (pushable) with no implicit
+    * cast on either side. TIMESTAMP_NTZ gets wall-clock bounds (timezone-
+    * free by definition); TIMESTAMP gets UTC-pinned instants — derived from
+    * `ZoneOffset.UTC`, never the JVM default zone, so a non-UTC JVM computes
+    * the same range as the UTC session the engine pins everywhere else.
+    */
+  private[sources] def dayBounds(
+      dt: org.apache.spark.sql.types.DataType,
+      day: java.time.LocalDate): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    dt match {
+      case TimestampNTZType =>
+        (lit(day.atStartOfDay()), lit(day.plusDays(1).atStartOfDay()))
+      case DateType =>
+        (lit(java.sql.Date.valueOf(day)), lit(java.sql.Date.valueOf(day.plusDays(1))))
+      case _ =>
+        val z = java.time.ZoneOffset.UTC
+        (lit(day.atStartOfDay(z).toInstant), lit(day.plusDays(1).atStartOfDay(z).toInstant))
+    }
 
   /** S2 fused with the scan: for nanos-backed columns the day range is
     * applied to the RAW long column BEFORE the micros conversion, so the

@@ -38,7 +38,8 @@ class EtlSpec extends SparkSpec {
     val reports = Etl.run(spark, Seq(spec), _ => sourceDf, registry, out, daily = false)
     assert(reports == Seq(Etl.RunReport("daily_log", 3, 3, 3)))
     val written = spark.read.parquet(s"$out/daily_log")
-    // declared schema only (fileName dropped by transform, partition col added)
+    // declared schema only (FileName survives the transform but the registry
+    // doesn't declare it, so schema enforcement excludes it; partition col added)
     assert(written.columns.toSet == Set("ID", "BackupDate", "Server", "p_date"))
     assert(written.select("p_date").distinct().count() == 2)
   }
@@ -69,6 +70,20 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Etl.run(spark, specs, _ => sourceDf, registry, out)
     }
+  }
+
+  test("O4 run log: dated file name, asctime [levelname] line format, append") {
+    val dir = Files.createTempDirectory("graft_log")
+    val fixed = java.time.Clock.fixed(
+      java.time.Instant.parse("2024-01-15T10:30:00Z"), java.time.ZoneOffset.UTC)
+    val log = new RunLog(dir, java.time.LocalDate.parse("2024-01-15"), fixed)
+    log.info("table=daily_log loaded=3")
+    log.error("boom")
+    assert(log.file.getFileName.toString == "MYSQL_to_BQ_2024-01-15.log")
+    val lines = Files.readAllLines(log.file)
+    assert(lines.size == 2)
+    assert(lines.get(0) == "2024-01-15 10:30:00 [INFO] table=daily_log loaded=3")
+    assert(lines.get(1) == "2024-01-15 10:30:00 [ERROR] boom")
   }
 
   test("credentials parser handles comments, blanks, and values with '='") {

@@ -44,10 +44,12 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, false))
   }
 
-  test("P5 dispatch: daily_log renames + drops file name; unknown passes through") {
+  test("P5 dispatch: daily_log renames keep FileName (ref drop is a no-op); unknown passes through") {
     val df = Seq((1L, "s", "f.txt")).toDF("ID", "server", "fileName")
     val out = Transforms.forTable("daily_log")(df)
-    assert(out.columns.toSeq == Seq("ID", "Server"))
+    // the reference renames fileName->FileName BEFORE drop(['fileName']),
+    // so the drop never fires and FileName survives the transform
+    assert(out.columns.toSeq == Seq("ID", "Server", "FileName"))
     val same = Transforms.forTable("mystery")(df)
     assert(same.columns.toSeq == df.columns.toSeq)
   }
