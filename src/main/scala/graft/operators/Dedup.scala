@@ -252,6 +252,74 @@ object Dedup {
       threshold: Double = 0.6): DataFrame =
     minhashPairs(df, idCol, charGrams(textCol, n), k = 24, bands = 4, threshold = threshold)
 
+  /** Connected components over an undirected pair-edge set — the
+    * "pairs → clusters" step of corpus dedup. Returns (id, rep) where `rep`
+    * is the smallest id in the component; only ids that appear in some edge
+    * are returned (singletons are the caller's coalesce).
+    *
+    * Iterative min-label propagation, all relational: each round joins the
+    * edge list with the current labels and takes the per-node minimum — one
+    * shuffle join + one aggregation per round, no driver-side graph, no
+    * collect. Rounds needed = the cluster diameter, which for near-dup
+    * clusters is small (duplicates of a common source all pair with each
+    * other, so components are dense and shallow); `maxIter` bounds the
+    * pathological chain case. At 100 TB the same loop holds — each round is
+    * a hash join on ids — and if diameters ever grew past tens, the
+    * alternating large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce") drops rounds to O(log n) with the same
+    * per-round shape.
+    *
+    * Each round's result is eagerly `localCheckpoint`ed: iterative
+    * self-referential plans otherwise double in depth per round and
+    * re-execute the whole history at every action.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val und = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so Σrep strictly decreases each round
+    // until fixpoint — convergence is one aggregate per round, no
+    // change-detection join.
+    var prevSum = labels.agg(sum("rep")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("rep")).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** The "clusters → survivors" corpus filter: drop every document whose
+    * component representative is a smaller id, via `left_anti` on the loser
+    * set. No broadcast hint on purpose: at heavy duplication the loser set
+    * is a large fraction of the corpus, and AQE already promotes it to a
+    * broadcast join when it measures small.
+    */
+  def keepSurvivors(df: DataFrame, idCol: String, pairEdges: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairEdges)
+      .filter(col("rep") < col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ `threshold` within a blocking key
     * (here a precomputed cluster/label; at 100 TB the block key would come
     * from LSH — see [[Similarity.hyperplaneSignature]] — keeping the

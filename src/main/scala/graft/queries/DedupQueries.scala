@@ -19,10 +19,59 @@ object DedupQueries {
 
   private def toks = CrossHash.tokens(col("text"))
 
-  /** Shared oracle CTE: tokens per document. */
-  private val ToksCte =
-    """WITH t AS (
+  /** Shared oracle CTE body: tokens per document (no WITH keyword, so
+    * recursive oracles can prepend WITH RECURSIVE).
+    */
+  private val ToksBody =
+    """t AS (
       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)""".stripMargin
+
+  private val ToksCte = s"WITH $ToksBody"
+
+  /** Shared oracle CTE chain producing the word-3-shingle MinHash+LSH pair
+    * set (k=16, 4 bands, j ≥ 0.7) as `pairs(a, b)` — the edge set that
+    * d_minhash_lsh verifies and the cluster/survivor oracles close over.
+    */
+  private val MinhashPairsBody =
+    s"""$ToksBody,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM t),
+       |hs AS (
+       |  SELECT doc_id, sh, list_transform(sh, s ->
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, hs, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(hs, h ->
+       |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b, array_to_string(
+       |    list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',') AS key
+       |  FROM sig, range(0, 4) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT a, b, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |      / len(list_distinct(sa.hs || sb.hs)) + 0.000000001, 4) AS jaccard
+       |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id),
+       |pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.7)""".stripMargin
+
+  /** Transitive closure + min-representative over `pairs`, as a recursive
+    * CTE chain ending in `rep(id, rep)` — the oracle twin of
+    * [[graft.operators.Dedup.connectedComponents]].
+    */
+  private val ClusterRepBody =
+    s"""$MinhashPairsBody,
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |walk AS (
+       |  SELECT a AS id, b AS reach FROM edges
+       |  UNION
+       |  SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+       |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -59,6 +108,30 @@ object DedupQueries {
           t(s, d, "documents"), "doc_id", col("text"), n = 4, threshold = 0.6)
         .orderBy("a", "b")),
 
+    // Pairs -> clusters: connected components over the MinHash pair edges,
+    // every document labeled with its cluster representative (min doc_id;
+    // singletons represent themselves).
+    "d_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(
+        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Clusters -> survivors: the deduplicated corpus, keeping the smallest
+    // doc_id per near-dup cluster (the actual "dedup the corpus"
+    // deliverable; left_anti of the losers out of documents).
+    "d_dedup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(
+        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+      Dedup.keepSurvivors(docs, "doc_id", pairs)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Embedding cosine near-dups within the precomputed cluster label.
     "d_embedding_cos" -> ((s, d) =>
       Dedup.embeddingPairs(
@@ -75,32 +148,20 @@ object DedupQueries {
          |FROM t GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
 
     "d_minhash_lsh" ->
-      s"""$ToksCte,
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
-         |  FROM t),
-         |hs AS (
-         |  SELECT doc_id, sh, list_transform(sh, s ->
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, hs, list_transform(range(0, 16), i ->
-         |    list_min(list_transform(hs, h ->
-         |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b, array_to_string(
-         |    list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ',') AS key
-         |  FROM sig, range(0, 4) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT a, b, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |      / len(list_distinct(sa.hs || sb.hs)) + 0.000000001, 4) AS jaccard
-         |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
+      s"""WITH $MinhashPairsBody
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
+
+    "d_clusters" ->
+      s"""WITH RECURSIVE $ClusterRepBody
+         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "d_dedup_keep" ->
+      s"""WITH RECURSIVE $ClusterRepBody
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.id = d.doc_id AND r.rep < r.id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d_simhash" ->
       s"""$ToksCte,

@@ -58,6 +58,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 3L))) // hamming(0,7)=3 kept; 16-bit distance dropped
   }
 
+  test("connectedComponents: chain + triangle + singleton edge-absence") {
+    // components: {1,2,3,4} (a chain, diameter 3 — needs >1 propagation
+    // round), {10,11,12} (triangle), node 99 appears in no edge.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("keepSurvivors drops all but the min id per cluster, keeps singletons") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val kept = Dedup.keepSurvivors(corpus, "doc_id", edges)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
