@@ -231,6 +231,78 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Correlated-subquery shapes, written as SQL on purpose: the point is
+    // that Catalyst's decorrelation (RewritePredicateSubquery /
+    // scalar-subquery rewrite) turns the per-row subquery into a join —
+    // PlanSpec asserts the physical plan is a semi join / aggregate+join
+    // with no per-row subplan.
+
+    // TPC-H Q4 shape: orders in a date window with EXISTS a late-shipped
+    // item, correlated on both the key and the order date.
+    "q_exists_correlated" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM v_orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM v_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 20 DAYS)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q17 shape: scalar subquery per group — items under half their
+    // part's average quantity.
+    "q_scalar_subquery" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_small,
+          |       round(sum(l_extendedprice), 2) AS small_revenue
+          |FROM v_lineitem l1
+          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM v_lineitem l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Approximate tier — the 100 TB defaults, where exact countDistinct
+    // means a full shuffle of every key and exact percentiles a full sort.
+    // The sketch values themselves can't cross-engine match (each engine's
+    // HLL/quantile summary differs), so each query outputs the EXACT value
+    // plus a boolean asserting its approximation landed within the
+    // algorithm's error bound — both sides deterministic given fixed data,
+    // so the hash-compare has real teeth: a sketch drifting out of bound
+    // fails correctness.
+
+    // HLL++ distinct counts (rsd 2%) vs exact, per event_type: the bound is
+    // 3σ relative plus small-cardinality slack.
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * 0.06 + lit(3)).as("approx_ok"))
+        .orderBy("event_type")),
+
+    // GK approximate median (accuracy 10k => rank error <= 1e-4·n) vs the
+    // exact interpolated percentile, bounded by the exact p49.5/p50.5 band.
+    "q_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile(col("l_extendedprice"), lit(0.495)).as("lo"),
+          percentile(col("l_extendedprice"), lit(0.505)).as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_p50"), col("n"),
+          (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
     // Conversion funnel: for each view, did the same user purchase within
     // the next hour? One shuffle on user, sessionless event-sequence logic
     // via the merge-ordered window (no self-join explosion).
@@ -434,6 +506,34 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 20 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_small,
+        |       round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | count(1) AS n, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_funnel" ->

@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Physical-plan shape assertions — the properties that make queries hold at
+  * 100 TB, checked on the tiny sf so regressions surface in CI, not on the
+  * cluster: correlated subqueries must decorrelate to joins (a per-row
+  * subplan re-executes the inner query once per outer row), and the star
+  * join must broadcast its dimensions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    RelationalQueries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("correlated EXISTS decorrelates to a left semi join, no per-row subplan") {
+    val p = plan("q_exists_correlated")
+    assert(p.contains("LeftSemi"), s"expected a semi join in:\n$p")
+    // a surviving correlated subplan would show as a (non-scalar) Subquery
+    // re-executed per row; after decorrelation only joins remain
+    assert(!p.contains("InSubqueryExec"), s"subquery survived decorrelation:\n$p")
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val p = plan("q_scalar_subquery")
+    // the per-part average must appear as its own aggregation joined back,
+    // not as a ScalarSubquery evaluated per outer row
+    assert(!p.contains("ScalarSubquery"), s"scalar subquery not decorrelated:\n$p")
+    assert(p.contains("Join"), s"expected the decorrelated join in:\n$p")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+  }
+}
