@@ -71,10 +71,44 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
-  /** K1+K2+K3+K5 composite — the whole `load_to_bigquery` contract against a
-    * parquet destination. Returns (rowsLoaded, rowsTotalAfterLoad) like the
-    * reference's two log lines (`bigquery_operations.py:47-48`).
+  /** Sink-choosing seam: one destination's write + audit pair. The parquet
+    * leg is [[parquetAdapter]] (verified end-to-end here); the production
+    * BigQuery leg is [[BigQuerySink.adapter]] (structural — no connector
+    * jar or network in this environment).
     */
+  trait SinkAdapter {
+    def name: String
+    def write(df: DataFrame, daily: Boolean, dayPartitionField: Option[String]): Unit
+    def countAudit(): Long
+  }
+
+  def parquetAdapter(spark: SparkSession, path: String, table: Option[String] = None): SinkAdapter =
+    new SinkAdapter {
+      val name: String = table.getOrElse(path.split('/').last)
+      def write(df: DataFrame, daily: Boolean, dayPartitionField: Option[String]): Unit =
+        Sinks.write(df, path, daily, dayPartitionField)
+      def countAudit(): Long = Sinks.countAudit(spark, path)
+    }
+
+  /** K1+K2+K3+K5 composite against any [[SinkAdapter]] — the whole
+    * `load_to_bigquery` contract (`bigquery_operations.py:21-48`): bind the
+    * declared schema, write with the disposition, read back the audit
+    * count. Returns (rowsLoaded, rowsTotalAfterLoad) like the reference's
+    * two log lines (`bigquery_operations.py:47-48`).
+    */
+  def loadVia(
+      sink: SinkAdapter,
+      df: DataFrame,
+      schema: StructType,
+      daily: Boolean = false,
+      dayPartitionField: Option[String] = None): LoadReport = {
+    val bound = SchemaRegistry.enforce(df, schema)
+    val loaded = bound.count()
+    sink.write(bound, daily, dayPartitionField)
+    LoadReport(sink.name, loaded, sink.countAudit())
+  }
+
+  /** [[loadVia]] against the parquet destination. */
   def load(
       spark: SparkSession,
       df: DataFrame,
@@ -82,12 +116,6 @@ object Sinks {
       path: String,
       daily: Boolean = false,
       dayPartitionField: Option[String] = None,
-      table: Option[String] = None): LoadReport = {
-    val bound = SchemaRegistry.enforce(df, schema)
-    val loaded = bound.count()
-    write(bound, path, daily, dayPartitionField)
-    // report the logical table name, not the physical path; in Etl's layout
-    // the last path segment IS the table, and callers can override.
-    LoadReport(table.getOrElse(path.split('/').last), loaded, countAudit(spark, path))
-  }
+      table: Option[String] = None): LoadReport =
+    loadVia(parquetAdapter(spark, path, table), df, schema, daily, dayPartitionField)
 }

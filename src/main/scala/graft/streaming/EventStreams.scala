@@ -52,6 +52,45 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dedup — the streaming arm of the dedup story (the batch
+    * tier's [[graft.operators.Dedup.exact]]): at-least-once sources
+    * (Kafka replays, retried producers) re-deliver events, and
+    * `dropDuplicatesWithinWatermark` keeps one row per `event_id` while
+    * letting the watermark EVICT seen-key state — a plain
+    * `dropDuplicates` in streaming keeps every key forever, which is the
+    * unbounded-state failure at scale.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: views joined to the same user's purchases
+    * within `within` — the streaming twin of the batch `q_funnel` query.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, so Spark can compute how long to retain each
+    * side's state; an unbounded condition would again grow state forever.
+    */
+  def viewPurchaseJoin(
+      events: DataFrame,
+      within: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $within"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

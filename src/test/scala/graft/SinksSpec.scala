@@ -1,15 +1,66 @@
 package graft
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.exchange.Exchange
 
-import graft.sources.Sinks
+import graft.model.SchemaRegistry
+import graft.sources.{BigQuerySink, BigQuerySinkConfig, Sinks}
 
 /** Bucketed-table layout spec: co-located joins must plan without a
-  * shuffle (the whole point of paying the bucketed write).
+  * shuffle (the whole point of paying the bucketed write) — plus the
+  * structural BigQuery sink adapter (option map, disposition mapping, and
+  * the sink-choosing seam; no connector jar or network here, so the write
+  * itself is exercised only through the parquet twin).
   */
 class SinksSpec extends SparkSpec {
 
   import spark.implicits._
+
+  private val bqCfg = BigQuerySinkConfig("proj", "ds")
+
+  test("BigQuery options map the reference's job config") {
+    // day-partitioned table: TimePartitioning(DAY, field) -> connector opts
+    assert(BigQuerySink.options(bqCfg, "daily_log", Some("BackupDate")) == Map(
+      "table" -> "proj.ds.daily_log",
+      "writeMethod" -> "direct",
+      "partitionField" -> "BackupDate",
+      "partitionType" -> "DAY"))
+    // unpartitioned: no partition options at all
+    assert(BigQuerySink.options(bqCfg, "backup_log", None) == Map(
+      "table" -> "proj.ds.backup_log",
+      "writeMethod" -> "direct"))
+    // indirect write method carries the staging bucket
+    val indirect = bqCfg.copy(writeMethod = "indirect", temporaryGcsBucket = Some("stage"))
+    assert(BigQuerySink.options(indirect, "t", None)("temporaryGcsBucket") == "stage")
+  }
+
+  test("BigQuery write disposition: daily=APPEND, full=TRUNCATE") {
+    assert(BigQuerySink.saveMode(daily = true) == SaveMode.Append)
+    assert(BigQuerySink.saveMode(daily = false) == SaveMode.Overwrite)
+  }
+
+  test("loadVia seam: parquet adapter reproduces Sinks.load, custom adapter observed") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val schema = SchemaRegistry.fromJson(
+      """{"t": [{"name": "id", "type": "INTEGER"}, {"name": "name", "type": "STRING"}]}""")
+    val out = java.nio.file.Files.createTempDirectory("graft_seam").toString
+    val viaSeam = Sinks.loadVia(Sinks.parquetAdapter(spark, s"$out/t"), df,
+      SchemaRegistry.schemaFor(schema, "t"))
+    assert(viaSeam == Sinks.LoadReport("t", 2, 2))
+
+    // a recording adapter proves enforce-then-write-then-audit ordering
+    var written: Option[(Long, Boolean, Option[String])] = None
+    val recording = new Sinks.SinkAdapter {
+      val name = "rec"
+      def write(d: org.apache.spark.sql.DataFrame, daily: Boolean, f: Option[String]): Unit =
+        written = Some((d.count(), daily, f))
+      def countAudit(): Long = 42L
+    }
+    val r = Sinks.loadVia(recording, df, SchemaRegistry.schemaFor(schema, "t"),
+      daily = true, dayPartitionField = Some("d"))
+    assert(r == Sinks.LoadReport("rec", 2, 42L))
+    assert(written.contains((2L, true, Some("d"))))
+  }
 
   test("bucketed tables join with no Exchange in the physical plan") {
     val orders = (1L to 200L).map(i => (i % 40, i)).toDF("custkey", "orderkey")

@@ -95,6 +95,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops redelivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // redelivery of event 1 in a later micro-batch (same id, same time)
+      // plus a fresh event: only the fresh one lands.
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("viewPurchaseJoin matches purchases within the window, same user only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.viewPurchaseJoin(input.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("vpjoin").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+        ev(2, "2024-01-01 10:30:00", user = 1, typ = "purchase"), // joins with 1
+        ev(3, "2024-01-01 10:40:00", user = 2, typ = "purchase"), // other user
+        ev(4, "2024-01-01 13:00:00", user = 1, typ = "purchase")) // outside window
+      q.processAllAvailable()
+      val rows = spark.table("vpjoin")
+        .select("view_id", "purchase_id").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("statefulSessions closes a session when the gap is exceeded in-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
