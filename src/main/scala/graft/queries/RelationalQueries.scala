@@ -231,6 +231,23 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Skew-treated join: 40% of event rows collapse onto one hot key, then
+    // the salted join spreads that key over 8 reducers. The oracle is the
+    // PLAIN join — row-identity with the unsalted result is the whole
+    // salting contract (the skew win itself is measured by
+    // graft.tools.SkewBench with broadcast disabled, see BASELINE.md).
+    "q_skew_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("k",
+          when(col("event_id") % 10 < 4, lit(0L)).otherwise(col("user_id")))
+      val dim = ev.select("k").distinct()
+        .withColumn("seg", concat(lit("seg_"), (col("k") % 5).cast("string")))
+      Relational.saltedJoin(ev, dim, "k", salts = 8, saltSource = "event_id")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("seg")
+    }),
+
     // Correlated-subquery shapes, written as SQL on purpose: the point is
     // that Catalyst's decorrelation (RewritePredicateSubquery /
     // scalar-subquery rewrite) turns the per-row subquery into a join —
@@ -507,6 +524,14 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH e AS (
+        |  SELECT *, CASE WHEN event_id % 10 < 4 THEN 0 ELSE user_id END AS k
+        |  FROM events),
+        |d AS (SELECT DISTINCT k, 'seg_' || (k % 5)::VARCHAR AS seg FROM e)
+        |SELECT seg, count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM e JOIN d USING (k) GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS n_orders
