@@ -65,6 +65,10 @@ object EtlMain {
         dayPartitionField = conf.get(s"PARTITION_FIELD.$t"))
     }
 
+    // if a session already exists (tests, notebooks, a hosting app),
+    // getOrCreate returns it — and stopping a session this CLI didn't
+    // create would yank it out from under the host.
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -91,6 +95,6 @@ object EtlMain {
       case e: Throwable =>
         runLog.foreach(_.error(s"[etl] run failed: ${e.getMessage}"))
         throw e
-    } finally spark.stop()
+    } finally if (preexisting.isEmpty) spark.stop()
   }
 }

@@ -68,6 +68,109 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF coarse quantizer: deterministic Lloyd k-means entirely in
+    * DataFrame operators. Initial centroids are the `nlist` vectors with
+    * the smallest ids (deterministic — no random init, so results are
+    * reproducible run to run); each round assigns every vector to its
+    * nearest centroid (broadcast centroids + lexicographic-min argmin, so
+    * distance ties break on centroid id) and recomputes centroids as
+    * per-dimension means. Empty clusters keep their previous centroid.
+    *
+    * Scale shape: centroids are small (`nlist` rows) and always broadcast;
+    * the assignment is the standard IVF n×nlist product evaluated as a
+    * broadcast nested loop, and the recompute is one explode + two
+    * aggregations — every step is linear in the corpus per round.
+    * Returns (cid, cvec: array<double>).
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int,
+      iters: Int = 3): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("v"))
+    var cents = vecs.orderBy("vid").limit(nlist)
+      .select(row_number().over(Window.orderBy("vid")).cast("long").as("cid"),
+        col("v").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vecs, "vid", "v", cents)
+      val means = assigned.join(vecs, "vid")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        // mean in DECIMAL: double summation order varies with shuffle
+        // scheduling, and a last-bit centroid difference can flip a
+        // near-tie assignment — decimal addition is exact, so the
+        // quantizer is bit-deterministic run to run.
+        .groupBy("cid", "dim").agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cvec"))
+      cents = cents.select(col("cid"), col("cvec").as("prev"))
+        .join(means.withColumnRenamed("cvec", "next"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid table, score
+    * -2·v·c + |c|² (the |v|² term is constant per vector so argmin ignores
+    * it), take the lexicographic min of (dist, cid). Returns (rowId, cid).
+    */
+  private def assignToCentroids(
+      df: DataFrame, rowId: String, vCol: String, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(
+        cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+      .select(col(rowId),
+        struct((col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec"))).as("d"),
+          col("cid")).as("dc"))
+      .groupBy(rowId).agg(min("dc").as("dc"))
+      .select(col(rowId), col("dc.cid").as("cid"))
+
+  /** IVF approximate top-k: corpus vectors are inverted-listed under their
+    * nearest centroid; each query probes only its `nprobe` nearest lists
+    * and re-ranks candidates by exact cosine. Unlike the LSH path a vector
+    * lives in exactly one list, so candidates need no dedup; recall is
+    * governed by nprobe/nlist and measured against [[bruteForceTopK]] in
+    * the spec. The probe join is a hash join on the centroid id — at
+    * 100 TB the inverted lists are the partitioning, and only
+    * nprobe/nlist of the corpus is touched per query.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, embCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val listed = c.join(
+      assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val probes = q.crossJoin(broadcast(
+        cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+      .select(col("query_id"), col("qe"),
+        (col("cn2") - lit(2.0) * dotD(col("qe"), col("cvec"))).as("d"), col("cid"))
+    val pw = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probed = probes.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val cand = probed.join(listed, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cand.select(
+      col("query_id"), col("neighbor_id"),
+      round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent sign signatures of
     * `planesPerTable` hyperplanes each; candidates are rows sharing any
     * table's bucket with the query; exact cosine re-ranks candidates.

@@ -41,6 +41,18 @@ object SimilarityQueries {
       Similarity.lshTopK(queriesOf(e), e, "vec_id", "embedding",
           k = 3, tables = 4, planesPerTable = 4, dims = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN: deterministic Lloyd quantizer (decimal means, id-seeded
+    // init), nprobe of nlist inverted lists probed per query, exact cosine
+    // re-rank. No SQL oracle — iterative k-means has no tractable DuckDB
+    // twin — so the driver records the rows-only check; ranking fidelity
+    // vs brute force is pinned by the recall spec instead.
+    "sim_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(queriesOf(e), e, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
     })
   )
 

@@ -100,6 +100,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH results should overlap brute-force top-10, got $recall")
   }
 
+  test("IVF top-k: good recall vs brute force, candidates only from probed lists") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.count(brute.contains).toDouble / ivf.size
+    assert(recall >= 0.2, s"IVF results should overlap brute-force top-10, got $recall")
+  }
+
+  test("IVF quantizer is deterministic across invocations") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = Similarity.ivfCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
   test("multimodal frame sampling: ceil(n/frame) frames, last partial") {
     val media = Multimodal.fromText(Seq((7L, "a" * 150)).toDF("id", "t"), "id", "t")
     val frames = Multimodal.sampleFrames(media, frameBytes = 64)

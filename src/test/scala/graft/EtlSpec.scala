@@ -86,6 +86,35 @@ class EtlSpec extends SparkSpec {
     assert(lines.get(1) == "2024-01-15 10:30:00 [ERROR] boom")
   }
 
+  test("EtlMain CLI end-to-end: config file, --daily, space-form --day, run log") {
+    val base = Files.createTempDirectory("graft_cli")
+    // source parquet: one table, two days of rows
+    sourceDf.write.parquet(s"$base/src/daily_log.parquet")
+    Files.writeString(base.resolve("registry.json"),
+      """{"daily_log": [
+        |  {"name": "ID", "type": "INTEGER"},
+        |  {"name": "BackupDate", "type": "TIMESTAMP"},
+        |  {"name": "Server", "type": "STRING"}
+        |]}""".stripMargin)
+    Files.writeString(base.resolve("etl.conf"),
+      s"""SOURCE_DIR = $base/src
+         |OUT_DIR = $base/out
+         |TABLES = daily_log
+         |REGISTRY = $base/registry.json
+         |INCREMENTAL_COL.daily_log = backup_date
+         |PARTITION_FIELD.daily_log = BackupDate
+         |LOG_DIR = $base/logs
+         |""".stripMargin)
+    EtlMain.main(Array(s"$base/etl.conf", "--daily", "--day", "2024-01-15"))
+    val written = spark.read.parquet(s"$base/out/daily_log")
+    assert(written.count() == 2) // only the two 01-15 rows
+    assert(written.columns.toSet == Set("ID", "BackupDate", "Server", "p_date"))
+    val logs = new java.io.File(s"$base/logs").listFiles().map(_.getName).toSeq
+    assert(logs.exists(_.matches("MYSQL_to_BQ_\\d{4}-\\d{2}-\\d{2}\\.log")))
+    // and the session this spec owns must survive the CLI run
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("credentials parser handles comments, blanks, and values with '='") {
     val parsed = Credentials.parse(
       """# comment
