@@ -90,6 +90,26 @@ object Relational {
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Latest-wins upsert — MERGE semantics as one shuffle: union base and
+    * updates, keep one row per key ranked by (version desc, updates-beat-
+    * base on version ties). No join: the window pass replaces the
+    * MERGE's matched/not-matched branches, and at 100 TB it is a single
+    * hash partition by key (the same shuffle a MERGE implementation
+    * bottoms out in), with no second pass for the not-matched inserts.
+    */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      key: String,
+      version: String): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(key).orderBy(col(version).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt), then final aggregate on key. Spark's hash aggregate
     * already does map-side partial combine, which covers most skew; this

@@ -231,6 +231,21 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Latest-wins upsert (MERGE): a 10% slice of orders arrives re-priced
+    // with a newer version date; the result keeps exactly one row per key,
+    // updates beating base. Timestamps leave as strings per convention.
+    "q_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1 + 1e-9, 2))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("interval 1000 days"))
+      Relational.upsert(base, updates, "o_orderkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), Fmt).as("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     // Skew-treated join: 40% of event rows collapse onto one hot key, then
     // the salted join spreads that key over 8 reducers. The oracle is the
     // PLAIN join — row-identity with the unsalted result is the whole
@@ -524,6 +539,24 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_upsert" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         round(o_totalprice * 1.1 + 0.000000001, 2) AS o_totalprice,
+        |         o_orderdate + INTERVAL 1000 DAY AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS src
+        |  FROM orders
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 1 FROM u),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, src DESC) AS rn
+        |  FROM a)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "q_skew_join" ->
       """WITH e AS (
