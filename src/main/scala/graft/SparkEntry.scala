@@ -25,7 +25,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (SessionQueries.queries, SessionQueries.oracles))
+      (SessionQueries.queries, SessionQueries.oracles),
+      (FunctionQueries.queries, FunctionQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scalar / window function surface batteries — the "every function a user
+  * of the engine would reach for" coverage tier (SURVEY.md §2.5
+  * expressions row). Each battery exercises a family of built-ins whose
+  * cross-engine semantics are worth pinning: string, datetime,
+  * conditional/null, math, array, and window-function/frame behavior.
+  *
+  * Conventions (shared with the other registries): identical aliases both
+  * sides, Spark INT outputs cast to BIGINT (DuckDB's default integer
+  * width), float results rounded with the +1e-9 epsilon to kill
+  * round-half drift, total order on a unique key.
+  */
+object FunctionQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // String function battery over customer names/segments.
+    "fn_string" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lo"),
+          upper(col("c_mktsegment")).as("up"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("cat"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+          trim(lit(" x ")).as("tr"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("rep"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(lit("ab"), 3).as("rpt"),
+          length(col("c_name")).cast("bigint").as("len"),
+          instr(col("c_name"), "0").cast("bigint").as("pos"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tl"))
+        .orderBy("c_custkey")),
+
+    // Datetime battery over order dates: field extraction, truncation,
+    // arithmetic, end-of-month, epoch.
+    "fn_datetime" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          month(col("o_orderdate")).cast("bigint").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+          weekday(col("o_orderdate")).cast("bigint").as("dow_mon0"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"),
+          date_format(col("o_orderdate") + expr("interval 3 months"), "yyyy-MM-dd HH:mm:ss").as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("bigint").as("days_to_98"))
+        .orderBy("o_orderkey")),
+
+    // Conditional / null-handling battery: CASE, coalesce, nullif,
+    // greatest/least, null-safe equality.
+    "fn_conditional" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") >= 25, "big")
+            .when(col("l_quantity") >= 10, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          greatest(col("l_tax"), col("l_discount")).as("gmax"),
+          least(col("l_tax"), col("l_discount")).as("lmin"),
+          (nullif(col("l_linenumber"), lit(1)) <=> lit(null)).as("was_one"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Math battery; every float rounded with the cross-engine epsilon.
+    "fn_math" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - col("l_tax")).as("ad"),
+          ceil(col("l_extendedprice") / 100).cast("bigint").as("ce"),
+          floor(col("l_extendedprice") / 100).cast("bigint").as("fl"),
+          round(sqrt(col("l_extendedprice")) + 1e-9, 6).as("sq"),
+          round(log(col("l_extendedprice")) + 1e-9, 6).as("ln_"),
+          round(pow(col("l_quantity"), 2) + 1e-9, 2).as("p2"),
+          signum(col("l_discount") - col("l_tax")).cast("bigint").as("sg"),
+          (col("l_quantity").cast("bigint") % 7).as("md"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Array battery over document token lists.
+    "fn_array" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n"),
+          // joined to a string: array-typed result columns break the
+          // driver's sort-rows-by-all-columns compare
+          array_join(slice(col("toks"), 2, 3), ",").as("sl"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(col("toks"), 1).as("first_tok"),
+          array_position(col("toks"), "the").cast("bigint").as("pos_the"),
+          size(array_distinct(col("toks"))).cast("bigint").as("n_uniq"),
+          array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), ",").as("top5"))
+        .orderBy("doc_id")),
+
+    // Window-function battery: ranking family, value family, explicit ROWS
+    // frame (last_value needs it — the default frame stops at CURRENT ROW).
+    "fn_window_funcs" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("v_events_fn")
+      s.sql(
+        """SELECT event_id, user_id,
+          |  CAST(rank() OVER w AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  round(percent_rank() OVER w + 0.000000001, 6) AS prnk,
+          |  round(cume_dist() OVER w + 0.000000001, 6) AS cd,
+          |  lag(event_id, 1, -1) OVER w AS prev_id,
+          |  lead(event_id, 1, -1) OVER w AS next_id,
+          |  first_value(event_id) OVER w AS first_id,
+          |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+          |FROM v_events_fn
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    // Time-range window frame: events per user in the preceding hour —
+    // RANGE BETWEEN INTERVAL, the frame kind plain ROWS can't express.
+    "fn_window_range" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("v_events_rng")
+      s.sql(
+        """SELECT event_id, user_id,
+          |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS n_last_hour
+          |FROM v_events_rng ORDER BY event_id""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "fn_string" ->
+      """SELECT c_custkey,
+        | lower(c_name) AS lo,
+        | upper(c_mktsegment) AS up,
+        | substr(c_name, 1, 8) AS sub,
+        | c_mktsegment || '#' || c_name AS cat,
+        | lpad(c_custkey::VARCHAR, 10, '0') AS pad,
+        | trim(' x ') AS tr,
+        | regexp_replace(c_name, '[0-9]+', '#', 'g') AS rep,
+        | reverse(c_mktsegment) AS rev,
+        | repeat('ab', 3) AS rpt,
+        | length(c_name)::BIGINT AS len,
+        | strpos(c_name, '0')::BIGINT AS pos,
+        | translate(c_mktsegment, 'AEIOU', 'aeiou') AS tl
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate)::BIGINT AS yr,
+        | month(o_orderdate)::BIGINT AS mo,
+        | day(o_orderdate)::BIGINT AS dom,
+        | quarter(o_orderdate)::BIGINT AS qtr,
+        | (isodow(o_orderdate) - 1)::BIGINT AS dow_mon0,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS plus3m,
+        | strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS eom,
+        | epoch(o_orderdate)::BIGINT AS epoch_s,
+        | date_diff('day', o_orderdate::DATE, DATE '1998-01-01')::BIGINT AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity >= 25 THEN 'big'
+        |      WHEN l_quantity >= 10 THEN 'mid'
+        |      ELSE 'small' END AS bucket,
+        | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        | greatest(l_tax, l_discount) AS gmax,
+        | least(l_tax, l_discount) AS lmin,
+        | (nullif(l_linenumber, 1) IS NOT DISTINCT FROM NULL) AS was_one
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - l_tax) AS ad,
+        | ceil(l_extendedprice / 100)::BIGINT AS ce,
+        | floor(l_extendedprice / 100)::BIGINT AS fl,
+        | round(sqrt(l_extendedprice) + 0.000000001, 6) AS sq,
+        | round(ln(l_extendedprice) + 0.000000001, 6) AS ln_,
+        | round(pow(l_quantity, 2) + 0.000000001, 2) AS p2,
+        | sign(l_discount - l_tax)::BIGINT AS sg,
+        | (l_quantity::BIGINT % 7) AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        | len(toks)::BIGINT AS n,
+        | array_to_string(list_slice(toks, 2, 4), ',') AS sl,
+        | list_contains(toks, 'the') AS has_the,
+        | toks[1] AS first_tok,
+        | coalesce(list_position(toks, 'the'), 0)::BIGINT AS pos_the,
+        | len(list_distinct(toks))::BIGINT AS n_uniq,
+        | array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_window_funcs" ->
+      """SELECT event_id, user_id,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w + 0.000000001, 6) AS prnk,
+        | round(cume_dist() OVER w + 0.000000001, 6) AS cd,
+        | lag(event_id, 1, -1) OVER w AS prev_id,
+        | lead(event_id, 1, -1) OVER w AS next_id,
+        | first_value(event_id) OVER w AS first_id,
+        | last_value(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_window_range" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)::BIGINT
+        |   AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
