@@ -26,7 +26,8 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (SessionQueries.queries, SessionQueries.oracles),
-      (FunctionQueries.queries, FunctionQueries.oracles))
+      (FunctionQueries.queries, FunctionQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.streaming.EventStreams
+
+/** Stream/batch parity queries — the one place the streaming tier CAN be
+  * oracle-verified: run the real Structured Streaming path (file source →
+  * stateful transform → memory sink) to completion over the same parquet
+  * the batch oracle reads, and compare final results. Each invocation
+  * drains the stream synchronously (`processAllAvailable`), stops the
+  * query, and returns the sink table as a plain DataFrame, so Verify/Bench
+  * treat it like any batch query.
+  *
+  * This pins exactly the property a 100 TB deployment leans on: the
+  * streaming twin of an aggregation converges to the batch answer once all
+  * input is processed (Structured Streaming's incremental-execution
+  * contract).
+  */
+object StreamQueries {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** The file-stream source only accepts a DIRECTORY; the harness testdata
+    * is a single parquet file per table, so expose it through a scratch
+    * directory holding a symlink (no data copy).
+    */
+  private def asDir(d: String, table: String): String = {
+    val src = java.nio.file.Paths.get(s"$d/$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_src_${math.abs(d.hashCode)}", table)
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve(s"$table.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+      dir.toString
+    }
+  }
+
+  /** The events table as a bounded file STREAM, with the same
+    * TIMESTAMP(NANOS)→micros conversion the batch source applies
+    * (`Tables.load`); readStream needs the on-disk schema up front.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(onDisk).parquet(asDir(d, "events"))
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Daily tumbling-window aggregation through the streaming engine, in
+    // complete mode so every window is emitted once the stream drains; the
+    // oracle is the plain batch GROUP BY over the same days.
+    "st_tumbling_parity" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), Fmt).as("day_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      drain(agg, "st_tumbling", "complete").orderBy("day_start", "event_type")
+    }),
+
+    // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
+    // to a sink, then audited: per-type row and distinct-id counts must
+    // equal the batch table's (event ids are unique, so dedup is an
+    // identity pass — the assertion is that streaming state dropped
+    // nothing and duplicated nothing).
+    "st_dedup_parity" -> ((s, d) => {
+      val deduped = drain(
+        EventStreams.dedupEvents(eventsStream(s, d), "1 hour"),
+        "st_dedup", "append")
+      deduped.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "st_tumbling_parity" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+        | event_type, count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY day_start, event_type
+        |ORDER BY day_start, event_type""".stripMargin,
+
+    "st_dedup_parity" ->
+      """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -56,6 +56,20 @@ object ProfileScratch {
     time("global distinct grams")(println("distinct grams = " + grams.select("s").distinct().count()))
     println("total gram rows = " + grams.count())
 
+    // word-shingle stage costs (d_minhash_lsh path)
+    val wsh = df.select(col("doc_id").as("id"),
+      explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("s"))
+      .select(col("id"), (h60(col("s")) % Dedup.MinhashMod).as("h"))
+    time("ws explode+md5")(wsh.count())
+    println("ws vocab = " + wsh.select("h").distinct().count())
+    println("ws rows = " + wsh.count())
+    val wAgg = (0 until 16).map(i =>
+      min((col("h") * (2 * i + 1) + (97L + 31L * i)) % Dedup.MinhashMod).as(s"m$i"))
+    time("ws mins-only")(wsh.groupBy("id").agg(wAgg.head, wAgg.tail: _*).count())
+    time("ws mins+collect_set")(wsh.groupBy("id")
+      .agg((wAgg :+ collect_set(col("h")).as("sh")).head,
+        (wAgg :+ collect_set(col("h")).as("sh")).tail: _*).count())
+
     // full operators, warm JIT but cold cache
     time("d_ngram_jaccard full A")(Dedup.ngramJaccardPairs(df, "doc_id", col("text"), 4, 0.6).count())
     time("d_ngram_jaccard full B")(Dedup.ngramJaccardPairs(df, "doc_id", col("text"), 4, 0.6).count())
