@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, H60}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so they are usable from both the Column API and
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductD(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[H60].getName, "graft_h60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H60(children(0))))
   }
 }

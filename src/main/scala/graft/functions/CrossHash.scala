@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object CrossHash {
 
-  /** 60-bit hash both engines can compute identically. */
+  /** 60-bit hash both engines can compute identically. Resolves to the
+    * native codegen expression [[H60]] (registered by
+    * [[graft.GraftExtensions]]); [[h60Builtin]] is the bit-identical
+    * built-in formulation it was promoted from.
+    */
   def h60(c: Column): Column =
+    call_function("graft_h60", c.cast("string"))
+
+  /** Pre-promotion formulation of [[h60]] — the readable spec of the
+    * semantics, for sessions without GraftExtensions.
+    */
+  def h60Builtin(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Salted variant — an alternative way to derive k "independent" hash

@@ -70,10 +70,12 @@ class OperatorsSpec extends SparkSpec {
     assert(out.schema("b").dataType == LongType)
   }
 
-  test("h60 column expression equals driver-side h60Local") {
-    val inputs = Seq("hello", "0:a b c", "7,42")
-    val fromSpark = inputs.toDF("s").select(CrossHash.h60(col("s"))).as[Long].collect().toSeq
-    assert(fromSpark == inputs.map(CrossHash.h60Local))
+  test("h60 column expression equals driver-side h60Local and builtin form") {
+    val inputs = Seq("hello", "0:a b c", "7,42", "", "héllo ünïcode")
+    val native = inputs.toDF("s").select(CrossHash.h60(col("s"))).as[Long].collect().toSeq
+    val builtin = inputs.toDF("s").select(CrossHash.h60Builtin(col("s"))).as[Long].collect().toSeq
+    assert(native == inputs.map(CrossHash.h60Local))
+    assert(native == builtin)
   }
 
   test("wordShingles and charGrams produce expected windows") {
