@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -107,6 +108,40 @@ object FunctionQueries {
           array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), ",").as("top5"))
         .orderBy("doc_id")),
 
+    // Unpivot (wide → long): three measure columns stacked into
+    // (metric, val) rows — the inverse of q_pivot.
+    "fn_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3, 'discount', l_discount, 'qty', l_quantity, 'tax', l_tax)
+            | AS (metric, val)""".stripMargin)
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Deterministic mode per group: most frequent value, ties broken by the
+    // smallest value — spelled out as count + rank in BOTH engines because
+    // the built-in mode() leaves tie order undefined in each.
+    "fn_mode" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("user_id"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("user_id").as("mode_user"), col("c").as("n_hits"))
+        .orderBy("event_type")
+    }),
+
+    // try_cast battery: failed casts yield null, never an error.
+    "fn_trycast" -> ((s, d) =>
+      t(s, d, "events")
+        .selectExpr(
+          "event_id",
+          "try_cast(event_type AS BIGINT) AS bad_int",
+          "try_cast(cast(value AS STRING) AS DOUBLE) AS roundtrip",
+          "try_cast(substr(event_type, 1, 1) AS DOUBLE) AS bad_dbl",
+          "coalesce(try_cast(event_type AS BIGINT), -1) AS defaulted")
+        .orderBy("event_id")),
+
     // Window-function battery: ranking family, value family, explicit ROWS
     // frame (last_value needs it — the default frame stops at CURRENT ROW).
     "fn_window_funcs" -> ((s, d) => {
@@ -208,6 +243,31 @@ object FunctionQueries {
         | len(list_distinct(toks))::BIGINT AS n_uniq,
         | array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "fn_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(1) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, user_id AS mode_user, c AS n_hits
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "fn_trycast" ->
+      """SELECT event_id,
+        | try_cast(event_type AS BIGINT) AS bad_int,
+        | try_cast(value::VARCHAR AS DOUBLE) AS roundtrip,
+        | try_cast(substr(event_type, 1, 1) AS DOUBLE) AS bad_dbl,
+        | coalesce(try_cast(event_type AS BIGINT), -1) AS defaulted
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_window_funcs" ->
       """SELECT event_id, user_id,
