@@ -20,16 +20,6 @@ object Bench {
     // (md5/array kernels, ObjectHashAggregate, band joins) are JIT-compiled
     // before timing — the timed numbers then reflect steady-state
     // throughput, which is what extrapolates to a long-running cluster job.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      val warmDir = {
-        val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-        if (sibling.isDirectory) sibling.getPath else sfDir
-      }
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-    } catch { case _: Throwable => () }
     // optional comma-separated name filter for focused local iteration; the
     // driver never sets it, so driver runs always time the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -37,6 +27,18 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val warmDir = {
+        val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sibling.isDirectory) sibling.getPath else sfDir
+      }
+      // warm only the queries being timed — a focused SPARK_GRAFT_ONLY run
+      // should not pay the whole suite's warmup
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

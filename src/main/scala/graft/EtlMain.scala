@@ -41,6 +41,10 @@ object EtlMain {
       args(i) match {
         case "--day" if i + 1 < args.length =>
           dayOpt = Some(LocalDate.parse(args(i + 1))); i += 2
+        case "--day" =>
+          // a trailing bare --day silently falling back to "yesterday"
+          // would load the wrong day's partition without a hint
+          throw new IllegalArgumentException("--day requires a date: --day=YYYY-MM-DD")
         case a if a.startsWith("--day=") =>
           dayOpt = Some(LocalDate.parse(a.drop(6))); i += 1
         case a => rest += a; i += 1
@@ -79,8 +83,9 @@ object EtlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // O4: dated-file run log (LOG_DIR config key; stdout always mirrors).
-    val runLog = conf.get("LOG_DIR").map(d =>
-      new RunLog(Paths.get(d), LocalDate.now()))
+    // The file-name date comes from RunLog's own clock, so name and line
+    // timestamps can never disagree across a midnight boundary.
+    val runLog = conf.get("LOG_DIR").map(d => new RunLog(Paths.get(d)))
     def logLine(s: String): Unit = { println(s); runLog.foreach(_.info(s)) }
     try {
       val reports = Etl.run(

@@ -14,9 +14,11 @@ import java.time.{Clock, LocalDate, LocalDateTime}
   * own logging, and this way it needs no global logging mutation and is
   * directly unit-testable.
   */
-final class RunLog(dir: Path, day: LocalDate, clock: Clock = Clock.systemUTC()) {
+final class RunLog(dir: Path, clock: Clock = Clock.systemUTC()) {
 
-  val file: Path = dir.resolve(s"MYSQL_to_BQ_$day.log")
+  // file-name date and line timestamps share one clock: deriving the name
+  // from a different zone would let them disagree near midnight.
+  val file: Path = dir.resolve(s"MYSQL_to_BQ_${LocalDate.now(clock)}.log")
   Files.createDirectories(dir)
 
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")

@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
 object CrossHash {
 
   /** 60-bit hash both engines can compute identically. Resolves to the
-    * native codegen expression [[H60]] (registered by
-    * [[graft.GraftExtensions]]); [[h60Builtin]] is the bit-identical
-    * built-in formulation it was promoted from.
+    * native codegen expression [[H60]] when [[graft.GraftExtensions]] is
+    * registered in the active session, and falls back to the bit-identical
+    * built-in formulation [[h60Builtin]] otherwise — sessions without the
+    * extension keep working, just without the allocation-free fast path.
     */
   def h60(c: Column): Column =
-    call_function("graft_h60", c.cast("string"))
+    if (hasNativeFunction("graft_h60")) call_function("graft_h60", c.cast("string"))
+    else h60Builtin(c)
 
   /** Pre-promotion formulation of [[h60]] — the readable spec of the
     * semantics, for sessions without GraftExtensions.
@@ -80,14 +82,24 @@ object CrossHash {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** True iff the active session's registry has the graft native function —
+    * the plan is BUILT before analysis, so fall back at build time rather
+    * than failing analysis with "Undefined function" in sessions that never
+    * registered GraftExtensions.
+    */
+  private def hasNativeFunction(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists(name))
+
   /** Dot product in double precision with a defined (left-to-right) fold
     * order, so Spark and the oracle sum identical operands identically.
-    * Resolves to the native codegen expression [[DotProductD]] (registered
-    * by [[graft.GraftExtensions]]); [[dotDFold]] is the bit-identical
-    * built-in-functions formulation it was promoted from.
+    * Resolves to the native codegen expression [[DotProductD]] when
+    * [[graft.GraftExtensions]] is registered; falls back to the
+    * bit-identical [[dotDFold]] formulation otherwise.
     */
   def dotD(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
+    if (hasNativeFunction("graft_dot")) call_function("graft_dot", a, b)
+    else dotDFold(a, b)
 
   /** Pre-promotion formulation of [[dotD]] — kept as the readable spec of
     * the semantics and for sessions without GraftExtensions.

@@ -94,7 +94,11 @@ object Dedup {
       // consumed twice (vocabulary measurement + signature aggregation):
       // persisting keeps the shingle explode+md5 pass single-execution.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = hashed.select("h").distinct().count()
+    // the only question is "≤ cap or not" — the limit stops the probe from
+    // materializing an unbounded distinct count on huge-vocab corpora, and
+    // the same distinct frame feeds the bitset dictionary below.
+    val distinctH = hashed.select("h").distinct()
+    val vocab = distinctH.limit(BitsetMaxVocab + 1).count()
 
     val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
     val sigCol = array((0 until k).map(i => col(s"m$i")): _*).as("sig")
@@ -106,7 +110,7 @@ object Dedup {
     val (sigd, verify) =
       if (vocab <= BitsetMaxVocab) {
         val nWords = ((vocab + 63) / 64).toInt.max(1)
-        val dict = hashed.select("h").distinct()
+        val dict = distinctH
           .withColumn("pos",
             row_number().over(org.apache.spark.sql.expressions.Window.orderBy("h")) - 1)
         val positioned = hashed.join(broadcast(dict), "h")
@@ -287,23 +291,33 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever decrease, so Σrep strictly decreases each round
     // until fixpoint — convergence is one aggregate per round, no
-    // change-detection join.
-    var prevSum = labels.agg(sum("rep")).head.getLong(0)
+    // change-detection join. coalesce: sum over ZERO rows is null (a clean
+    // corpus has no pair edges at all), which must read as converged, not
+    // NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val viaNeighbor = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("rep"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("rep")).head.getLong(0)
+      val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       iter += 1
     }
     und.unpersist()
+    // a silently-unconverged result would hand back WRONG representatives
+    // (split clusters) with no signal; a pathological >maxIter-diameter
+    // chain should fail loudly so the caller raises maxIter deliberately.
+    require(converged,
+      s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
+        "a component's diameter exceeds the round budget; raise maxIter")
     labels
   }
 

@@ -35,8 +35,12 @@ object StreamQueries {
         s"graft_stream_src_${math.abs(d.hashCode)}", table)
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve(s"$table.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, src)
+      // NOFOLLOW: a dangling link must read as present (exists() follows
+      // the target); and two concurrent drivers can race past the check,
+      // so an already-created link is success, not an error.
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        try java.nio.file.Files.createSymbolicLink(link, src)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       dir.toString
     }
   }

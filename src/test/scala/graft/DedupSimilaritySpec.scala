@@ -68,6 +68,14 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connectedComponents and keepSurvivors handle an empty edge set") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(noEdges).count() == 0)
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    val kept = Dedup.keepSurvivors(corpus, "doc_id", noEdges).as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L)) // clean corpus passes through untouched
+  }
+
   test("keepSurvivors drops all but the min id per cluster, keeps singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("doc_id")
     val edges = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (11L, 12L))

@@ -76,7 +76,7 @@ class EtlSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_log")
     val fixed = java.time.Clock.fixed(
       java.time.Instant.parse("2024-01-15T10:30:00Z"), java.time.ZoneOffset.UTC)
-    val log = new RunLog(dir, java.time.LocalDate.parse("2024-01-15"), fixed)
+    val log = new RunLog(dir, fixed)
     log.info("table=daily_log loaded=3")
     log.error("boom")
     assert(log.file.getFileName.toString == "MYSQL_to_BQ_2024-01-15.log")
@@ -113,6 +113,13 @@ class EtlSpec extends SparkSpec {
     assert(logs.exists(_.matches("MYSQL_to_BQ_\\d{4}-\\d{2}-\\d{2}\\.log")))
     // and the session this spec owns must survive the CLI run
     assert(!spark.sparkContext.isStopped)
+  }
+
+  test("EtlMain rejects a trailing bare --day instead of silently using yesterday") {
+    val e = intercept[IllegalArgumentException] {
+      EtlMain.main(Array("/nonexistent.conf", "--daily", "--day"))
+    }
+    assert(e.getMessage.contains("--day requires a date"))
   }
 
   test("credentials parser handles comments, blanks, and values with '='") {
