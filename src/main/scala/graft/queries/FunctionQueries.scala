@@ -108,6 +108,48 @@ object FunctionQueries {
           array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), ",").as("top5"))
         .orderBy("doc_id")),
 
+    // Map-typed column battery: construct, access, keys, merge. The oracle
+    // computes the same OUTPUT values relationally — DuckDB v1.0 map access
+    // semantics differ, and what must match is the result, not the
+    // intermediate representation.
+    "fn_map" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("m", map(
+          lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string")))
+        .withColumn("m2", map_concat(col("m"), map(lit("ev"), col("event_id").cast("string"))))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "missing").as("m_missing"),
+          size(map_keys(col("m2"))).cast("bigint").as("n_keys"),
+          array_join(sort_array(map_keys(col("m2"))), ",").as("keys_sorted"),
+          element_at(col("m2"), "ev").as("m_ev"))
+        .orderBy("event_id")),
+
+    // Sliding windows in batch: 1-day windows every 12 hours — each event
+    // lands in exactly two epoch-aligned windows; the oracle reproduces
+    // the window starts arithmetically.
+    "q_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    // Typed-UDAF surface: WeightedAvg Aggregator registered via udaf();
+    // oracle is the built-in sum(w*x)/sum(w) formulation it must equal.
+    "q_weighted_avg" -> ((s, d) => {
+      val wavg = udaf(graft.functions.WeightedAvg.agg)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(
+          wavg(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Unpivot (wide → long): three measure columns stacked into
     // (metric, val) rows — the inverse of q_pivot.
     "fn_unpivot" -> ((s, d) =>
@@ -243,6 +285,30 @@ object FunctionQueries {
         | len(list_distinct(toks))::BIGINT AS n_uniq,
         | array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        | event_type AS m_type,
+        | NULL::VARCHAR AS m_missing,
+        | 3::BIGINT AS n_keys,
+        | 'ev,type,uid' AS keys_sorted,
+        | event_id::VARCHAR AS m_ev
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT *, to_timestamp((floor(epoch(ts) / 43200) - k) * 43200) AS win_start
+        |  FROM events, unnest([0, 1]) AS u(k))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity * l_extendedprice) / sum(l_quantity) + 0.000000001, 4)
+        |   AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "fn_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
