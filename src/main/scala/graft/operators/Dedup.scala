@@ -82,23 +82,33 @@ object Dedup {
       shingles: Column,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      vocabBounded: Option[Boolean] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands — otherwise signature " +
         "values are silently dropped (or every band key degenerates to \"\" " +
         "and the join becomes an O(n²) cross product)")
     val rows = k / bands
-    val hashed = df
+    // vocabBounded = Some(false) declares the vocabulary open-ended (word
+    // shingles over a real corpus): the collect_set path is taken directly,
+    // and since the hashed frame then has exactly ONE consumer, the
+    // vocabulary probe AND the persist are both skipped. None measures.
+    val knownUnbounded = vocabBounded.contains(false)
+    val hashedPlan = df
       .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
       .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
+    val hashed =
+      if (knownUnbounded) hashedPlan
       // consumed twice (vocabulary measurement + signature aggregation):
       // persisting keeps the shingle explode+md5 pass single-execution.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the only question is "≤ cap or not" — the limit stops the probe from
     // materializing an unbounded distinct count on huge-vocab corpora, and
     // the same distinct frame feeds the bitset dictionary below.
     val distinctH = hashed.select("h").distinct()
-    val vocab = distinctH.limit(BitsetMaxVocab + 1).count()
+    val vocab =
+      if (knownUnbounded) Long.MaxValue
+      else distinctH.limit(BitsetMaxVocab + 1).count()
 
     val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
     val sigCol = array((0 until k).map(i => col(s"m$i")): _*).as("sig")

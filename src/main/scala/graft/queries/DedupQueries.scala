@@ -84,7 +84,9 @@ object DedupQueries {
     "d_minhash_lsh" -> ((s, d) =>
       Dedup.minhashPairs(
           t(s, d, "documents"), "doc_id",
-          CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+          CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7,
+          // word-shingle vocabulary is open-ended: skip the probe+persist
+          vocabBounded = Some(false))
         .orderBy("a", "b")),
 
     // SimHash signatures (60-bit, relational bit-vote formulation) over
@@ -114,7 +116,8 @@ object DedupQueries {
     "d_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashPairs(
-        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4,
+        threshold = 0.7, vocabBounded = Some(false))
       val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
       docs.select("doc_id").join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
@@ -127,7 +130,8 @@ object DedupQueries {
     "d_dedup_keep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashPairs(
-        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7)
+        docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4,
+        threshold = 0.7, vocabBounded = Some(false))
       Dedup.keepSurvivors(docs, "doc_id", pairs)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
