@@ -108,6 +108,20 @@ object FunctionQueries {
           array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), ",").as("top5"))
         .orderBy("doc_id")),
 
+    // String-distance battery: levenshtein over the (tiny, distinct)
+    // event-type vocabulary cross-joined with itself — the blocked fuzzy-
+    // match primitive; at corpus scale the cross join is always bounded by
+    // a blocking key (here the whole vocab IS the block).
+    "fn_strdist" -> ((s, d) => {
+      val types = t(s, d, "events").select("event_type").distinct()
+      types.as("x").crossJoin(types.as("y"))
+        .select(
+          col("x.event_type").as("a"), col("y.event_type").as("b"),
+          levenshtein(col("x.event_type"), col("y.event_type"))
+            .cast("bigint").as("lev"))
+        .orderBy("a", "b")
+    }),
+
     // Map-typed column battery: construct, access, keys, merge. The oracle
     // computes the same OUTPUT values relationally — DuckDB v1.0 map access
     // semantics differ, and what must match is the result, not the
@@ -285,6 +299,12 @@ object FunctionQueries {
         | len(list_distinct(toks))::BIGINT AS n_uniq,
         | array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_strdist" ->
+      """WITH t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT x.event_type AS a, y.event_type AS b,
+        |  levenshtein(x.event_type, y.event_type)::BIGINT AS lev
+        |FROM t x CROSS JOIN t y ORDER BY a, b""".stripMargin,
 
     "fn_map" ->
       """SELECT event_id,

@@ -231,6 +231,23 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Skew-treated aggregation: same hot-key construction as q_skew_join,
+    // two-phase (key, salt) -> key aggregation; the oracle is the plain
+    // single-phase GROUP BY it must equal (sums are decimal-exact and
+    // counts integral, so the two-phase regrouping cannot drift).
+    "q_salted_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("k",
+          when(col("event_id") % 10 < 4, lit(0L)).otherwise(col("user_id")))
+      Relational.saltedAgg(ev, "k", salts = 8, saltSource = "event_id",
+          partial = Seq(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,6)")).as("psum")),
+          merge = Seq(sum("pn").as("n"),
+            sum("psum").cast("double").as("sum_value")))
+        .select(col("k"), col("n"), round(col("sum_value") + 1e-9, 2).as("sum_value"))
+        .orderBy("k")
+    }),
+
     // Latest-wins upsert (MERGE): a 10% slice of orders arrives re-priced
     // with a newer version date; the result keeps exactly one row per key,
     // updates beating base. Timestamps leave as strings per convention.
@@ -539,6 +556,14 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_agg" ->
+      """WITH e AS (
+        |  SELECT *, CASE WHEN event_id % 10 < 4 THEN 0 ELSE user_id END AS k
+        |  FROM events)
+        |SELECT k, count(1) AS n,
+        |  round(sum(value::DECIMAL(18,6))::DOUBLE + 0.000000001, 2) AS sum_value
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
 
     "q_upsert" ->
       """WITH u AS (
