@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalQueries
+import graft.SparkEntry
 
 /** Physical-plan shape assertions — the properties that make queries hold at
   * 100 TB, checked on the tiny sf so regressions surface in CI, not on the
@@ -13,7 +13,7 @@ class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
-    RelationalQueries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("correlated EXISTS decorrelates to a left semi join, no per-row subplan") {
     val p = plan("q_exists_correlated")
@@ -35,4 +35,27 @@ class PlanSpec extends SparkSpec {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
   }
+
+  test("incremental scan pushes the day range onto the raw nanos column") {
+    val df = graft.sources.Tables.loadIncremental(spark, sf, "events", "ts",
+      java.time.LocalDate.parse("2024-01-15"))
+    val p = df.queryExecution.executedPlan.toString
+    // the filter must reach the parquet scan as attribute-vs-literal on the
+    // LONG nanos column (row-group skipping); a post-conversion filter
+    // would not appear in PushedFilters at all
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"day range not pushed to the scan:\n$p")
+  }
+
+  test("salted join keys include the salt column") {
+    val p = plan("q_skew_join")
+    assert(p.contains("__salt"), s"expected salt in the join keys:\n$p")
+  }
+
+  test("date-equality predicate pushes to the lineitem scan") {
+    val p = plan("p6_date_predicate")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate range not pushed:\n$p")
+  }
+
 }
