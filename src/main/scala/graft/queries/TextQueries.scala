@@ -94,6 +94,19 @@ object TextQueries {
       Multimodal.sampleFrames(
           Multimodal.fromText(docs(s, d), "doc_id", "text"), frameBytes = 64)
         .orderBy("asset_id", "frame_no"))
+  ,
+    // Multimodal batched decode: the mapPartitions feature-extraction slot
+    // end-to-end. The STUB features are digest-byte fractions, which ARE
+    // SQL-expressible — so even the partition-iterator path gets a full
+    // oracle. One rounded DOUBLE column per dimension (array columns break
+    // the row-sort compare; float→string formatting never matches).
+    "mm_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.fromText(docs(s, d), "doc_id", "text"), dims = 8)
+        .select(col("asset_id") +:
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1) + 1e-9, 6).as(s"f$i")): _*)
+        .orderBy("asset_id"))
   )
 
   val oracles: Map[String, String] = {
@@ -153,6 +166,15 @@ object TextQueries {
           |SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
           |       length(norm_text)::BIGINT AS norm_len
           |FROM n ORDER BY doc_id""".stripMargin,
+
+      "mm_features" -> {
+        val cols = (0 until 8).map(i =>
+          s"round(('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / 255.0 + 0.000000001, 6) AS f$i")
+          .mkString(",\n ")
+        s"""SELECT doc_id AS asset_id,
+           | $cols
+           |FROM documents ORDER BY asset_id""".stripMargin
+      },
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),
