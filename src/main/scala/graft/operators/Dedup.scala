@@ -74,6 +74,9 @@ object Dedup {
     * value itself, so hash collisions collapse identically in both).
     *
     * @param shingles column producing the shingle array per row
+    * @param assumeUnboundedVocab caller-known-open-ended vocabulary: skip
+    *        the measurement probe (and the persist it requires) and take
+    *        the array-set verify path directly
     * @return (a, b, jaccard) with a < b, jaccard rounded to 4 decimals
     */
   def minhashPairs(
@@ -83,17 +86,18 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.7,
-      vocabBounded: Option[Boolean] = None): DataFrame = {
+      assumeUnboundedVocab: Boolean = false): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands — otherwise signature " +
         "values are silently dropped (or every band key degenerates to \"\" " +
         "and the join becomes an O(n²) cross product)")
     val rows = k / bands
-    // vocabBounded = Some(false) declares the vocabulary open-ended (word
+    // assumeUnboundedVocab declares the vocabulary open-ended (word
     // shingles over a real corpus): the collect_set path is taken directly,
     // and since the hashed frame then has exactly ONE consumer, the
-    // vocabulary probe AND the persist are both skipped. None measures.
-    val knownUnbounded = vocabBounded.contains(false)
+    // vocabulary probe AND the persist are both skipped. The default
+    // measures the vocabulary and adapts.
+    val knownUnbounded = assumeUnboundedVocab
     val hashedPlan = df
       .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
       .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))

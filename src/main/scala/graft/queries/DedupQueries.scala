@@ -86,7 +86,7 @@ object DedupQueries {
           t(s, d, "documents"), "doc_id",
           CrossHash.wordShingles(toks, 3), k = 16, bands = 4, threshold = 0.7,
           // word-shingle vocabulary is open-ended: skip the probe+persist
-          vocabBounded = Some(false))
+          assumeUnboundedVocab = true)
         .orderBy("a", "b")),
 
     // SimHash signatures (60-bit, relational bit-vote formulation) over
@@ -117,7 +117,7 @@ object DedupQueries {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashPairs(
         docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4,
-        threshold = 0.7, vocabBounded = Some(false))
+        threshold = 0.7, assumeUnboundedVocab = true)
       val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
       docs.select("doc_id").join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
@@ -131,7 +131,7 @@ object DedupQueries {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashPairs(
         docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 16, bands = 4,
-        threshold = 0.7, vocabBounded = Some(false))
+        threshold = 0.7, assumeUnboundedVocab = true)
       Dedup.keepSurvivors(docs, "doc_id", pairs)
         .select("doc_id", "lang").orderBy("doc_id")
     }),

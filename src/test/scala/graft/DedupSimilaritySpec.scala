@@ -139,6 +139,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, frameBytes = 64).count() == 0)
   }
 
+  test("assumeUnboundedVocab path returns the same pairs as the adaptive path") {
+    // the production word-shingle queries all take the probe-free
+    // collect_set path — pin that it produces identical results
+    def run(unbounded: Boolean) =
+      Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
+          k = 16, bands = 8, threshold = 0.5, assumeUnboundedVocab = unbounded)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(run(true) == run(false) && run(true).nonEmpty)
+  }
+
   test("minhashPairs rejects a non-divisible band configuration") {
     intercept[IllegalArgumentException] {
       Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3), k = 4, bands = 8)

@@ -47,15 +47,22 @@ class PlanSpec extends SparkSpec {
       s"day range not pushed to the scan:\n$p")
   }
 
-  test("salted join keys include the salt column") {
+  test("salted join joins on (key, salt), not key alone") {
     val p = plan("q_skew_join")
-    assert(p.contains("__salt"), s"expected salt in the join keys:\n$p")
+    // the salt must appear IN a join key list next to k — merely appearing
+    // as a projected column would mean the hot key still lands on one
+    // reducer (and the exploded right side would duplicate rows)
+    assert("""k#\d+L?, __salt#\d+""".r.findFirstIn(p).isDefined,
+      s"expected (k, __salt) as compound join keys in:\n$p")
   }
 
   test("date-equality predicate pushes to the lineitem scan") {
     val p = plan("p6_date_predicate")
-    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
-      s"shipdate range not pushed:\n$p")
+    // the filter must render INSIDE PushedFilters — 'l_shipdate' alone also
+    // appears in an unpushed post-scan Filter, which is the regression this
+    // test exists to catch
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed into the scan:\n$p")
   }
 
 }
