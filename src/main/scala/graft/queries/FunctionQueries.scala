@@ -108,6 +108,19 @@ object FunctionQueries {
           array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), ",").as("top5"))
         .orderBy("doc_id")),
 
+    // Bitwise battery: and/or/xor/shifts/popcount over event ids.
+    "fn_bitwise" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          (col("event_id").bitwiseAND(255)).as("b_and"),
+          (col("event_id").bitwiseOR(4096)).as("b_or"),
+          (col("event_id").bitwiseXOR(col("user_id"))).as("b_xor"),
+          shiftleft(col("event_id"), 3).as("b_shl"),
+          shiftright(col("event_id"), 2).as("b_shr"),
+          bit_count(col("event_id")).cast("bigint").as("b_pop"))
+        .orderBy("event_id")),
+
     // String-distance battery: levenshtein over the (tiny, distinct)
     // event-type vocabulary cross-joined with itself — the blocked fuzzy-
     // match primitive; at corpus scale the cross join is always bounded by
@@ -302,6 +315,16 @@ object FunctionQueries {
         | len(list_distinct(toks))::BIGINT AS n_uniq,
         | array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT event_id,
+        | (event_id & 255) AS b_and,
+        | (event_id | 4096) AS b_or,
+        | xor(event_id, user_id) AS b_xor,
+        | (event_id << 3) AS b_shl,
+        | (event_id >> 2) AS b_shr,
+        | bit_count(event_id)::BIGINT AS b_pop
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_strdist" ->
       """WITH t AS (SELECT DISTINCT event_type FROM events)

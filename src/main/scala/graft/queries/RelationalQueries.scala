@@ -231,6 +231,28 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Multiplicity-preserving set ops: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate cardinality (the plain variants dedup), pinned on a column
+    // with real duplicates.
+    "q_setops_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val hi = li.filter(col("l_quantity") > 25).select("l_suppkey")
+      val ret = li.filter(col("l_returnflag") === "R").select("l_suppkey")
+      hi.intersectAll(ret).withColumn("op", lit("intersect_all"))
+        .unionByName(hi.exceptAll(ret).withColumn("op", lit("except_all")))
+        .select("op", "l_suppkey")
+        .orderBy("op", "l_suppkey")
+    }),
+
+    // Fixed-width histogram binning — the OLAP distribution primitive.
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice") + 1e-9, 2).as("lo"),
+          round(max("l_extendedprice") + 1e-9, 2).as("hi"))
+        .orderBy("bin")),
+
     // Skew-treated aggregation: same hot-key construction as q_skew_join,
     // two-phase (key, salt) -> key aggregation; the oracle is the plain
     // single-phase GROUP BY it must equal (sums are decimal-exact and
@@ -556,6 +578,22 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH hi AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25),
+        | ret AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT 'intersect_all' AS op, l_suppkey
+        |FROM (SELECT l_suppkey FROM hi INTERSECT ALL SELECT l_suppkey FROM ret)
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_suppkey
+        |FROM (SELECT l_suppkey FROM hi EXCEPT ALL SELECT l_suppkey FROM ret)
+        |ORDER BY op, l_suppkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT floor(l_extendedprice / 10000)::BIGINT AS bin, count(1) AS n,
+        | round(min(l_extendedprice) + 0.000000001, 2) AS lo,
+        | round(max(l_extendedprice) + 0.000000001, 2) AS hi
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_salted_agg" ->
       """WITH e AS (

@@ -87,6 +87,15 @@ object TextQueries {
           length(Text.normalize(col("text"))).cast("long").as("norm_len"))
         .orderBy("doc_id")),
 
+    // Corpus n-gram frequency table — the training-data corpus statistic:
+    // top word bigrams by count, ties broken lexicographically.
+    "tx_ngram_freq" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(CrossHash.wordShingles(toks, 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)),
+
     // Multimodal frame sampling: documents as binary payloads chopped into
     // 64-byte frames, one fingerprint per frame (decode step stubbed —
     // see graft.operators.Multimodal).
@@ -166,6 +175,15 @@ object TextQueries {
           |SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
           |       length(norm_text)::BIGINT AS norm_len
           |FROM n ORDER BY doc_id""".stripMargin,
+
+      "tx_ngram_freq" ->
+        s"""$toksCte,
+           |g AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |  FROM t)
+           |SELECT gram, count(1) AS n FROM g GROUP BY gram
+           |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
       "mm_features" -> {
         val cols = (0 until 8).map(i =>
