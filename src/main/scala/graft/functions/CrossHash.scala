@@ -82,14 +82,37 @@ object CrossHash {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** True iff the active session's registry has the graft native function —
-    * the plan is BUILT before analysis, so fall back at build time rather
-    * than failing analysis with "Undefined function" in sessions that never
+  /** True iff the session's registry has the graft native function — the
+    * plan is BUILT before analysis, so fall back at build time rather than
+    * failing analysis with "Undefined function" in sessions that never
     * registered GraftExtensions.
+    *
+    * Resolution falls back to the default session so worker threads that
+    * never set an active session (e.g. Etl's table thread pool) still get
+    * the native fast path, and the catalog lookup result is cached per
+    * session (weakly, so a stopped session doesn't pin memory) — registries
+    * are fixed after session construction, and the uncached lookup costs a
+    * catalog round-trip per Column built.
     */
+  private val nativeFnCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]())
+
   private def hasNativeFunction(name: String): Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists(name))
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .exists { s =>
+        val perSession = nativeFnCache.synchronized {
+          var m = nativeFnCache.get(s)
+          if (m == null) {
+            m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+            nativeFnCache.put(s, m)
+          }
+          m
+        }
+        perSession.computeIfAbsent(name, n => s.catalog.functionExists(n)).booleanValue()
+      }
 
   /** Dot product in double precision with a defined (left-to-right) fold
     * order, so Spark and the oracle sum identical operands identically.

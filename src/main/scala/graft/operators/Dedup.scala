@@ -73,6 +73,13 @@ object Dedup {
     * compute the identical |A∩B| (the dictionary is keyed on the hash
     * value itself, so hash collisions collapse identically in both).
     *
+    * EAGER: this method runs Spark jobs at call time (the vocabulary probe,
+    * unless `assumeUnboundedVocab`, and the final `localCheckpoint` that
+    * materializes the pair set so the signature caches can be released
+    * immediately) — it returns a materialized result, not a lazy plan.
+    * Intermediate persists are released in `finally`, so a mid-build
+    * failure does not leak blocks into the block manager.
+    *
     * @param shingles column producing the shingle array per row
     * @param assumeUnboundedVocab caller-known-open-ended vocabulary: skip
     *        the measurement probe (and the persist it requires) and take
@@ -106,6 +113,17 @@ object Dedup {
       // consumed twice (vocabulary measurement + signature aggregation):
       // persisting keeps the shingle explode+md5 pass single-execution.
       else hashedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashPairsBody(hashed, knownUnbounded, k, bands, rows, threshold)
+    finally hashed.unpersist()
+  }
+
+  private def minhashPairsBody(
+      hashed: DataFrame,
+      knownUnbounded: Boolean,
+      k: Int,
+      bands: Int,
+      rows: Int,
+      threshold: Double): DataFrame = {
     // the only question is "≤ cap or not" — the limit stops the probe from
     // materializing an unbounded distinct count on huge-vocab corpora, and
     // the same distinct frame feeds the bitset dictionary below.
@@ -158,6 +176,7 @@ object Dedup {
         (aggd, v)
       }
 
+    try {
     val banded = sigd.select(
       col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val cand = banded.as("x")
@@ -184,12 +203,11 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
     // The pair set is tiny relative to the corpus (bounded by the LSH
     // collision rate); materialize it eagerly so the signature cache can be
-    // released immediately — otherwise every invocation in a long-lived
-    // session leaks a persisted signature table into the block manager.
-    val out = verified.localCheckpoint(true)
-    sigd.unpersist()
-    hashed.unpersist()
-    out
+    // released immediately (in the enclosing finally) — otherwise every
+    // invocation in a long-lived session leaks a persisted signature table
+    // into the block manager.
+    verified.localCheckpoint(true)
+    } finally sigd.unpersist()
   }
 
   /** 60-bit SimHash per row from a token array.

@@ -102,6 +102,13 @@ object Relational {
       updates: DataFrame,
       key: String,
       version: String): DataFrame = {
+    // withColumn REPLACES an existing column, so a user column named like a
+    // temp column would be silently destroyed — fail loudly instead.
+    require(!(base.columns ++ updates.columns).exists(c => c == "__src" || c == "__rn"),
+      "upsert reserves temp columns __src/__rn; rename them in the input first")
+    // Rows sharing (key, version) WITHIN updates have no defined winner:
+    // row_number breaks the tie by shuffle order. Callers needing stability
+    // there must pre-dedup updates.
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val w = Window.partitionBy(key).orderBy(col(version).desc, col("__src").desc)

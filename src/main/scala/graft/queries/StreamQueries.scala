@@ -31,16 +31,32 @@ object StreamQueries {
     val src = java.nio.file.Paths.get(s"$d/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
     else {
+      // Collision-free scratch key: hex of the path bytes, not hashCode —
+      // two data dirs must never share (and thus silently cross-read) a
+      // scratch dir. Bounded by hashing only when the path is very long.
+      val key = {
+        val hex = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+        if (hex.length <= 128) hex
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_src_${math.abs(d.hashCode)}", table)
+        s"graft_stream_src_$key", table)
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve(s"$table.parquet")
       // NOFOLLOW: a dangling link must read as present (exists() follows
       // the target); and two concurrent drivers can race past the check,
-      // so an already-created link is success, not an error.
+      // so an already-created link is success, not an error. A pre-existing
+      // link pointing elsewhere (stale scratch from a moved dir) is
+      // re-pointed at the current source.
       if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         try java.nio.file.Files.createSymbolicLink(link, src)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      else if (java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) != src) {
+        java.nio.file.Files.delete(link)
+        java.nio.file.Files.createSymbolicLink(link, src)
+      }
       dir.toString
     }
   }
