@@ -305,9 +305,17 @@ object Dedup {
     * Components in MapReduce") drops rounds to O(log n) with the same
     * per-round shape.
     *
-    * Each round's result is eagerly `localCheckpoint`ed: iterative
-    * self-referential plans otherwise double in depth per round and
-    * re-execute the whole history at every action.
+    * Each round's result is persisted and materialized, and the PREVIOUS
+    * round's blocks are released immediately after — `localCheckpoint` per
+    * round would leave every superseded round's blocks in the block manager
+    * until GC (measured: across a long suite run that retention evicts live
+    * caches and re-executes upstream stages, tripling this query's cost).
+    * Cache substitution keeps execution incremental — each round's plan
+    * references the previous round's Dataset, which the cache manager
+    * replaces with its materialized InMemoryRelation — and the lineage only
+    * grows by one join+agg per round for the handful of rounds a near-dup
+    * component needs, so a final `localCheckpoint` of the small label set is
+    * the only lineage truncation required.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -320,12 +328,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels only ever decrease, so Σrep strictly decreases each round
     // until fixpoint — convergence is one aggregate per round, no
     // change-detection join. coalesce: sum over ZERO rows is null (a clean
     // corpus has no pair edges at all), which must read as converged, not
-    // NPE.
+    // NPE. The aggregate doubles as the action that materializes the
+    // round's persist.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
@@ -336,8 +345,11 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
+      // next is materialized; the superseded round's blocks go NOW, not at
+      // GC — deterministic release is the whole point of this loop shape.
+      labels.unpersist()
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
@@ -347,10 +359,18 @@ object Dedup {
     // a silently-unconverged result would hand back WRONG representatives
     // (split clusters) with no signal; a pathological >maxIter-diameter
     // chain should fail loudly so the caller raises maxIter deliberately.
-    require(converged,
-      s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
-        "a component's diameter exceeds the round budget; raise maxIter")
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponents did not converge within " +
+          s"maxIter=$maxIter rounds — a component's diameter exceeds the " +
+          "round budget; raise maxIter")
+    }
+    // truncate the per-round lineage and hand back a frame whose only
+    // retained blocks are the final (tiny) label set.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** The "clusters → survivors" corpus filter: drop every document whose
