@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -17,6 +18,14 @@ object SimilarityQueries {
 
   /** Query set: every 50th vector (10 queries at sf0.01). */
   private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 50 === 0)
+
+  /** Corpus-level recall floor certified by `sim_knn_ivf`: measured 0.63 /
+    * 0.63 / 0.59 at sf0.001 / 0.01 / 0.1 with nlist=16, nprobe=4 — stable,
+    * because the quantizer is deterministic. Individual queries can recall
+    * 0 (a query on a quantizer cell boundary probes the wrong lists), so
+    * the certificate is corpus-level, like any ANN benchmark.
+    */
+  val IvfRecallFloor = 0.45
 
   /** Oracle fragment: left-to-right double dot product of two list columns. */
   private def dotSql(a: String, b: String) =
@@ -43,15 +52,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN: deterministic Lloyd quantizer (decimal means, id-seeded
-    // init), nprobe of nlist inverted lists probed per query, exact cosine
-    // re-rank. No SQL oracle — iterative k-means has no tractable DuckDB
-    // twin — so the driver records the rows-only check; ranking fidelity
-    // vs brute force is pinned by the recall spec instead.
+    // IVF ANN with an in-query recall certificate (the oracle-verified
+    // approx-tier pattern, same as q_approx_distinct): iterative k-means
+    // has no tractable DuckDB twin, so the emitted ROWS are the exact
+    // brute-force top-3 (which the oracle recomputes in SQL) and the IVF
+    // path contributes `ivf_recall_ok` — corpus-level recall of the IVF
+    // top-3 against the exact top-3, asserted ≥ IvfRecallFloor and pinned
+    // TRUE by the oracle. A quantizer/probe regression that drops recall
+    // now hash-mismatches like any other wrong answer. The recall window
+    // is global but the frame is bounded (|queries| × k rows).
     "sim_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.ivfTopK(queriesOf(e), e, "vec_id", "embedding",
+      val q = queriesOf(e)
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
           k = 3, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivf_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfRecallFloor)
+        .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok")
         .orderBy("query_id", "rank")
     })
   )
@@ -98,6 +120,21 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // The rows are the exact brute-force top-3 (recomputed here); the IVF
+    // recall certificate is pinned TRUE — below-floor recall hash-mismatches.
+    "sim_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }
