@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash._
@@ -98,4 +98,73 @@ object Text {
     */
   def minGramFingerprint(text: Column, n: Int = 8): Column =
     array_min(transform(charGrams(text, n), g => h60(g)))
+
+  /** Per-(document, term) TF-IDF over the whole corpus — the standard
+    * corpus-statistics relevance weight. Smoothed idf (sklearn's default):
+    * idf = ln((N + 1) / (df + 1)) + 1, so corpus-wide terms still score
+    * above zero.
+    *
+    * Relational shape: one explode + groupBy for tf, a reaggregation of tf
+    * for df (a term's df = how many (doc, term) rows it has), a hash join
+    * back on term, and the 1-row corpus count broadcast — no collect,
+    * linear in corpus size. At 100 TB the (doc, term) frame feeds two
+    * consumers; a real pipeline materializes it once (the suite's query is
+    * single-pass per consumer, which re-scans — the scan is the cheap
+    * part).
+    *
+    * Output (id, term, tf, df, tfidf), tfidf rounded to 4 decimals with
+    * the cross-engine epsilon.
+    */
+  def tfidf(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * col("idf") + 1e-9, 4).as("tfidf"))
+  }
+
+  /** Okapi BM25 relevance of every document against a fixed bag of query
+    * terms: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * The explode is filtered to the query terms BEFORE aggregating, so the
+    * shuffled frame is |docs|·|queryTerms| at worst, not the full posting
+    * list; corpus stats (N, Σdl) are one broadcast row. Per-document
+    * contributions are summed in DECIMAL so the score is bit-deterministic
+    * under shuffle-order double addition (same device as the k-means
+    * means).
+    *
+    * Output (id, dl, bm25), bm25 rounded to 4 decimals.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), toks.as("tk"))
+    val lens = base.select(col("id"), size(col("tk")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf = base.select(col("id"), explode(col("tk")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").join(lens, "id").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("id", "dl")
+      .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
+        .as("bm25"))
+  }
 }

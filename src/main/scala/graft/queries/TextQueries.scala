@@ -17,6 +17,11 @@ object TextQueries {
 
   private def toks = CrossHash.tokens(col("text"))
 
+  /** Fixed BM25 query bag — high-signal corpus terms (see the generator's
+    * vocabulary in TESTDATA.md); the scoring is term-agnostic.
+    */
+  val BmQueryTerms: Seq[String] = Seq("spark", "query", "join", "stream")
+
   /** Oracle fragment: stopword hits for one language. */
   private def hitsSql(lang: String): String = {
     val list = Text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -86,6 +91,27 @@ object TextQueries {
           md5(Text.normalize(col("text"))).as("norm_fp"),
           length(Text.normalize(col("text"))).cast("long").as("norm_len"))
         .orderBy("doc_id")),
+
+    // TF-IDF: top-5 terms per document by smoothed tf-idf, ties broken by
+    // term — corpus-statistics relevance weighting (df + idf join-back).
+    "tx_tfidf" -> ((s, d) => {
+      val scored = Text.tfidf(docs(s, d), "doc_id", toks)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // BM25: every document scored against a fixed query-term bag, top 20
+    // by (score desc, doc_id) via TakeOrderedAndProject — no global window.
+    "tx_bm25" -> ((s, d) =>
+      Text.bm25(docs(s, d), "doc_id", toks, BmQueryTerms)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)),
 
     // Corpus n-gram frequency table — the training-data corpus statistic:
     // top word bigrams by count, ties broken lexicographically.
@@ -175,6 +201,47 @@ object TextQueries {
           |SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
           |       length(norm_text)::BIGINT AS norm_len
           |FROM n ORDER BY doc_id""".stripMargin,
+
+      "tx_tfidf" ->
+        s"""$toksCte,
+           |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(1) AS tf FROM tm GROUP BY doc_id, term),
+           |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+           |n AS (SELECT count(1) AS n_docs FROM documents),
+           |sc AS (
+           |  SELECT doc_id, tf.term, tf, df,
+           |    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1) + 0.000000001, 4) AS tfidf
+           |  FROM tf JOIN df USING (term) CROSS JOIN n),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           |  FROM sc)
+           |SELECT doc_id, rank, term, tf, df, tfidf
+           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+      "tx_bm25" -> {
+        val terms = BmQueryTerms.map(q => s"'$q'").mkString(", ")
+        s"""$toksCte,
+           |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+           |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+           |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (
+           |  SELECT doc_id, term, count(1) AS tf FROM tm
+           |  WHERE term IN ($terms) GROUP BY doc_id, term),
+           |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+           |c AS (
+           |  SELECT tf.doc_id, dl,
+           |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+           |      * (tf::DOUBLE * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+           |      AS contrib
+           |  FROM tf JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+           |s AS (
+           |  SELECT doc_id, dl,
+           |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+           |  FROM c GROUP BY doc_id, dl)
+           |SELECT doc_id, dl, bm25 FROM s
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      },
 
       "tx_ngram_freq" ->
         s"""$toksCte,

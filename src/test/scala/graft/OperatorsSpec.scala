@@ -119,4 +119,35 @@ class OperatorsSpec extends SparkSpec {
       .select("event_id", "session_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("Text.tfidf: hand-computed tf/df/idf on a 2-doc corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Text.tfidf(docs, "doc_id", CrossHash.tokens(col("text")))
+      .select("id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // idf(df) = ln(3/(df+1)) + 1; N=2
+    def idf(df: Long) = math.log(3.0 / (df + 1)) + 1
+    def exp(tf: Long, df: Long) =
+      BigDecimal(tf * idf(df) + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      (1L, "a") -> ((2L, 2L, exp(2, 2))),
+      (1L, "b") -> ((1L, 1L, exp(1, 1))),
+      (2L, "a") -> ((1L, 2L, exp(1, 2))),
+      (2L, "c") -> ((1L, 1L, exp(1, 1)))))
+  }
+
+  test("Text.bm25: term frequency raises score, length penalizes, non-matches absent") {
+    val docs = Seq(
+      (1L, "spark spark spark x"), // tf=3, dl=4
+      (2L, "spark x y z"),         // tf=1, dl=4
+      (3L, "spark x y z q w e r"), // tf=1, dl=8 — longer doc, lower score
+      (4L, "nothing here")         // no query term: absent from output
+    ).toDF("doc_id", "text")
+    val out = Text.bm25(docs, "doc_id", CrossHash.tokens(col("text")), Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    assert(out.values.forall(_ > 0))
+  }
 }
