@@ -80,6 +80,16 @@ object StreamQueries {
     spark.table(name)
   }
 
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Daily tumbling-window aggregation through the streaming engine, in
@@ -108,6 +118,37 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("event_id")).as("n_ids"))
         .orderBy("event_type")
+    }),
+
+    // The deployment-shaped drain: append-mode PARQUET file sink with a
+    // checkpointLocation — exactly-once landing via the checkpoint's source
+    // offsets + the sink's _spark_metadata file manifest (restart/resume
+    // semantics are pinned in StreamingSpec). The parity check aggregates
+    // the LANDED FILES, read back like any downstream batch consumer, and
+    // must equal the batch twin over the same parquet. Fresh scratch dirs
+    // per invocation (removed after the result is materialized) keep the
+    // query self-contained and idempotent across suite runs.
+    "st_file_sink_parity" -> ((s, d) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_file_sink_")
+      val out = s"$scratch/out"
+      val stream = eventsStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$scratch/chk")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      deleteRecursively(scratch)
+      res
     })
   )
 
@@ -121,6 +162,11 @@ object StreamQueries {
 
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st_file_sink_parity" ->
+      """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
+        |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet file sink + checkpoint: stop/restart resumes exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    def land(evs: Event*): Unit =
+      evs.toSeq.toDS().write.mode("append").parquet(src)
+    // each call is a NEW StreamingQuery resuming from the same checkpoint —
+    // the restart path a deployment takes after a stop or crash.
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def landedIds = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().toSeq.sorted
+    land(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+    runOnce()
+    assert(landedIds == Seq(1L, 2L))
+    land(ev(3, "2024-01-01 11:00:00"), ev(4, "2024-01-01 11:05:00"))
+    runOnce() // restart: checkpoint offsets skip the already-processed file
+    assert(landedIds == Seq(1L, 2L, 3L, 4L))
+    runOnce() // restart with no new input: nothing re-lands, no duplicates
+    assert(landedIds == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("statefulSessions closes a session when the gap is exceeded in-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
