@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -75,4 +75,51 @@ object SchemaRegistry {
     */
   def enforce(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  /** What to do when the source frame's columns have drifted from the
+    * declared schema — the case the reference hits whenever its registry
+    * JSON changes under a live source (`bigquery_operations.py:14-27`
+    * enforces the declared fields on every load; pandas frames with extra /
+    * missing columns fail the job).
+    */
+  sealed trait EvolutionPolicy
+  object EvolutionPolicy {
+
+    /** Any drift fails loudly BEFORE the write: a missing declared column
+      * or an undeclared source column raises with both lists named.
+      * Reordered columns are not drift — the projection normalizes order.
+      */
+    case object Strict extends EvolutionPolicy
+
+    /** Evolve the frame to the declared shape: missing declared columns are
+      * filled with typed NULLs (the additive-column migration), undeclared
+      * source columns are dropped, order and types are normalized. The
+      * registry stays the single source of truth for what lands.
+      */
+    case object Evolve extends EvolutionPolicy
+  }
+
+  /** [[enforce]] with an explicit drift policy. Column matching is exact
+    * (case-sensitive) — a renamed-by-case column is real drift, not a
+    * match, because downstream stores treat names byte-wise.
+    */
+  def evolve(df: DataFrame, schema: StructType, policy: EvolutionPolicy): DataFrame = {
+    val have = df.columns.toSet
+    val declared = schema.fieldNames.toSet
+    val missing = schema.fieldNames.toSeq.filterNot(have)
+    val unexpected = df.columns.toSeq.filterNot(declared)
+    policy match {
+      case EvolutionPolicy.Strict =>
+        if (missing.nonEmpty || unexpected.nonEmpty)
+          throw new IllegalArgumentException(
+            "schema drift under Strict policy: " +
+              s"missing declared columns [${missing.mkString(", ")}], " +
+              s"undeclared source columns [${unexpected.mkString(", ")}]")
+        enforce(df, schema)
+      case EvolutionPolicy.Evolve =>
+        df.select(schema.fields.map { f =>
+          (if (have(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+    }
+  }
 }

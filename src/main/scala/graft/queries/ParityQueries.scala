@@ -24,10 +24,19 @@ object ParityQueries {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Deterministic scratch dir for sink-exercising queries; overwrite mode
-    * keeps reruns idempotent.
+    * keeps reruns idempotent. Keyed by a collision-free encoding of the
+    * data dir (hex of the path bytes, md5 when very long), not hashCode —
+    * two data dirs must never share a sink scratch.
     */
-  private def scratch(sfDir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_sink_${math.abs(sfDir.hashCode)}/$name"
+  private def scratch(sfDir: String, name: String): String = {
+    val key = {
+      val hex = sfDir.getBytes("UTF-8").map(b => f"$b%02x").mkString
+      if (hex.length <= 128) hex
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    s"${sys.props("java.io.tmpdir")}/graft_sink_$key/$name"
+  }
 
   /** Inline registry for K1/K6 — same JSON shape as the reference's
     * `MYSQL_to_BigQuery_tables.json` (`config.py:27-29`). Widens customer's
@@ -51,6 +60,21 @@ object ParityQueries {
       |}""".stripMargin
 
   lazy val registry: SchemaRegistry.Registry = SchemaRegistry.fromJson(registryJson)
+
+  /** The customer registry entry after a migration: `loyalty_tier` added
+    * (absent from the source), `c_nationkey` removed (still in the source),
+    * `c_mktsegment` moved ahead of `c_acctbal` — all three drift cases.
+    */
+  lazy val evolvedCustomerSchema: StructType = SchemaRegistry.fromJson(
+    """{
+      |  "customer": [
+      |    {"name": "c_custkey",    "type": "INTEGER"},
+      |    {"name": "c_name",       "type": "STRING"},
+      |    {"name": "c_mktsegment", "type": "STRING"},
+      |    {"name": "c_acctbal",    "type": "FLOAT"},
+      |    {"name": "loyalty_tier", "type": "STRING"}
+      |  ]
+      |}""".stripMargin)("customer")
 
   /** Events recast to the reference's `daily_log` source shape
     * (FIXTURES.md A): ID, backup_date, server, size, fileName.
@@ -143,6 +167,15 @@ object ParityQueries {
           SchemaRegistry.schemaFor(registry, "customer"))
         .orderBy("c_custkey")),
 
+    // K1 evolution: the registry gained a column (loyalty_tier → typed
+    // NULLs), dropped one (c_nationkey → source column discarded) and
+    // reordered the rest — the Evolve policy lands the declared shape; the
+    // Strict policy on the same drift is pinned to fail in OperatorsSpec.
+    "k6_schema_evolve" -> ((s, d) =>
+      SchemaRegistry.evolve(t(s, d, "customer"),
+          evolvedCustomerSchema, SchemaRegistry.EvolutionPolicy.Evolve)
+        .orderBy("c_custkey")),
+
     // K2+K3: full-refresh DAY-partitioned write, read back with the derived
     // partition column.
     "k3_partitioned_write" -> ((s, d) => {
@@ -213,6 +246,11 @@ object ParityQueries {
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
         |CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "k6_schema_evolve" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment,
+        |CAST(c_acctbal AS DOUBLE) AS c_acctbal, NULL::VARCHAR AS loyalty_tier
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "k3_partitioned_write" ->

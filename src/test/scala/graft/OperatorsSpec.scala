@@ -120,6 +120,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("SchemaRegistry.evolve: Evolve fills missing, drops extras, reorders") {
+    val declared = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("added", DoubleType)))
+    // source: reordered (b before a), has undeclared `extra`, lacks `added`
+    val src = Seq(("x", 1, 9.9)).toDF("b", "a", "extra")
+    val out = SchemaRegistry.evolve(src, declared, SchemaRegistry.EvolutionPolicy.Evolve)
+    assert(out.columns.toSeq == Seq("a", "b", "added"))
+    assert(out.schema("a").dataType == LongType)
+    assert(out.schema("added").dataType == DoubleType)
+    val r = out.head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "x" && r.isNullAt(2))
+  }
+
+  test("SchemaRegistry.evolve: Strict names both drift directions; reorder alone passes") {
+    val declared = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val drifted = Seq(("x", 1, 9.9)).toDF("b", "a", "extra")
+    val e = intercept[IllegalArgumentException] {
+      SchemaRegistry.evolve(
+        drifted.drop("a").withColumn("c", col("b")), declared,
+        SchemaRegistry.EvolutionPolicy.Strict)
+    }
+    assert(e.getMessage.contains("a") && e.getMessage.contains("extra")
+      && e.getMessage.contains("c"))
+    // pure reorder (+ cast) is not drift under Strict
+    val reordered = Seq(("x", 1)).toDF("b", "a")
+    val ok = SchemaRegistry.evolve(reordered, declared, SchemaRegistry.EvolutionPolicy.Strict)
+    assert(ok.columns.toSeq == Seq("a", "b"))
+    assert(ok.head() == org.apache.spark.sql.Row(1L, "x"))
+  }
+
   test("Text.tfidf: hand-computed tf/df/idf on a 2-doc corpus") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = Text.tfidf(docs, "doc_id", CrossHash.tokens(col("text")))
