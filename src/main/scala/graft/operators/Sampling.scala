@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Deterministic sampling for training-data pipelines (extension tier,
+  * SURVEY.md §7). `df.sample()` is seed-dependent per partitioning and
+  * unreproducible across engines; these samplers decide membership from a
+  * salted content hash instead, so
+  *  - the same row is kept or dropped on EVERY run, engine, and partition
+  *    layout (resumable pipelines, auditable samples),
+  *  - sampling composes with dedup (a survivor stays a survivor),
+  *  - the DuckDB oracle can replay the exact membership test.
+  * Cost is one hash per row, no shuffle — the filter pushes into the scan
+  * stage at any scale.
+  */
+object Sampling {
+
+  /** Keep a row iff h60(salt:key) mod 1000 < permille. The salt namespaces
+    * the decision: two samples with different salts are independent.
+    */
+  def hashSample(key: Column, permille: Int, salt: String): Column = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille=$permille must be in [0, 1000]")
+    pmod(h60(concat(lit(s"$salt:"), key)), lit(1000L)) < permille
+  }
+
+  /** Stratified variant: per-stratum keep rates (missing strata keep
+    * nothing), e.g. downsampling over-represented languages. One hash per
+    * row, membership decided row-locally — no per-stratum counts, no
+    * shuffle, unlike `sampleBy` (which is also seed/partitioning
+    * dependent).
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      stratumCol: Column,
+      key: Column,
+      permilleByStratum: Map[String, Int],
+      salt: String): DataFrame = {
+    val rate = permilleByStratum.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(stratumCol === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(h60(concat(lit(s"$salt:"), key)), lit(1000L)) < rate)
+  }
+}

@@ -99,6 +99,27 @@ object Text {
   def minGramFingerprint(text: Column, n: Int = 8): Column =
     array_min(transform(charGrams(text, n), g => h60(g)))
 
+  /** PII patterns shared by the scrubber and its oracle — RE2-compatible
+    * (no lookaround/backrefs), so Spark's Java regex and DuckDB's RE2
+    * match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * phone-like digit runs replaced by typed placeholder tokens. Order
+    * matters: emails first (their local parts contain digits), then IPv4
+    * (dotted quads would otherwise be half-eaten by the phone run), then
+    * phone runs. Pure `regexp_replace` chain — codegen-eligible, no UDF.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Per-(document, term) TF-IDF over the whole corpus — the standard
     * corpus-statistics relevance weight. Smoothed idf (sklearn's default):
     * idf = ln((N + 1) / (df + 1)) + 1, so corpus-wide terms still score

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.operators.{Dedup, Text}
+import graft.operators.{Dedup, Sampling, Text}
 import graft.sources.Tables
 
 /** Deduplication tier over the `documents` / `embeddings` tables, each with
@@ -159,6 +159,17 @@ object DedupQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // Deterministic stratified downsample — the corpus-shaping filter a
+    // training pipeline runs after dedup: per-language keep rates decided
+    // by a salted content hash, reproducible across runs, engines and
+    // partition layouts (unlike seed-based sample()).
+    "d_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(
+          t(s, d, "documents"), col("lang"), col("doc_id").cast("string"),
+          Map("en" -> 500, "de" -> 300, "es" -> 300, "fr" -> 300, "zh" -> 100),
+          salt = "corpus_v1")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Embedding cosine near-dups within the precomputed cluster label.
     "d_embedding_cos" -> ((s, d) =>
       Dedup.embeddingPairs(
@@ -253,6 +264,13 @@ object DedupQueries {
         |      / len(list_distinct(ga.hs || gb.hs)) + 0.000000001, 4) AS jaccard
         |  FROM cand JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    "d_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5('corpus_v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
+        |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'es' THEN 300
+        |              WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "d_embedding_cos" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -113,6 +113,25 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
 
+    // PII scrubbing: deterministic synthetic PII (email / phone / IPv4
+    // derived from doc_id) appended to every document, then scrubbed to
+    // typed placeholders; `pii_free` certifies no residual match. Both
+    // engines build and scrub the identical dirty string, so the scrubbed
+    // text itself is hash-compared.
+    "tx_pii_scrub" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1 555 01"), col("doc_id").cast("string"),
+        lit(" at 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string"))
+      val clean = Text.piiScrub(dirty)
+      docs(s, d).select(
+          col("doc_id"),
+          clean.as("clean"),
+          (!(clean rlike Text.EmailRe) && !(clean rlike Text.Ipv4Re)
+            && !(clean rlike Text.PhoneRe)).as("pii_free"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus n-gram frequency table — the training-data corpus statistic:
     // top word bigrams by count, ties broken lexicographically.
     "tx_ngram_freq" -> ((s, d) =>
@@ -241,6 +260,27 @@ object TextQueries {
            |  FROM c GROUP BY doc_id, dl)
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      },
+
+      "tx_pii_scrub" -> {
+        import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}
+        s"""WITH dirty AS (
+           |  SELECT doc_id,
+           |    text || ' contact u' || doc_id::VARCHAR || '@mail.example.com or +1 555 01'
+           |      || doc_id::VARCHAR || ' at 10.0.0.' || (doc_id % 256)::VARCHAR AS dt
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(dt, '$EmailRe', '<EMAIL>', 'g'),
+           |        '$Ipv4Re', '<IP>', 'g'),
+           |      '$PhoneRe', '<PHONE>', 'g') AS clean
+           |  FROM dirty)
+           |SELECT doc_id, clean,
+           |  (NOT regexp_matches(clean, '$EmailRe') AND NOT regexp_matches(clean, '$Ipv4Re')
+           |   AND NOT regexp_matches(clean, '$PhoneRe')) AS pii_free
+           |FROM c ORDER BY doc_id""".stripMargin
       },
 
       "tx_ngram_freq" ->

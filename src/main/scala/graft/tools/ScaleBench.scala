@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale validation for the dedup family beyond sf0.1: synthesizes a 10×
+  * documents corpus from sf0.1 (50k docs) and times the dedup queries at 1×
+  * and 10× to measure the observed scaling exponent — the evidence behind
+  * the "bucketed, not all-pairs" design claims.
+  *
+  * Corpus synthesis preserves duplicate STRUCTURE instead of multiplying
+  * it: each of the 10 copies rewrites every 5th token (offset by copy id)
+  * to a copy-unique token, so the planted near-dup pairs inside a copy keep
+  * their high Jaccard while cross-copy similarity collapses below every
+  * pipeline threshold. Pair density therefore scales ~linearly (10× docs →
+  * ~10× pairs), which is the regime the LSH pipelines claim linearity in —
+  * naively unioning identical copies would instead make every document a
+  * 10-clique and measure the heavy-duplication regime, a different (also
+  * valid, but not claimed) stress.
+  *
+  * Query timing mirrors Bench: JIT warmup at sf0.001 first, SQL cache
+  * cleared before each measurement, and the pair-edge memo means
+  * d_minhash_lsh pays the shared signature pipeline while
+  * d_clusters/d_dedup_keep measure their own incremental cost — the same
+  * shape a suite run has.
+  */
+object ScaleBench {
+
+  private val DedupFamily = Seq(
+    "d_exact", "d_minhash_lsh", "d_clusters", "d_dedup_keep",
+    "d_simhash", "d_simhash_pairs", "d_ngram_jaccard")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val scaleDir = args.headOption
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_scale10")
+
+    if (!new java.io.File(s"$scaleDir/documents.parquet").exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "lang", "text")
+      base.withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("doc_id") + col("c") * 10000000L).as("doc_id"),
+          col("lang"),
+          array_join(
+            transform(split(col("text"), "\\s+"), (t, i) =>
+              when(pmod(i + col("c"), lit(5)) === 0,
+                format_string("cp%d_%d", col("c"), i)).otherwise(t)),
+            " ").as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+      println(s"SCALE corpus written to $scaleDir")
+    }
+
+    // JIT warmup (untimed) at the smallest SF, mirroring Bench.
+    DedupFamily.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    def timeSuite(dir: String): Map[String, (Double, Long)] =
+      DedupFamily.map { n =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        n -> (((System.nanoTime() - t0) / 1e9, rows))
+      }.toMap
+
+    val x1 = timeSuite(src)
+    val x10 = timeSuite(scaleDir)
+    println(f"${"query"}%-18s ${"x1 sec"}%8s ${"x10 sec"}%8s ${"ratio"}%7s ${"exp"}%5s ${"x1 rows"}%9s ${"x10 rows"}%9s")
+    DedupFamily.foreach { n =>
+      val (t1, r1) = x1(n); val (t10, r10) = x10(n)
+      val ratio = t10 / t1
+      println(f"$n%-18s $t1%8.2f $t10%8.2f $ratio%7.2f ${math.log10(ratio)}%5.2f $r1%9d $r10%9d")
+    }
+    spark.stop()
+  }
+}
