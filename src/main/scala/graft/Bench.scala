@@ -46,8 +46,9 @@ object Bench {
     }
     // millisecond precision keeps the one-line JSON compact — full
     // nanosecond doubles once pushed the line past what the harness
-    // captured, truncating the per-query tail.
-    def f3(v: Double) = f"$v%.3f"
+    // captured, truncating the per-query tail. Locale.ROOT: a
+    // comma-decimal default locale would emit invalid JSON.
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -18,13 +18,22 @@ import graft.functions.CrossHash._
   */
 object Sampling {
 
+  /** The shared membership test: the row's salted-hash bucket in
+    * [0, 1000). A row is kept iff its bucket is below the keep rate —
+    * every sampler (and the oracle SQL) derives from this one expression.
+    */
+  private def bucketOf(key: Column, salt: String): Column =
+    pmod(h60(concat(lit(s"$salt:"), key)), lit(1000L))
+
+  private def requirePermille(p: Int): Unit =
+    require(p >= 0 && p <= 1000, s"permille=$p must be in [0, 1000]")
+
   /** Keep a row iff h60(salt:key) mod 1000 < permille. The salt namespaces
     * the decision: two samples with different salts are independent.
     */
   def hashSample(key: Column, permille: Int, salt: String): Column = {
-    require(permille >= 0 && permille <= 1000,
-      s"permille=$permille must be in [0, 1000]")
-    pmod(h60(concat(lit(s"$salt:"), key)), lit(1000L)) < permille
+    requirePermille(permille)
+    bucketOf(key, salt) < permille
   }
 
   /** Stratified variant: per-stratum keep rates (missing strata keep
@@ -39,9 +48,10 @@ object Sampling {
       key: Column,
       permilleByStratum: Map[String, Int],
       salt: String): DataFrame = {
+    permilleByStratum.values.foreach(requirePermille)
     val rate = permilleByStratum.foldLeft(lit(0)) { case (acc, (s, p)) =>
       when(stratumCol === s, lit(p)).otherwise(acc)
     }
-    df.filter(pmod(h60(concat(lit(s"$salt:"), key)), lit(1000L)) < rate)
+    df.filter(bucketOf(key, salt) < rate)
   }
 }

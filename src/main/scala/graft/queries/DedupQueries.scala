@@ -27,27 +27,37 @@ object DedupQueries {
     * the eager, `localCheckpoint`ed (tiny: one row per near-dup pair)
     * frame from [[Dedup.minhashPairs]] is computed once per
     * (session, data dir) and reused, instead of re-running the full
-    * shingle→signature→band-join pipeline per consumer. Weak session keys:
-    * a stopped session must not pin its frames.
+    * shingle→signature→band-join pipeline per consumer. Weak session keys
+    * with SOFT frame references: a Dataset strongly references its
+    * session, so holding frames strongly in the value would pin the weak
+    * key forever (the WeakHashMap anti-pattern) — softly-held frames keep
+    * the memo through normal operation, let the collector reclaim a
+    * stopped session's graph, and a cleared entry just recomputes.
     */
   private val pairCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+        scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]())
 
   private def minhashPairEdges(s: SparkSession, d: String): DataFrame = {
     val perSession = pairCache.synchronized {
       var m = pairCache.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
         pairCache.put(s, m)
       }
       m
     }
-    perSession.getOrElseUpdate(d,
-      Dedup.minhashPairs(
-        t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3),
-        k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true))
+    perSession.get(d).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val df = Dedup.minhashPairs(
+          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3),
+          k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true)
+        perSession.put(d, new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   /** Shared oracle CTE body: tokens per document (no WITH keyword, so

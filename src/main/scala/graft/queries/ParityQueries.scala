@@ -24,19 +24,10 @@ object ParityQueries {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Deterministic scratch dir for sink-exercising queries; overwrite mode
-    * keeps reruns idempotent. Keyed by a collision-free encoding of the
-    * data dir (hex of the path bytes, md5 when very long), not hashCode —
-    * two data dirs must never share a sink scratch.
+    * keeps reruns idempotent. Keyed collision-free ([[ScratchKeys]]).
     */
-  private def scratch(sfDir: String, name: String): String = {
-    val key = {
-      val hex = sfDir.getBytes("UTF-8").map(b => f"$b%02x").mkString
-      if (hex.length <= 128) hex
-      else java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    }
-    s"${sys.props("java.io.tmpdir")}/graft_sink_$key/$name"
-  }
+  private def scratch(sfDir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sink_${ScratchKeys.forPath(sfDir)}/$name"
 
   /** Inline registry for K1/K6 — same JSON shape as the reference's
     * `MYSQL_to_BigQuery_tables.json` (`config.py:27-29`). Widens customer's

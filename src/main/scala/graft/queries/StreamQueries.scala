@@ -31,17 +31,8 @@ object StreamQueries {
     val src = java.nio.file.Paths.get(s"$d/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
     else {
-      // Collision-free scratch key: hex of the path bytes, not hashCode —
-      // two data dirs must never share (and thus silently cross-read) a
-      // scratch dir. Bounded by hashing only when the path is very long.
-      val key = {
-        val hex = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
-        if (hex.length <= 128) hex
-        else java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_src_$key", table)
+        s"graft_stream_src_${ScratchKeys.forPath(d)}", table)
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve(s"$table.parquet")
       // NOFOLLOW: a dangling link must read as present (exists() follows
@@ -130,25 +121,25 @@ object StreamQueries {
     // query self-contained and idempotent across suite runs.
     "st_file_sink_parity" -> ((s, d) => {
       val scratch = java.nio.file.Files.createTempDirectory("graft_file_sink_")
-      val out = s"$scratch/out"
-      val stream = eventsStream(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      val q = stream.writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$scratch/chk")
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val res = s.read.parquet(out)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("event_id")).as("n_ids"),
-          round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      deleteRecursively(scratch)
-      res
+      try {
+        val out = s"$scratch/out"
+        val stream = eventsStream(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val q = stream.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$scratch/chk")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally deleteRecursively(scratch)
     })
   )
 

@@ -143,8 +143,7 @@ class OperatorsSpec extends SparkSpec {
         drifted.drop("a").withColumn("c", col("b")), declared,
         SchemaRegistry.EvolutionPolicy.Strict)
     }
-    assert(e.getMessage.contains("a") && e.getMessage.contains("extra")
-      && e.getMessage.contains("c"))
+    assert(e.getMessage.contains("[a]") && e.getMessage.contains("[extra, c]"))
     // pure reorder (+ cast) is not drift under Strict
     val reordered = Seq(("x", 1)).toDF("b", "a")
     val ok = SchemaRegistry.evolve(reordered, declared, SchemaRegistry.EvolutionPolicy.Strict)
