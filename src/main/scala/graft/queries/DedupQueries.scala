@@ -27,38 +27,27 @@ object DedupQueries {
     * the eager, `localCheckpoint`ed (tiny: one row per near-dup pair)
     * frame from [[Dedup.minhashPairs]] is computed once per
     * (session, data dir) and reused, instead of re-running the full
-    * shingle→signature→band-join pipeline per consumer. Weak session keys
-    * with SOFT frame references: a Dataset strongly references its
-    * session, so holding frames strongly in the value would pin the weak
-    * key forever (the WeakHashMap anti-pattern) — softly-held frames keep
-    * the memo through normal operation, let the collector reclaim a
-    * stopped session's graph, and a cleared entry just recomputes.
+    * shingle→signature→band-join pipeline per consumer. Memoized via
+    * [[FrameMemo]] (weak session keys, soft frame refs); the frame is
+    * already eagerly materialized by `minhashPairs` itself.
     */
-  private val pairCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]())
+  private def minhashPairEdges(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"minhash_pairs:$d") {
+      Dedup.minhashPairs(
+        t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3),
+        k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true)
+    }
 
-  private def minhashPairEdges(s: SparkSession, d: String): DataFrame = {
-    val perSession = pairCache.synchronized {
-      var m = pairCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap
-          .empty[String, java.lang.ref.SoftReference[DataFrame]]
-        pairCache.put(s, m)
-      }
-      m
+  /** SimHash signature frame shared by `d_simhash` and `d_simhash_pairs` —
+    * same production shape: compute the 60-bit signatures once per
+    * (session, data dir), materialize (tiny: one long per document), let
+    * both consumers reuse.
+    */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"simhash_w3:$d") {
+      Dedup.simhash(t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3))
+        .localCheckpoint(true)
     }
-    perSession.get(d).flatMap(r => Option(r.get())) match {
-      case Some(df) => df
-      case None =>
-        val df = Dedup.minhashPairs(
-          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3),
-          k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true)
-        perSession.put(d, new java.lang.ref.SoftReference(df))
-        df
-    }
-  }
 
   /** Shared oracle CTE body: tokens per document (no WITH keyword, so
     * recursive oracles can prepend WITH RECURSIVE).
@@ -131,15 +120,14 @@ object DedupQueries {
     // word-3-shingles — shingles, not raw tokens: the corpus vocabulary is
     // small, so token-level simhash barely discriminates.
     "d_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3))
+      simhashFrame(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs, hamming ≤ 3 via lossless 4-band blocking.
+    // SimHash near-dup pairs, hamming ≤ 3 via lossless 4-band blocking,
+    // over the shared signature frame.
     "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(
-          Dedup.simhash(t(s, d, "documents"), "doc_id",
-            CrossHash.wordShingles(toks, 3)), maxHamming = 3)
+      Dedup.simhashPairs(simhashFrame(s, d), maxHamming = 3)
         .orderBy("a", "b")),
 
     // Character-4-gram Jaccard, candidates via char-gram MinHash LSH.

@@ -52,6 +52,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-label centroid statistics — the embedding-analysis aggregate
+    // (class centroids for drift checks / seeding quantizers): per-label
+    // per-dimension mean, computed as an exact DECIMAL sum over the
+    // exploded (label, dim, value) frame divided by the count, so the
+    // result is bit-deterministic under shuffle ordering and the oracle
+    // replays it exactly. One explode + one hash aggregation; at scale
+    // this is the standard narrow-shuffle pooling shape.
+    "sim_label_centroids" -> ((s, d) =>
+      emb(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(
+          count(lit(1)).as("n"),
+          round((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1)))
+            + 1e-9, 6).as("mean"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("mean"))
+        .orderBy("label", "dim")),
+
     // IVF ANN with an in-query recall certificate (the oracle-verified
     // approx-tier pattern, same as q_approx_distinct): iterative k-means
     // has no tractable DuckDB twin, so the emitted ROWS are the exact
@@ -121,6 +140,13 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_label_centroids" ->
+      """SELECT label, i - 1 AS dim, count(1) AS n,
+        |  round(sum((embedding[i]::DOUBLE)::DECIMAL(28,14))::DOUBLE / count(1)
+        |    + 0.000000001, 6) AS mean
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     // The rows are the exact brute-force top-3 (recomputed here); the IVF
     // recall certificate is pinned TRUE — below-floor recall hash-mismatches.

@@ -65,4 +65,21 @@ class PlanSpec extends SparkSpec {
       s"shipdate range not pushed into the scan:\n$p")
   }
 
+  test("tfidf broadcasts the corpus count, joins tf/df by hash") {
+    val p = plan("tx_tfidf")
+    // the 1-row corpus count must arrive via broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus count not broadcast in:\n$p")
+  }
+
+  test("bm25 filters to query terms before aggregating, broadcasts corpus stats") {
+    val p = plan("tx_bm25")
+    assert(p.contains("BroadcastExchange"), s"corpus stats not broadcast in:\n$p")
+    // the term filter must precede the explode's aggregation: it shows as a
+    // filter on the exploded term column, bounding the shuffled frame to
+    // |docs|·|queryTerms| — without it the full posting list shuffles
+    assert(p.contains("spark") && p.contains("INSET") || p.contains("IN ("),
+      s"query-term filter missing from:\n$p")
+  }
+
 }
