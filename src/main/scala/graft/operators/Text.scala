@@ -99,6 +99,29 @@ object Text {
   def minGramFingerprint(text: Column, n: Int = 8): Column =
     array_min(transform(charGrams(text, n), g => h60(g)))
 
+  /** Content-defined chunk END positions (1-based, inclusive): a chunk
+    * ends wherever the rolling n-gram hash hits the mask
+    * (h60(gram) % mask == 0 → cut after that gram), plus the document end.
+    * Content-defined boundaries survive insertions/deletions anywhere
+    * except the edited window — the property that makes chunk-level dedup
+    * and incremental re-processing work on shifting documents, where
+    * fixed-offset framing would re-chunk everything downstream of an edit.
+    * Expected chunk length ≈ mask + n − 1; no min/max clamp (a production
+    * chunker adds one — it only adds CASE arms to the same expression).
+    * Documents shorter than n yield the single chunk [1, len].
+    */
+  def cdcChunkEnds(text: Column, n: Int = 8, mask: Int = 64): Column = {
+    val gramEnds =
+      when(length(text) < n, lit(Array.empty[Int]).cast("array<int>"))
+        .otherwise(transform(
+          filter(sequence(lit(1), length(text) - (n - 1)),
+            i => h60(substr(text, i, lit(n))) % mask === 0),
+          i => i + (n - 1)))
+    // distinct: a boundary on the final gram coincides with the appended
+    // document end and must not fabricate an empty trailing chunk.
+    array_distinct(concat(gramEnds, array(length(text))))
+  }
+
   /** PII patterns shared by the scrubber and its oracle — RE2-compatible
     * (no lookaround/backrefs), so Spark's Java regex and DuckDB's RE2
     * match identically.

@@ -113,6 +113,26 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
 
+    // Content-defined chunking: documents cut at rolling-hash boundaries
+    // (h60 of each 8-gram, mask 64 → ~71-char expected chunks), one
+    // fingerprinted row per chunk — the chunk-level dedup / incremental
+    // re-processing primitive. Edits move only the chunks they touch.
+    "tx_cdc_chunks" -> ((s, d) => {
+      val exploded = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          Text.cdcChunkEnds(col("text"), n = 8, mask = 64).as("ends"))
+        .select(col("doc_id"), col("text"), col("ends"),
+          posexplode(col("ends")).as(Seq("k", "e")))
+      val start = when(col("k") === 0, lit(1))
+        .otherwise(element_at(col("ends"), col("k")) + 1)
+      exploded.select(
+          col("doc_id"),
+          col("k").cast("long").as("chunk_no"),
+          (col("e") - start + 1).cast("long").as("chunk_len"),
+          md5(substr(col("text"), start, col("e") - start + 1)).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // PII scrubbing: deterministic synthetic PII (email / phone / IPv4
     // derived from doc_id) appended to every document, then scrubbed to
     // typed placeholders; `pii_free` certifies no residual match. Both
@@ -261,6 +281,31 @@ object TextQueries {
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      "tx_cdc_chunks" ->
+        """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          |e AS (
+          |  SELECT doc_id, text,
+          |    -- list_sort: DuckDB's list_distinct hash-scrambles order
+          |    -- (Spark's array_distinct preserves it); ends are ascending
+          |    -- by construction, so sorting restores the identical array
+          |    list_sort(list_distinct(list_concat(
+          |      CASE WHEN n < 8 THEN []::BIGINT[] ELSE
+          |        list_transform(list_filter(range(1, n - 6),
+          |          i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 64) = 0),
+          |          i -> i + 7) END,
+          |      [n::BIGINT]))) AS ends
+          |  FROM t),
+          |x AS (SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS k FROM e),
+          |c AS (
+          |  SELECT doc_id, k - 1 AS chunk_no,
+          |    CASE WHEN k = 1 THEN 1 ELSE ends[k::INT - 1] + 1 END AS st,
+          |    ends[k::INT] AS en, text
+          |  FROM x)
+          |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+          |  (en - st + 1)::BIGINT AS chunk_len,
+          |  md5(substr(text, st, en - st + 1)) AS chunk_fp
+          |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
       "tx_pii_scrub" -> {
         import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}

@@ -181,4 +181,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) > out(2L) && out(2L) > out(3L))
     assert(out.values.forall(_ > 0))
   }
+
+  test("Text.cdcChunkEnds: chunks tile the document; edits stay local") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(4000)(('a' + rnd.nextInt(26)).toChar).mkString
+    // insertion mid-document: content-defined boundaries must re-sync
+    val edited = base.substring(0, 2000) + "INSERTED" + base.substring(2000)
+
+    def chunksOf(text: String): Seq[String] = {
+      val ends = Seq(text).toDF("text")
+        .select(Text.cdcChunkEnds(col("text")).as("ends"))
+        .as[Seq[Int]].head()
+      assert(ends == ends.sorted && ends.last == text.length,
+        "ends must be ascending and terminate at the document end")
+      (Seq(0) ++ ends).sliding(2).map { case Seq(s, e) => text.substring(s, e) }.toSeq
+    }
+
+    val origChunks = chunksOf(base)
+    assert(origChunks.mkString == base, "chunks must tile the document exactly")
+    assert(origChunks.size > 10, s"mask 64 over 4000 chars should cut often, got ${origChunks.size}")
+
+    val editChunks = chunksOf(edited)
+    assert(editChunks.mkString == edited)
+    // every chunk except the few spanning the edit window is unchanged
+    val shared = origChunks.toSet.intersect(editChunks.toSet)
+    assert(origChunks.size - shared.size <= 3,
+      s"insertion disturbed ${origChunks.size - shared.size} of ${origChunks.size} chunks")
+
+    // document shorter than the gram width: one chunk covering it all
+    assert(chunksOf("tiny") == Seq("tiny"))
+  }
 }
