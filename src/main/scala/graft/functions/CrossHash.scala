@@ -99,7 +99,7 @@ object CrossHash {
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]())
 
-  private def hasNativeFunction(name: String): Boolean =
+  private[graft] def hasNativeFunction(name: String): Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .exists { s =>

@@ -53,6 +53,21 @@ object H60 {
     val md = md5.get()
     md.reset()
     val d = md.digest(s.getBytes)
+    assemble(d)
+  }
+
+  /** Same hash over a byte slice — lets callers (e.g. [[CdcEnds]]) hash
+    * many overlapping windows of one buffer without a substring allocation
+    * per window.
+    */
+  def hashSlice(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val md = md5.get()
+    md.reset()
+    md.update(bytes, offset, len)
+    assemble(md.digest())
+  }
+
+  private def assemble(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) {

@@ -109,8 +109,22 @@ object Text {
     * Expected chunk length ≈ mask + n − 1; no min/max clamp (a production
     * chunker adds one — it only adds CASE arms to the same expression).
     * Documents shorter than n yield the single chunk [1, len].
+    *
+    * Resolves to the native one-pass expression
+    * [[graft.functions.CdcEnds]] when GraftExtensions is registered (the
+    * builtin formulation re-scans the string per gram — quadratic per
+    * document — and allocates a gram string + md5 hex per position);
+    * falls back to the bit-identical builtin otherwise.
     */
-  def cdcChunkEnds(text: Column, n: Int = 8, mask: Int = 64): Column = {
+  def cdcChunkEnds(text: Column, n: Int = 8, mask: Int = 64): Column =
+    if (hasNativeFunction("graft_cdc_ends"))
+      call_function("graft_cdc_ends", text.cast("string"), lit(n), lit(mask))
+    else cdcChunkEndsBuiltin(text, n, mask)
+
+  /** Pre-promotion formulation of [[cdcChunkEnds]] — the readable spec of
+    * the semantics, for sessions without GraftExtensions.
+    */
+  def cdcChunkEndsBuiltin(text: Column, n: Int = 8, mask: Int = 64): Column = {
     val gramEnds =
       when(length(text) < n, lit(Array.empty[Int]).cast("array<int>"))
         .otherwise(transform(

@@ -69,6 +69,19 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("cdcChunkEnds native == builtin, ascending, ends at len") =
+    forAll(Gen.choose(0, 80).flatMap(k => Gen.listOfN(k, Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const('é')), (1, Gen.const('中')))))) { cs =>
+      val s = cs.mkString
+      // mask 4 so cuts actually occur at property-test string lengths
+      val (nat, blt) = Seq(s).toDF("t")
+        .select(
+          operators.Text.cdcChunkEnds(col("t"), n = 4, mask = 4).as("nat"),
+          operators.Text.cdcChunkEndsBuiltin(col("t"), n = 4, mask = 4).as("blt"))
+        .as[(Seq[Int], Seq[Int])].head()
+      nat == blt && nat == nat.sorted && nat.last == s.length && nat.distinct == nat
+    }
+
   property("saltedJoin == plain join") =
     forAll(
       Gen.listOfN(25, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 100L))),
