@@ -373,6 +373,56 @@ object Dedup {
     out
   }
 
+  /** Partial-overlap / containment pairs via shared content-defined
+    * chunks: documents are cut at rolling-hash boundaries
+    * ([[Text.cdcChunkFrame]]), and any two documents sharing enough chunk
+    * fingerprints are reported with their containment score
+    * `shared / min(|chunks_a|, |chunks_b|)`. This catches what whole-doc
+    * MinHash misses: a small document embedded verbatim inside a large one
+    * has low global Jaccard but containment ≈ 1.
+    *
+    * Scale shape: candidates come from the `chunk_fp` self-join — a plain
+    * hash shuffle on the fingerprint, O(n · bucket_width), never a cross
+    * product. Fingerprints shared by more than `hotCap` documents are
+    * boilerplate (headers, license blocks) and are excluded BEFORE the
+    * join — the guard that keeps a 100 TB corpus's quadratic hot buckets
+    * out (the same role the band-width guard plays in MinHash LSH).
+    */
+  def cdcContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      n: Int = 8,
+      mask: Int = 16,
+      hotCap: Int = 10,
+      minContainment: Double = 0.5): DataFrame = {
+    // distinct (id, fp): shared-chunk counting is per distinct fingerprint
+    val fps = Text.cdcChunkFrame(df, idCol, textCol, n, mask)
+      .select(col(idCol).as("id"), col("chunk_fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = fps.groupBy("id").agg(count(lit(1)).as("nc"))
+      val cool = fps.join(
+        fps.groupBy("chunk_fp").agg(count(lit(1)).as("w"))
+          .filter(col("w") > hotCap).select("chunk_fp"),
+        Seq("chunk_fp"), "left_anti")
+      val pairs = cool.select(col("id").as("id_a"), col("chunk_fp"))
+        .join(cool.select(col("id").as("id_b"), col("chunk_fp")), "chunk_fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_chunks"))
+      // eager-materialize the small pair set, then release the fp cache
+      // (the minhashPairs/simhashPairs contract)
+      pairs
+        .join(counts.select(col("id").as("id_a"), col("nc").as("na")), "id_a")
+        .join(counts.select(col("id").as("id_b"), col("nc").as("nb")), "id_b")
+        .withColumn("containment",
+          round(col("shared_chunks") / least(col("na"), col("nb")), 4))
+        .filter(col("containment") >= minContainment)
+        .select("id_a", "id_b", "shared_chunks", "containment")
+        .localCheckpoint(true)
+    } finally fps.unpersist()
+  }
+
   /** The "clusters → survivors" corpus filter: drop every document whose
     * component representative is a smaller id, via `left_anti` on the loser
     * set. No broadcast hint on purpose: at heavy duplication the loser set

@@ -136,6 +136,34 @@ object Text {
     array_distinct(concat(gramEnds, array(length(text))))
   }
 
+  /** One row per content-defined chunk of each document:
+    * `(idCol, chunk_no, chunk_len, chunk_fp)` with `chunk_fp` = md5 of the
+    * chunk text. The chunk-level unit of work for dedup, containment
+    * detection and incremental re-processing — downstream consumers join
+    * on `chunk_fp`, never on positions, so shifted documents still match.
+    * One projection + one `posexplode`; embarrassingly parallel, no
+    * shuffle.
+    */
+  def cdcChunkFrame(
+      df: DataFrame, idCol: String, text: Column,
+      n: Int = 8, mask: Int = 64): DataFrame = {
+    val tmp = Seq("__cdc_t", "__cdc_ends", "__cdc_k", "__cdc_e")
+    require(!df.columns.exists(tmp.contains),
+      s"cdcChunkFrame reserves temp columns ${tmp.mkString(", ")}")
+    val exploded = df
+      .select(col(idCol), text.as("__cdc_t"),
+        cdcChunkEnds(text, n, mask).as("__cdc_ends"))
+      .select(col(idCol), col("__cdc_t"), col("__cdc_ends"),
+        posexplode(col("__cdc_ends")).as(Seq("__cdc_k", "__cdc_e")))
+    val start = when(col("__cdc_k") === 0, lit(1))
+      .otherwise(element_at(col("__cdc_ends"), col("__cdc_k")) + 1)
+    exploded.select(
+      col(idCol),
+      col("__cdc_k").cast("long").as("chunk_no"),
+      (col("__cdc_e") - start + 1).cast("long").as("chunk_len"),
+      md5(substr(col("__cdc_t"), start, col("__cdc_e") - start + 1)).as("chunk_fp"))
+  }
+
   /** PII patterns shared by the scrubber and its oracle — RE2-compatible
     * (no lookaround/backrefs), so Spark's Java regex and DuckDB's RE2
     * match identically.

@@ -172,10 +172,53 @@ object DedupQueries {
     "d_embedding_cos" -> ((s, d) =>
       Dedup.embeddingPairs(
           t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
-        .orderBy("block", "a", "b"))
+        .orderBy("block", "a", "b")),
+
+    // Chunk-level containment: doc pairs sharing ≥ half of the smaller
+    // doc's content-defined chunks (mask 16 ⇒ ~23-char expected chunks —
+    // sized to this corpus's ~300-char documents so each carries ~13
+    // chunks). Surfaces all 25 planted near-dup pairs at sf0.01, plus the
+    // containment cases whole-doc Jaccard under-scores.
+    "d_cdc_containment" -> ((s, d) =>
+      Dedup.cdcContainmentPairs(t(s, d, "documents"), "doc_id", col("text"),
+          n = 8, mask = 16, hotCap = 10, minContainment = 0.5)
+        .orderBy("id_a", "id_b"))
   )
 
   val oracles: Map[String, String] = Map(
+
+    "d_cdc_containment" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    list_sort(list_distinct(list_concat(
+        |      CASE WHEN n < 8 THEN []::BIGINT[] ELSE
+        |        list_transform(list_filter(range(1, n - 6),
+        |          i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 16) = 0),
+        |          i -> i + 7) END,
+        |      [n::BIGINT]))) AS ends
+        |  FROM t),
+        |x AS (SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS k FROM e),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN k = 1 THEN 1 ELSE ends[k::INT - 1] + 1 END AS st,
+        |    ends[k::INT] AS en, text
+        |  FROM x),
+        |f AS (SELECT DISTINCT doc_id, md5(substr(text, st, en - st + 1)) AS fp FROM c),
+        |nch AS (SELECT doc_id, count(*) AS nc FROM f GROUP BY 1),
+        |hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 10),
+        |g AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_chunks
+        |  FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.id_a, p.id_b, p.shared_chunks,
+        |    round(p.shared_chunks / least(x1.nc, x2.nc), 4) AS containment
+        |  FROM p JOIN nch x1 ON x1.doc_id = p.id_a
+        |         JOIN nch x2 ON x2.doc_id = p.id_b)
+        |SELECT id_a, id_b, shared_chunks::BIGINT AS shared_chunks, containment
+        |FROM j WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "d_exact" ->
       s"""$ToksCte

@@ -80,6 +80,25 @@ object SimilarityQueries {
     // TRUE by the oracle. A quantizer/probe regression that drops recall
     // now hash-mismatches like any other wrong answer. The recall window
     // is global but the frame is bounded (|queries| × k rows).
+    // Int8 scalar quantization with an in-row reconstruction-error
+    // certificate: the oracle recomputes scale/q/error with the same
+    // floor(x+0.5) arithmetic, so a quantizer regression (wrong scale,
+    // wrong clamp, lossy beyond scale/2) hash-mismatches. Checksums
+    // (q_sum, q_l1) pin the full quantized vector without emitting an
+    // array column (array outputs break the driver's row-sort compare).
+    "sim_quantize_i8" -> ((s, d) =>
+      Similarity.quantizeI8(emb(s, d), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          round(col("scale") + 1e-9, 6).as("scale_r"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("q_l1"),
+          (aggregate(
+              zip_with(col("emb"), col("q"), (v, qi) => abs(v - qi * col("scale"))),
+              lit(0.0), (a, x) => greatest(a, x))
+            <= col("scale") * 0.5000001).as("err_ok"))
+        .orderBy("vec_id")),
+
     "sim_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val q = queriesOf(e)
@@ -98,6 +117,27 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "sim_quantize_i8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, emb,
+        |    greatest(list_max(list_transform(emb, v -> abs(v))), 1e-30) / 127 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, emb, scale,
+        |    list_transform(emb,
+        |      v -> least(greatest(floor(v / scale + 0.5), -127.0), 127.0)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  round(scale + 1e-9, 6) AS scale_r,
+        |  list_sum(qv)::BIGINT AS q_sum,
+        |  list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS q_l1,
+        |  (list_max(list_transform(range(1, 65), i -> abs(emb[i] - qv[i] * scale)))
+        |     <= scale * 0.5000001) AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "sim_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

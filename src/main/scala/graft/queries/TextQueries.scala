@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -117,20 +118,29 @@ object TextQueries {
     // (h60 of each 8-gram, mask 64 → ~71-char expected chunks), one
     // fingerprinted row per chunk — the chunk-level dedup / incremental
     // re-processing primitive. Edits move only the chunks they touch.
-    "tx_cdc_chunks" -> ((s, d) => {
-      val exploded = docs(s, d)
-        .select(col("doc_id"), col("text"),
-          Text.cdcChunkEnds(col("text"), n = 8, mask = 64).as("ends"))
-        .select(col("doc_id"), col("text"), col("ends"),
-          posexplode(col("ends")).as(Seq("k", "e")))
-      val start = when(col("k") === 0, lit(1))
-        .otherwise(element_at(col("ends"), col("k")) + 1)
-      exploded.select(
-          col("doc_id"),
-          col("k").cast("long").as("chunk_no"),
-          (col("e") - start + 1).cast("long").as("chunk_len"),
-          md5(substr(col("text"), start, col("e") - start + 1)).as("chunk_fp"))
-        .orderBy("doc_id", "chunk_no")
+    "tx_cdc_chunks" -> ((s, d) =>
+      Text.cdcChunkFrame(docs(s, d), "doc_id", col("text"), n = 8, mask = 64)
+        .orderBy("doc_id", "chunk_no")),
+
+    // Context-window packing: the training-data step that lays documents
+    // head-to-tail into fixed token windows (concatenate-and-chop, the
+    // standard pretraining packing). Sequential layout is an inherently
+    // serial prefix sum, so it is computed per SHARD — the window is
+    // partitioned, never global, which is what keeps it parallel at
+    // 100 TB (one window per shard ≈ one packing stream per writer task).
+    "tx_pack_ctx" -> ((s, d) => {
+      val ctx = 512
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("long").as("shard"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          floor((col("cum") - col("n_tokens")) / ctx).as("bin_first"),
+          floor((col("cum") - 1) / ctx).as("bin_last"))
+        .orderBy("doc_id")
     }),
 
     // PII scrubbing: deterministic synthetic PII (email / phone / IPv4
@@ -281,6 +291,21 @@ object TextQueries {
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      "tx_pack_ctx" ->
+        """WITH t AS (
+          |  SELECT doc_id, doc_id % 8 AS shard,
+          |    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum
+          |  FROM t)
+          |SELECT doc_id, shard::BIGINT AS shard, n_tokens::BIGINT AS n_tokens,
+          |  (cum - n_tokens)::BIGINT AS start_off,
+          |  floor((cum - n_tokens) / 512)::BIGINT AS bin_first,
+          |  floor((cum - 1) / 512)::BIGINT AS bin_last
+          |FROM w ORDER BY doc_id""".stripMargin,
 
       "tx_cdc_chunks" ->
         """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

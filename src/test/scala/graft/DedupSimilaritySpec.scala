@@ -155,6 +155,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cdcContainmentPairs finds a doc embedded in a larger one; MinHash-style global Jaccard would not") {
+    val rnd = new scala.util.Random(7)
+    def blob(len: Int) = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val small = blob(200)
+    val big = small + " " + blob(1400) // small is 1/8 of big's content
+    val unrelated = blob(800)
+    val df = Seq((1L, small), (2L, big), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.cdcContainmentPairs(df, "doc_id", col("text"), mask = 16)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.8 },
+      s"containment should flag the embedded doc, got ${pairs.mkString(", ")}")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) },
+      "unrelated doc must not pair with anything")
+  }
+
+  test("quantizeI8: error bounded by scale/2, q in [-127,127], zero vector safe") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 6 - 3))) :+
+      (99L, Array.fill(16)(0.0f))
+    val out = Similarity.quantizeI8(rows.toDF("id", "emb"), "id", "emb")
+      .select("id", "emb", "scale", "q")
+      .as[(Long, Seq[Double], Double, Seq[Long])].collect()
+    assert(out.length == 51)
+    out.foreach { case (id, emb, scale, q) =>
+      assert(q.forall(x => x >= -127 && x <= 127), s"id=$id q out of range")
+      emb.zip(q).foreach { case (v, qi) =>
+        assert(math.abs(v - qi * scale) <= scale * 0.5000001,
+          s"id=$id reconstruction error beyond scale/2")
+      }
+      if (id == 99L) assert(q.forall(_ == 0L) && !scale.isNaN)
+      else assert(q.map(math.abs).max == 127L, s"id=$id max |q| must hit 127")
+    }
+  }
+
   test("multimodal decodeFeatures keeps partition-parallel shape") {
     val media = Multimodal.fromText(
       Seq((1L, "abc"), (2L, "def")).toDF("id", "t"), "id", "t")
