@@ -210,6 +210,67 @@ object Dedup {
     } finally sigd.unpersist()
   }
 
+  /** Incremental near-dup detection: MinHash+LSH of a NEW batch against an
+    * existing corpus INDEX — the daily-increment shape (the reference's
+    * `--daily` ethos applied to dedup). Band keys are computed for both
+    * sides and joined new×index, so the work is O(|new| · bucket_width),
+    * not a full corpus self-join: the whole point of incremental ingestion.
+    * At 100 TB the index side's signatures are a precomputed, bucketed
+    * table maintained across ingests (write once via
+    * [[graft.sources.Sinks.writeBucketedTable]]); here both sides are
+    * derived inline from the same shingle expression.
+    *
+    * Same family/band/verify arithmetic as [[minhashPairs]] (collect_set
+    * verify path), so a (new, index) pair verifies here iff it verifies in
+    * the full self-join. EAGER like minhashPairs: returns a materialized
+    * (new_id, index_id, jaccard) frame; intermediates released in finally.
+    */
+  def minhashPairsAgainst(
+      newDf: DataFrame,
+      indexDf: DataFrame,
+      idCol: String,
+      shingles: Column,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
+    val rows = k / bands
+    def sigs(df: DataFrame): DataFrame = {
+      val hashed = df
+        .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
+        .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
+      val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
+      val aggs = mins :+ collect_set(col("h")).as("sh")
+      hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
+          col("sh").as("sset"), size(col("sh")).cast("long").as("ssz"))
+    }
+    // each side's signature frame feeds the band join AND the verify join
+    val ns = sigs(newDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xs = sigs(indexDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def banded(s: DataFrame, idAs: String) = s.select(col("id").as(idAs),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      val cand = banded(ns, "new_id").join(banded(xs, "index_id"), Seq("band", "key"))
+        .select("new_id", "index_id").distinct()
+      cand
+        .join(ns.select(col("id").as("new_id"),
+          col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
+        .join(xs.select(col("id").as("index_id"),
+          col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
+        // same lossless size early-reject as minhashPairs
+        .filter(least(col("sz_a"), col("sz_b")).cast("double")
+          / greatest(col("sz_a"), col("sz_b")) >= threshold - 1e-4)
+        .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+        .withColumn("jaccard",
+          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + 1e-9, 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("index_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally { ns.unpersist(); xs.unpersist() }
+  }
+
   /** 60-bit SimHash per row from a token array.
     *
     * Relational formulation: explode distinct tokens, hash each once, then

@@ -219,6 +219,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Two-stage ANN: a cheap COARSE pass on the first `prefixDims`
+    * dimensions shortlists `shortlist` candidates per query, then the
+    * exact full-dimension cosine re-ranks the shortlist to top-k — the
+    * standard recall/cost dial of production vector search (PCA-truncated
+    * or Matryoshka prefix first stage). The expensive full-dim arithmetic
+    * runs on |queries| × shortlist rows instead of |queries| × |corpus|.
+    * Fully deterministic (coarse scores rounded to 7 decimals, id
+    * tie-break), so unlike IVF the whole pipeline has an exact SQL twin.
+    * At 100 TB the coarse pass itself would be bucketed too
+    * ([[lshTopK]]'s signature join); the stages compose.
+    */
+  def twoStageTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      prefixDims: Int = 16,
+      shortlist: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .withColumn("qp", slice(col("qe"), 1, prefixDims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .withColumn("cp", slice(col("ce"), 1, prefixDims))
+    val coarse = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse",
+        round(dotD(col("qp"), col("cp")) / (l2Norm(col("qp")) * l2Norm(col("cp"))), 7))
+    val w1 = Window.partitionBy("query_id").orderBy(col("coarse").desc, col("neighbor_id"))
+    val short = coarse
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= shortlist)
+    val rescored = short.withColumn("cos",
+      round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rescored
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the storage/transfer
     * compression step of a billion-vector ANN index (4× smaller than
     * float32, dot products in integer SIMD on the serving side). Per

@@ -174,6 +174,22 @@ object DedupQueries {
           t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
         .orderBy("block", "a", "b")),
 
+    // Incremental ingest dedup: the day's new batch (doc_id % 10 = 0, 10%
+    // of the corpus) near-dup-checked against the existing index (the
+    // other 90%) — band join new×index only, never a corpus self-join.
+    // Emits each flagged new doc with its canonical match.
+    "d_incremental" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      Dedup.minhashPairsAgainst(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", CrossHash.wordShingles(toks, 3),
+          k = 16, bands = 4, threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .orderBy("new_id")
+    }),
+
     // Chunk-level containment: doc pairs sharing ≥ half of the smaller
     // doc's content-defined chunks (mask 16 ⇒ ~23-char expected chunks —
     // sized to this corpus's ~300-char documents so each carries ~13
@@ -186,6 +202,17 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // the full self-join pair set restricted to (new, index) sides is
+    // exactly what the asymmetric band join produces
+    "d_incremental" ->
+      s"""WITH $MinhashPairsBody,
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
 
     "d_cdc_containment" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -27,12 +27,14 @@ object SimilarityQueries {
     */
   val IvfRecallFloor = 0.45
 
-  /** Oracle fragment: left-to-right double dot product of two list columns. */
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+  /** Oracle fragment: left-to-right double dot product of two list columns
+    * over the first `dims` dimensions.
+    */
+  private def dotSql(a: String, b: String, dims: Int = 64) =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
-  private def cosSql(a: String, b: String) =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 7)"
+  private def cosSql(a: String, b: String, dims: Int = 64) =
+    s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 7)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -80,6 +82,17 @@ object SimilarityQueries {
     // TRUE by the oracle. A quantizer/probe regression that drops recall
     // now hash-mismatches like any other wrong answer. The recall window
     // is global but the frame is bounded (|queries| × k rows).
+    // Two-stage ANN: 16-dim coarse shortlist (32 candidates) → exact
+    // 64-dim re-rank to top-3. Deterministic end-to-end, so the oracle
+    // replays BOTH stages exactly — the only ANN variant with a full SQL
+    // twin rather than a recall certificate.
+    "sim_knn_2stage" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.twoStageTopK(queriesOf(e), e, "vec_id", "embedding",
+          k = 3, prefixDims = 16, shortlist = 32)
+        .orderBy("query_id", "rank")
+    }),
+
     // Int8 scalar quantization with an in-row reconstruction-error
     // certificate: the oracle recomputes scale/q/error with the same
     // floor(x+0.5) arithmetic, so a quantizer regression (wrong scale,
@@ -117,6 +130,29 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "sim_knn_2stage" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, qe, embedding AS ce,
+         |    ${cosSql("qe", "embedding", 16)} AS coarse
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r1 AS (
+         |  SELECT query_id, neighbor_id, qe, ce,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY coarse DESC, neighbor_id) AS crank
+         |  FROM s),
+         |r2 AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM r1 WHERE crank <= 32),
+         |r3 AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM r2)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r3 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "sim_quantize_i8" ->
       """WITH e AS (

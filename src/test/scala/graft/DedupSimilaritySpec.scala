@@ -155,6 +155,46 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("minhashPairsAgainst == self-join pairs restricted to (new, index) sides") {
+    // split the fixture: docs 2,4 arrive as the "new batch", 1,3 are the index
+    val newBatch = docs.filter(col("doc_id").isin(2L, 4L))
+    val index = docs.filter(col("doc_id").isin(1L, 3L))
+    val asym = Dedup.minhashPairsAgainst(newBatch, index, "doc_id",
+        CrossHash.wordShingles(toks, 3), k = 16, bands = 8, threshold = 0.5)
+      .select("new_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
+        k = 16, bands = 8, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .collect { // reorient (a<b) pairs to (new, index), keep cross-side only
+        case (a, b, j) if Set(2L, 4L).contains(a) != Set(2L, 4L).contains(b) =>
+          if (Set(2L, 4L).contains(a)) (a, b, j) else (b, a, j)
+      }.toSet
+    assert(asym == full && asym.nonEmpty)
+  }
+
+  test("twoStageTopK with an un-truncated shortlist equals brute force; truncated stays close") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") % 20 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val brute = collect(Similarity.bruteForceTopK(qs, vecs, "vec_id", "embedding", k = 3))
+    val untruncated = collect(Similarity.twoStageTopK(qs, vecs, "vec_id", "embedding",
+      k = 3, prefixDims = 4, shortlist = 60))
+    assert(untruncated == brute,
+      "with shortlist >= corpus the coarse stage cannot drop a true neighbor")
+    // recall on neighbor identity (rank-free: a dropped neighbor shifts
+    // the ranks of everything below it)
+    def ids(s: Set[(Long, Long, Long)]) = s.map { case (q, _, n) => (q, n) }
+    val truncated = collect(Similarity.twoStageTopK(qs, vecs, "vec_id", "embedding",
+      k = 3, prefixDims = 4, shortlist = 20))
+    val recall = ids(truncated).intersect(ids(brute)).size.toDouble / brute.size
+    assert(recall >= 0.5, s"4-of-8-dim coarse recall collapsed: $recall")
+  }
+
   test("cdcContainmentPairs finds a doc embedded in a larger one; MinHash-style global Jaccard would not") {
     val rnd = new scala.util.Random(7)
     def blob(len: Int) = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
