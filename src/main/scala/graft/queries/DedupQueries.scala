@@ -174,6 +174,21 @@ object DedupQueries {
           t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
         .orderBy("block", "a", "b")),
 
+    // End-to-end corpus curation — the daily training-data pipeline as ONE
+    // composed query: dedup survivors (shared pair-edge frame) → language
+    // allowlist → quality floor → PII scrub → curated fingerprint. Each
+    // stage is individually oracle-verified elsewhere; this row pins their
+    // COMPOSITION (stage order, no column drift between stages).
+    "d_curate" -> ((s, d) =>
+      Dedup.keepSurvivors(t(s, d, "documents"), "doc_id", minhashPairEdges(s, d))
+        .withColumn("tk", toks)
+        .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
+        .filter(col("lang").isin("en", "de", "es", "fr") && col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          size(col("tk")).cast("long").as("n_tokens"), col("quality"),
+          md5(Text.piiScrub(col("text"))).as("curated_fp"))
+        .orderBy("doc_id")),
+
     // Incremental ingest dedup: the day's new batch (doc_id % 10 = 0, 10%
     // of the corpus) near-dup-checked against the existing index (the
     // other 90%) — band join new×index only, never a corpus self-join.
@@ -202,6 +217,35 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "d_curate" -> {
+      import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}
+      val enList = graft.operators.Text.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val enHits = s"len(list_filter(toks, t -> list_contains($enList, t)))"
+      s"""WITH RECURSIVE $ClusterRepBody,
+         |surv AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.id = d.doc_id AND r.rep < r.id)),
+         |tq AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(text, '\\s+') AS toks FROM surv),
+         |q AS (
+         |  SELECT doc_id, lang, text, len(toks)::BIGINT AS n_tokens,
+         |    round(
+         |      least(len(toks) / 50.0, 1.0) * 0.5
+         |      + ($enHits::DOUBLE / len(toks)) * 0.3
+         |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
+         |              / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS quality
+         |  FROM tq)
+         |SELECT doc_id, lang, n_tokens, quality,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS curated_fp
+         |FROM q
+         |WHERE lang IN ('en', 'de', 'es', 'fr') AND quality >= 0.5
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the full self-join pair set restricted to (new, index) sides is
     // exactly what the asymmetric band join produces
