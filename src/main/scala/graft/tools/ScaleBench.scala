@@ -30,7 +30,14 @@ object ScaleBench {
 
   private val DedupFamily = Seq(
     "d_exact", "d_minhash_lsh", "d_clusters", "d_dedup_keep",
-    "d_simhash", "d_simhash_pairs", "d_ngram_jaccard")
+    "d_simhash", "d_simhash_pairs", "d_ngram_jaccard",
+    // round-4 late additions — all documents-only, so the synthetic corpus
+    // covers them. Note for d_cdc_containment: chunks short enough to span
+    // only unperturbed token runs recur in all 10 copies, so their
+    // fingerprints exceed hotCap and the hot-guard drops them — the 10×
+    // run exercises exactly the boilerplate-exclusion path that keeps the
+    // fp self-join bounded on real corpora.
+    "d_cdc_containment", "d_incremental", "d_curate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

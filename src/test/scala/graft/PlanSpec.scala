@@ -82,4 +82,35 @@ class PlanSpec extends SparkSpec {
       s"query-term filter missing from:\n$p")
   }
 
+  test("context packing windows per shard — a global (unpartitioned) window would serialize at scale") {
+    val p = plan("tx_pack_ctx")
+    // Spark renders an unpartitioned window as an empty partition spec
+    // with a single-partition exchange feeding it
+    assert("""windowspecdefinition\(shard""".r.findFirstIn(p.toLowerCase).isDefined,
+      s"expected the window partitioned by shard in:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing must not funnel through one partition:\n$p")
+  }
+
+  test("two-stage ANN broadcasts the bounded query side; no cartesian product") {
+    val p = plan("sim_knn_2stage")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"coarse stage must broadcast, not cartesian-shuffle:\n$p")
+  }
+
+  test("CDC containment joins by chunk fingerprint hash; no cartesian product") {
+    val df = SparkEntry.queries("d_cdc_containment")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a hash join on chunk_fp:\n$p")
+  }
+
+  test("cdc chunk cut points resolve to the promoted native expression") {
+    val p = plan("tx_cdc_chunks")
+    assert(p.toLowerCase.contains("graft_cdc_ends"),
+      s"expected the native CdcEnds expression in:\n$p")
+  }
+
 }
