@@ -42,6 +42,41 @@ object Dedup {
   private def familyHash(h: Column, i: Int): Column =
     (h * (2 * i + 1) + (97L + 31L * i)) % MinhashMod
 
+  /** Distinct shingles exploded and hashed once: (id, h). The first stage
+    * of every MinHash pipeline (batch self-join and incremental alike).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
+    df.select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
+      .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
+
+  /** Signature frame on the array-set (unbounded-vocabulary) verify path:
+    * (id, sig, sset, ssz). Shared by [[minhashPairs]] and
+    * [[minhashPairsAgainst]] so the two paths cannot drift.
+    */
+  private def unboundedSigFrame(hashed: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
+    val aggs = mins :+ collect_set(col("h")).as("sh")
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
+        col("sh").as("sset"), size(col("sh")).cast("long").as("ssz"))
+  }
+
+  /** Lossless size early-reject before the O(|A|+|B|) intersect:
+    * j(A,B) ≤ min/max of the set sizes, so a pair below the threshold on
+    * sizes alone can never verify. The 1e-4 margin covers the
+    * +1e-9/round(…,4) presentation of the final jaccard.
+    */
+  private def sizeRejectFilter(threshold: Double): Column =
+    least(col("sz_a"), col("sz_b")).cast("double") /
+      greatest(col("sz_a"), col("sz_b")) >= threshold - 1e-4
+
+  /** |A∪B| = |A|+|B|−|A∩B|: one traversal instead of intersect+union.
+    * Expects `inter`, `sz_a`, `sz_b`; single source of the epsilon/rounding
+    * presentation both engines replay.
+    */
+  private def jaccardExpr: Column =
+    round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + 1e-9, 4)
+
   /** Vocabulary cap for the bitset verify path: above this many distinct
     * shingle hashes the dense-dictionary bitset no longer pays for itself.
     * The bit_or aggregation evaluates one conditional per bitset word per
@@ -105,9 +140,7 @@ object Dedup {
     // vocabulary probe AND the persist are both skipped. The default
     // measures the vocabulary and adapts.
     val knownUnbounded = assumeUnboundedVocab
-    val hashedPlan = df
-      .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
-      .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
+    val hashedPlan = hashedShingles(df, idCol, shingles)
     val hashed =
       if (knownUnbounded) hashedPlan
       // consumed twice (vocabulary measurement + signature aggregation):
@@ -166,10 +199,7 @@ object Dedup {
               lit(0L), (acc, c) => acc + c).cast("double"))
         (aggd.withColumnRenamed("bits", "sset"), v)
       } else {
-        val aggd = hashed.groupBy("id")
-          .agg((mins :+ collect_set(col("h")).as("sh")).head,
-            (mins :+ collect_set(col("h")).as("sh")).tail: _*)
-          .select(col("id"), sigCol, col("sh").as("sset"), size(col("sh")).cast("long").as("ssz"))
+        val aggd = unboundedSigFrame(hashed, k)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val v = (j: DataFrame) => j
           .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
@@ -188,17 +218,9 @@ object Dedup {
     val joined = cand
       .join(sigd.select(col("id").as("a"), col("sset").as("set_a"), col("ssz").as("sz_a")), "a")
       .join(sigd.select(col("id").as("b"), col("sset").as("set_b"), col("ssz").as("sz_b")), "b")
-      // lossless size early-reject before the O(|A|+|B|) intersect:
-      // j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio is
-      // below the threshold can never verify. The 1e-4 margin covers the
-      // +1e-9/round(…,4) presentation of the final jaccard.
-      .filter(least(col("sz_a"), col("sz_b")).cast("double")
-        / greatest(col("sz_a"), col("sz_b")) >= threshold - 1e-4)
-    // |A∪B| = |A|+|B|−|A∩B|: one traversal instead of the intersect+union
-    // pair (array_union re-hashes both arrays).
+      .filter(sizeRejectFilter(threshold))
     val verified = verify(joined)
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + 1e-9, 4))
+      .withColumn("jaccard", jaccardExpr)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
     // The pair set is tiny relative to the corpus (bounded by the LSH
@@ -236,16 +258,8 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
-    def sigs(df: DataFrame): DataFrame = {
-      val hashed = df
-        .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
-        .select(col("id"), (h60(col("s")) % MinhashMod).as("h"))
-      val mins = (0 until k).map(i => min(familyHash(col("h"), i)).as(s"m$i"))
-      val aggs = mins :+ collect_set(col("h")).as("sh")
-      hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-        .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
-          col("sh").as("sset"), size(col("sh")).cast("long").as("ssz"))
-    }
+    def sigs(df: DataFrame): DataFrame =
+      unboundedSigFrame(hashedShingles(df, idCol, shingles), k)
     // each side's signature frame feeds the band join AND the verify join
     val ns = sigs(newDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val xs = sigs(indexDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -259,12 +273,9 @@ object Dedup {
           col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
         .join(xs.select(col("id").as("index_id"),
           col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
-        // same lossless size early-reject as minhashPairs
-        .filter(least(col("sz_a"), col("sz_b")).cast("double")
-          / greatest(col("sz_a"), col("sz_b")) >= threshold - 1e-4)
+        .filter(sizeRejectFilter(threshold))
         .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
-        .withColumn("jaccard",
-          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + 1e-9, 4))
+        .withColumn("jaccard", jaccardExpr)
         .filter(col("jaccard") >= threshold)
         .select(col("new_id"), col("index_id"), col("jaccard"))
         .localCheckpoint(true)
@@ -458,31 +469,50 @@ object Dedup {
       hotCap: Int = 10,
       minContainment: Double = 0.5): DataFrame = {
     // distinct (id, fp): shared-chunk counting is per distinct fingerprint
-    val fps = Text.cdcChunkFrame(df, idCol, textCol, n, mask)
-      .select(col(idCol).as("id"), col("chunk_fp")).distinct()
+    val fps = chunkFps(df, idCol, textCol, n, mask)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = fps.groupBy("id").agg(count(lit(1)).as("nc"))
-      val cool = fps.join(
-        fps.groupBy("chunk_fp").agg(count(lit(1)).as("w"))
-          .filter(col("w") > hotCap).select("chunk_fp"),
-        Seq("chunk_fp"), "left_anti")
-      val pairs = cool.select(col("id").as("id_a"), col("chunk_fp"))
-        .join(cool.select(col("id").as("id_b"), col("chunk_fp")), "chunk_fp")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_chunks"))
-      // eager-materialize the small pair set, then release the fp cache
-      // (the minhashPairs/simhashPairs contract)
-      pairs
-        .join(counts.select(col("id").as("id_a"), col("nc").as("na")), "id_a")
-        .join(counts.select(col("id").as("id_b"), col("nc").as("nb")), "id_b")
-        .withColumn("containment",
-          round(col("shared_chunks") / least(col("na"), col("nb")), 4))
-        .filter(col("containment") >= minContainment)
-        .select("id_a", "id_b", "shared_chunks", "containment")
-        .localCheckpoint(true)
-    } finally fps.unpersist()
+    // eager-materialize the small pair set, then release the fp cache
+    // (the minhashPairs/simhashPairs contract)
+    try cdcContainmentJoin(fps, hotCap, minContainment).localCheckpoint(true)
+    finally fps.unpersist()
   }
+
+  private def chunkFps(
+      df: DataFrame, idCol: String, textCol: Column, n: Int, mask: Int): DataFrame =
+    Text.cdcChunkFrame(df, idCol, textCol, n, mask)
+      .select(col(idCol).as("id"), col("chunk_fp")).distinct()
+
+  /** The candidate/score pipeline of [[cdcContainmentPairs]] over a
+    * prepared (id, chunk_fp) frame — factored out lazily (no persist /
+    * checkpoint) so plan audits can assert the join shape the public
+    * method executes (the checkpointed result's plan is just a
+    * materialized-RDD scan).
+    */
+  private[graft] def cdcContainmentJoin(
+      fps: DataFrame, hotCap: Int, minContainment: Double): DataFrame = {
+    val counts = fps.groupBy("id").agg(count(lit(1)).as("nc"))
+    val cool = fps.join(
+      fps.groupBy("chunk_fp").agg(count(lit(1)).as("w"))
+        .filter(col("w") > hotCap).select("chunk_fp"),
+      Seq("chunk_fp"), "left_anti")
+    cool.select(col("id").as("id_a"), col("chunk_fp"))
+      .join(cool.select(col("id").as("id_b"), col("chunk_fp")), "chunk_fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_chunks"))
+      .join(counts.select(col("id").as("id_a"), col("nc").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nc").as("nb")), "id_b")
+      .withColumn("containment",
+        round(col("shared_chunks") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "shared_chunks", "containment")
+  }
+
+  /** Lazy end-to-end plan of [[cdcContainmentPairs]] for plan audits. */
+  private[graft] def cdcContainmentPlan(
+      df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 8, mask: Int = 16,
+      hotCap: Int = 10, minContainment: Double = 0.5): DataFrame =
+    cdcContainmentJoin(chunkFps(df, idCol, textCol, n, mask), hotCap, minContainment)
 
   /** The "clusters → survivors" corpus filter: drop every document whose
     * component representative is a smaller id, via `left_anti` on the loser

@@ -238,19 +238,27 @@ object Similarity {
       k: Int,
       prefixDims: Int = 16,
       shortlist: Int = 32): DataFrame = {
+    // norms precomputed per vector BEFORE the join (the bruteForceTopK /
+    // embeddingPairs pattern — per-pair norm recompute measured ~3× there):
+    // the coarse join evaluates |queries|×|corpus| rows, so per-pair work
+    // must be one dot product, nothing else.
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
       .withColumn("qp", slice(col("qe"), 1, prefixDims))
+      .withColumn("qn", l2Norm(col("qe")))
+      .withColumn("qpn", l2Norm(col("qp")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .withColumn("cp", slice(col("ce"), 1, prefixDims))
+      .withColumn("cn", l2Norm(col("ce")))
+      .withColumn("cpn", l2Norm(col("cp")))
     val coarse = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("coarse",
-        round(dotD(col("qp"), col("cp")) / (l2Norm(col("qp")) * l2Norm(col("cp"))), 7))
+        round(dotD(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 7))
     val w1 = Window.partitionBy("query_id").orderBy(col("coarse").desc, col("neighbor_id"))
     val short = coarse
       .withColumn("crank", row_number().over(w1))
       .filter(col("crank") <= shortlist)
     val rescored = short.withColumn("cos",
-      round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7))
+      round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 7))
     val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     rescored
       .withColumn("rank", row_number().over(w2).cast("long"))

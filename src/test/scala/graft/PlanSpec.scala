@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
     // the term filter must precede the explode's aggregation: it shows as a
     // filter on the exploded term column, bounding the shuffled frame to
     // |docs|·|queryTerms| — without it the full posting list shuffles
-    assert(p.contains("spark") && p.contains("INSET") || p.contains("IN ("),
+    assert(p.contains("spark") && (p.contains("INSET") || p.contains("IN (")),
       s"query-term filter missing from:\n$p")
   }
 
@@ -101,10 +101,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("CDC containment joins by chunk fingerprint hash; no cartesian product") {
-    val df = SparkEntry.queries("d_cdc_containment")(spark, sf)
+    // the public method localCheckpoints its result, whose plan is just a
+    // materialized-RDD scan — audit the lazy pipeline it executes instead
+    val df = graft.operators.Dedup.cdcContainmentPlan(
+      graft.sources.Tables.load(spark, sf, "documents"),
+      "doc_id", org.apache.spark.sql.functions.col("text"))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must be a hash join on chunk_fp:\n$p")
+    assert("""chunk_fp#\d+""".r.findFirstIn(p).isDefined
+      && (p.contains("HashJoin") || p.contains("SortMergeJoin")),
+      s"expected the chunk_fp self-join in:\n$p")
   }
 
   test("cdc chunk cut points resolve to the promoted native expression") {
