@@ -96,6 +96,42 @@ object StreamQueries {
       drain(agg, "st_tumbling", "complete").orderBy("day_start", "event_type")
     }),
 
+    // Streaming session windows through the engine's session_window state
+    // merging, complete mode so the final (unflushed-by-watermark) sessions
+    // emit on drain. The oracle replays the merge rule exactly: Spark
+    // merges an event into a session iff its time is STRICTLY before the
+    // session end (start + gap), so the batch twin breaks sessions on
+    // diff >= gap — note the boundary difference from ss_sessionize's
+    // diff > gap convention, and session_end = last event + gap (the
+    // engine's window end), not the last event itself.
+    "st_session_parity" -> ((s, d) => {
+      val sess = eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), Fmt).as("session_start"),
+          date_format(col("session_window.end"), Fmt).as("session_end"),
+          col("n_events"), col("sum_value"))
+      drain(sess, "st_session", "complete").orderBy("user_id", "session_start")
+    }),
+
+    // Stream-stream inner join (views x purchases within 1 hour, both sides
+    // watermarked) drained in append mode. The whole bounded file arrives in
+    // one micro-batch, so no row is ever late relative to the watermark and
+    // the drained result must equal the batch self-join exactly. Time bounds
+    // compare at MICROSECOND precision on both engines (the stream source
+    // truncates the parquet NANOS timestamps, the oracle uses epoch_us),
+    // so boundary pairs agree bit-for-bit.
+    "st_join_parity" -> ((s, d) => {
+      val joined = EventStreams.viewPurchaseJoin(eventsStream(s, d), "1 hour")
+        .select(
+          col("user_id"), col("view_id"), col("purchase_id"),
+          date_format(col("view_ts"), Fmt).as("view_ts"),
+          date_format(col("purchase_ts"), Fmt).as("purchase_ts"))
+      drain(joined, "st_join", "append").orderBy("view_id", "purchase_id")
+    }),
+
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
     // to a sink, then audited: per-type row and distinct-id counts must
     // equal the batch table's (event ids are unique, so dedup is an
@@ -150,6 +186,36 @@ object StreamQueries {
         | event_type, count(1) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
+
+    "st_session_parity" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st_join_parity" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
