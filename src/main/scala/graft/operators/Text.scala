@@ -214,6 +214,56 @@ object Text {
         round(col("tf") * col("idf") + 1e-9, 4).as("tfidf"))
   }
 
+  /** Gopher-style repetition signals: per document, the total/distinct/
+    * top-occurrence counts of its words and word-bigrams, plus a boolean
+    * `repetitive` gate — the standard pretraining quality filter for
+    * boilerplate and keyword-stuffed pages (fraction of mass in the most
+    * common n-gram, duplicate-token fraction).
+    *
+    * All outputs are INTEGERS compared with integer arithmetic
+    * (`top * den >= total` instead of `top/total >= 1/den`), so the gate is
+    * bit-identical across engines with no float rounding protocol.
+    *
+    * Shape: one tagged explode (unigrams and bigrams in the same pass) →
+    * two hash aggregations, both keyed fine-grained on (id, gram) /
+    * (id, n) — linear, skew-free, no per-row quadratic array scans, which
+    * is what keeps it viable for book-length documents at 100 TB.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      topWordDen: Int = 8,
+      topBigramDen: Int = 20): DataFrame = {
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val tagged = docs.select(col(idCol).as("id"),
+      explode(concat(
+        transform(toks, w => struct(lit(1).as("n"), w.as("g"))),
+        transform(bigrams, bg => struct(lit(2).as("n"), bg.as("g"))))).as("t"))
+    val counts = tagged
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("id", "n")
+      .agg(sum("c").cast("long").as("tot"),
+        count(lit(1)).cast("long").as("nd"),
+        max("c").cast("long").as("top"))
+    per.groupBy("id")
+      .agg(
+        max(when(col("n") === 1, col("tot"))).as("n_words"),
+        max(when(col("n") === 1, col("nd"))).as("n_distinct_words"),
+        max(when(col("n") === 1, col("top"))).as("top_word_n"),
+        coalesce(max(when(col("n") === 2, col("tot"))), lit(0L)).as("n_bigrams"),
+        coalesce(max(when(col("n") === 2, col("nd"))), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(max(when(col("n") === 2, col("top"))), lit(0L)).as("top_bigram_n"))
+      .withColumn("repetitive",
+        col("top_word_n") * topWordDen >= col("n_words") ||
+          (col("n_bigrams") > 0 &&
+            col("top_bigram_n") * topBigramDen >= col("n_bigrams")))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed bag of query
     * terms: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
     * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).

@@ -49,6 +49,19 @@ object DedupQueries {
         .localCheckpoint(true)
     }
 
+  /** Shared embedding near-dup pair frame (cosine ≥ 0.38 within the
+    * precomputed label block): `d_embedding_cos` reports it and
+    * `d_semantic_keep` resolves it to survivors — same
+    * materialize-once-read-twice shape as the MinHash edges (the frame is
+    * tiny: one row per near-dup vector pair).
+    */
+  private def embeddingPairEdges(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"emb_pairs:$d") {
+      Dedup.embeddingPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
+        .localCheckpoint(true)
+    }
+
   /** Shared oracle CTE body: tokens per document (no WITH keyword, so
     * recursive oracles can prepend WITH RECURSIVE).
     */
@@ -170,9 +183,17 @@ object DedupQueries {
 
     // Embedding cosine near-dups within the precomputed cluster label.
     "d_embedding_cos" -> ((s, d) =>
-      Dedup.embeddingPairs(
-          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
-        .orderBy("block", "a", "b")),
+      embeddingPairEdges(s, d).orderBy("block", "a", "b")),
+
+    // SemDeDup-style semantic dedup: the embedding near-dup pairs resolved
+    // to clusters (same connected-components machinery as the MinHash
+    // path), keeping the smallest vec_id per semantic cluster — the
+    // embedding-space twin of d_dedup_keep.
+    "d_semantic_keep" -> ((s, d) =>
+      Dedup.keepSurvivors(
+          t(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id", embeddingPairEdges(s, d))
+        .orderBy("vec_id")),
 
     // End-to-end corpus curation — the daily training-data pipeline as ONE
     // composed query: dedup survivors (shared pair-edge frame) → language
@@ -222,6 +243,24 @@ object DedupQueries {
           n = 8, mask = 16, hotCap = 10, minContainment = 0.5)
         .orderBy("id_a", "id_b"))
   )
+
+  /** Shared oracle CTE chain producing the cosine-≥0.38 embedding near-dup
+    * edge set within the label block as `pairs(block, a, b, cos)` — the
+    * twin of [[embeddingPairEdges]].
+    */
+  private val EmbPairsBody =
+    """e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |p AS (
+      |  SELECT x.label AS block, x.vec_id AS a, y.vec_id AS b,
+      |    round(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65),
+      |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65),
+      |           i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))), 4) AS cos
+      |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id),
+      |pairs AS (SELECT block, a, b, cos FROM p WHERE cos >= 0.38)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -392,17 +431,19 @@ object DedupQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "d_embedding_cos" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        |p AS (
-        |  SELECT x.label AS block, x.vec_id AS a, y.vec_id AS b,
-        |    round(
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
-        |       * sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))), 4) AS cos
-        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
-        |SELECT block, a, b, cos FROM p WHERE cos >= 0.38 ORDER BY block, a, b""".stripMargin
+      s"""WITH $EmbPairsBody
+         |SELECT block, a, b, cos FROM pairs ORDER BY block, a, b""".stripMargin,
+
+    "d_semantic_keep" ->
+      s"""WITH RECURSIVE $EmbPairsBody,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |walk AS (
+         |  SELECT a AS id, b AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e2.b AS reach FROM walk w JOIN edges e2 ON w.reach = e2.a),
+         |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id)
+         |SELECT v.vec_id, v.label FROM embeddings v
+         |WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.id = v.vec_id AND r.rep < r.id)
+         |ORDER BY v.vec_id""".stripMargin
   )
 }

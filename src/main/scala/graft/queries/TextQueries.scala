@@ -114,6 +114,15 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
 
+    // Repetition signals: Gopher-style duplicate/top-gram mass counts per
+    // document with an integer-arithmetic `repetitive` gate (top word ≥
+    // 1/8 of tokens, or top bigram ≥ 1/20 of bigrams) — flags 202/500
+    // documents at sf0.01, so both gate outcomes are exercised.
+    "tx_rep_signals" -> ((s, d) =>
+      Text.repetitionSignals(docs(s, d), "doc_id", toks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Content-defined chunking: documents cut at rolling-hash boundaries
     // (h60 of each 8-gram, mask 64 → ~71-char expected chunks), one
     // fingerprinted row per chunk — the chunk-level dedup / incremental
@@ -291,6 +300,35 @@ object TextQueries {
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      "tx_rep_signals" ->
+        """WITH d AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+          |ug AS (SELECT doc_id, unnest(w) AS g FROM d),
+          |uc AS (SELECT doc_id, g, count(*) AS c FROM ug GROUP BY 1, 2),
+          |u AS (
+          |  SELECT doc_id, sum(c)::BIGINT AS n_words,
+          |    count(*)::BIGINT AS n_distinct_words, max(c)::BIGINT AS top_word_n
+          |  FROM uc GROUP BY 1),
+          |bg AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+          |  FROM d),
+          |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+          |b AS (
+          |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+          |    count(*)::BIGINT AS n_distinct_bigrams, max(c)::BIGINT AS top_bigram_n
+          |  FROM bc GROUP BY 1)
+          |SELECT u.doc_id, n_words, n_distinct_words, top_word_n,
+          |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+          |  coalesce(n_distinct_bigrams, 0)::BIGINT AS n_distinct_bigrams,
+          |  coalesce(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+          |  (top_word_n * 8 >= n_words
+          |   OR (coalesce(n_bigrams, 0) > 0
+          |       AND coalesce(top_bigram_n, 0) * 20 >= coalesce(n_bigrams, 0)))
+          |    AS repetitive
+          |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+          |ORDER BY u.doc_id""".stripMargin,
 
       "tx_pack_ctx" ->
         """WITH t AS (
