@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full bench suite (~100 queries, streaming state
+  // stores, memoized checkpoint blocks) runs in ONE JVM; at 8g the tail of
+  // the suite ran GC-pressured and multi-stage queries measured 2-3x their
+  // isolated cost. The box has 128 GiB; SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -23,10 +23,14 @@ object Bench {
     // optional comma-separated name filter for focused local iteration; the
     // driver never sets it, so driver runs always time the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // alphabetical order, NOT Map iteration order: adding a query must not
+    // reshuffle which consumer pays a shared memoized frame's build cost
+    // (d_clusters vs d_dedup_keep etc.), or per-query times stop being
+    // comparable across rounds as the suite grows.
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       val warmDir = {
@@ -49,10 +53,34 @@ object Bench {
     // captured, truncating the per-query tail. Locale.ROOT: a
     // comma-decimal default locale would emit invalid JSON.
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
+      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val total = results.map(_._2).sum
+    val detail = jsonLine(results, total)
+    println(detail)
+    // The harness keeps only a bounded tail of stdout; once the suite grew
+    // past ~90 queries the single detail line overflowed it and was
+    // front-truncated, losing the total (BENCH_r04 "parsed": null). Durable
+    // fallbacks, in order: the full detail goes to a repo file, and the LAST
+    // stdout line is a compact spec-shaped summary — total plus as many of
+    // the slowest queries as fit well inside the tail window — so whatever
+    // reads the tail always sees one complete, parseable JSON line.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val slowestFirst = results.sortBy(-_._2)
+    val budget = 1400
+    val kept = Seq.newBuilder[(String, Double)]
+    var used = 90 + sfDir.length // wrapper fields
+    slowestFirst.foreach { case (k, v) =>
+      val cost = k.length + f3(v).length + 4
+      if (used + cost <= budget) { kept += (k -> v); used += cost }
+    }
+    println(jsonLine(kept.result(), total))
     spark.stop()
   }
 }

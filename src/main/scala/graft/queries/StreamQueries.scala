@@ -64,10 +64,35 @@ object StreamQueries {
     else raw
   }
 
+  /** Stateful streaming instantiates one state store per side per shuffle
+    * partition, each committing delta files every micro-batch — at the
+    * session-wide 32 partitions a bounded parity drain pays ~3× more store
+    * I/O than compute. 8 partitions is plenty for the drained volumes and
+    * is pinned into the query's checkpoint at start; the session conf is
+    * restored for whatever batch query runs next. (A real deployment sizes
+    * this to state volume per partition, not to the batch shuffle width.)
+    */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      // The whole bounded input lands in one data micro-batch and every
+      // query here emits its result within it (inner join and dedup emit
+      // eagerly; the complete-mode aggs re-emit full state each batch), so
+      // the trailing no-data batch would only advance the watermark and
+      // evict state we are about to stop anyway — skip that full
+      // commit cycle across all the state stores.
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -161,13 +186,15 @@ object StreamQueries {
         val out = s"$scratch/out"
         val stream = eventsStream(s, d)
           .select("event_id", "ts", "user_id", "event_type", "value")
-        val q = stream.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", s"$scratch/chk")
-          .outputMode("append")
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamPartitions(s) {
+          val q = stream.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", s"$scratch/chk")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.read.parquet(out)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
