@@ -555,6 +555,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination — the train/eval overlap check every
+    * pretraining corpus needs before release: a training document is
+    * contaminated if it shares at least one word-n-gram with any benchmark
+    * document (the n-gram-overlap criterion of the published
+    * decontamination protocols; n chosen long enough that chance collisions
+    * vanish and only genuine copying matches).
+    *
+    * `isBench` splits one corpus frame into the two sides. The benchmark
+    * side is small by nature (eval suites are thousands of documents
+    * against a corpus of billions), so its exploded gram set is BROADCAST
+    * and the training side joins map-side — the full corpus never
+    * shuffles; only matched (train, bench, gram) rows reach the final
+    * small aggregation.
+    *
+    * Output: one row per contaminated training doc —
+    * (id, n_bench_docs, first_bench_id, n_shared_grams).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      grams: Column,
+      isBench: Column): DataFrame = {
+    val g = corpus.select(col(idCol).as("id"), isBench.as("is_bench"),
+      explode(array_distinct(grams)).as("gram"))
+    val bench = g.filter(col("is_bench"))
+      .select(col("gram"), col("id").as("bench_id"))
+    g.filter(!col("is_bench"))
+      .join(broadcast(bench), "gram")
+      .groupBy("id")
+      .agg(
+        countDistinct("bench_id").as("n_bench_docs"),
+        min("bench_id").as("first_bench_id"),
+        count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ `threshold` within a blocking key
     * (here a precomputed cluster/label; at 100 TB the block key would come
     * from LSH — see [[Similarity.hyperplaneSignature]] — keeping the

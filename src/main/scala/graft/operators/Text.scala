@@ -303,4 +303,69 @@ object Text {
       .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
         .as("bm25"))
   }
+
+  /** Unigram language-model scoring — the perplexity-proxy quality signal
+    * a pretraining pipeline computes when no external LM is available: fit
+    * the corpus's own unigram distribution p(w) = count(w)/Σcount, then
+    * score each document by its mean negative log-likelihood
+    * nll(d) = Σ_w tf(w)·(−ln p(w)) / |d|. Documents full of corpus-rare
+    * tokens (noise, mojibake, boilerplate IDs) score high; fluent
+    * corpus-typical text scores low.
+    *
+    * Shape: one explode → (doc, term, tf) agg, a term-frequency
+    * reaggregation (the vocabulary — orders of magnitude smaller than the
+    * corpus, broadcastable), a hash join back, and a per-doc sum. Same
+    * determinism device as BM25: per-token contributions summed in
+    * DECIMAL so shuffle order cannot change the double sum.
+    *
+    * Output (id, n_tokens, nll), nll rounded to 4 decimals.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val tot = cf.agg(sum("cf").as("tot"))
+    tf.join(cf, "term").crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        col("tf").cast("double")
+          * -log(col("cf").cast("double") / col("tot").cast("double")))
+      .groupBy("id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
+          / sum("tf")) + 1e-9, 4).as("nll"))
+  }
+
+  /** Boilerplate-gram coverage — the df-ranked blocklist form of CCNet/
+    * RefinedWeb boilerplate removal, adapted to corpora without line
+    * structure: the `topK` word-n-grams by document frequency (ties broken
+    * lexicographically) form the boilerplate set, and each document reports
+    * how much of it they cover. A curation pipeline gates on `bp_frac`;
+    * this operator emits the signal rather than hard-coding the cut.
+    *
+    * Shape: gram explode → df agg → global top-K (TakeOrdered — a partial
+    * top-K per partition then one merge, never a full sort) → broadcast
+    * join back to the per-doc gram frame. The blocklist is `topK` rows by
+    * construction, so the join back is always a broadcast hash join — the
+    * corpus side never shuffles.
+    *
+    * Output (id, n_grams, n_bp, bp_frac) — distinct grams per doc, how
+    * many are in the blocklist, and the fraction rounded to 4 decimals.
+    */
+  def boilerplateCoverage(
+      docs: DataFrame,
+      idCol: String,
+      grams: Column,
+      topK: Int = 500): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+      explode(array_distinct(grams)).as("gram"))
+    val top = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(topK)
+      .select(col("gram"), lit(1).as("bp"))
+    g.join(broadcast(top), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("bp"), lit(0L)).cast("long").as("n_bp"))
+      .withColumn("bp_frac",
+        round(col("n_bp").cast("double") / col("n_grams") + 1e-9, 4))
+  }
 }

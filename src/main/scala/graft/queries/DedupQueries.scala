@@ -233,6 +233,19 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // Benchmark decontamination: a held-out "eval" split (2% of the
+    // corpus by id hash) checked for word-5-gram overlap against the
+    // training split — 5-grams because the ~40-word generator vocabulary
+    // makes shorter grams collide by chance (40^5 ≈ 10^8 combinations ⇒
+    // only genuine copying matches; the hits are the planted near-dup
+    // pairs that straddle the split).
+    "d_decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(
+          t(s, d, "documents"), "doc_id",
+          CrossHash.wordShingles(toks, 5), col("doc_id") % 50 === 7)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Chunk-level containment: doc pairs sharing ≥ half of the smaller
     // doc's content-defined chunks (mask 16 ⇒ ~23-char expected chunks —
     // sized to this corpus's ~300-char documents so each carries ~13
@@ -303,6 +316,19 @@ object DedupQueries {
          |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    "d_decontaminate" ->
+      s"""$ToksCte,
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+         |  FROM t),
+         |b AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 50 = 7),
+         |tr AS (SELECT gram, doc_id FROM g WHERE doc_id % 50 <> 7)
+         |SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+         |       min(bench_id) AS first_bench_id, count(*) AS n_shared_grams
+         |FROM tr JOIN b USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_cdc_containment" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

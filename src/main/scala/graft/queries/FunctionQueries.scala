@@ -245,10 +245,41 @@ object FunctionQueries {
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS n_last_hour
           |FROM v_events_rng ORDER BY event_id""".stripMargin)
+    }),
+
+    // HLL sketch battery: the mergeable-sketch path for distinct counting
+    // at scale — per-partition/per-day sketches union-merged instead of a
+    // global shuffle of raw values (the Datasketches HLL built-ins).
+    // Verified by certificate: the exact count plus (a) the estimate
+    // within 5% of exact, (b) the union of daily sketches estimating
+    // IDENTICALLY to the direct sketch — HLL union is register-wise max,
+    // so merge order and partitioning cannot change the answer. The
+    // oracle pins exact + TRUE + TRUE.
+    "fn_hll_sketch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val direct = ev.groupBy("event_type").agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est_d"),
+        countDistinct("user_id").as("n_users_exact"))
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_m"))
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("est_d") - col("n_users_exact"))
+            <= col("n_users_exact") * 0.05).as("hll_ok"),
+          (col("est_d") === col("est_m")).as("merge_ok"))
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "fn_hll_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |       TRUE AS hll_ok, TRUE AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "fn_string" ->
       """SELECT c_custkey,

@@ -285,6 +285,32 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Snapshot diff — change-data capture between two loads of the same
+    // table (the reference's daily reload, made auditable): full outer
+    // join on the key classifies every row as added / removed / changed,
+    // unchanged rows drop out. Deterministic synthetic snapshots: "old"
+    // misses keys ≡3 (mod 13) (not yet arrived), "new" misses keys ≡7
+    // (mod 13) (deleted since) and reprices keys ≡0 (mod 5) by an exact
+    // +10.0 so change detection is bit-safe on DOUBLE.
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val old = o.filter(col("o_orderkey") % 13 =!= 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val neu = o.filter(col("o_orderkey") % 13 =!= 7)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, lit("added"))
+            .when(col("new_price").isNull, lit("removed"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+        .orderBy("o_orderkey")
+    }),
+
     // Skew-treated join: 40% of event rows collapse onto one hot key, then
     // the salted join spreads that key over 8 reducers. The oracle is the
     // PLAIN join — row-identity with the unsalted result is the whole
@@ -620,6 +646,28 @@ object RelationalQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
         |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |snap_a AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM o
+        |  WHERE o_orderkey % 13 <> 3),
+        |snap_b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM o WHERE o_orderkey % 13 <> 7),
+        |d AS (
+        |  SELECT coalesce(snap_a.o_orderkey, snap_b.o_orderkey) AS o_orderkey,
+        |    old_price, new_price,
+        |    CASE WHEN old_price IS NULL THEN 'added'
+        |         WHEN new_price IS NULL THEN 'removed'
+        |         WHEN old_price <> new_price THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM snap_a FULL OUTER JOIN snap_b
+        |    ON snap_a.o_orderkey = snap_b.o_orderkey)
+        |SELECT o_orderkey, change_type, old_price, new_price
+        |FROM d WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
 
     "q_skew_join" ->
       """WITH e AS (

@@ -171,6 +171,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM scoring: the corpus's own unigram distribution as a
+    // perplexity proxy — per-document mean negative log-likelihood.
+    // Rare-token-heavy documents (noise, IDs) score high.
+    "tx_unigram_nll" -> ((s, d) =>
+      Text.unigramNll(docs(s, d), "doc_id", toks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Boilerplate-gram coverage: the top-500 word-3-grams by document
+    // frequency form the blocklist; each document reports what fraction of
+    // its distinct grams is blocklisted (the curation gate input).
+    "tx_boilerplate" -> ((s, d) =>
+      Text.boilerplateCoverage(
+          docs(s, d), "doc_id", CrossHash.wordShingles(toks, 3), topK = 500)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Corpus n-gram frequency table — the training-data corpus statistic:
     // top word bigrams by count, ties broken lexicographically.
     "tx_ngram_freq" -> ((s, d) =>
@@ -390,6 +407,36 @@ object TextQueries {
            |   AND NOT regexp_matches(clean, '$PhoneRe')) AS pii_free
            |FROM c ORDER BY doc_id""".stripMargin
       },
+
+      "tx_unigram_nll" ->
+        s"""$toksCte,
+           |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(1) AS tf FROM tm GROUP BY doc_id, term),
+           |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+           |tot AS (SELECT sum(cf)::BIGINT AS tot FROM cf),
+           |c AS (
+           |  SELECT doc_id, tf,
+           |    tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
+           |  FROM tf JOIN cf USING (term) CROSS JOIN tot)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "tx_boilerplate" ->
+        s"""$toksCte,
+           |g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+           |  FROM t),
+           |df AS (SELECT gram, count(1) AS df FROM g GROUP BY gram),
+           |top AS (SELECT gram FROM df ORDER BY df DESC, gram LIMIT 500),
+           |d AS (
+           |  SELECT doc_id, count(1) AS n_grams,
+           |    sum((gram IN (SELECT gram FROM top))::INT)::BIGINT AS n_bp
+           |  FROM g GROUP BY doc_id)
+           |SELECT doc_id, n_grams::BIGINT AS n_grams, n_bp,
+           |  round(n_bp::DOUBLE / n_grams + 0.000000001, 4) AS bp_frac
+           |FROM d ORDER BY doc_id""".stripMargin,
 
       "tx_ngram_freq" ->
         s"""$toksCte,

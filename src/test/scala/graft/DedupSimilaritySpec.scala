@@ -85,6 +85,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("decontaminate flags only train docs sharing an n-gram with the bench split") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"), // shares 5-gram "a b c d e" with bench doc 3
+      (2L, "z y x w v u t s"), // clean
+      (3L, "a b c d e q r s")  // bench
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(
+        corpus, "doc_id", CrossHash.wordShingles(toks, 5), col("doc_id") === 3)
+      .select("id", "n_bench_docs", "first_bench_id", "n_shared_grams")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 3L, 1L)))
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),

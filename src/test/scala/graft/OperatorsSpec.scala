@@ -182,6 +182,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.forall(_ > 0))
   }
 
+  test("Text.unigramNll: hand-computed corpus LM mean negative log-likelihood") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1, total=5
+    val out = Text.unigramNll(docs, "doc_id", CrossHash.tokens(col("text")))
+      .select("id", "n_tokens", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: (2+1)·(−ln 0.4) / 3 = 0.9163; doc2: (−ln 0.4 − ln 0.2) / 2
+    assert(out(1L) == ((3L, 0.9163)))
+    assert(out(2L) == ((2L, 1.2629)))
+  }
+
+  test("Text.boilerplateCoverage: top-K df blocklist with lexicographic ties") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    // gram df: "a b c"=2; the four df=1 grams tie, "b c d" wins the K=2
+    // boundary lexicographically
+    val out = Text.boilerplateCoverage(
+        docs, "doc_id", CrossHash.wordShingles(CrossHash.tokens(col("text")), 3),
+        topK = 2)
+      .select("id", "n_grams", "n_bp", "bp_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 2L, 0L, 0.0)))
+  }
+
   test("Text.cdcChunkEnds: chunks tile the document; edits stay local") {
     val rnd = new scala.util.Random(42)
     val base = Array.fill(4000)(('a' + rnd.nextInt(26)).toChar).mkString
