@@ -114,6 +114,20 @@ class PlanSpec extends SparkSpec {
       s"expected the chunk_fp self-join in:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark grams; the train side never shuffles into the join") {
+    val p = plan("d_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench side in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"unexpected product join in:\n$p")
+  }
+
+  test("boilerplate blocklist is a bounded top-K broadcast back to the gram frame") {
+    val p = plan("tx_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K df must be partial-topK-merge, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast blocklist in:\n$p")
+  }
+
   test("cdc chunk cut points resolve to the promoted native expression") {
     val p = plan("tx_cdc_chunks")
     assert(p.toLowerCase.contains("graft_cdc_ends"),
