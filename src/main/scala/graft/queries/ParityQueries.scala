@@ -181,6 +181,26 @@ object ParityQueries {
         .orderBy("ID")
     }),
 
+    // K-extension: z-ordered layout. Events written range-partitioned and
+    // sorted on the interleaved (user_id, minute-of-day) z-value — both
+    // fit 11 bits — then the landed files are read back and aggregated.
+    // The oracle pins ROW PRESERVATION (a layout rewrite moves bytes,
+    // never rows); the pruning payoff (every file's footer min/max bounds
+    // both keys) is measured in SinksSpec against a time-sorted layout.
+    "k7_zorder_scan" -> ((s, d) => {
+      val out = scratch(d, "events_zorder")
+      val ev = t(s, d, "events")
+        .withColumn("minute_of_day", hour(col("ts")) * 60 + minute(col("ts")))
+      Sinks.writeZOrdered(ev, out, "user_id", "minute_of_day",
+        files = 16, bits = 11)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -247,6 +267,11 @@ object ParityQueries {
     "k3_partitioned_write" ->
       s"""SELECT event_id AS ID, strftime(ts, '$OracleFmt') AS BackupDate,
          |CAST(CAST(ts AS DATE) AS VARCHAR) AS p_day FROM events ORDER BY ID""".stripMargin,
+
+    "k7_zorder_scan" ->
+      """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
   )

@@ -285,6 +285,32 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental rollup maintenance — the materialized-view pattern that
+    // avoids full recomputes at 100 TB: yesterday's aggregate table merged
+    // with the new day's partial aggregate by RE-AGGREGATING the partials
+    // (counts/sums add, min/max fold; avg derives from merged sums, never
+    // averaged averages). The oracle is the FULL recompute over all rows —
+    // equality IS the merge-correctness claim.
+    "q_incr_rollup" -> ((s, d) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      def partial(df: DataFrame) = df
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+      val li = t(s, d, "lineitem")
+      partial(li.filter(col("l_shipdate") < cut))
+        .unionByName(partial(li.filter(col("l_shipdate") >= cut)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sum_qty").as("sum_qty"),
+          min("min_price").as("min_price"),
+          max("max_price").as("max_price"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n") + 1e-9, 4))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Snapshot diff — change-data capture between two loads of the same
     // table (the reference's daily reload, made auditable): full outer
     // join on the key classifies every row as added / removed / changed,
@@ -646,6 +672,16 @@ object RelationalQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
         |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  round(sum(l_quantity) / count(1) + 0.000000001, 4) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

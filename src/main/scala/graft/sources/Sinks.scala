@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -70,6 +70,43 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-value (Morton code) of two non-negative integer columns: their bits
+    * interleaved (`a` on even positions, `b` on odd), so sorting by it
+    * co-locates rows close in BOTH dimensions. Pure bitwise Column
+    * expression — codegen-eligible, no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ordered parquet layout — multi-dimensional data skipping for tables
+    * queried sometimes by one key, sometimes the other (the Delta/Iceberg
+    * OPTIMIZE ZORDER answer, expressed with vanilla Spark): range-partition
+    * on the z-value into `files` output files and sort within each, so
+    * every file's footer min/max bounds BOTH dimensions and a reader
+    * prunes most files for a predicate on either key. A single-key sort
+    * gives perfect pruning on that key and NONE on the other; the z-curve
+    * trades a constant factor on each for usable pruning on both
+    * (locality measured in SinksSpec against a time-sorted layout).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      files: Int,
+      bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Sink-choosing seam: one destination's write + audit pair. The parquet
     * leg is [[parquetAdapter]] (verified end-to-end here); the production

@@ -37,7 +37,15 @@ object ScaleBench {
     // fingerprints exceed hotCap and the hot-guard drops them — the 10×
     // run exercises exactly the boilerplate-exclusion path that keeps the
     // fp self-join bounded on real corpora.
-    "d_cdc_containment", "d_incremental", "d_curate")
+    "d_cdc_containment", "d_incremental", "d_curate",
+    // round-5 additions. d_decontaminate's benchmark split stays 2% of the
+    // corpus, so the broadcast side grows 10× but remains KBs; copy-unique
+    // rewritten tokens kill cross-copy 5-gram overlap, so contamination
+    // pairs (like the LSH pairs) scale ~linearly. tx_boilerplate's
+    // blocklist is top-500 regardless of corpus size — only the gram
+    // explode and df agg grow. tx_unigram_nll grows the vocabulary with
+    // the copy-unique tokens (the broadcastable-vocab claim under 10×).
+    "d_decontaminate", "tx_boilerplate", "tx_unigram_nll")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

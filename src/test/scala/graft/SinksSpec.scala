@@ -76,6 +76,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout bounds BOTH keys per file; single-key sort only one") {
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    // two independent 11-bit-ish dimensions
+    val df = (0 until n).map { i =>
+      val a = (i * 2654435761L % 1500).toInt   // "user"
+      val b = (i * 40503L % 1440).toInt        // "minute of day"
+      (a, b, i)
+    }.toDF("ka", "kb", "payload")
+    val files = 16
+
+    def admittingFiles(path: String, key: String, lo: Int, hi: Int): Int = {
+      val perFile = spark.read.parquet(path)
+        .select(col(key), input_file_name().as("f"))
+        .groupBy("f").agg(min(key).as("mn"), max(key).as("mx"))
+        .collect()
+      assert(perFile.length == files)
+      perFile.count(r => r.getInt(1) <= hi && r.getInt(2) >= lo)
+    }
+
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sdir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    Sinks.writeZOrdered(df, zdir, "ka", "kb", files = files, bits = 11)
+    // the single-key alternative: perfectly sorted by ka only
+    df.repartitionByRange(files, $"ka").sortWithinPartitions("ka")
+      .write.mode(SaveMode.Overwrite).parquet(sdir)
+
+    // point-ish range on ka: the ka-sorted layout prunes best, z-order
+    // must still prune most files (the constant-factor trade)
+    assert(admittingFiles(sdir, "ka", 700, 710) <= 2)
+    assert(admittingFiles(zdir, "ka", 700, 710) <= files / 2)
+    // range on kb: the ka-sorted layout admits EVERY file (no kb
+    // locality at all); z-order keeps pruning
+    assert(admittingFiles(sdir, "kb", 700, 710) == files)
+    assert(admittingFiles(zdir, "kb", 700, 710) <= files / 2)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
