@@ -157,6 +157,42 @@ object StreamQueries {
       drain(joined, "st_join", "append").orderBy("view_id", "purchase_id")
     }),
 
+    // Cross-batch state merge: the same session-window aggregation, but the
+    // input arrives as FOUR interleaved micro-batches (events hash-split by
+    // id into four files, maxFilesPerTrigger=1) — every session's events
+    // spread across batches, so the final answer is only correct if the
+    // engine's session state MERGES across batches (the property a
+    // single-batch drain never exercises). Complete mode retains all
+    // state, so no row is watermark-dropped and the converged result must
+    // equal the batch oracle regardless of file arrival order.
+    "st_multibatch_parity" -> ((s, d) => {
+      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_split_${ScratchKeys.forPath(d)}", "events4")
+      if (!java.nio.file.Files.isDirectory(splitDir)) {
+        // split from the RAW read (nanos-as-long ts), so the split files
+        // carry the same on-disk schema the stream reader is given below
+        s.read.parquet(s"$d/events.parquet")
+          .repartition(4, col("event_id"))
+          .write.mode("overwrite").parquet(splitDir.toString)
+      }
+      val onDisk = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(onDisk)
+        .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+      val ev =
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val sess = ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), Fmt).as("session_start"),
+          date_format(col("session_window.end"), Fmt).as("session_end"),
+          col("n_events"), col("sum_value"))
+      drain(sess, "st_multibatch", "complete").orderBy("user_id", "session_start")
+    }),
+
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
     // to a sink, then audited: per-type row and distinct-id counts must
     // equal the batch table's (event ids are unique, so dedup is an
@@ -215,6 +251,27 @@ object StreamQueries {
         |ORDER BY day_start, event_type""".stripMargin,
 
     "st_session_parity" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // identical merge rule to st_session_parity — the query differs only
+    // in HOW the input arrives (four interleaved micro-batches)
+    "st_multibatch_parity" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
