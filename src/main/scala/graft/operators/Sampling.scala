@@ -54,4 +54,36 @@ object Sampling {
     }
     df.filter(bucketOf(key, salt) < rate)
   }
+
+  /** Temperature-rebalanced sampling at α = 0.5 — the square-root scaling
+    * used to flatten skewed group distributions (over-represented
+    * languages/domains) in multilingual pretraining mixes: each group's
+    * keep-rate is floor(1000·√(n_min/n_g) + ε) permille, so a group
+    * n_min-sized keeps everything and a k×-larger group keeps √(1/k).
+    *
+    * Unlike [[stratifiedHashSample]] the rates derive from the DATA: one
+    * small aggregation over group counts, broadcast back onto the corpus,
+    * then the same salted-hash membership rule. √ of a rational is
+    * IEEE-exactly-rounded, so the computed rate is bit-identical across
+    * engines (no pow(), whose last-ulp drift could flip the floor).
+    *
+    * Output: the sampled rows plus the group's `n_group` and applied
+    * `rate_permille` (audit columns a curation run records).
+    */
+  def sqrtBalancedSample(
+      df: DataFrame,
+      groupCol: Column,
+      key: Column,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("n_group"))
+    val minN = counts.agg(min("n_group").as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("__g"), col("n_group"),
+        floor(lit(1000) * sqrt(col("__nmin").cast("double") / col("n_group"))
+          + 1e-9).cast("int").as("rate_permille"))
+    df.join(broadcast(rates), groupCol === col("__g"))
+      .filter(bucketOf(key, salt) < col("rate_permille"))
+      .drop("__g")
+  }
 }

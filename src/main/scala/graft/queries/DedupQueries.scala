@@ -181,6 +181,18 @@ object DedupQueries {
           salt = "corpus_v1")
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Temperature-rebalanced multilingual sampling (α = 0.5): keep-rates
+    // derived from the corpus's own language distribution —
+    // floor(1000·√(n_min/n_lang)) permille — so the smallest language
+    // keeps everything and en (3.4× fr at sf0.01) keeps ~54%. The
+    // data-dependent sibling of d_stratified_sample's fixed rates.
+    "d_lang_balance" -> ((s, d) =>
+      Sampling.sqrtBalancedSample(
+          t(s, d, "documents"), col("lang"), col("doc_id").cast("string"),
+          salt = "balance_v1")
+        .select("doc_id", "lang", "n_group", "rate_permille")
+        .orderBy("doc_id")),
+
     // Embedding cosine near-dups within the precomputed cluster label.
     "d_embedding_cos" -> ((s, d) =>
       embeddingPairEdges(s, d).orderBy("block", "a", "b")),
@@ -455,6 +467,20 @@ object DedupQueries {
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'es' THEN 300
         |              WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "d_lang_balance" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_group FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_group) AS nmin FROM c),
+        |r AS (
+        |  SELECT lang, n_group,
+        |    floor(1000 * sqrt(nmin::DOUBLE / n_group) + 0.000000001)::INT
+        |      AS rate_permille
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, r.n_group, r.rate_permille
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (('0x' || substr(md5('balance_v1:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 1000) < r.rate_permille
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d_embedding_cos" ->
       s"""WITH $EmbPairsBody

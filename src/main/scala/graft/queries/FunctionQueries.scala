@@ -247,6 +247,23 @@ object FunctionQueries {
           |FROM v_events_rng ORDER BY event_id""".stripMargin)
     }),
 
+    // Frequent-items sketch: approx_top_k (Datasketches frequent-items) —
+    // the heavy-hitters primitive a corpus-statistics pipeline runs
+    // instead of a full groupBy+sort at scale. With 5 distinct items the
+    // sketch is in its exact regime and counts are all distinct, so the
+    // certificate pins sketch counts EQUAL to the exact aggregation's.
+    "fn_approx_topk" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      val sk = ev.agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n_est"))
+      exact.join(sk, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("n_est") === col("n_exact")).as("sketch_exact"))
+        .orderBy(col("n_exact").desc, col("event_type"))
+    }),
+
     // HLL sketch battery: the mergeable-sketch path for distinct counting
     // at scale — per-partition/per-day sketches union-merged instead of a
     // global shuffle of raw values (the Datasketches HLL built-ins).
@@ -275,6 +292,11 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "fn_approx_topk" ->
+      """SELECT event_type, count(1) AS n_exact, TRUE AS sketch_exact
+        |FROM events GROUP BY event_type
+        |ORDER BY n_exact DESC, event_type LIMIT 3""".stripMargin,
 
     "fn_hll_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,

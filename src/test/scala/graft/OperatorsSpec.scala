@@ -182,6 +182,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.forall(_ > 0))
   }
 
+  test("Sampling.sqrtBalancedSample: data-derived sqrt rates, deterministic membership") {
+    val rows = (1 to 80).map(i => (i.toLong, if (i <= 64) "big" else "small"))
+    val df = rows.toDF("id", "g")
+    val out = Sampling.sqrtBalancedSample(df, col("g"), col("id").cast("string"), "t1")
+      .select("id", "g", "n_group", "rate_permille")
+      .as[(Long, String, Long, Int)].collect().toSeq.sortBy(_._1)
+    // rates: small (n=16, the min) keeps all at 1000‰; big (n=64) at
+    // floor(1000·√(16/64)) = 500‰
+    assert(out.filter(_._2 == "small").forall(r => r._3 == 16L && r._4 == 1000))
+    assert(out.filter(_._2 == "big").forall(r => r._3 == 64L && r._4 == 500))
+    assert(out.count(_._2 == "small") == 16) // rate 1000 keeps every row
+    val bigKept = out.count(_._2 == "big")
+    assert(bigKept > 0 && bigKept < 64)
+    // deterministic: a second evaluation is identical
+    val again = Sampling.sqrtBalancedSample(df, col("g"), col("id").cast("string"), "t1")
+      .select("id", "g", "n_group", "rate_permille")
+      .as[(Long, String, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+  }
+
   test("Text.unigramNll: hand-computed corpus LM mean negative log-likelihood") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1, total=5

@@ -128,6 +128,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast blocklist in:\n$p")
   }
 
+  test("runtime bloom filter injects a might_contain prefilter on the probe side") {
+    // the 100 TB shape: fact SMJ dim-with-selective-filter — Spark's
+    // runtime filtering builds a bloom filter from the filtered dim keys
+    // and applies it to the fact scan BEFORE the shuffle, cutting shuffled
+    // bytes by the dim filter's selectivity. Thresholds are size-based
+    // (10GB-scale defaults), so pin the behavior at spec scale by zeroing
+    // them; the assertion is the injected might_contain, not the sizes.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      val ord = graft.sources.Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected on the probe side:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("cdc chunk cut points resolve to the promoted native expression") {
     val p = plan("tx_cdc_chunks")
     assert(p.toLowerCase.contains("graft_cdc_ends"),
