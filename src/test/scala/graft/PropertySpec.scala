@@ -98,6 +98,57 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("decontaminate: a planted shared 5-gram is always detected; disjoint vocabularies never flag") =
+    forAll(Gen.listOfN(5, word), Gen.listOfN(8, word)) { (shared, noise) =>
+      // three disjoint namespaces: the shared run, the bench/doc-1 noise,
+      // and doc 2's PRIVATE vocabulary (doc 2 must share nothing with the
+      // bench doc — not even noise grams)
+      val sv = shared.map(w => s"s_$w")
+      val nv = noise.map(w => s"n_$w")
+      val mv = noise.map(w => s"m_$w")
+      sv.toSet.size < 5 || {
+        // doc 1 (train) carries the shared run; doc 2 (train) only its own
+        // vocabulary; doc 3 (bench) carries the same shared run amid noise
+        val docs = Seq(
+          (1L, (nv.take(3) ++ sv).mkString(" ")),
+          (2L, (mv ++ mv).mkString(" ")),
+          (3L, (sv ++ nv.drop(3)).mkString(" "))
+        ).toDF("doc_id", "text")
+        val flagged = operators.Dedup.decontaminate(
+            docs, "doc_id", CrossHash.wordShingles(CrossHash.tokens(col("text")), 5),
+            col("doc_id") === 3L)
+          .select("id").as[Long].collect().toSet
+        flagged.contains(1L) && !flagged.contains(2L)
+      }
+    }
+
+  property("boilerplateCoverage: bp_frac in [0,1], n_bp monotone in topK") =
+    forAll(Gen.listOfN(6, Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e")))) { docsToks =>
+      docsToks.isEmpty || {
+        val df = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+          .toDF("doc_id", "text")
+        def run(k: Int) = operators.Text.boilerplateCoverage(
+            df, "doc_id", CrossHash.wordShingles(CrossHash.tokens(col("text")), 3), topK = k)
+          .select("id", "n_bp", "bp_frac").as[(Long, Long, Double)]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        val k2 = run(2); val k50 = run(50)
+        k2.values.forall { case (_, f) => f >= 0.0 && f <= 1.0 } &&
+          k2.keySet.forall(id => k2(id)._1 <= k50(id)._1)
+      }
+    }
+
+  property("sqrtBalancedSample ⊆ input; min-count group fully kept") =
+    forAll(Gen.choose(2, 6), Gen.choose(8, 24)) { (small, big) =>
+      val rows = (1 to big).map(i => (i.toLong, "big")) ++
+        (1 to small).map(i => (100L + i, "small"))
+      val df = rows.toDF("id", "g")
+      val kept = operators.Sampling.sqrtBalancedSample(
+          df, col("g"), col("id").cast("string"), "p1")
+        .select("id", "g").as[(Long, String)].collect().toSeq
+      kept.toSet.subsetOf(rows.toSet) &&
+        kept.count(_._2 == "small") == small
+    }
+
   // keep runtime bounded: each property is a Spark job per case
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(10)
