@@ -45,7 +45,10 @@ object ScaleBench {
     // blocklist is top-500 regardless of corpus size — only the gram
     // explode and df agg grow. tx_unigram_nll grows the vocabulary with
     // the copy-unique tokens (the broadcastable-vocab claim under 10×).
-    "d_decontaminate", "tx_boilerplate", "tx_unigram_nll")
+    "d_decontaminate", "tx_boilerplate", "tx_unigram_nll",
+    // data-derived keep-rates: one tiny agg + broadcast regardless of
+    // corpus size — the 10× run checks the rates join stays broadcast
+    "d_lang_balance")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
