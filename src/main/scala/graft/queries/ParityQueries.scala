@@ -201,6 +201,23 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // K-extension: ORC interchange. The second columnar format Spark
+    // ships natively — a "switch from the reference" user may have ORC
+    // tables in the lake. Write events to ORC, read back through the ORC
+    // reader, aggregate; the oracle pins byte-faithful roundtrip of every
+    // value class in the table (ints, doubles, strings, timestamps).
+    "k8_orc_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "events_orc")
+      t(s, d, "events").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"),
+          date_format(max(col("ts")), Fmt).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -272,6 +289,12 @@ object ParityQueries {
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "k8_orc_roundtrip" ->
+      s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
+         |       round(sum(value), 2) AS sum_value,
+         |       strftime(max(ts), '$OracleFmt') AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
   )

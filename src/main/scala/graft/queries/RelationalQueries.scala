@@ -285,6 +285,25 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // LATERAL correlated subquery with LIMIT — the "top-N related rows per
+    // outer row" shape users write naturally; Spark must decorrelate it
+    // (no per-row re-execution of the inner query), which is the property
+    // that makes it runnable at scale. Restricted to urgent orders so the
+    // output stays review-sized.
+    "q_lateral_topn" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders_lat")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem_lat")
+      s.sql(
+        """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+          |FROM (SELECT * FROM v_orders_lat
+          |      WHERE o_orderpriority = '1-URGENT') o
+          |JOIN LATERAL (
+          |  SELECT l_linenumber, l_extendedprice FROM v_lineitem_lat
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+          |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin)
+    }),
+
     // Incremental rollup maintenance — the materialized-view pattern that
     // avoids full recomputes at 100 TB: yesterday's aggregate table merged
     // with the new day's partial aggregate by RE-AGGREGATING the partials
@@ -672,6 +691,15 @@ object RelationalQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
         |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |JOIN LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l ON TRUE
+        |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
 
     "q_incr_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,

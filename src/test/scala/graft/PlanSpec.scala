@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast blocklist in:\n$p")
   }
 
+  test("lateral top-N decorrelates to WindowGroupLimit + join, no per-row subplan") {
+    val p = plan("q_lateral_topn")
+    // partial per-partition top-N before the window rank — the plan that
+    // scales; a surviving correlated subplan would nested-loop per order
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"lateral fell back to a product join:\n$p")
+  }
+
   test("runtime bloom filter injects a might_contain prefilter on the probe side") {
     // the 100 TB shape: fact SMJ dim-with-selective-filter — Spark's
     // runtime filtering builds a bloom filter from the filtered dim keys
