@@ -87,6 +87,30 @@ object StreamQueries {
     try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  /** The events table as a FOUR-micro-batch stream: rows hash-split by id
+    * into four files (one-time, per data dir), `maxFilesPerTrigger=1`.
+    * Every user's events spread across batches, so consumers exercise
+    * cross-batch behavior (state merge, incremental sink merges) that a
+    * single-batch drain never does. Split from the RAW read (nanos-as-long
+    * ts), so the split files carry the same on-disk schema the stream
+    * reader is given.
+    */
+  private def eventsStreamSplit(s: SparkSession, d: String): DataFrame = {
+    val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_split_${ScratchKeys.forPath(d)}", "events4")
+    if (!java.nio.file.Files.isDirectory(splitDir)) {
+      s.read.parquet(s"$d/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(splitDir.toString)
+    }
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(onDisk)
+      .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     withStreamPartitions(spark) {
@@ -166,23 +190,7 @@ object StreamQueries {
     // state, so no row is watermark-dropped and the converged result must
     // equal the batch oracle regardless of file arrival order.
     "st_multibatch_parity" -> ((s, d) => {
-      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_split_${ScratchKeys.forPath(d)}", "events4")
-      if (!java.nio.file.Files.isDirectory(splitDir)) {
-        // split from the RAW read (nanos-as-long ts), so the split files
-        // carry the same on-disk schema the stream reader is given below
-        s.read.parquet(s"$d/events.parquet")
-          .repartition(4, col("event_id"))
-          .write.mode("overwrite").parquet(splitDir.toString)
-      }
-      val onDisk = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(onDisk)
-        .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
-      val ev =
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-      val sess = ev
+      val sess = eventsStreamSplit(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(
@@ -191,6 +199,53 @@ object StreamQueries {
           date_format(col("session_window.end"), Fmt).as("session_end"),
           col("n_events"), col("sum_value"))
       drain(sess, "st_multibatch", "complete").orderBy("user_id", "session_start")
+    }),
+
+    // The production sink pattern foreachBatch exists for: each micro-batch
+    // MERGED into a target table (here a parquet twin of a warehouse
+    // upsert) — per-batch partial aggregate unioned with the current
+    // target and re-aggregated, materialized, then atomically swapped in.
+    // Four micro-batches ⇒ four merge cycles; the final target must equal
+    // the batch aggregation. Sums carried in DECIMAL so the batch-split
+    // addition order cannot drift the double sum.
+    "st_foreachbatch_upsert" -> ((s, d) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_feb_")
+      try {
+        val target = s"$scratch/target"
+        def mergeBatch(batch: DataFrame): Unit = {
+          val delta = batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+              max(col("ts")).as("last_ts"))
+          val merged =
+            if (new java.io.File(target).isDirectory) {
+              s.read.parquet(target).unionByName(delta)
+                .groupBy("user_id")
+                .agg(sum("n_events").cast("long").as("n_events"),
+                  sum("sum_value").as("sum_value"),
+                  max("last_ts").as("last_ts"))
+            } else delta
+          // materialize BEFORE the overwrite — the plan reads the same
+          // path it is about to replace
+          val mat = merged.localCheckpoint(true)
+          try mat.write.mode("overwrite").parquet(target)
+          finally mat.unpersist()
+        }
+        withStreamPartitions(s) {
+          val q = eventsStreamSplit(s, d).writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => mergeBatch(batch.toDF()))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(target)
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_value").cast("double") + 1e-9, 2).as("sum_value"),
+            date_format(col("last_ts"), Fmt).as("last_ts"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally deleteRecursively(scratch)
     }),
 
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
@@ -289,6 +344,12 @@ object StreamQueries {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st_foreachbatch_upsert" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  round(sum(value::DECIMAL(18,6))::DOUBLE + 0.000000001, 2) AS sum_value,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st_join_parity" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
