@@ -86,4 +86,31 @@ object Sampling {
       .filter(bucketOf(key, salt) < col("rate_permille"))
       .drop("__g")
   }
+
+  /** Uniform integer priority in [0, 2^20): rank rows by it (ascending,
+    * id tie-break) and take the first k for a deterministic fixed-SIZE
+    * sample — the reproducible twin of reservoir sampling. Row-local, no
+    * shuffle until the top-k itself, which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps, no full sort).
+    */
+  def uniformPriority(key: Column, salt: String): Column =
+    pmod(h60(concat(lit(s"$salt:"), key)), lit(1L << 20))
+
+  /** Weighted-sampling priority (without replacement): the row with the
+    * k smallest `floor(r · 2^20 / w)` values is the sample, where
+    * r = h60-uniform in [0, 2^20) and w ≥ 1 is the row's integer weight —
+    * the integer fixed-point form of the exponential-race key −ln(u)/w
+    * (A-ES / Efraimidis–Spirakis), so inclusion probability is
+    * weight-increasing and first-order proportional to w for small
+    * sampling fractions. All-integer arithmetic: the numerator is reduced
+    * to an exact multiple of w before dividing, and both operands sit
+    * below 2^53, so the IEEE division is exact and every engine computes
+    * the identical priority (pow()/ln() last-ulp drift could flip ranks).
+    */
+  def weightedPriority(key: Column, weight: Column, salt: String): Column = {
+    val r = pmod(h60(concat(lit(s"$salt:"), key)), lit(1L << 20))
+    val w = greatest(weight.cast("long"), lit(1L))
+    val num = r * lit(1L << 20)
+    ((num - pmod(num, w)) / w).cast("long")
+  }
 }

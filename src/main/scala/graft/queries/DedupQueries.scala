@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -192,6 +193,38 @@ object DedupQueries {
           salt = "balance_v1")
         .select("doc_id", "lang", "n_group", "rate_permille")
         .orderBy("doc_id")),
+
+    // Fixed-size weighted sample (without replacement): the 50 documents
+    // with the smallest integer priority floor(r·2^20 / n_chars) — longer
+    // documents are proportionally more likely to be drawn (token-weighted
+    // corpus subsampling). All-integer priorities, so the oracle replays
+    // the exact ranking; the top-k runs as TakeOrderedAndProject (no full
+    // sort, per-partition heaps — the shape that survives 100 TB).
+    "d_weighted_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Sampling.weightedPriority(
+            col("doc_id").cast("string"), col("n_chars"), "wsample_v1")
+            .as("priority"))
+        .orderBy("priority", "doc_id").limit(50)
+        .orderBy("doc_id")),
+
+    // Deterministic k-per-group sample (reservoir-k twin): rank each
+    // group's rows by uniform hash priority, keep the first 10 per lang.
+    // One window shuffle on the group key; reproducible across runs,
+    // engines, and partitionings, unlike rand()-ranked reservoirs.
+    "d_reservoir_group" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("priority"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          Sampling.uniformPriority(col("doc_id").cast("string"), "rsv_v1")
+            .as("priority"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("doc_id", "lang", "priority", "rk")
+        .orderBy("doc_id")
+    }),
 
     // Embedding cosine near-dups within the precomputed cluster label.
     "d_embedding_cos" -> ((s, d) =>
@@ -466,6 +499,31 @@ object DedupQueries {
         |WHERE (('0x' || substr(md5('corpus_v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'es' THEN 300
         |              WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "d_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (('0x' || substr(md5('wsample_v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 1048576) AS r,
+        |    greatest(n_chars, 1) AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, n_chars, (r * 1048576) // w AS priority
+        |  FROM p ORDER BY priority, doc_id LIMIT 50)
+        |SELECT doc_id, lang, n_chars, priority FROM k ORDER BY doc_id""".stripMargin,
+
+    "d_reservoir_group" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5('rsv_v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 1048576) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, priority,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rk
+        |  FROM p)
+        |SELECT doc_id, lang, priority, rk FROM r WHERE rk <= 10
         |ORDER BY doc_id""".stripMargin,
 
     "d_lang_balance" ->

@@ -218,6 +218,38 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // K4 made real: NDJSON interchange — the line-delimited JSON format
+    // the reference DECLARES for its load jobs (`bigquery_operations.py`'s
+    // `source_format=NEWLINE_DELIMITED_JSON`, a latent no-op there; see
+    // SURVEY §2.3). Write orders as NDJSON, read back under the declared
+    // schema (fail-fast, no inference), and emit every row — pinning
+    // text-format fidelity for ints, doubles, strings, and timestamps.
+    "k9_json_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "orders_ndjson")
+      val orders = t(s, d, "orders")
+      orders.write.mode("overwrite").json(out)
+      s.read.schema(orders.schema).json(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          date_format(col("o_orderdate"), Fmt).as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // CSV interchange under a declared schema: the row-oriented text
+    // format every warehouse migration passes through at least once.
+    // Quoted, headered write; schema-bound read (no inference — a type
+    // drift fails loudly instead of silently widening to string).
+    "k10_csv_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "customer_csv")
+      val cust = t(s, d, "customer")
+      cust.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(cust.schema).option("header", "true").csv(out)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -295,6 +327,16 @@ object ParityQueries {
          |       round(sum(value), 2) AS sum_value,
          |       strftime(max(ts), '$OracleFmt') AS max_ts
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "k9_json_roundtrip" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |round(o_totalprice, 2) AS o_totalprice,
+         |strftime(o_orderdate, '$OracleFmt') AS o_orderdate, o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k10_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+        |c_mktsegment FROM customer ORDER BY c_custkey""".stripMargin,
 
     "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
   )

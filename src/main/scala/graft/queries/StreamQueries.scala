@@ -145,6 +145,21 @@ object StreamQueries {
       drain(agg, "st_tumbling", "complete").orderBy("day_start", "event_type")
     }),
 
+    // Sliding-window aggregation through the streaming engine: 2-hour
+    // windows every 30 minutes, so each event lands in exactly 4
+    // overlapping windows (size/slide). Complete mode emits every window
+    // on drain; the oracle replays the overlap by fanning each event out
+    // to its 4 epoch-aligned window starts (trunc(ts, 30m) − i·30m).
+    "st_sliding_parity" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), Fmt).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      drain(agg, "st_sliding", "complete").orderBy("win_start", "event_type")
+    }),
+
     // Streaming session windows through the engine's session_window state
     // merging, complete mode so the final (unflushed-by-watermark) sessions
     // emit on drain. The oracle replays the merge rule exactly: Spark
@@ -304,6 +319,15 @@ object StreamQueries {
         | event_type, count(1) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
+
+    "st_sliding_parity" ->
+      """SELECT strftime(make_timestamp(
+        |    (epoch_us(ts) // 1800000000) * 1800000000 - i * 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, range(0, 4) r(i)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "st_session_parity" ->
       """WITH x AS (
