@@ -214,6 +214,29 @@ object FunctionQueries {
           "coalesce(try_cast(event_type AS BIGINT), -1) AS defaulted")
         .orderBy("event_id")),
 
+    // URL parsing — the web-pipeline normalization primitive (crawl data
+    // is keyed by host/path). URLs are constructed deterministically from
+    // customer columns, then decomposed with parse_url; the oracle
+    // recomputes each component from the same inputs, so the row pins
+    // Spark's extraction semantics against ground truth (incl. the
+    // per-parameter QUERY lookup).
+    "fn_url" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("url", concat(
+          lit("https://"), lower(col("c_mktsegment")), lit(".example.com/cust/"),
+          col("c_custkey").cast("string"),
+          lit("/profile?seg="), lower(col("c_mktsegment")),
+          lit("&id="), col("c_custkey").cast("string")))
+        .select(
+          col("c_custkey"),
+          col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+        .orderBy("c_custkey")),
+
     // Window-function battery: ranking family, value family, explicit ROWS
     // frame (last_value needs it — the default frame stops at CURRENT ROW).
     "fn_window_funcs" -> ((s, d) => {
@@ -435,6 +458,17 @@ object FunctionQueries {
         | try_cast(substr(event_type, 1, 1) AS DOUBLE) AS bad_dbl,
         | coalesce(try_cast(event_type AS BIGINT), -1) AS defaulted
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_url" ->
+      """SELECT c_custkey,
+        | 'https://' || lower(c_mktsegment) || '.example.com/cust/' || c_custkey
+        |   || '/profile?seg=' || lower(c_mktsegment) || '&id=' || c_custkey AS url,
+        | lower(c_mktsegment) || '.example.com' AS host,
+        | '/cust/' || c_custkey || '/profile' AS path,
+        | 'seg=' || lower(c_mktsegment) || '&id=' || c_custkey AS query,
+        | c_custkey::VARCHAR AS id_param,
+        | 'https' AS proto
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_window_funcs" ->
       """SELECT event_id, user_id,

@@ -250,6 +250,23 @@ object ParityQueries {
         .orderBy("c_custkey")
     }),
 
+    // XML interchange via Spark 4's built-in XML source (the spark-xml
+    // package folded into core): write supplier under a rowTag, read back
+    // under the declared schema (no inference), and emit every row. The
+    // xml_probe column carries the XML metacharacters (<, &, ", ') so the
+    // roundtrip proves the writer escapes and the reader un-escapes
+    // arbitrary text, and numerics must survive the text format.
+    "k11_xml_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "supplier_xml")
+      val sup = t(s, d, "supplier").withColumn("xml_probe",
+        concat(col("s_name"), lit(" <&\"'> "), col("s_nationkey").cast("string")))
+      sup.write.mode("overwrite").option("rowTag", "supplier").xml(out)
+      s.read.schema(sup.schema).option("rowTag", "supplier").xml(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("xml_probe"))
+        .orderBy("s_suppkey")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -337,6 +354,12 @@ object ParityQueries {
     "k10_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
         |c_mktsegment FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "k11_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |round(s_acctbal, 2) AS s_acctbal,
+        |s_name || ' <&"''> ' || s_nationkey AS xml_probe
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
   )

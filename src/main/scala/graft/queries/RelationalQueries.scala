@@ -498,6 +498,25 @@ object RelationalQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Semi-structured VARIANT path (Spark 4): parse the props JSON ONCE
+    // into the binary-encoded VariantType, then do typed extractions from
+    // the parsed value. At scale this is the right shape for repeated
+    // extraction — parse_json is paid once per row and each variant_get
+    // is a cheap binary probe, where q_json_extract's get_json_object
+    // re-parses the string per call. try_variant_get pins the
+    // missing-path (NULL, not error) and cast semantics.
+    "q_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          try_variant_get(col("v"), "$.k", "bigint").as("k_int"),
+          try_variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.missing", "string").as("k_missing"),
+          is_variant_null(col("v")).as("v_is_null"))
+        .orderBy("event_id")),
+
     // JSON extraction from the events props column.
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -809,6 +828,14 @@ object RelationalQueries {
         |    PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
         |FROM joined ORDER BY day, event_type""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id, event_type,
+        | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        | json_extract_string(props, '$.k') AS k_str,
+        | json_extract_string(props, '$.missing') AS k_missing,
+        | false AS v_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(1) AS n,

@@ -152,6 +152,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // RAG-style chunking: overlapping sliding word-windows (size 32,
+    // stride 24 ⇒ 8-token overlap), one fingerprinted row per chunk. The
+    // chunk table is what an embedding/retrieval stage consumes; the
+    // explode parallelizes per-document, no shuffle before it, so at
+    // 100 TB the chunker is a pure map stage.
+    "tx_chunk_overlap" -> ((s, d) => {
+      val size32 = 32
+      val stride = 24
+      docs(s, d).withColumn("tk", toks)
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0),
+            greatest(size(col("tk")) - 1, lit(0)), lit(stride))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          slice(col("tk"), col("start") + 1, lit(size32)).as("chunk"))
+        .select(col("doc_id"), col("start"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "start")
+    }),
+
     // PII scrubbing: deterministic synthetic PII (email / phone / IPv4
     // derived from doc_id) appended to every document, then scrubbed to
     // typed placeholders; `pii_free` certifies no residual match. Both
@@ -361,6 +381,23 @@ object TextQueries {
           |  floor((cum - n_tokens) / 512)::BIGINT AS bin_first,
           |  floor((cum - 1) / 512)::BIGINT AS bin_last
           |FROM w ORDER BY doc_id""".stripMargin,
+
+      "tx_chunk_overlap" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id, toks,
+          |    unnest(range(0, greatest(len(toks), 1), 24)) AS start
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, start,
+          |    list_slice(toks, start + 1, start + 32) AS chunk
+          |  FROM st)
+          |SELECT doc_id, start::BIGINT AS start,
+          |  len(chunk)::BIGINT AS n_toks,
+          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+          |FROM c ORDER BY doc_id, start""".stripMargin,
 
       "tx_cdc_chunks" ->
         """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
