@@ -111,6 +111,79 @@ object StreamQueries {
     else raw
   }
 
+  /** Late-arrival fixture: five single-file micro-batches in a pinned
+    * order (explicit distinct mod-times; the file source triggers in
+    * mod-time order):
+    *
+    *   1. on-time bulk (event_id % 5 ≠ 0)
+    *   2. watermark-advance sentinel S1 at hour-align(max ts)+1h30m — its
+    *      event time pushes the watermark to S1−1d BEFORE the stragglers
+    *      arrive, so by then every window ending ≤ max(on-time)−1d has
+    *      already been finalized and evicted
+    *   3. stragglers (event_id % 5 = 0) — judged against that watermark
+    *   4./5. flush sentinels S1+2d, S1+3d — advance the watermark past
+    *      every real window so append mode emits the remainder (no-data
+    *      micro-batches are disabled in the drain helper, so emission
+    *      needs trailing DATA batches)
+    *
+    * Sentinels must NOT be filtered out between source and watermark node:
+    * a `filter` there is pushed down to the parquet scan and the watermark
+    * never advances (found empirically — the pushed predicate removed the
+    * sentinel before EventTimeWatermarkExec saw its event time). They flow
+    * through the aggregation instead; their far-future windows never
+    * finalize, and the consumer scrubs them by window start. Sentinels sit
+    * at :30 offsets so no watermark ever lands exactly on an hour-aligned
+    * window end (boundary semantics stay unobservable). Built once per
+    * data dir from the RAW on-disk schema; the one collected scalar
+    * (max ts) is fixture construction, not query-path work.
+    */
+  private def eventsStreamLate(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_late_${ScratchKeys.forPath(d)}", "events_late")
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType == LongType
+      val stage = java.nio.file.Files.createTempDirectory("graft_late_build_")
+      def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val part = s"$stage/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        val file = new java.io.File(part).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(file.toPath, dest)
+        dest.toFile.setLastModified(mtimeMs)
+      }
+      try {
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val maxNs =
+          if (tsIsLong) raw.agg(max("ts")).head.getLong(0)
+          else raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+        def sentinel(id: Long, days: Long): DataFrame = {
+          val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
+          val tsCol =
+            if (tsIsLong) lit(ns)
+            else expr(s"timestamp_micros(${ns / 1000}L)")
+          raw.limit(1).select(
+            lit(-id).cast("long").as("event_id"), tsCol.as("ts"),
+            lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        }
+        writeOne(raw.filter(pmod(col("event_id"), lit(5)) =!= 0), "f1_ontime", 1000000L)
+        writeOne(sentinel(1, 0), "f2_wm_advance", 2000000L)
+        writeOne(raw.filter(pmod(col("event_id"), lit(5)) === 0), "f3_late", 3000000L)
+        writeOne(sentinel(2, 2), "f4_flush_a", 4000000L)
+        writeOne(sentinel(3, 3), "f5_flush_b", 5000000L)
+      } finally deleteRecursively(stage)
+    }
+    val raw = s.readStream.schema(onDisk)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     withStreamPartitions(spark) {
@@ -214,6 +287,40 @@ object StreamQueries {
           date_format(col("session_window.end"), Fmt).as("session_end"),
           col("n_events"), col("sum_value"))
       drain(sess, "st_multibatch", "complete").orderBy("user_id", "session_start")
+    }),
+
+    // Watermark late-data semantics, pinned end-to-end and empirically:
+    // stragglers arrive two micro-batches after the bulk (a sentinel batch
+    // between them advances the watermark), and the engine judges them
+    // against the watermark IN FORCE DURING THE PREVIOUS BATCH — i.e.
+    // max(on-time ts) − 1 day, the value that already finalized and
+    // evicted old windows — not the newer one committed from the sentinel.
+    // A straggler whose hour-window end is ≤ that value is DROPPED (its
+    // window already emitted; no partial duplicate appears); one whose
+    // window is still open MERGES in. Determined against live runs at two
+    // scale factors, including the boundary window only the lagged
+    // watermark admits. The oracle replays exactly that rule: on-time rows
+    // plus stragglers with window_end > max(on-time) − 1d. Sums in DECIMAL
+    // so cross-batch addition order cannot drift a double.
+    "st_late_data_parity" -> ((s, d) => {
+      val agg = eventsStreamLate(s, d)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        .select(
+          date_format(col("window.start"), Fmt).as("win_start"),
+          col("n"),
+          round(col("sv").cast("double") + 1e-9, 2).as("sum_value"))
+      val drained = drain(agg, "st_late_data", "append")
+      // scrub the sentinel windows: real windows start at or before
+      // hour-align(max real ts); sentinel windows start strictly after
+      val cutoff = graft.sources.Tables.load(s, d, "events")
+        .agg(date_format(date_trunc("hour", max(col("ts"))), Fmt)
+          .as("real_floor"))
+      drained.join(broadcast(cutoff), col("win_start") <= col("real_floor"))
+        .drop("real_floor")
+        .orderBy("win_start", "n")
     }),
 
     // The production sink pattern foreachBatch exists for: each micro-batch
@@ -368,6 +475,20 @@ object StreamQueries {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st_late_data_parity" ->
+      """WITH a AS (SELECT ts, value FROM events WHERE event_id % 5 <> 0),
+        |wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM a),
+        |keep AS (
+        |  SELECT ts, value FROM a
+        |  UNION ALL
+        |  SELECT e.ts, e.value FROM events e, wm
+        |  WHERE e.event_id % 5 = 0
+        |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  count(1) AS n,
+        |  round(sum(value::DECIMAL(18,6))::DOUBLE + 0.000000001, 2) AS sum_value
+        |FROM keep GROUP BY win_start ORDER BY win_start""".stripMargin,
 
     "st_foreachbatch_upsert" ->
       """SELECT user_id, count(1) AS n_events,

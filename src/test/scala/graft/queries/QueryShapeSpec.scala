@@ -51,6 +51,20 @@ class QueryShapeSpec extends SparkSpec {
     assert(!row._4, "parsed object is not the JSON null literal")
   }
 
+  test("st_late_data_parity: some stragglers drop, some merge, no duplicate windows") {
+    import spark.implicits._
+    val out = StreamQueries.queries("st_late_data_parity")(spark, sf)
+      .select(col("win_start"), col("n")).as[(String, Long)].collect()
+    assert(out.map(_._1).distinct.length == out.length,
+      "append mode must emit each finalized window exactly once")
+    val total = out.map(_._2).sum
+    val all = graft.sources.Tables.load(spark, sf, "events").count()
+    val onTime = graft.sources.Tables.load(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(5)) =!= 0).count()
+    assert(total < all, "watermark must drop at least one straggler")
+    assert(total > onTime, "at least one straggler must merge into a live window")
+  }
+
   test("k11_xml_roundtrip: XML metacharacters survive write+read") {
     val out = ParityQueries.queries("k11_xml_roundtrip")(spark, sf)
     val probes = out.select("xml_probe").collect().map(_.getString(0))
