@@ -22,6 +22,7 @@ object SparkEntry {
     Seq(
       (ParityQueries.queries, ParityQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (WarehouseQueries.queries, WarehouseQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
