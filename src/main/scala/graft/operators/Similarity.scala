@@ -68,6 +68,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact maximum-inner-product top-k via the norm-augmentation
+    * reduction (Shrivastava & Li, NeurIPS 2014): augmenting every corpus
+    * vector to [x ; sqrt(M² − |x|²)] (M = max corpus norm) gives all of
+    * them norm M, so cosine against [q ; 0] equals dot/(|q|·M) — strictly
+    * monotone in the inner product. Ranking by that cosine IS MIPS, which
+    * is what lets any cosine-ANN index (the hyperplane-LSH / IVF paths
+    * here) serve inner-product queries at scale without a dedicated MIPS
+    * index. The max-norm is a one-row aggregate kept in-plan via a
+    * broadcast cross join — no driver collect.
+    */
+  def mipsTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .withColumn("cn2", dotD(col("ce"), col("ce")))
+    val m2 = c.agg(max("cn2").as("m2"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(m2))
+      .withColumn("dot", dotD(col("qe"), col("ce")))
+      // rounded to 7 decimals BEFORE ranking, same as bruteForceTopK, so
+      // cross-engine double noise cannot flip ranks.
+      .withColumn("augcos", round(col("dot") / (col("qn") * sqrt(col("m2"))), 7))
+    val w = Window.partitionBy("query_id").orderBy(col("augcos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dot") + 1e-9, 4).as("dot"))
+  }
+
   /** IVF coarse quantizer: deterministic Lloyd k-means entirely in
     * DataFrame operators. Initial centroids are the `nlist` vectors with
     * the smallest ids (deterministic — no random init, so results are

@@ -267,6 +267,24 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
+    // K-extension: small-file compaction — fragment events into 64 tiny
+    // files, compact to a byte-budgeted file count, and prove the rewrite
+    // is lossless (the oracle checks content; SinksSpec pins the file-count
+    // mechanics). The maintenance pass any append-mode sink needs at scale.
+    "k12_compaction" -> ((s, d) => {
+      val frag = scratch(d, "events_frag")
+      val comp = scratch(d, "events_compact")
+      t(s, d, "events").repartition(64).write.mode("overwrite").parquet(frag)
+      Sinks.compact(s, frag, comp, targetFileBytes = 8L << 20)
+      s.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"),
+          date_format(max(col("ts")), Fmt).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -360,6 +378,12 @@ object ParityQueries {
         |round(s_acctbal, 2) AS s_acctbal,
         |s_name || ' <&"''> ' || s_nationkey AS xml_probe
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "k12_compaction" ->
+      s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
+         |       round(sum(value), 2) AS sum_value,
+         |       strftime(max(ts), '$OracleFmt') AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "k5_count_audit" -> "SELECT COUNT(*) AS n FROM customer"
   )

@@ -112,6 +112,15 @@ object SimilarityQueries {
             <= col("scale") * 0.5000001).as("err_ok"))
         .orderBy("vec_id")),
 
+    // Maximum-inner-product top-5 via the norm-augmentation reduction to
+    // cosine; the oracle replays the same augmented ranking, so a wrong
+    // reduction (bad M², norm on the wrong side) hash-mismatches.
+    "sim_mips" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mipsTopK(queriesOf(e), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val q = queriesOf(e)
@@ -130,6 +139,24 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "sim_mips" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |m AS (SELECT max(${dotSql("embedding", "embedding")}) AS m2 FROM e),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id,
+         |    ${dotSql("qe", "embedding")} AS dot,
+         |    round(${dotSql("qe", "embedding")}
+         |      / (sqrt(${dotSql("qe", "qe")}) * sqrt(m2)), 7) AS augcos
+         |  FROM q JOIN e ON vec_id <> qid, m),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY augcos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(dot + 0.000000001, 4) AS dot
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_knn_2stage" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -184,6 +184,67 @@ object StreamQueries {
     else raw
   }
 
+  /** Flush fixture for APPEND-mode windowed aggregations with nothing
+    * late: one micro-batch with ALL real events, then three far-future
+    * flush sentinels (+2/+3/+4 days, one per batch). The sentinels advance
+    * the watermark past every real window so append mode emits them all on
+    * a bounded drain (no-data micro-batches are disabled in the drain
+    * helper, so emission needs trailing DATA batches — and a CHAINED
+    * aggregation needs one extra batch of headroom per stage for its
+    * emissions to flow through the downstream state). Since every real
+    * event arrives in batch 1, the watermark never drops anything — the
+    * batch oracle is the plain aggregation, no late-data replay.
+    * Sentinels carry event_type `__flush` and are scrubbed AFTER the
+    * drain (a filter between source and watermark node would be pushed
+    * into the scan and the watermark would never advance — see
+    * eventsStreamLate).
+    */
+  private def eventsStreamFlush(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_flush_${ScratchKeys.forPath(d)}", "events_flush")
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType == LongType
+      val stage = java.nio.file.Files.createTempDirectory("graft_flush_build_")
+      def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val part = s"$stage/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        val file = new java.io.File(part).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(file.toPath, dest)
+        dest.toFile.setLastModified(mtimeMs)
+      }
+      try {
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val maxNs =
+          if (tsIsLong) raw.agg(max("ts")).head.getLong(0)
+          else raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+        def sentinel(id: Long, days: Long): DataFrame = {
+          val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
+          val tsCol =
+            if (tsIsLong) lit(ns)
+            else expr(s"timestamp_micros(${ns / 1000}L)")
+          raw.limit(1).select(
+            lit(-id).cast("long").as("event_id"), tsCol.as("ts"),
+            lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        }
+        writeOne(raw, "f1_all", 1000000L)
+        writeOne(sentinel(1, 2), "f2_flush_a", 2000000L)
+        writeOne(sentinel(2, 3), "f3_flush_b", 3000000L)
+        writeOne(sentinel(3, 4), "f4_flush_c", 4000000L)
+      } finally deleteRecursively(stage)
+    }
+    val raw = s.readStream.schema(onDisk)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     withStreamPartitions(spark) {
@@ -393,6 +454,33 @@ object StreamQueries {
     // must equal the batch twin over the same parquet. Fresh scratch dirs
     // per invocation (removed after the result is materialized) keep the
     // query self-contained and idempotent across suite runs.
+    // CHAINED stateful aggregation in one streaming query (multiple
+    // stateful operators, Spark 3.4+): hourly sums roll up into daily
+    // (n_hours, sum) windows via window-of-window, both stages sharing the
+    // event-time watermark. This is the streaming shape of every rollup
+    // hierarchy at scale — the alternative is two queries bridged by a
+    // sink, paying a full extra write/read of the intermediate. Append
+    // mode is mandatory for chained aggs, so emission is driven by the
+    // flush-sentinel fixture; sums ride DECIMAL so micro-batch addition
+    // order cannot drift the double.
+    "st_chained_agg_parity" -> ((s, d) => {
+      val hourly = eventsStreamFlush(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("hv"))
+      val daily = hourly
+        .groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum("hv").as("dv"))
+        .select(
+          date_format(col("window.start"), Fmt).as("day_start"),
+          col("event_type"), col("n_hours"),
+          round(col("dv").cast("double") + 1e-9, 2).as("sum_value"))
+      drain(daily, "st_chained_agg", "append")
+        .filter(col("event_type") =!= "__flush")
+        .orderBy("day_start", "event_type")
+    }),
+
     "st_file_sink_parity" -> ((s, d) => {
       val scratch = java.nio.file.Files.createTempDirectory("graft_file_sink_")
       try {
@@ -510,6 +598,17 @@ object StreamQueries {
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st_chained_agg_parity" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type,
+        |         sum(value::DECIMAL(18,6)) AS hv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', hr), '%Y-%m-%d %H:%M:%S') AS day_start,
+        |       event_type, count(1) AS n_hours,
+        |       round(sum(hv)::DOUBLE + 0.000000001, 2) AS sum_value
+        |FROM h GROUP BY date_trunc('day', hr), event_type
+        |ORDER BY day_start, event_type""".stripMargin,
 
     "st_file_sink_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,

@@ -217,6 +217,33 @@ object TextQueries {
         .orderBy(col("n").desc, col("gram"))
         .limit(20)),
 
+    // PMI word co-occurrence: which token pairs appear in the same
+    // document far more than chance — the collocation statistic behind
+    // phrase mining and tokenizer-merge candidates. Scale shape: the
+    // vocabulary is bounded FIRST (top 150 tokens by document frequency,
+    // a broadcast), so the per-document pair join is |vocab-hits/doc|²
+    // per document, never corpus × corpus.
+    "tx_pmi" -> ((s, d) => {
+      val dt = docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(150)
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val dv = dt.join(broadcast(vocab), "tok")
+      dv.as("x")
+        .join(dv.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+        .groupBy(col("x.tok").as("a"), col("y.tok").as("b"),
+          col("x.df").as("df_a"), col("y.df").as("df_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(log((col("n_ab") * col("n_docs")) / (col("df_a") * col("df_b"))) + 1e-9, 4)
+            .as("pmi"))
+        .orderBy(col("n_ab").desc, col("a"), col("b"))
+        .limit(25)
+    }),
+
     // Multimodal frame sampling: documents as binary payloads chopped into
     // 64-byte frames, one fingerprint per frame (decode step stubbed —
     // see graft.operators.Multimodal).
@@ -474,6 +501,24 @@ object TextQueries {
            |SELECT doc_id, n_grams::BIGINT AS n_grams, n_bp,
            |  round(n_bp::DOUBLE / n_grams + 0.000000001, 4) AS bp_frac
            |FROM d ORDER BY doc_id""".stripMargin,
+
+      "tx_pmi" ->
+        s"""$toksCte,
+           |dt AS (
+           |  SELECT DISTINCT doc_id, tok
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+           |df AS (SELECT tok, count(1) AS df FROM dt GROUP BY tok),
+           |vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 150),
+           |dv AS (SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN vocab v USING (tok)),
+           |n AS (SELECT count(1) AS n_docs FROM documents),
+           |p AS (
+           |  SELECT x.tok AS a, y.tok AS b, x.df AS df_a, y.df AS df_b,
+           |         count(1) AS n_ab
+           |  FROM dv x JOIN dv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT a, b, n_ab,
+           |  round(ln((n_ab * n_docs) / (df_a * df_b)) + 0.000000001, 4) AS pmi
+           |FROM p, n ORDER BY n_ab DESC, a, b LIMIT 25""".stripMargin,
 
       "tx_ngram_freq" ->
         s"""$toksCte,

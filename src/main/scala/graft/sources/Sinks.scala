@@ -108,6 +108,36 @@ object Sinks {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-file compaction — the table-maintenance pass every streaming or
+    * per-batch-append sink eventually needs (thousands of KB-sized files
+    * turn a 100 TB scan into a metadata storm and kill split planning).
+    * Sizes the output to ceil(totalBytes / targetFileBytes) files from the
+    * ACTUAL on-disk byte count (a driver-side file listing — metadata, not
+    * data), then rewrites in one distributed pass. Round-robin
+    * repartition, not coalesce: coalesce would chain small source files
+    * into few tasks without rebalancing bytes, keeping the skew that made
+    * the files small in the first place.
+    *
+    * Returns (input file count, output file count) for auditability.
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    def parquetFiles(dir: String): Array[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val inFiles = parquetFiles(inDir)
+    val totalBytes = inFiles.map(_.length()).sum
+    val nOut = math.max(1, ((totalBytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    (inFiles.length, parquetFiles(outDir).length)
+  }
+
   /** Sink-choosing seam: one destination's write + audit pair. The parquet
     * leg is [[parquetAdapter]] (verified end-to-end here); the production
     * BigQuery leg is [[BigQuerySink.adapter]] (structural — no connector

@@ -117,6 +117,31 @@ class SinksSpec extends SparkSpec {
     assert(admittingFiles(zdir, "kb", 700, 710) <= files * 3 / 4)
   }
 
+  test("compaction sizes output files to the byte budget and loses nothing") {
+    import org.apache.spark.sql.functions._
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft_comp").toString
+    val df = (0 until 50000).map(i => (i.toLong, s"payload_$i", i * 1.5))
+      .toDF("id", "s", "v")
+    df.repartition(40).write.mode(SaveMode.Overwrite).parquet(frag)
+
+    val totalBytes = Option(new java.io.File(frag).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = totalBytes / 4 + 1 // expect ceil(total/target) = 4 files
+    val (nIn, nOut) = Sinks.compact(spark, frag, comp, target)
+
+    assert(nIn == 40)
+    assert(nOut == 4)
+    // lossless: same rows, same content
+    assert(spark.read.parquet(comp).count() == 50000)
+    assert(spark.read.parquet(comp).except(df).isEmpty
+      && df.except(spark.read.parquet(comp)).isEmpty)
+    // round-robin rebalance: no output file more than ~2x the even share
+    val sizes = Option(new java.io.File(comp).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    assert(sizes.max <= sizes.sum / sizes.length * 2)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
