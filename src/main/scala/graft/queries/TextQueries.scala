@@ -226,9 +226,13 @@ object TextQueries {
     "tx_pmi" -> ((s, d) => {
       val dt = docs(s, d)
         .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      // eager-materialize the two tiny frames (150 + 1 rows): both feed
+      // BOTH sides of the self-join, and without the checkpoint each side
+      // re-runs the full corpus-wide df aggregation.
       val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(150)
-      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true)
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs")).localCheckpoint(true)
       val dv = dt.join(broadcast(vocab), "tok")
       dv.as("x")
         .join(dv.as("y"),

@@ -53,17 +53,19 @@ object WarehouseQueries {
     // SCD Type-2 dimension build: per-customer order-priority history
     // compressed to change runs with [effective_from, effective_to)
     // validity and an is_current flag — the standard warehouse shape for
-    // attribute history. Three window passes over ONE hash partitioning
-    // (all windows share partitionBy custkey, so Catalyst plans a single
-    // shuffle); same-day collisions resolve deterministically to the max
-    // order key before run-compression.
+    // attribute history. ALL window passes partition by custkey alone —
+    // the same-day dedup keeps the first row of each date run under a
+    // (date asc, orderkey desc) sort instead of a (custkey, date)
+    // partitioned row_number — so Catalyst plans ONE hash shuffle and
+    // re-sorts within it (PlanSpec pins this; the two-partitioning
+    // formulation pays a second full shuffle at scale).
     "q_scd2" -> ((s, d) => {
-      val byDay = Window.partitionBy("o_custkey", "o_orderdate")
-        .orderBy(col("o_orderkey").desc)
+      val byCustDayKey = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey").desc)
       val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate")
       val dedup = t(s, d, "orders")
-        .withColumn("rn", row_number().over(byDay))
-        .filter(col("rn") === 1)
+        .withColumn("prev_day", lag("o_orderdate", 1).over(byCustDayKey))
+        .filter(col("prev_day").isNull || col("prev_day") =!= col("o_orderdate"))
       val runs = dedup
         .withColumn("prev", lag("o_orderpriority", 1).over(byCust))
         .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
@@ -156,6 +158,102 @@ object WarehouseQueries {
         .orderBy("rule")
     }),
 
+    // Recursive CTE through the SQL surface (Spark 4.x UnionLoop): rolled-up
+    // cost in integer cents along each node's ancestor path over the same
+    // derived taxonomy as q_hierarchy — the BOM-explode shape. Complements
+    // the pointer-doubling operator: one resolves hierarchies inside the
+    // DataFrame API, this one serves users who arrive with WITH RECURSIVE
+    // SQL. Integer cents, not decimal, so path sums are bit-exact across
+    // engines.
+    "q_path_rollup" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      s.sql(
+        """WITH RECURSIVE walk AS (
+          |  SELECT p_partkey AS node, p_partkey AS cur,
+          |         CAST(round(p_retailprice * 100) AS BIGINT) AS cost_cents,
+          |         0 AS depth
+          |  FROM part_v
+          |  UNION ALL
+          |  SELECT w.node, p.p_partkey AS cur,
+          |         w.cost_cents + CAST(round(p.p_retailprice * 100) AS BIGINT),
+          |         w.depth + 1
+          |  FROM walk w
+          |  JOIN part_v p
+          |    ON w.cur > 10 AND p.p_partkey = w.cur DIV (2 + w.cur % 3))
+          |SELECT node, CAST(max(depth) AS BIGINT) AS depth,
+          |       max_by(cost_cents, depth) AS path_cost_cents
+          |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+    }),
+
+    // Markov transition matrix over per-user event sequences: P(next type |
+    // current type) from lag pairs — the session-model statistic. One
+    // shuffle for the lag, one for the pair counts; the per-source totals
+    // come from a window over the SAME (prev) grouping.
+    "q_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val byPrev = Window.partitionBy("prev_type")
+      t(s, d, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum("n").over(byPrev) + 1e-9, 4))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // Peak concurrency by sweep line: each event opens a 30-minute
+    // interval; +1/−1 boundary points, running sum per event_type, report
+    // each type's peak and when it was first reached. Half-open intervals:
+    // at a shared instant the −1 applies before the +1 (delta asc in the
+    // sort), so touching intervals never double-count. An explicit ROWS
+    // frame plus a unique total order (t, delta, event_id) keeps the
+    // running sum identical across engines.
+    "q_concurrency" -> ((s, d) => {
+      // boundary points via explode, not a self-union: one scan of the
+      // events table instead of two (PlanSpec pins the single scan).
+      val pts = t(s, d, "events").select(
+          col("event_type"), col("event_id"),
+          explode(array(
+            struct(col("ts").as("t"), lit(1L).as("delta")),
+            struct((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+              lit(-1L).as("delta")))).as("pt"))
+        .select(col("event_type"), col("pt.t").as("t"),
+          col("pt.delta").as("delta"), col("event_id"))
+      val sweep = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byType = Window.partitionBy("event_type")
+      pts
+        .withColumn("running", sum("delta").over(sweep))
+        .withColumn("peak", max("running").over(byType))
+        .filter(col("running") === col("peak"))
+        .groupBy("event_type")
+        .agg(max("peak").as("peak"),
+          date_format(min("t"), Fmt).as("first_peak_at"))
+        .orderBy("event_type")
+    }),
+
+    // Windowed EWMA (decay 0.8 over the 8 most recent values per user):
+    // the finite-window closed form as eight explicit lags, so the plan is
+    // one window pass with no recursion and the weights are decimal
+    // literals both engines parse to identical doubles.
+    "q_ewma" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w = (0 until 8).map(k => BigDecimal("0.8").pow(k))
+      val lags = col("value") +: (1 until 8).map(k => lag(col("value"), k).over(byUser))
+      val num = (0 until 8).map(k =>
+        when(lags(k).isNotNull, lags(k) * lit(w(k).toDouble)).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 until 8).map(k =>
+        when(lags(k).isNotNull, lit(w(k).toDouble)).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      t(s, d, "events")
+        .withColumn("ewma", round(num / den + 1e-9, 4))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), Fmt).as("ts"), col("value"), col("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Anomaly detection: per-event-type z-score against the group mean /
     // sample stddev, reporting |z| > 3 outliers. Group moments come from
     // an unbounded window over the SAME event_type partitioning — one
@@ -241,6 +339,77 @@ object WarehouseQueries {
            |  sum(CASE WHEN $pred THEN 0 ELSE 1 END)::BIGINT AS n_violations,
            |  sum(CASE WHEN $pred THEN 0 ELSE 1 END) = 0 AS pass FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
+
+    "q_path_rollup" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS cost_cents,
+        |         0 AS depth
+        |  FROM part
+        |  UNION ALL
+        |  SELECT w.node, p.p_partkey AS cur,
+        |         w.cost_cents + CAST(round(p.p_retailprice * 100) AS BIGINT),
+        |         w.depth + 1
+        |  FROM walk w
+        |  JOIN part p
+        |    ON w.cur > 10 AND p.p_partkey = w.cur // (2 + w.cur % 3))
+        |SELECT node, CAST(max(depth) AS BIGINT) AS depth,
+        |       max_by(cost_cents, depth) AS path_cost_cents
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_transitions" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(1) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  round(n / (sum(n) OVER (PARTITION BY prev_type)) + 0.000000001, 4) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, event_id, ts AS start_t,
+        |         ts + INTERVAL 30 MINUTE AS end_t
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, start_t AS t, 1::BIGINT AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, end_t, -1::BIGINT, event_id FROM iv),
+        |r AS (
+        |  SELECT event_type, t, delta,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM pts),
+        |p AS (
+        |  SELECT event_type, t, running,
+        |    max(running) OVER (PARTITION BY event_type) AS peak
+        |  FROM r)
+        |SELECT event_type, max(peak)::BIGINT AS peak,
+        |       strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+        |FROM p WHERE running = peak GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_ewma" -> {
+      val w = (0 until 8).map(k => BigDecimal("0.8").pow(k).toString)
+      val lagCols = (1 until 8).map(k =>
+        s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k")
+        .mkString(",\n    ")
+      val num = (s"value * ${w(0)}" +: (1 until 8).map(k =>
+        s"CASE WHEN l$k IS NULL THEN 0 ELSE l$k * ${w(k)} END")).mkString(" + ")
+      val den = (s"${w(0)}" +: (1 until 8).map(k =>
+        s"CASE WHEN l$k IS NULL THEN 0 ELSE ${w(k)} END")).mkString(" + ")
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    $lagCols
+         |  FROM events)
+         |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+         |  round(($num) / ($den) + 0.000000001, 4) AS ewma
+         |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
 
     "dq_anomaly" ->
       """WITH m AS (

@@ -172,4 +172,54 @@ class PlanSpec extends SparkSpec {
       s"expected the native CdcEnds expression in:\n$p")
   }
 
+  private def countOf(p: String, needle: String): Int =
+    needle.r.findAllMatchIn(p).length
+
+  test("SCD2 build pays exactly one hash shuffle — all windows share the custkey partitioning") {
+    val p = plan("q_scd2")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected one custkey shuffle (dedup/runs/lead all re-sort in place), got:\n$p")
+  }
+
+  test("expectation audit is one scan, one aggregation pass, for all rules") {
+    val p = plan("dq_expectations")
+    assert(countOf(p, "FileScan") == 1, s"expected a single lineitem scan in:\n$p")
+    assert(p.contains("partial_sum"),
+      s"violation sums must combine map-side before the single-partition exchange:\n$p")
+  }
+
+  test("EWMA lags run in one window pass over one user shuffle") {
+    val p = plan("q_ewma")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected one user_id shuffle for all eight lags:\n$p")
+    assert(countOf(p, "\\bWindow \\[") == 1,
+      s"the eight lags must share a single Window operator:\n$p")
+  }
+
+  test("sweep-line concurrency explodes boundaries from a single scan") {
+    val p = plan("q_concurrency")
+    assert(countOf(p, "FileScan") == 1,
+      s"boundary points must come from one events scan (explode), not a self-union:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"running sum and peak must share the event_type shuffle:\n$p")
+  }
+
+  test("PMI materializes the vocabulary once and broadcasts it to both join sides") {
+    val p = plan("tx_pmi")
+    // the checkpointed 150-row vocab appears as an in-memory scan, not a
+    // re-run of the corpus-wide df aggregation per side
+    assert(countOf(p, "FileScan parquet") == 2,
+      s"expected two documents scans (one per self-join side) and no vocab re-run:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab restriction must broadcast:\n$p")
+  }
+
+  test("MIPS broadcasts the bounded query side and pushes top-k below the shuffle") {
+    val p = plan("sim_mips")
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"query side must broadcast against the corpus:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-query top-k must prune map-side before the rank shuffle:\n$p")
+  }
+
 }
