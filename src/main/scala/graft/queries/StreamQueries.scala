@@ -454,6 +454,21 @@ object StreamQueries {
     // must equal the batch twin over the same parquet. Fresh scratch dirs
     // per invocation (removed after the result is materialized) keep the
     // query self-contained and idempotent across suite runs.
+    // Stream-static enrichment: the events stream joined to the customer
+    // dimension loaded as a plain BATCH frame — the standard streaming
+    // enrichment pattern (the dim is broadcast per micro-batch, no state
+    // store involved for the join itself). Aggregated per segment in
+    // complete mode; the oracle is the plain batch join.
+    "st_dim_join_parity" -> ((s, d) => {
+      val dim = graft.sources.Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      drain(agg, "st_dim_join", "complete").orderBy("c_mktsegment")
+    }),
+
     // CHAINED stateful aggregation in one streaming query (multiple
     // stateful operators, Spark 3.4+): hourly sums roll up into daily
     // (n_hours, sum) windows via window-of-window, both stages sharing the
@@ -598,6 +613,11 @@ object StreamQueries {
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st_dim_join_parity" ->
+      """SELECT c_mktsegment, count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "st_chained_agg_parity" ->
       """WITH h AS (

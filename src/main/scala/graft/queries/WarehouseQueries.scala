@@ -158,6 +158,84 @@ object WarehouseQueries {
         .orderBy("rule")
     }),
 
+    // Association rules over order baskets: pair support, confidence, and
+    // lift for co-purchased parts — the market-basket statistic. The
+    // basket item set is distinct-ed and eagerly materialized ONCE (it
+    // feeds the self-join twice plus both marginals); pairs come from the
+    // per-basket self-join (bounded by items-per-order², never parts²).
+    "q_assoc_rules" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint(true)
+      val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val nOrders = items.agg(countDistinct("oid").as("n_orders"))
+      items.as("x")
+        .join(items.as("y"),
+          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(itemN.select(col("item").as("a"), col("n_item").as("n_a")), "a")
+        .join(itemN.select(col("item").as("b"), col("n_item").as("n_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(col("n_ab") / col("n_a") + 1e-9, 4).as("confidence"),
+          round((col("n_ab") * col("n_orders")) / (col("n_a") * col("n_b")) + 1e-9, 4)
+            .as("lift"))
+        .orderBy(col("n_ab").desc, col("a"), col("b"))
+        .limit(25)
+    }),
+
+    // Triangle census of the strong co-purchase graph (pairs co-occurring
+    // in ≥ 2 baskets): the graph-analytics staple, counted by closing
+    // wedges over the id-oriented edge list (a < b < c — each triangle
+    // counted exactly once, no symmetric blow-up). The support threshold
+    // is what keeps the wedge join tractable as baskets scale; the full
+    // co-occurrence graph's wedge count grows with degree² while the
+    // strong graph stays sparse.
+    "q_triangles" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+        .distinct()
+      val edges = items.as("x")
+        .join(items.as("y"),
+          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nNodes = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val nTri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(nTri)
+    }),
+
+    // Rolling DAU/WAU: each (user, active-day) fans out to the 7 report
+    // days it supports, one distinct-count per report day — the standard
+    // trick that turns a sliding DISTINCT window (quadratic re-scan) into
+    // one explode + one aggregation.
+    "q_rolling_wau" -> ((s, d) => {
+      val active = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      active
+        .select(col("user_id"), col("d"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("report_day"))
+        .groupBy("report_day")
+        .agg(
+          countDistinct(when(col("d") === col("report_day"), col("user_id"))).as("dau"),
+          countDistinct("user_id").as("wau"))
+        .select(date_format(col("report_day"), "yyyy-MM-dd").as("report_day"),
+          col("dau"), col("wau"))
+        .orderBy("report_day")
+    }),
+
     // Recursive CTE through the SQL surface (Spark 4.x UnionLoop): rolled-up
     // cost in integer cents along each node's ancestor path over the same
     // derived taxonomy as q_hierarchy — the BOM-explode shape. Complements
@@ -339,6 +417,47 @@ object WarehouseQueries {
            |  sum(CASE WHEN $pred THEN 0 ELSE 1 END)::BIGINT AS n_violations,
            |  sum(CASE WHEN $pred THEN 0 ELSE 1 END) = 0 AS pass FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
+
+    "q_assoc_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+        |n AS (SELECT count(DISTINCT oid) AS n_orders FROM i),
+        |c AS (SELECT item, count(1) AS n_item FROM i GROUP BY item),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b, count(1) AS n_ab
+        |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab,
+        |  round(n_ab / ca.n_item + 0.000000001, 4) AS confidence,
+        |  round((n_ab * n_orders) / (ca.n_item * cb.n_item) + 0.000000001, 4) AS lift
+        |FROM p JOIN c ca ON p.a = ca.item JOIN c cb ON p.b = cb.item, n
+        |ORDER BY n_ab DESC, a, b LIMIT 25""".stripMargin,
+
+    "q_triangles" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+        |e AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |nn AS (
+        |  SELECT count(1) AS n_nodes
+        |  FROM (SELECT a AS v FROM e UNION SELECT b FROM e)),
+        |ne AS (SELECT count(1) AS n_edges FROM e),
+        |nt AS (
+        |  SELECT count(1) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin,
+
+    "q_rolling_wau" ->
+      """WITH ad AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |f AS (
+        |  SELECT user_id, d,
+        |         unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS report_day
+        |  FROM ad)
+        |SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+        |  count(DISTINCT CASE WHEN d = report_day THEN user_id END) AS dau,
+        |  count(DISTINCT user_id) AS wau
+        |FROM f GROUP BY report_day ORDER BY report_day""".stripMargin,
 
     "q_path_rollup" ->
       """WITH RECURSIVE walk AS (
