@@ -112,32 +112,25 @@ object WarehouseQueries {
     }),
 
     // Per-column profile of orders: row/null/distinct counts plus native
-    // min/max rendered to strings — one aggregation pass, pivoted to one
-    // row per column with stack(). Distinct counts are EXACT here so the
-    // oracle can replay them; the 100 TB variant swaps in
-    // approx_count_distinct (the HLL path fn_hll_sketch already pins).
+    // min/max rendered to strings. One single-column aggregation per
+    // profiled column, unioned — on columnar parquet each branch scans
+    // ONLY its column (same total bytes as one wide scan) and map-side
+    // partial-distinct dedupes before the shuffle, where the one-pass
+    // multi-distinct formulation pays a 6x Expand on every row. Distinct
+    // counts are EXACT here so the oracle can replay them; the 100 TB
+    // variant swaps in approx_count_distinct (the HLL path fn_hll_sketch
+    // already pins).
     "dq_profile" -> ((s, d) => {
-      val mins = profileCols.map { case (c, _) => min(col(c)).as(s"min_raw_$c") }
-      val maxs = profileCols.map { case (c, _) => max(col(c)).as(s"max_raw_$c") }
-      // two-step: aggregate native min/max first, then format + stack.
-      val row = t(s, d, "orders")
-        .agg(count(lit(1)).as("n_rows"),
-          (profileCols.flatMap { case (c, _) =>
-            Seq(
-              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-              countDistinct(col(c)).as(s"dist_$c"))
-          } ++ mins ++ maxs): _*)
-      val stackArgs = profileCols.map { case (c, _) =>
-        s"'$c', n_rows, null_$c, dist_$c, min_fmt_$c, max_fmt_$c"
-      }.mkString(", ")
-      row
-        .select(col("*") +: profileCols.flatMap { case (c, fmt) =>
-          Seq(fmt(s"min_raw_$c").as(s"min_fmt_$c"), fmt(s"max_raw_$c").as(s"max_fmt_$c"))
-        }: _*)
-        .select(expr(
-          s"stack(${profileCols.size}, $stackArgs) AS " +
-            "(col_name, n_rows, n_null, n_distinct, min_value, max_value)"))
-        .orderBy("col_name")
+      val o = t(s, d, "orders")
+      profileCols.map { case (c, fmt) =>
+        o.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), fmt("mn").as("min_value"), fmt("mx").as("max_value"))
+      }.reduce(_ unionByName _).orderBy("col_name")
     }),
 
     // Expectation audit: every rule evaluated in ONE scan (sum of

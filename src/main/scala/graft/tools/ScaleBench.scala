@@ -48,7 +48,21 @@ object ScaleBench {
     "d_decontaminate", "tx_boilerplate", "tx_unigram_nll",
     // data-derived keep-rates: one tiny agg + broadcast regardless of
     // corpus size — the 10× run checks the rates join stays broadcast
-    "d_lang_balance")
+    "d_lang_balance",
+    // round-5: PMI shares the documents corpus; the bounded top-150 vocab
+    // must stay a broadcast while the df aggregation and pair join grow
+    "tx_pmi")
+
+  /** Round-5 warehouse/analytics family over the synthesized 10× TPC-H-ish
+    * tables. Copies are key-offset so they form DISJOINT subpopulations
+    * (separate customers, baskets, users): pair/edge counts scale
+    * linearly, which is exactly the bucketed-join regime the designs
+    * claim. Part keys stay CONTIGUOUS across copies so every derived
+    * hierarchy parent exists (the tree gets deeper, no dangling pointers).
+    */
+  private val WarehouseFamily = Seq(
+    "q_scd2", "q_cohort", "q_transitions", "q_concurrency", "q_ewma",
+    "q_rolling_wau", "q_assoc_rules", "q_triangles", "q_hierarchy")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -82,14 +96,56 @@ object ScaleBench {
       println(s"SCALE corpus written to $scaleDir")
     }
 
+    if (!new java.io.File(s"$scaleDir/lineitem.parquet").exists()) {
+      val copies = explode(sequence(lit(0), lit(9)))
+      // disjoint key spaces per copy: independent baskets/customers/users
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("c", copies)
+        .withColumn("l_orderkey", col("l_orderkey") + col("c") * 1000000000L)
+        .withColumn("l_partkey", col("l_partkey") + col("c") * 1000000L)
+        .drop("c").repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/lineitem.parquet")
+      spark.read.parquet(s"$src/orders.parquet")
+        .withColumn("c", copies)
+        .withColumn("o_orderkey", col("o_orderkey") + col("c") * 1000000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("c") * 1000000L)
+        .drop("c").repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/orders.parquet")
+      // events.ts is nanos-long on disk; copied through unchanged so the
+      // scaled table keeps the exact on-disk schema Tables.load handles
+      spark.read.parquet(s"$src/events.parquet")
+        .withColumn("c", copies)
+        .withColumn("event_id", col("event_id") + col("c") * 1000000000L)
+        .withColumn("user_id", col("user_id") + col("c") * 1000000L)
+        .drop("c").repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
+      // contiguous part keys: copy c occupies [c*n, (c+1)*n)
+      val parts = spark.read.parquet(s"$src/part.parquet")
+      val nParts = parts.count()
+      parts.withColumn("c", copies)
+        .withColumn("p_partkey", col("p_partkey") + col("c") * nParts)
+        .drop("c").repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/part.parquet")
+      println(s"SCALE warehouse tables written to $scaleDir")
+    }
+
+    // Family selection: no arg or "dedup" → documents family; "warehouse"
+    // → the round-5 family; "all" → both.
+    val which = args.drop(1).headOption.getOrElse("all")
+    val family = which match {
+      case "dedup" => DedupFamily
+      case "warehouse" => WarehouseFamily
+      case _ => DedupFamily ++ WarehouseFamily
+    }
+
     // JIT warmup (untimed) at the smallest SF, mirroring Bench.
-    DedupFamily.foreach { n =>
+    family.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
 
     def timeSuite(dir: String): Map[String, (Double, Long)] =
-      DedupFamily.map { n =>
+      family.map { n =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, dir).count()
@@ -99,7 +155,7 @@ object ScaleBench {
     val x1 = timeSuite(src)
     val x10 = timeSuite(scaleDir)
     println(f"${"query"}%-18s ${"x1 sec"}%8s ${"x10 sec"}%8s ${"ratio"}%7s ${"exp"}%5s ${"x1 rows"}%9s ${"x10 rows"}%9s")
-    DedupFamily.foreach { n =>
+    family.foreach { n =>
       val (t1, r1) = x1(n); val (t10, r10) = x10(n)
       val ratio = t10 / t1
       println(f"$n%-18s $t1%8.2f $t10%8.2f $ratio%7.2f ${math.log10(ratio)}%5.2f $r1%9d $r10%9d")

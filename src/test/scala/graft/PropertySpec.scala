@@ -149,6 +149,58 @@ object PropertySpec extends Properties("graft") {
         kept.count(_._2 == "small") == small
     }
 
+  property("Hierarchy.flatten == driver-side recursion on random forests") =
+    forAll(Gen.choose(2, 18).flatMap(n =>
+      Gen.listOfN(n - 1, Gen.choose(0, Int.MaxValue - 1)))) { raws =>
+      // parent(i) < i guarantees acyclic; node 0 is always a root, others
+      // are roots with probability 1/4
+      val parents: Vector[Option[Int]] = None +: raws.zipWithIndex.map {
+        case (raw, idx) =>
+          val i = idx + 1
+          if (raw % 4 == 0) None else Some((raw / 4) % i)
+      }.toVector
+      val edges = parents.zipWithIndex
+        .map { case (p, i) => (i.toLong, p.map(_.toLong)) }
+      def expected(i: Int): (Long, Long) = parents(i) match {
+        case None => (i.toLong, 0L)
+        case Some(p) => val (r, d) = expected(p); (r, d + 1)
+      }
+      val out = operators.Hierarchy.flatten(edges.toDF("node", "parent"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      parents.indices.forall { i =>
+        val (r, d) = expected(i)
+        out(i.toLong) == ((r, d))
+      }
+    }
+
+  property("mipsTopK ranking == exact inner-product ranking") =
+    forAll(Gen.listOfN(8, Gen.listOfN(4, Gen.choose(0, 5)))) { vecs =>
+      vecs.isEmpty || {
+        // integer-valued vectors: dots are exact, and with |dot| ≤ 100 and
+        // max norm ≤ 10 the 7-decimal augcos rounding cannot merge two
+        // distinct integer dot products (spacing ≥ 1/100 ≫ 1e-7)
+        val df = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+          .toDF("vec_id", "embedding")
+        val queries = df.filter(col("vec_id") < 2)
+        val got = operators.Similarity
+          .mipsTopK(queries, df, "vec_id", "embedding", k = 3)
+          .select("query_id", "rank", "neighbor_id")
+          .as[(Long, Long, Long)].collect().toSet
+        val want = (0 until math.min(2, vecs.size)).flatMap { q =>
+          vecs.zipWithIndex
+            .filter(_._2 != q)
+            .map { case (v, i) =>
+              (v.zip(vecs(q)).map { case (a, b) => a * b }.sum, i) }
+            .sortBy { case (dot, i) => (-dot, i) }
+            .take(3).zipWithIndex
+            .map { case ((_, i), r) => (q.toLong, r + 1L, i.toLong) }
+        }.toSet
+        got == want
+      }
+    }
+
   // keep runtime bounded: each property is a Spark job per case
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(10)
