@@ -454,6 +454,38 @@ object StreamQueries {
     // must equal the batch twin over the same parquet. Fresh scratch dirs
     // per invocation (removed after the result is materialized) keep the
     // query self-contained and idempotent across suite runs.
+    // Arbitrary stateful processing through the Spark 4 transformWithState
+    // API (typed ValueState on a RocksDB store — the state backend a
+    // 100 TB deployment runs): per-user running totals over the FOUR-batch
+    // split stream, so state must accumulate across micro-batches. Each
+    // batch emits the running (count, cents); the final row per user —
+    // selected by max event count, which is monotone — must equal the
+    // batch aggregation. Integer cents make the cross-batch sum exact.
+    "st_tws_totals_parity" -> ((s, d) => {
+      import s.implicits._
+      val pairs = eventsStreamSplit(s, d)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      val out = EventStreams.runningTotals(pairs).toDF()
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val drained =
+        try drain(out, "st_tws_totals", "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      drained.groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_cents") / 100.0, 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // Stream-static enrichment: the events stream joined to the customer
     // dimension loaded as a plain BATCH frame — the standard streaming
     // enrichment pattern (the dim is broadcast per micro-batch, no state
@@ -613,6 +645,11 @@ object StreamQueries {
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st_tws_totals_parity" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  round(sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0, 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st_dim_join_parity" ->
       """SELECT c_mktsegment, count(1) AS n, round(sum(value), 2) AS sum_value

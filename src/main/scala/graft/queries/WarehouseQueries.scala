@@ -256,6 +256,20 @@ object WarehouseQueries {
           |FROM walk GROUP BY node ORDER BY node""".stripMargin)
     }),
 
+    // SQL pipe syntax (Spark 4.x): the linear |> operator chain — the
+    // other new SQL surface besides recursive CTEs that a
+    // switch-from-the-reference SQL user may arrive with. Same TPC-H Q1
+    // shape as q1_pricing_summary, expressed as a pipeline.
+    "q_pipe_syntax" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+      s.sql(
+        """FROM lineitem_pipe_v
+          ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          ||> AGGREGATE count(*) AS n, round(sum(l_quantity), 2) AS qty
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Markov transition matrix over per-user event sequences: P(next type |
     // current type) from lag pairs — the session-model statistic. One
     // shuffle for the lag, one for the pair counts; the per-source totals
@@ -323,6 +337,24 @@ object WarehouseQueries {
         .select(col("user_id"), col("event_id"),
           date_format(col("ts"), Fmt).as("ts"), col("value"), col("ewma"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Freshness audit: per-stream staleness against the corpus as-of date
+    // — the load-gate check that a source stopped emitting (the reference
+    // runs a daily cron with no such alarm; `run_etl.sh:7`). One
+    // aggregation plus a broadcast one-row as-of join.
+    "dq_freshness" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(max(to_date(col("ts"))).as("last_day"), count(lit(1)).as("n_rows"))
+      val asOf = ev.agg(max(to_date(col("ts"))).as("as_of"))
+      perType.crossJoin(broadcast(asOf))
+        .select(col("event_type"),
+          date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+          datediff(col("as_of"), col("last_day")).cast("bigint").as("days_stale"),
+          (datediff(col("as_of"), col("last_day")) > 2).as("is_stale"),
+          col("n_rows"))
+        .orderBy("event_type")
     }),
 
     // Anomaly detection: per-event-type z-score against the group mean /
@@ -469,6 +501,13 @@ object WarehouseQueries {
         |       max_by(cost_cents, depth) AS path_cost_cents
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    "q_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_transitions" ->
       """WITH l AS (
         |  SELECT event_type,
@@ -522,6 +561,16 @@ object WarehouseQueries {
          |  round(($num) / ($den) + 0.000000001, 4) AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
     },
+
+    "dq_freshness" ->
+      """WITH p AS (
+        |  SELECT event_type, max(ts::DATE) AS last_day, count(1) AS n_rows
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(ts::DATE) AS as_of FROM events)
+        |SELECT event_type, strftime(last_day, '%Y-%m-%d') AS last_day,
+        |  date_diff('day', last_day, as_of) AS days_stale,
+        |  date_diff('day', last_day, as_of) > 2 AS is_stale, n_rows
+        |FROM p, g ORDER BY event_type""".stripMargin,
 
     "dq_anomaly" ->
       """WITH m AS (

@@ -150,4 +150,54 @@ object EventStreams {
           }
       }
   }
+
+  /** Output row of [[RunningTotalsProcessor]]: the per-user totals as of
+    * the end of each micro-batch. Sums carried in integer cents so the
+    * batch-split addition order cannot drift a double.
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Arbitrary stateful processing via the Spark 4 `transformWithState`
+    * API (the successor to flatMapGroupsWithState: explicit typed state
+    * variables on a handle, TTL support, timers — and it requires the
+    * RocksDB state store provider, which is what a 100 TB deployment runs
+    * anyway for state larger than the heap). Keeps one ValueState of
+    * (count, cents) per user and emits the running totals once per
+    * micro-batch the user appears in — the incremental-view shape.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; s += cents }
+      totals.update((n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
+  /** Running per-user totals over a stream of (user_id, cents) pairs. */
+  def runningTotals(pairs: Dataset[(Long, Long)]): Dataset[UserTotals] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -160,6 +160,36 @@ class StreamingSpec extends SparkSpec {
     assert(landedIds == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((1L, 100L), (1L, 250L), (2L, 50L))
+      q.processAllAvailable()
+      input.addData((1L, 50L)) // second batch: user 1's state must carry
+      q.processAllAvailable()
+      val byBatch = spark.table("tws")
+        .select("user_id", "n_events", "sum_cents")
+        .as[(Long, Long, Long)].collect().toSeq
+      // batch 1 emissions: user 1 (2, 350), user 2 (1, 50);
+      // batch 2 emission: user 1 (3, 400) — accumulated, not restarted
+      assert(byBatch.toSet == Set((1L, 2L, 350L), (2L, 1L, 50L), (1L, 3L, 400L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("statefulSessions closes a session when the gap is exceeded in-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
