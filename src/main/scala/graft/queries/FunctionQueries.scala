@@ -42,6 +42,22 @@ object FunctionQueries {
           translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tl"))
         .orderBy("c_custkey")),
 
+    // Regex battery over document text: anchored group extraction,
+    // match-all counting, rlike, and positional token split. Java regex
+    // and DuckDB RE2 agree on this subset ([a-z] classes, bounded
+    // quantifiers, anchors); no-match extract is '' in both engines, and
+    // the out-of-range token is coalesced to '' to match split_part.
+    "fn_regex" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("text"), "^[a-z]+ ([a-z]+)", 1).as("second_word"),
+          size(expr("regexp_extract_all(text, '[a-z]{5,}', 0)")).cast("bigint").as("n_long"),
+          col("text").rlike("spark").as("has_spark"),
+          coalesce(get(split(col("text"), " "), lit(2)), lit("")).as("third_token"))
+        .orderBy("doc_id")),
+
     // Datetime battery over order dates: field extraction, truncation,
     // arithmetic, end-of-month, epoch.
     "fn_datetime" -> ((s, d) =>
@@ -315,6 +331,15 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "fn_regex" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        | regexp_extract(text, '^[a-z]+ ([a-z]+)', 1) AS second_word,
+        | len(regexp_extract_all(text, '[a-z]{5,}'))::BIGINT AS n_long,
+        | regexp_matches(text, 'spark') AS has_spark,
+        | split_part(text, ' ', 3) AS third_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_approx_topk" ->
       """SELECT event_type, count(1) AS n_exact, TRUE AS sketch_exact

