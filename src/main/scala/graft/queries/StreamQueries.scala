@@ -486,6 +486,44 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // transformWithState warm-start: per-user state is SEEDED from a batch
+    // aggregate over half the events (even ids), then only the other half
+    // (odd ids) streams — the pattern for migrating a standing batch
+    // rollup onto a stream without reprocessing history. Final per-user
+    // totals must equal the batch aggregation over ALL events (restricted
+    // to users that appear in the stream, since only they re-emit).
+    "st_tws_bootstrap_parity" -> ((s, d) => {
+      import s.implicits._
+      val centsExpr = "CAST(round(value * 100) AS BIGINT)"
+      val initial = graft.sources.Tables.load(s, d, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(expr(centsExpr)).as("cents"))
+        .select(col("user_id"), col("n"), col("cents"))
+        .as[(Long, Long, Long)]
+      val pairs = eventsStream(s, d)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), expr(centsExpr).as("cents"))
+        .as[(Long, Long)]
+      val out = EventStreams.bootstrappedTotals(pairs, initial).toDF()
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val drained =
+        try drain(out, "st_tws_bootstrap", "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      drained.groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_cents") / 100.0, 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // Stream-static enrichment: the events stream joined to the customer
     // dimension loaded as a plain BATCH frame — the standard streaming
     // enrichment pattern (the dim is broadcast per micro-batch, no state
@@ -645,6 +683,13 @@ object StreamQueries {
     "st_dedup_parity" ->
       """SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st_tws_bootstrap_parity" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  round(sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0, 2) AS sum_value
+        |FROM events GROUP BY user_id
+        |HAVING sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
 
     "st_tws_totals_parity" ->
       """SELECT user_id, count(1) AS n_events,

@@ -200,4 +200,113 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** [[RunningTotalsProcessor]] plus warm-start: per-key state is seeded
+    * from a batch-computed (count, cents) aggregate before the first
+    * micro-batch — the migration pattern for moving a standing batch
+    * rollup onto a stream without reprocessing history.
+    */
+  class BootstrappedTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), UserTotals, (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long,
+        initial: (Long, Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totals.update((initial._2, initial._3))
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; s += cents }
+      totals.update((n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
+  /** Running totals warm-started from `initial` rows of
+    * (user_id, n_events, sum_cents).
+    */
+  def bootstrappedTotals(
+      pairs: Dataset[(Long, Long)],
+      initial: Dataset[(Long, Long, Long)]): Dataset[UserTotals] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .transformWithState(
+        new BootstrappedTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        initial.groupByKey(_._1))
+  }
+
+  final case class IdleSummary(user_id: Long, n_events: Long)
+
+  /** Event-time TIMERS through transformWithState: per-key event counts
+    * that emit ONLY when the key has been idle past `gapMs` (watermark
+    * crosses the timer) — the notify-on-quiet shape (abandoned cart, dead
+    * device). Each batch re-arms the key's single timer at
+    * last-seen + gap; expiry emits the summary and clears state.
+    */
+  class IdleCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), IdleSummary] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleSummary] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last = Long.MinValue
+      rows.foreach { case (_, ts) => n += 1; last = math.max(last, ts.getTime) }
+      count.update(n)
+      // one armed timer per key: re-arm on every batch the key appears in
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleSummary] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear()
+      Iterator.single(IdleSummary(key, n))
+    }
+  }
+
+  /** Idle-close summaries over (user_id, ts) rows; `events` must already
+    * carry a watermark on the ts column.
+    */
+  def idleSummaries(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[IdleSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new IdleCloseProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -190,6 +190,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timer fires when the key goes idle") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDS()
+      .toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+      .as[(Long, Timestamp)]
+    val q = EventStreams.idleSummaries(events, gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("tws_idle")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // nothing emitted yet: user 1's timer is armed at 10:35, watermark 9:55
+      assert(spark.table("tws_idle").isEmpty)
+      // another key advances the watermark past 10:35 -> user 1 idles out
+      input.addData((2L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("tws_idle")
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("statefulSessions closes a session when the gap is exceeded in-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
