@@ -224,6 +224,31 @@ object WarehouseQueries {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // Deterministic PageRank (10 fixed iterations, damping 0.85) over the
+    // strong co-purchase graph — which parts sit central in baskets. The
+    // oracle replays every iteration with a recursive CTE; ranks are
+    // rounded to 6 decimals BEFORE ordering so cross-engine summation
+    // noise (≪1e-9 after 10 rounds) cannot flip the top-20.
+    "q_pagerank" -> ((s, d) => {
+      val edges = basketPairCounts(s, d).filter(col("n_ab") >= 2).select("a", "b")
+      graft.operators.Graphs.pageRank(edges, iters = 10)
+        .select(col("node"), round(col("rank") + 1e-9, 6).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+
+    // BFS depths (≤ 6 hops) from the lowest-id node of the strong
+    // co-purchase graph — reachability rings around a product. Fixed round
+    // count; the oracle dedups per level with a UNION recursive CTE, so
+    // its working set is (node, dist) pairs, never enumerated paths.
+    "q_bfs_depth" -> ((s, d) => {
+      val edges = basketPairCounts(s, d).filter(col("n_ab") >= 2).select("a", "b")
+        .localCheckpoint(true)
+      val source = edges.agg(min("a")).head.getLong(0)
+      graft.operators.Graphs.bfsDepths(edges, source, maxHops = 6)
+        .orderBy("node")
+    }),
+
     // Rolling DAU/WAU: each (user, active-day) fans out to the 7 report
     // days it supports, one distinct-count per report day — the standard
     // trick that turns a sliding DISTINCT window (quadratic re-scan) into
@@ -486,6 +511,44 @@ object WarehouseQueries {
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
         |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH RECURSIVE
+        |i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |ee AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT src, count(1) AS d FROM ee GROUP BY src),
+        |n AS (SELECT count(*) AS cnt FROM deg),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, 1.0::DOUBLE / cnt FROM deg, n
+        |  UNION ALL
+        |  SELECT iter + 1, ee.dst,
+        |         0.15::DOUBLE / (SELECT cnt FROM n) + 0.85 * sum(rank / d)
+        |  FROM pr JOIN ee ON pr.node = ee.src JOIN deg ON deg.src = pr.node
+        |  WHERE iter < 10
+        |  GROUP BY iter + 1, ee.dst)
+        |SELECT node, round(rank + 0.000000001, 6) AS rank
+        |FROM pr WHERE iter = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "q_bfs_depth" ->
+      """WITH RECURSIVE
+        |i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |ee AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |walk(node, dist) AS (
+        |  SELECT (SELECT min(a) FROM p), 0
+        |  UNION
+        |  SELECT ee.dst, walk.dist + 1
+        |  FROM walk JOIN ee ON walk.node = ee.src WHERE walk.dist < 6)
+        |SELECT node, min(dist)::BIGINT AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "q_rolling_wau" ->
       """WITH ad AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
