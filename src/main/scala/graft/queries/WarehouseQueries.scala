@@ -378,6 +378,48 @@ object WarehouseQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Uniqueness audit: claimed primary keys actually unique — count vs
+    // distinct per key, one branch per table (each a map-side partial
+    // distinct over just the key columns).
+    "dq_uniqueness" -> ((s, d) => {
+      val keys: Seq[(String, Seq[String])] = Seq(
+        "customer" -> Seq("c_custkey"),
+        "events" -> Seq("event_id"),
+        "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+        "orders" -> Seq("o_orderkey"),
+        "part" -> Seq("p_partkey"),
+        "supplier" -> Seq("s_suppkey"))
+      keys.map { case (table, kc) =>
+        t(s, d, table).agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(kc.head, kc.tail: _*).as("n_keys"))
+          .select(lit(table).as("table_name"),
+            lit(kc.mkString(",")).as("key_cols"),
+            col("n_rows"), col("n_keys"),
+            (col("n_rows") === col("n_keys")).as("is_unique"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    }),
+
+    // Referential-integrity audit: orphaned foreign keys per relationship
+    // via left_anti counts — the classic warehouse load gate for a
+    // star-schema copy pipeline like the reference's.
+    "dq_ref_integrity" -> ((s, d) => {
+      val rels: Seq[(String, String, String, String, String)] = Seq(
+        ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"))
+      rels.map { case (name, ct, ck, pt, pk) =>
+        val child = t(s, d, ct)
+        val orphans = child.join(t(s, d, pt), child(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
+            (col("n_orphans") === 0).as("intact"))
+      }.reduce(_ unionByName _).orderBy("relation")
+    }),
+
     // Freshness audit: per-stream staleness against the corpus as-of date
     // — the load-gate check that a source stopped emitting (the reference
     // runs a daily cron with no such alarm; `run_etl.sh:7`). One
@@ -637,6 +679,40 @@ object WarehouseQueries {
          |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
          |  round(($num) / ($den) + 0.000000001, 4) AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "dq_uniqueness" -> {
+      val rows = Seq(
+        ("customer", Seq("c_custkey")),
+        ("events", Seq("event_id")),
+        ("lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("orders", Seq("o_orderkey")),
+        ("part", Seq("p_partkey")),
+        ("supplier", Seq("s_suppkey"))).map { case (table, kc) =>
+        val tup = if (kc.size > 1) s"(${kc.mkString(", ")})" else kc.head
+        s"""SELECT '$table' AS table_name, '${kc.mkString(",")}' AS key_cols,
+           |  count(1) AS n_rows, count(DISTINCT $tup) AS n_keys,
+           |  count(1) = count(DISTINCT $tup) AS is_unique FROM $table""".stripMargin
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
+    "dq_ref_integrity" -> {
+      val rows = Seq(
+        ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .map { case (name, ct, ck, pt, pk) =>
+          s"""SELECT '$name' AS relation,
+             |  (SELECT count(1) FROM $ct) AS n_rows,
+             |  (SELECT count(1) FROM $ct c WHERE NOT EXISTS
+             |     (SELECT 1 FROM $pt p WHERE c.$ck = p.$pk)) AS n_orphans,
+             |  (SELECT count(1) FROM $ct c WHERE NOT EXISTS
+             |     (SELECT 1 FROM $pt p WHERE c.$ck = p.$pk)) = 0 AS intact""".stripMargin
+        }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
     },
 
     "dq_freshness" ->

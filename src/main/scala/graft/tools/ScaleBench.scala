@@ -62,7 +62,14 @@ object ScaleBench {
     */
   private val WarehouseFamily = Seq(
     "q_scd2", "q_cohort", "q_transitions", "q_concurrency", "q_ewma",
-    "q_rolling_wau", "q_assoc_rules", "q_triangles", "q_hierarchy")
+    "q_rolling_wau", "q_assoc_rules", "q_triangles", "q_hierarchy",
+    // graph tier: disjoint copies multiply strong edges ~linearly (each
+    // copy is an independent subgraph), so rank/BFS rounds stay
+    // linear-per-round; both operators re-size their shuffle width from
+    // the measured 10× edge count
+    "q_pagerank", "q_bfs_depth",
+    // audits: single-pass aggregations + anti-joins over the 10× tables
+    "dq_uniqueness", "dq_ref_integrity")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -98,11 +105,16 @@ object ScaleBench {
 
     if (!new java.io.File(s"$scaleDir/lineitem.parquet").exists()) {
       val copies = explode(sequence(lit(0), lit(9)))
-      // disjoint key spaces per copy: independent baskets/customers/users
+      // disjoint key spaces per copy: independent baskets/customers/users.
+      // Part/customer offsets are shared with the fact-side columns that
+      // reference them, so the 10× star stays referentially intact (the
+      // dq audits run on it) — and part keys stay CONTIGUOUS (copy c in
+      // [c*n, (c+1)*n)) so every derived hierarchy parent exists.
+      val nParts = spark.read.parquet(s"$src/part.parquet").count()
       spark.read.parquet(s"$src/lineitem.parquet")
         .withColumn("c", copies)
         .withColumn("l_orderkey", col("l_orderkey") + col("c") * 1000000000L)
-        .withColumn("l_partkey", col("l_partkey") + col("c") * 1000000L)
+        .withColumn("l_partkey", col("l_partkey") + col("c") * nParts)
         .drop("c").repartition(32)
         .write.mode("overwrite").parquet(s"$scaleDir/lineitem.parquet")
       spark.read.parquet(s"$src/orders.parquet")
@@ -119,13 +131,21 @@ object ScaleBench {
         .withColumn("user_id", col("user_id") + col("c") * 1000000L)
         .drop("c").repartition(32)
         .write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
-      // contiguous part keys: copy c occupies [c*n, (c+1)*n)
-      val parts = spark.read.parquet(s"$src/part.parquet")
-      val nParts = parts.count()
-      parts.withColumn("c", copies)
+      spark.read.parquet(s"$src/part.parquet")
+        .withColumn("c", copies)
         .withColumn("p_partkey", col("p_partkey") + col("c") * nParts)
         .drop("c").repartition(32)
         .write.mode("overwrite").parquet(s"$scaleDir/part.parquet")
+      spark.read.parquet(s"$src/customer.parquet")
+        .withColumn("c", copies)
+        .withColumn("c_custkey", col("c_custkey") + col("c") * 1000000L)
+        .drop("c").repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/customer.parquet")
+      // supplier is NOT key-offset: lineitem keeps its l_suppkey values,
+      // so one shared supplier dimension resolves all 10 copies (the
+      // realistic shape — dimensions grow slower than facts)
+      spark.read.parquet(s"$src/supplier.parquet").repartition(4)
+        .write.mode("overwrite").parquet(s"$scaleDir/supplier.parquet")
       println(s"SCALE warehouse tables written to $scaleDir")
     }
 
