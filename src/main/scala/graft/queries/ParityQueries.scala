@@ -267,6 +267,36 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
+    // K-extension: DYNAMIC partition overwrite — the incremental-reload
+    // semantics the reference's daily job actually wants (replace ONE
+    // day's partition, leave the rest untouched; static overwrite mode
+    // would wipe the whole table). Full day-partitioned load, then the
+    // earliest day re-loaded with doubled values under
+    // partitionOverwriteMode=dynamic; the read-back proves exactly that
+    // partition changed.
+    "k14_dynamic_overwrite" -> ((s, d) => {
+      val out = scratch(d, "events_dynpart")
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(out)
+      val day0 = ev.agg(min("day")).head.getDate(0).toString
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try ev.filter(col("day") === lit(day0))
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("day")
+    }),
+
     // K-extension: zstd-compressed parquet — the storage-efficiency codec
     // switch a 100 TB lake actually flips (zstd trades a little CPU for a
     // materially smaller footprint vs the snappy default). Write under
@@ -396,6 +426,12 @@ object ParityQueries {
         |round(s_acctbal, 2) AS s_acctbal,
         |s_name || ' <&"''> ' || s_nationkey AS xml_probe
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "k14_dynamic_overwrite" ->
+      """SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(1) AS n,
+        |  round(sum(value * CASE WHEN ts::DATE = (SELECT min(ts::DATE) FROM events)
+        |                         THEN 2 ELSE 1 END), 2) AS sum_value
+        |FROM events GROUP BY ts::DATE ORDER BY day""".stripMargin,
 
     "k13_zstd_roundtrip" ->
       s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,

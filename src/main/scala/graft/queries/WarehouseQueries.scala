@@ -378,6 +378,75 @@ object WarehouseQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Winsorization: clip extended prices to the per-flag [p05, p95] band
+    // — the outlier treatment that precedes robust aggregates. Percentile
+    // bounds from one aggregation, broadcast back, clip + re-aggregate.
+    // Spark `percentile` and DuckDB `quantile_cont` share the interpolated
+    // definition (already pinned by q_percentiles).
+    "q_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val bounds = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice") + 1e-9, 4).as("mean_raw"),
+          round(avg("clipped") + 1e-9, 4).as("mean_winsor"),
+          round(min("clipped") + 1e-9, 4).as("min_w"),
+          round(max("clipped") + 1e-9, 4).as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Median absolute deviation per group — the robust dispersion
+    // statistic: median via interpolated percentile, then the median of
+    // absolute deviations from it.
+    "q_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(round(max("med") + 1e-9, 4).as("median"),
+          round(percentile(col("adev"), lit(0.5)) + 1e-9, 4).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Spearman rank correlation of quantity vs price per return flag:
+    // average ranks from a rank window plus a tie-count window (both on
+    // the same group partitioning), then the sum-form Pearson on the
+    // ranks. Rank sums are integers-in-doubles on both engines; only the
+    // final ratio is rounded.
+    "q_spearman" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      val rx = rank().over(Window.partitionBy("g").orderBy("x"))
+      val ry = rank().over(Window.partitionBy("g").orderBy("y"))
+      val cx = count(lit(1)).over(Window.partitionBy("g", "x"))
+      val cy = count(lit(1)).over(Window.partitionBy("g", "y"))
+      val ranked = li
+        .withColumn("ra", rx + (cx - 1) / 2.0)
+        .withColumn("rb", ry + (cy - 1) / 2.0)
+      ranked.groupBy("g")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("ra").as("sa"), sum("rb").as("sb"),
+          sum(col("ra") * col("rb")).as("sab"),
+          sum(col("ra") * col("ra")).as("saa"),
+          sum(col("rb") * col("rb")).as("sbb"))
+        .select(col("g"),
+          round((col("n") * col("sab") - col("sa") * col("sb"))
+            / sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+              * (col("n") * col("sbb") - col("sb") * col("sb"))) + 1e-9, 4)
+            .as("rho"),
+          col("n").cast("bigint").as("n"))
+        .orderBy("g")
+    }),
+
     // Uniqueness audit: claimed primary keys actually unique — count vs
     // distinct per key, one branch per table (each a map-side partial
     // distinct over just the key columns).
@@ -680,6 +749,49 @@ object WarehouseQueries {
          |  round(($num) / ($den) + 0.000000001, 4) AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
     },
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS lo,
+        |         quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(1) AS n,
+        |  round(avg(l_extendedprice) + 0.000000001, 4) AS mean_raw,
+        |  round(avg(least(greatest(l_extendedprice, lo), hi)) + 0.000000001, 4) AS mean_winsor,
+        |  round(min(least(greatest(l_extendedprice, lo), hi)) + 0.000000001, 4) AS min_w,
+        |  round(max(least(greatest(l_extendedprice, lo), hi)) + 0.000000001, 4) AS max_w
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(max(med) + 0.000000001, 4) AS median,
+        |  round(quantile_cont(abs(l_extendedprice - med), 0.5) + 0.000000001, 4) AS mad,
+        |  count(1) AS n
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (count(1) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS ra,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + (count(1) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rb
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT g, count(1)::DOUBLE AS n, sum(ra) AS sa, sum(rb) AS sb,
+        |         sum(ra * rb) AS sab, sum(ra * ra) AS saa, sum(rb * rb) AS sbb
+        |  FROM r GROUP BY g)
+        |SELECT g,
+        |  round((n * sab - sa * sb)
+        |    / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) + 0.000000001, 4) AS rho,
+        |  n::BIGINT AS n
+        |FROM s ORDER BY g""".stripMargin,
 
     "dq_uniqueness" -> {
       val rows = Seq(
