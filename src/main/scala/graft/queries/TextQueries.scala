@@ -248,6 +248,33 @@ object TextQueries {
         .limit(25)
     }),
 
+    // Zipf fit: ln(freq) ~ ln(rank) least-squares slope over the top-100
+    // tokens — the corpus-health statistic (natural text sits near −1;
+    // synthetic/templated corpora flatten). The regression is the explicit
+    // sum-form on 100 rows, identical in both engines.
+    "tx_zipf" -> ((s, d) => {
+      val top = docs(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(100)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok"))))
+      top
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("n").cast("bigint").as("n_tokens"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) + 1e-9, 4).as("slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+            / col("n") + 1e-9, 4).as("intercept"))
+    }),
+
     // Multimodal frame sampling: documents as binary payloads chopped into
     // 64-byte frames, one fingerprint per frame (decode step stubbed —
     // see graft.operators.Multimodal).
@@ -505,6 +532,26 @@ object TextQueries {
            |SELECT doc_id, n_grams::BIGINT AS n_grams, n_bp,
            |  round(n_bp::DOUBLE / n_grams + 0.000000001, 4) AS bp_frac
            |FROM d ORDER BY doc_id""".stripMargin,
+
+      "tx_zipf" ->
+        """WITH tok AS (
+          |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+          |f AS (
+          |  SELECT tok, count(1) AS freq FROM tok GROUP BY tok
+          |  ORDER BY freq DESC, tok LIMIT 100),
+          |r AS (
+          |  SELECT ln((row_number() OVER (ORDER BY freq DESC, tok))::DOUBLE) AS x,
+          |         ln(freq::DOUBLE) AS y
+          |  FROM f),
+          |s AS (
+          |  SELECT count(1)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+          |         sum(x * y) AS sxy, sum(x * x) AS sxx
+          |  FROM r)
+          |SELECT n::BIGINT AS n_tokens,
+          |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.000000001, 4) AS slope,
+          |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+          |    + 0.000000001, 4) AS intercept
+          |FROM s""".stripMargin,
 
       "tx_pmi" ->
         s"""$toksCte,

@@ -489,6 +489,41 @@ object WarehouseQueries {
       }.reduce(_ unionByName _).orderBy("relation")
     }),
 
+    // Distribution-drift monitor (PSI): events split into a reference
+    // window (first 15 days) and a current window; value deciles computed
+    // on the REFERENCE only (broadcast edges), per-type Population
+    // Stability Index over the bin shares with +1/+10 Laplace smoothing.
+    // The ML-ops gate for "did this feature's distribution move" — one
+    // extra scan over the monitored column, everything else broadcast.
+    // Bins empty in BOTH windows contribute no row in either engine, so
+    // the skip is consistent by construction.
+    "dq_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val split = ev.agg(date_add(min(to_date(col("ts"))), 15).as("cut"))
+      val tagged = ev.crossJoin(broadcast(split))
+        .withColumn("is_ref", to_date(col("ts")) < col("cut"))
+      val edges = tagged.filter(col("is_ref"))
+        .agg(percentile(col("value"), lit(0.1)).as("e1"),
+          (2 to 9).map(i => percentile(col("value"), lit(i / 10.0)).as(s"e$i")): _*)
+      val binned = tagged.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          (1 to 9).map(i => when(col("value") > col(s"e$i"), 1).otherwise(0))
+            .reduce(_ + _))
+      val byType = Window.partitionBy("event_type")
+      binned.groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        .withColumn("n_ref", sum("c_ref").over(byType))
+        .withColumn("n_cur", sum("c_cur").over(byType))
+        .withColumn("q", (col("c_ref") + 1.0) / (col("n_ref") + 10.0))
+        .withColumn("p", (col("c_cur") + 1.0) / (col("n_cur") + 10.0))
+        .groupBy("event_type")
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))) + 1e-9, 4)
+            .as("psi"),
+          max("n_ref").as("n_ref"), max("n_cur").as("n_cur"))
+        .orderBy("event_type")
+    }),
+
     // Freshness audit: per-stream staleness against the corpus as-of date
     // — the load-gate check that a source stopped emitting (the reference
     // runs a daily cron with no such alarm; `run_etl.sh:7`). One
@@ -825,6 +860,35 @@ object WarehouseQueries {
              |     (SELECT 1 FROM $pt p WHERE c.$ck = p.$pk)) = 0 AS intact""".stripMargin
         }
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
+
+    "dq_drift" -> {
+      val binExpr = (1 to 9)
+        .map(i => s"(CASE WHEN value > e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val edgeCols = (1 to 9)
+        .map(i => s"quantile_cont(value, 0.${i}) AS e$i").mkString(", ")
+      s"""WITH cut AS (SELECT min(ts::DATE) + 15 AS cut FROM events),
+         |tagged AS (
+         |  SELECT event_type, value, ts::DATE < cut AS is_ref FROM events, cut),
+         |e AS (SELECT $edgeCols FROM tagged WHERE is_ref),
+         |b AS (SELECT event_type, is_ref, $binExpr AS bin FROM tagged, e),
+         |c AS (
+         |  SELECT event_type, bin,
+         |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+         |  FROM b GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *, sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         |            sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+         |  FROM c),
+         |p AS (
+         |  SELECT event_type, (c_cur + 1.0) / (n_cur + 10.0) AS p,
+         |         (c_ref + 1.0) / (n_ref + 10.0) AS q, n_ref, n_cur
+         |  FROM w)
+         |SELECT event_type,
+         |  round(sum((p - q) * ln(p / q)) + 0.000000001, 4) AS psi,
+         |  max(n_ref)::BIGINT AS n_ref, max(n_cur)::BIGINT AS n_cur
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
     "dq_freshness" ->
