@@ -378,6 +378,54 @@ object WarehouseQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // ABC (Pareto) analysis: parts classified by cumulative revenue share
+    // — A up to 70%, B to 90%, C the tail. One aggregation + one global
+    // cumulative window over the sorted revenue (global ORDER is the
+    // honest cost; at scale the window runs over the aggregated per-part
+    // frame, which is dimension-sized, not fact-sized). Revenue in
+    // DECIMAL so the running share is bit-stable.
+    "q_abc_analysis" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"))
+      val w = Window.orderBy(col("revenue").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(lit(1))
+      rev
+        .withColumn("cum_share",
+          (sum("revenue").over(w) / sum("revenue").over(tot)).cast("double"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.7, "A")
+            .when(col("cum_share") <= 0.9, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum("revenue").cast("double") + 1e-9, 2).as("class_revenue"))
+        .orderBy("abc_class")
+    }),
+
+    // Time-to-convert: per user, hours from first view to first purchase
+    // (users who purchased after viewing); median and p90 of the
+    // distribution — the canonical product-analytics latency metric.
+    // Exact microsecond arithmetic end-to-end; only the final percentiles
+    // are interpolated.
+    "q_time_to_convert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firsts = ev.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_buy"))
+        .filter(col("first_view").isNotNull && col("first_buy").isNotNull &&
+          col("first_buy") > col("first_view"))
+        .withColumn("hours",
+          (unix_micros(col("first_buy")) - unix_micros(col("first_view")))
+            / lit(3600000000.0))
+      firsts.agg(
+          count(lit(1)).as("n_converted"),
+          round(percentile(col("hours"), lit(0.5)) + 1e-9, 4).as("median_hours"),
+          round(percentile(col("hours"), lit(0.9)) + 1e-9, 4).as("p90_hours"))
+    }),
+
     // Winsorization: clip extended prices to the per-flag [p05, p95] band
     // — the outlier treatment that precedes robust aggregates. Percentile
     // bounds from one aggregation, broadcast back, clip + re-aggregate.
@@ -784,6 +832,39 @@ object WarehouseQueries {
          |  round(($num) / ($den) + 0.000000001, 4) AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
     },
+
+    "q_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS revenue
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT l_partkey, revenue,
+        |    (sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     / sum(revenue) OVER ())::DOUBLE AS cum_share
+        |  FROM rev)
+        |SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
+        |            WHEN cum_share <= 0.9 THEN 'B' ELSE 'C' END AS abc_class,
+        |  count(1) AS n_parts,
+        |  round(sum(revenue)::DOUBLE + 0.000000001, 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT (epoch_us(first_buy) - epoch_us(first_view)) / 3600000000.0 AS hours
+        |  FROM f
+        |  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        |    AND first_buy > first_view)
+        |SELECT count(1) AS n_converted,
+        |  round(quantile_cont(hours, 0.5) + 0.000000001, 4) AS median_hours,
+        |  round(quantile_cont(hours, 0.9) + 0.000000001, 4) AS p90_hours
+        |FROM h""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
