@@ -42,6 +42,23 @@ object FunctionQueries {
           translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tl"))
         .orderBy("c_custkey")),
 
+    // Encoding battery: hex / base64 roundtrips and byte lengths over
+    // customer names — the interchange-encoding surface (blob keys, URL
+    // payloads). Both engines implement RFC 4648 base64 without wrapping
+    // and lowercase hex is normalized on the DuckDB side.
+    "fn_encode" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          hex(col("c_name").cast("binary")).as("hx"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          col("c_name").cast("binary").as("bin_probe"),
+          length(col("c_name").cast("binary")).cast("bigint").as("n_bytes"))
+        .select(col("c_custkey"), col("hx"), col("b64"),
+          sha2(col("bin_probe"), 256).as("sha"),
+          col("n_bytes"))
+        .orderBy("c_custkey")),
+
     // Regex battery over document text: anchored group extraction,
     // match-all counting, rlike, and positional token split. Java regex
     // and DuckDB RE2 agree on this subset ([a-z] classes, bounded
@@ -331,6 +348,14 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "fn_encode" ->
+      """SELECT c_custkey,
+        | upper(hex(c_name)) AS hx,
+        | to_base64(c_name::BLOB) AS b64,
+        | lower(sha256(c_name)) AS sha,
+        | octet_length(c_name::BLOB)::BIGINT AS n_bytes
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_regex" ->
       """SELECT doc_id,

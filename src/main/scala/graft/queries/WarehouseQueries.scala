@@ -378,6 +378,36 @@ object WarehouseQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // RFM segmentation: customers scored into quintile cells on recency
+    // (days since last order), frequency (order count), and monetary
+    // (total spend) — the classic CRM segmentation. Three ntile windows
+    // over the SAME customer-aggregate frame (dimension-sized), each with
+    // a full tie-break so quintile assignment is deterministic.
+    "q_rfm" -> ((s, d) => {
+      val cust = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      val asOf = t(s, d, "orders").agg(max(to_date(col("o_orderdate"))).as("as_of"))
+      val scored = cust.crossJoin(broadcast(asOf))
+        .withColumn("recency_days", datediff(col("as_of"), col("last_day")))
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("monetary").cast("double") + 1e-9, 2).as("cell_revenue"))
+        .select(col("r_score").cast("bigint").as("r_score"),
+          col("f_score").cast("bigint").as("f_score"),
+          col("m_score").cast("bigint").as("m_score"),
+          col("n_customers"), col("cell_revenue"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // ABC (Pareto) analysis: parts classified by cumulative revenue share
     // — A up to 70%, B to 90%, C the tail. One aggregation + one global
     // cumulative window over the sorted revenue (global ORDER is the
@@ -832,6 +862,25 @@ object WarehouseQueries {
          |  round(($num) / ($den) + 0.000000001, 4) AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
     },
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate::DATE) AS last_day,
+        |         count(1) AS freq,
+        |         sum(o_totalprice::DECIMAL(18,2)) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (SELECT max(o_orderdate::DATE) AS as_of FROM orders),
+        |s AS (
+        |  SELECT o_custkey, monetary,
+        |    ntile(5) OVER (ORDER BY date_diff('day', last_day, as_of), o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        |  FROM cust, a)
+        |SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+        |       m_score::BIGINT AS m_score,
+        |       count(1) AS n_customers,
+        |       round(sum(monetary)::DOUBLE + 0.000000001, 2) AS cell_revenue
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_abc_analysis" ->
       """WITH rev AS (

@@ -214,6 +214,28 @@ class PlanSpec extends SparkSpec {
       s"vocab restriction must broadcast:\n$p")
   }
 
+  test("PSI drift broadcasts the decile edges and the split cut to the fact scan") {
+    val p = plan("dq_drift")
+    // both one-row frames (cut date, 9 edges) must reach the events scan
+    // as broadcasts — a shuffle here would move the fact table twice
+    assert(countOf(p, "BroadcastNestedLoopJoin") >= 2,
+      s"expected broadcast cut + edges joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no fact-table shuffle join should appear:\n$p")
+  }
+
+  test("ABC analysis windows over the per-part aggregate, not the fact table") {
+    val p = plan("q_abc_analysis")
+    // the cumulative window must sit ABOVE the partial-aggregated frame:
+    // lineitem is aggregated to parts before any Window operator runs
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      s"expected window over the aggregated frame:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue aggregation must combine map-side:\n$p")
+  }
+
   test("MIPS broadcasts the bounded query side and pushes top-k below the shuffle") {
     val p = plan("sim_mips")
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
