@@ -1,14 +1,51 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over edge lists (the co-occurrence graphs the dedup /
   * basket tiers already build). Connected components live in
   * [[Dedup.connectedComponents]]; this hosts the rank/propagation family.
+  *
+  * Shuffle-width discipline: the iterative loops size their shuffle width
+  * to the MEASURED edge count (an iterative plan multiplies per-stage
+  * overhead by the round count, so a 3k-edge graph must not pay the batch
+  * width ten times over, while a billion-edge graph gets its parallelism
+  * back from the same formula). That width is applied by running the loop
+  * in a CHILD session — `sparkSession.newSession()` shares the
+  * SparkContext, catalog, and cache but ISOLATES runtime conf — never by
+  * mutating the caller's session conf, which would race any query planned
+  * concurrently on the same session (Etl.run plans per-table pipelines on
+  * Futures sharing one session). Inputs are bridged in and results bridged
+  * back out via the session-neutral RDD, so downstream plans over the
+  * result use the caller's own width.
   */
 object Graphs {
+
+  /** Child session whose only divergence from the caller's conf is the
+    * loop's measured shuffle width; inherits everything else at creation.
+    */
+  private def loopSession(parent: SparkSession, parts: Long): SparkSession = {
+    val child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    child
+  }
+
+  /** Measured width: one partition per 500k directed edges, capped at the
+    * caller's configured width (never widen beyond it on a small graph).
+    */
+  private def measuredParts(parent: SparkSession, directedEdges: Long): Long = {
+    val base = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    math.max(1L, math.min(base, directedEdges / 500000L + 1))
+  }
+
+  /** Re-root a frame's rows under `target` so all planning downstream of
+    * the bridge happens under the target session's conf.
+    */
+  private def bridge(target: SparkSession, df: DataFrame): DataFrame =
+    target.createDataFrame(df.rdd, df.schema)
 
   /** Deterministic PageRank over an UNDIRECTED edge list (a, b) — fixed
     * iteration count, no convergence test, so results are reproducible
@@ -26,50 +63,48 @@ object Graphs {
       edges: DataFrame,
       iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val ee = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val parent = edges.sparkSession
+    // Materialize the symmetrized edge list under the PARENT width first
+    // (one shuffle-free union of projections; the groupBy below is the
+    // only one-time shuffle and AQE right-sizes it), then measure.
+    val ee0 = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = ee.groupBy("src").agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count()
-    if (n == 0) {
-      ee.unpersist(); deg.unpersist()
-      return edges.sparkSession.emptyDataFrame
-        .withColumn("node", lit(0L)).withColumn("rank", lit(0.0)).limit(0)
-    }
-    // Each round references the previous ranks exactly ONCE, so the whole
-    // iteration composes into a single linear-depth lazy plan — one job
-    // with `iters` sequential shuffle stages, instead of a job (and its
-    // scheduling + materialization cost) per round. Contrast bfsDepths,
-    // whose round references state twice and MUST materialize per round to
-    // avoid exponential plan blowup. The final checkpoint executes the
-    // composed plan once and frees the edge/degree blocks.
-    //
-    // Shuffle width is sized to the MEASURED edge count for the duration
-    // of the (eager) execution: an iterative plan multiplies per-stage
-    // overhead by `iters`, so a 3k-edge graph must not pay the session's
-    // batch shuffle width 10 times over, while a billion-edge graph gets
-    // its parallelism back from the same formula.
-    val m = ee.count()
-    val sess = edges.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, m / 500000L + 1)).toString
-    sess.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-      var iter = 0
-      while (iter < iters) {
-        ranks = ee.join(ranks, ee("src") === ranks("node"))
-          .join(deg, "src")
-          .select(col("dst"), (col("rank") / col("d")).as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg((lit((1 - damping) / n) + lit(damping) * sum("c")).as("rank"))
-        iter += 1
+      val m = ee0.count()
+      if (m == 0) {
+        return parent.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("rank", lit(0.0)).limit(0)
       }
-      val out = ranks.localCheckpoint(true)
-      deg.unpersist(); ee.unpersist()
-      out
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val child = loopSession(parent, measuredParts(parent, m))
+      // Bridge the cached edge list into the child: the bridge RDD reads
+      // the parent's in-memory blocks, so the child pays no recompute.
+      val ee = bridge(child, ee0).persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = ee.groupBy("src").agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.count()
+      try {
+        // Each round references the previous ranks exactly ONCE, so the
+        // whole iteration composes into a single linear-depth lazy plan —
+        // one job with `iters` sequential shuffle stages, instead of a job
+        // (and its scheduling + materialization cost) per round. Contrast
+        // bfsDepths, whose round references state twice and MUST
+        // materialize per round to avoid exponential plan blowup. The
+        // final checkpoint executes the composed plan once and frees the
+        // edge/degree blocks.
+        var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        var iter = 0
+        while (iter < iters) {
+          ranks = ee.join(ranks, ee("src") === ranks("node"))
+            .join(deg, "src")
+            .select(col("dst"), (col("rank") / col("d")).as("c"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit((1 - damping) / n) + lit(damping) * sum("c")).as("rank"))
+          iter += 1
+        }
+        bridge(parent, ranks.localCheckpoint(true))
+      } finally { deg.unpersist(); ee.unpersist() }
+    } finally ee0.unpersist()
   }
 
   /** BFS depths from `source` over an UNDIRECTED edge list (a, b), capped
@@ -84,35 +119,34 @@ object Graphs {
       edges: DataFrame,
       source: Long,
       maxHops: Int = 6): DataFrame = {
-    val ee = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val parent = edges.sparkSession
+    val ee0 = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // same measured-width sizing as pageRank: per-round eager jobs must
-    // not pay the batch shuffle width on a small frontier.
-    val m = ee.count()
-    val sess = edges.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(prevParts.toLong, m / 500000L + 1)).toString)
     try {
-      var state = sess.range(1)
-        .select(lit(source).as("node"), lit(0L).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var iter = 0
-      while (iter < maxHops) {
-        val next = state.join(ee, state("node") === ee("src"))
-          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-          .union(state)
-          .groupBy("node").agg(min("dist").as("dist"))
+      val m = ee0.count()
+      val child = loopSession(parent, measuredParts(parent, m))
+      val ee = bridge(child, ee0).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var state = child.range(1)
+          .select(lit(source).as("node"), lit(0L).as("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
+        var iter = 0
+        while (iter < maxHops) {
+          val next = state.join(ee, state("node") === ee("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+            .union(state)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          state.unpersist()
+          state = next
+          iter += 1
+        }
+        val out = bridge(parent, state.localCheckpoint(true))
         state.unpersist()
-        state = next
-        iter += 1
-      }
-      val out = state.localCheckpoint(true)
-      state.unpersist(); ee.unpersist()
-      out
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out
+      } finally ee.unpersist()
+    } finally ee0.unpersist()
   }
 }

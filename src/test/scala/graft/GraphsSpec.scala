@@ -19,6 +19,32 @@ class GraphsSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("iterative loops never touch the caller session's shuffle width") {
+    // The loops size their shuffle width in a CHILD session; a concurrent
+    // planner on the caller's session must never observe a mutated width.
+    // Poll the conf continuously while pageRank runs on another thread —
+    // the old conf-mutating implementation set it to "1" for the whole
+    // run, so any poll landing inside the loop catches a regression.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = (1L to 2000L).map(i => (i, i % 97 + 10000L)).toDF("a", "b")
+    val run = Future(Graphs.pageRank(edges, iters = 8))
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (!run.isCompleted) {
+      seen += spark.conf.get("spark.sql.shuffle.partitions")
+      Thread.sleep(5)
+    }
+    val out = Await.result(run, 120.seconds)
+    assert(seen.subsetOf(Set(before)), s"caller width mutated mid-run: $seen")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // result is re-rooted under the caller's session, so downstream plans
+    // over it use the caller's conf, not the loop's measured width
+    assert(out.sparkSession eq spark)
+    assert(out.count() > 0)
+  }
+
   test("bfsDepths reports exact hop counts and honors the cap") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val full = Graphs.bfsDepths(chain, source = 1L, maxHops = 6)
