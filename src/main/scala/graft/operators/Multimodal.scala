@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,11 +12,20 @@ import org.apache.spark.sql.types._
   * metadata, plus frame-sampling / feature-extraction operators (extension
   * tier, SURVEY.md §7).
   *
-  * The container has no image/audio codecs, so the decode step is a STUB —
-  * a deterministic fingerprint of the bytes stands in for "decoded frame
-  * features" (marked below). Everything around it is real and is the part
-  * that matters at scale: the binary schema, the per-frame explode, the
-  * partition-iterator batch shape a native decoder would slot into.
+  * The image path is REAL end-to-end: [[synthesizePng]] encodes
+  * deterministic pixel rasters through `javax.imageio` (JDK-bundled PNG
+  * codec — no external jar), and [[decodeImageFeatures]] decodes those
+  * payloads back to pixels inside the partition iterator and reduces them
+  * to channel statistics. Because the pixel raster is a pure arithmetic
+  * function of (asset_id, x, y, channel), the oracle can recompute the same
+  * statistics in SQL without any codec — a hash match therefore certifies
+  * that the decode produced the original pixels (PNG is lossless), not just
+  * that bytes moved through the plumbing.
+  *
+  * Audio/video remain byte-window fingerprints ([[sampleFrames]]): those
+  * codecs genuinely are absent from the JDK, and a content hash per sampled
+  * window is the honest scale-shape (one row per frame, no driver
+  * collection) without pretending to decode.
   */
 object Multimodal {
 
@@ -26,6 +39,47 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false))),
       nullable = false)))
+
+  /** Deterministic raster dimensions / pixel values — the shared contract
+    * between the PNG encoder here and the SQL oracle (which recomputes the
+    * channel means arithmetically). Channel c ∈ {0=R, 1=G, 2=B}.
+    */
+  def pngWidth(id: Long): Int = (id % 13 + 4).toInt
+  def pngHeight(id: Long): Int = (id % 11 + 4).toInt
+  def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 37 + x * 11 + y * 17 + c * 29) % 256).toInt
+
+  /** Synthesize one real PNG per input id: raster from [[pixelValue]],
+    * encoded via the JDK's ImageIO PNG writer inside the partition
+    * iterator (the ingest shape `spark.read.format("binaryFile")` produces
+    * in environments where media arrives as files).
+    */
+  def synthesizePng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = pngWidth(id); val h = pngHeight(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (pixelValue(id, x, y, 0) << 16) |
+              (pixelValue(id, x, y, 1) << 8) |
+              pixelValue(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row("image/png", bytes.length.toLong, w, h))
+      }
+    }(enc)
+  }
 
   /** Wrap any (id, text) frame as media rows: payload = UTF-8 bytes, with
     * deterministic fake dimensions derived from the byte length. Stands in
@@ -49,9 +103,11 @@ object Multimodal {
   }
 
   /** Frame sampling: split the payload into fixed-size byte windows and
-    * fingerprint each — the explode shape a video frame-sampler produces
-    * (one row per sampled frame), with md5 standing in for the decoded
-    * frame's feature vector (STUB: no codec in this container).
+    * content-fingerprint each — the explode shape a video frame-sampler
+    * produces (one row per sampled frame). The md5 is a fingerprint for
+    * downstream dedup/joins, not a decode: video codecs aren't in the JDK,
+    * so frame CONTENT stays opaque here by design (contrast the image path,
+    * which decodes for real via [[decodeImageFeatures]]).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
     media.select(
@@ -71,24 +127,40 @@ object Multimodal {
         md5(col("frame")).as("frame_fingerprint"),
         length(col("frame")).cast("long").as("frame_bytes"))
 
-  /** Batched decode via a partition iterator — the Scala analogue of a
-    * Pandas-UDF/`mapInPandas` decode stage: rows stream through per
-    * partition, a real decoder would process `payload` batches here.
-    * The "features" are a STUB fingerprint (first 8 bytes of md5 as a
-    * little feature vector); the plumbing — schema in/out, per-partition
-    * batching, no driver collection — is the real part.
+  /** Batched REAL image decode via a partition iterator — the Scala
+    * analogue of a Pandas-UDF/`mapInPandas` decode stage: payload bytes
+    * stream through per partition, `javax.imageio` decodes each PNG back
+    * to pixels, and the features are genuine pixel statistics (decoded
+    * dimensions + per-channel means). No driver collection; decoder state
+    * is per-partition, not per-row.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame, dims: Int = 8): DataFrame = {
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("asset_id", "payload").mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val digest = md.digest(r.getAs[Array[Byte]]("payload"))
-        val feats = (0 until dims).map(i => (digest(i % digest.length) & 0xff) / 255.0)
-        Row(r.getLong(0), feats)
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        require(img != null, s"undecodable payload for asset_id=${r.getLong(0)}")
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Row(r.getLong(0), w, h, sr / n, sg / n, sb / n)
       }
     }(enc)
   }

@@ -276,24 +276,27 @@ object TextQueries {
     }),
 
     // Multimodal frame sampling: documents as binary payloads chopped into
-    // 64-byte frames, one fingerprint per frame (decode step stubbed —
-    // see graft.operators.Multimodal).
+    // 64-byte frames, one content fingerprint per frame (the video-shaped
+    // path — see graft.operators.Multimodal).
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
           Multimodal.fromText(docs(s, d), "doc_id", "text"), frameBytes = 64)
         .orderBy("asset_id", "frame_no"))
   ,
-    // Multimodal batched decode: the mapPartitions feature-extraction slot
-    // end-to-end. The STUB features are digest-byte fractions, which ARE
-    // SQL-expressible — so even the partition-iterator path gets a full
-    // oracle. One rounded DOUBLE column per dimension (array columns break
-    // the row-sort compare; float→string formatting never matches).
+    // Multimodal REAL decode: synthesize one deterministic PNG per document
+    // (javax.imageio encoder), decode it back to pixels in the
+    // mapPartitions slot, and emit decoded dimensions + channel means. The
+    // raster is a pure function of (asset_id, x, y, channel), so the oracle
+    // recomputes the identical statistics arithmetically — a hash match
+    // certifies the decoder reproduced the original pixels (PNG lossless),
+    // not merely that bytes flowed through.
     "mm_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(s,
-          Multimodal.fromText(docs(s, d), "doc_id", "text"), dims = 8)
-        .select(col("asset_id") +:
-          (0 until 8).map(i =>
-            round(element_at(col("features"), i + 1) + 1e-9, 6).as(s"f$i")): _*)
+      Multimodal.decodeImageFeatures(
+          Multimodal.synthesizePng(docs(s, d), "doc_id"))
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("mean_r") + 1e-9, 6).as("mean_r"),
+          round(col("mean_g") + 1e-9, 6).as("mean_g"),
+          round(col("mean_b") + 1e-9, 6).as("mean_b"))
         .orderBy("asset_id"))
   )
 
@@ -580,14 +583,18 @@ object TextQueries {
            |SELECT gram, count(1) AS n FROM g GROUP BY gram
            |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
-      "mm_features" -> {
-        val cols = (0 until 8).map(i =>
-          s"round(('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / 255.0 + 0.000000001, 6) AS f$i")
-          .mkString(",\n ")
-        s"""SELECT doc_id AS asset_id,
-           | $cols
-           |FROM documents ORDER BY asset_id""".stripMargin
-      },
+      // Mirrors Multimodal.pixelValue / pngWidth / pngHeight exactly: the
+      // raster the Spark side encodes into a real PNG and decodes back.
+      "mm_features" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 13 + 4) AS w, (doc_id % 11 + 4) AS h
+          |           FROM documents),
+          |px AS (SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM m),
+          |v AS (SELECT asset_id, w, h, p % w AS x, p // w AS y FROM px)
+          |SELECT asset_id, w::INT AS width, h::INT AS height,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17) % 256) + 0.000000001, 6) AS mean_r,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17 + 29) % 256) + 0.000000001, 6) AS mean_g,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17 + 58) % 256) + 0.000000001, 6) AS mean_b
+          |FROM v GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),

@@ -242,12 +242,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("multimodal decodeFeatures keeps partition-parallel shape") {
-    val media = Multimodal.fromText(
-      Seq((1L, "abc"), (2L, "def")).toDF("id", "t"), "id", "t")
-    val out = Multimodal.decodeFeatures(spark, media, dims = 4).collect()
-    assert(out.length == 2)
-    assert(out.forall(_.getSeq[Double](1).size == 4))
-    assert(out.forall(_.getSeq[Double](1).forall(v => v >= 0.0 && v <= 1.0)))
+  test("multimodal PNG round-trip decodes real pixels, not payload bytes") {
+    val media = Multimodal.synthesizePng(Seq(5L, 12L).toDF("id"), "id")
+    val rows = media.collect()
+    // payloads are genuine PNG files (magic bytes), sized per the contract
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      val meta = r.getStruct(2)
+      assert(meta.getString(0) == "image/png" && meta.getLong(1) == bytes.length.toLong)
+    }
+    val out = Multimodal.decodeImageFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(5L, 12L).foreach { id =>
+      val r = out(id)
+      val w = Multimodal.pngWidth(id); val h = Multimodal.pngHeight(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h, "decoded dims != contract dims")
+      // decoded channel means must equal the arithmetic raster means exactly
+      // (PNG is lossless) — this is what separates a real decode from a hash
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      def mean(c: Int) = px.map { case (x, y) => Multimodal.pixelValue(id, x, y, c) }.sum.toDouble / px.size
+      assert(math.abs(r.getDouble(3) - mean(0)) < 1e-12)
+      assert(math.abs(r.getDouble(4) - mean(1)) < 1e-12)
+      assert(math.abs(r.getDouble(5) - mean(2)) < 1e-12)
+    }
   }
 }
