@@ -43,10 +43,32 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Median-of-3: three full suite passes, each in a FRESH child session.
+    // A child session (spark.newSession()) shares the SparkContext and JIT
+    // state but isolates the per-session FrameMemo cache, so every pass
+    // rebuilds shared memoized frames exactly like the baseline's
+    // fresh-JVM passes do — reps stay comparable to BASELINE.md instead of
+    // re-measuring a warm cache. Suite order within each pass is the same
+    // alphabetical order as always, so shared-frame build costs land on
+    // the same first consumer every pass. The median defends the round
+    // numbers against the box-noise episodes that forced manual
+    // re-adjudication in rounds 1/3/5.
+    val passes = 3
+    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      val sess = spark.newSession()
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(sess, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val byName: Map[String, Seq[Double]] =
+      perPass.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    // any throwing rep poisons the query to -1 (a median would hide a
+    // flaky failure behind two passing reps)
+    val results = selected.map { case (name, _) =>
+      val reps = byName(name)
+      name -> (if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(passes / 2))
     }
     // millisecond precision keeps the one-line JSON compact — full
     // nanosecond doubles once pushed the line past what the harness
@@ -61,6 +83,11 @@ object Bench {
     val total = results.map(_._2).sum
     val detail = jsonLine(results, total)
     println(detail)
+    // durable per-rep detail: median is what the driver grades, but the
+    // raw reps are what adjudicate "noise vs regression" without re-runs
+    val repsJson = selected.map { case (name, _) =>
+      s"\"" + name + "\":[" + byName(name).map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // The harness keeps only a bounded tail of stdout; once the suite grew
     // past ~90 queries the single detail line overflowed it and was
     // front-truncated, losing the total (BENCH_r04 "parsed": null). Durable
@@ -70,7 +97,8 @@ object Bench {
     // reads the tail always sees one complete, parseable JSON line.
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+      val withReps = detail.dropRight(1) + s""","reps":$repsJson}"""
+      java.nio.file.Files.write(p, (withReps + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val slowestFirst = results.sortBy(-_._2)
     val budget = 1400
