@@ -3,6 +3,67 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** SQL dialect seam for the JDBC source: identifier quoting and catalog
+  * discovery differ per engine, and the reference README claims
+  * MySQL/MSSQL/PostgreSQL support while implementing only MySQL
+  * (`README.md:2` vs `mysql_operations.py`). Each dialect carries its
+  * default driver class, its identifier-quote style, and its
+  * base-table catalog query (the portable spelling of
+  * `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`,
+  * `mysql_operations.py:31-36`).
+  *
+  * Derby is here because Spark bundles the embedded Derby engine
+  * (`/opt/spark/jars/derby-*.jar`, shipped for the Hive metastore), which
+  * makes the WHOLE JDBC path — driver load, partitioned range scan,
+  * pushed WHERE clause, catalog discovery — executable end-to-end in a
+  * sandbox with no external database (see `JdbcSpec`).
+  */
+sealed abstract class JdbcDialect(
+    val name: String,
+    val defaultDriver: String,
+    quoteOpen: String,
+    quoteClose: String) {
+  /** Quote one identifier part, doubling any embedded closer. */
+  def quote(id: String): String =
+    quoteOpen + id.replace(quoteClose, quoteClose + quoteClose) + quoteClose
+  /** Single-quoted SQL string literal (shared across all dialects). */
+  protected final def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** One-column (`table_name`) query listing base tables of `database`. */
+  def catalogQuery(database: String): String
+}
+
+object JdbcDialect {
+  case object MySql extends JdbcDialect("mysql", "com.mysql.cj.jdbc.Driver", "`", "`") {
+    def catalogQuery(database: String): String =
+      s"""SELECT table_name FROM information_schema.tables
+         | WHERE table_schema = ${lit(database)} AND table_type = 'BASE TABLE'""".stripMargin
+  }
+  case object Postgres extends JdbcDialect("postgresql", "org.postgresql.Driver", "\"", "\"") {
+    def catalogQuery(database: String): String =
+      s"""SELECT table_name FROM information_schema.tables
+         | WHERE table_schema = ${lit(database)} AND table_type = 'BASE TABLE'""".stripMargin
+  }
+  case object MsSql extends JdbcDialect(
+      "sqlserver", "com.microsoft.sqlserver.jdbc.SQLServerDriver", "[", "]") {
+    // MSSQL scopes information_schema per-database; the schema filter is the
+    // catalog column there.
+    def catalogQuery(database: String): String =
+      s"""SELECT table_name FROM information_schema.tables
+         | WHERE table_catalog = ${lit(database)} AND table_type = 'BASE TABLE'""".stripMargin
+  }
+  case object Derby extends JdbcDialect("derby", "org.apache.derby.jdbc.EmbeddedDriver", "\"", "\"") {
+    // Derby predates information_schema: base tables are TABLETYPE='T' in
+    // SYS.SYSTABLES, schema name via SYSSCHEMAS. The quoted lower-case
+    // alias keeps the output column byte-identical across dialects (Derby
+    // upper-cases unquoted identifiers).
+    def catalogQuery(database: String): String =
+      s"""SELECT t.TABLENAME AS "table_name" FROM SYS.SYSTABLES t
+         | JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+         | WHERE s.SCHEMANAME = ${lit(database)} AND t.TABLETYPE = 'T'""".stripMargin
+  }
+  val all: Seq[JdbcDialect] = Seq(MySql, Postgres, MsSql, Derby)
+}
+
 /** Production JDBC source — the Spark-native successor of the reference's
   * SQLAlchemy extract layer (`mysql_operations.py:8-41`).
   *
@@ -18,15 +79,19 @@ import org.apache.spark.sql.functions._
   *    into the remote `WHERE` clause (observable in the JDBC scan's
   *    PushedFilters), equivalent to `mysql_operations.py:21-23`.
   *
-  * Untestable in this environment (no database, zero egress); exercised
-  * structurally via option-map unit tests only.
+  * The live path is exercised end-to-end against embedded Derby in
+  * `JdbcSpec`; MySQL/Postgres/MSSQL differ only by the options this config
+  * emits (driver class, quoting, catalog SQL), pinned structurally there.
   */
 final case class JdbcConfig(
     url: String,
     user: String,
     password: String,
-    driver: String = "com.mysql.cj.jdbc.Driver",
-    fetchSize: Int = 10000)
+    dialect: JdbcDialect = JdbcDialect.MySql,
+    driverOverride: Option[String] = None,
+    fetchSize: Int = 10000) {
+  def driver: String = driverOverride.getOrElse(dialect.defaultDriver)
+}
 
 object Jdbc {
 
@@ -75,14 +140,11 @@ object Jdbc {
     df.filter(col(tsCol) >= lo && col(tsCol) < hi)
   }
 
-  /** S3 over JDBC: base-table discovery via information_schema (the portable
-    * spelling of `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`).
+  /** S3 over JDBC: base-table discovery through the dialect's catalog
+    * query, returning a one-column (`table_name`) frame.
     */
   def discoverBaseTables(spark: SparkSession, cfg: JdbcConfig, database: String): DataFrame =
     reader(spark, cfg)
-      .option("dbtable",
-        s"""(SELECT table_name FROM information_schema.tables
-           | WHERE table_schema = '${database.replace("'", "''")}'
-           |   AND table_type = 'BASE TABLE') AS t""".stripMargin)
+      .option("dbtable", s"(${cfg.dialect.catalogQuery(database)}) AS t")
       .load()
 }
