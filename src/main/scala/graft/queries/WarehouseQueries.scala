@@ -629,6 +629,11 @@ object WarehouseQueries {
       t(s, d, "events")
         .withColumn("mu", avg("value").over(byType))
         .withColumn("sigma", stddev_samp("value").over(byType))
+        // sigma = 0 (constant group) or NULL (single row) would yield
+        // NaN/Inf z — and NaN compares GREATER than 3.0 in Spark while
+        // DuckDB's division may differ, a latent cross-engine mismatch.
+        // A zero-variance group has no outliers by definition: guard it.
+        .filter(col("sigma").isNotNull && col("sigma") > 0)
         .withColumn("z", (col("value") - col("mu")) / col("sigma"))
         .filter(abs(col("z")) > 3.0)
         .select(
@@ -1039,5 +1044,7 @@ object WarehouseQueries {
         |  FROM events)
         |SELECT event_id, event_type, value,
         |       round((value - mu) / sigma + 0.000000001, 3) AS z
-        |FROM m WHERE abs((value - mu) / sigma) > 3 ORDER BY event_id""".stripMargin)
+        |FROM m
+        |WHERE sigma IS NOT NULL AND sigma > 0
+        |  AND abs((value - mu) / sigma) > 3 ORDER BY event_id""".stripMargin)
 }

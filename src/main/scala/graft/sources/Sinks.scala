@@ -126,12 +126,23 @@ object Sinks {
       outDir: String,
       targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    def parquetFiles(dir: String): Array[java.io.File] =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // resolve through the Hadoop FileSystem of the path's scheme, not
+    // java.io.File — on hdfs:// or s3a:// a local listing would return
+    // nothing and silently collapse the whole table into one file
+    def parquetFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
     val inFiles = parquetFiles(inDir)
-    val totalBytes = inFiles.map(_.length()).sum
-    val nOut = math.max(1, ((totalBytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    require(inFiles.nonEmpty, s"no parquet files to compact under $inDir")
+    val totalBytes = inFiles.map(_.getLen).sum
+    // Long arithmetic end-to-end: a tiny target over a 100 TB input must
+    // not overflow Int and collapse to a single output file
+    val nOutL = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    val nOut = math.min(nOutL, Int.MaxValue.toLong).toInt
     spark.read.parquet(inDir)
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)

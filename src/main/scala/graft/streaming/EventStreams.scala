@@ -279,8 +279,12 @@ object EventStreams {
       var last = Long.MinValue
       rows.foreach { case (_, ts) => n += 1; last = math.max(last, ts.getTime) }
       count.update(n)
-      // one armed timer per key: re-arm on every batch the key appears in
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // one armed timer per key: re-arm on every batch the key appears in.
+      // Materialize before deleting — mutating the state-store-backed
+      // iterator mid-iteration is not guaranteed safe; it only happened to
+      // work while at most one timer was ever armed per key.
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSeq
+        .foreach(getHandle.deleteTimer)
       getHandle.registerTimer(last + gapMs)
       Iterator.empty
     }
