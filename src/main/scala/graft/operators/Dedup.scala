@@ -310,6 +310,103 @@ object Dedup {
     } finally { ns.unpersist(); xs.unpersist() }
   }
 
+  /** Persist a MinHash LSH index as BUCKETED catalog tables — the
+    * cross-session production shape [[minhashSignatures]]'s doc promises:
+    * the corpus is signed once, and every later ingest reads the index
+    * back with ZERO Exchange under either index scan (asserted in
+    * `DedupSimilaritySpec`).
+    *
+    * Two tables:
+    *  - `<prefix>_bands` (bkey, id), bucketed+sorted on `bkey` — the band
+    *    index is FOLDED INTO the key (`"band:slice"`), so the band join is
+    *    a single-column equi-join on exactly the bucket column. That
+    *    matters: Spark's co-partition check requires hash partitioning on
+    *    ALL join keys (spark.sql.requireAllClusterKeysForCoPartition), so
+    *    a two-column (band, key) join over a key-bucketed table would
+    *    re-shuffle the index anyway — the folded key keeps the identical
+    *    collision semantics (a pair collides iff some band's slice
+    *    matches) while making the bucket layout exactly the join layout;
+    *  - `<prefix>_sigs` (id, sig, sset, ssz), bucketed on `id` — the
+    *    verify join-back on `index_id` reads it shuffle-free the same way.
+    *
+    * At 100 TB the bands table is append-maintained per ingest day (new
+    * batch's bands union in after checking), so index maintenance is
+    * O(|day|), never a corpus re-sign.
+    */
+  def writeMinhashIndex(
+      sigs: DataFrame,
+      tablePrefix: String,
+      buckets: Int,
+      k: Int = 16,
+      bands: Int = 4): Unit = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
+    val banded = sigs.select(col("id"),
+      explode(foldedBandKeys(col("sig"), bands, k / bands)).as("bkey"))
+      .select(col("bkey"), col("id"))
+    graft.sources.Sinks.writeBucketedTable(banded, s"${tablePrefix}_bands", buckets, "bkey")
+    graft.sources.Sinks.writeBucketedTable(sigs, s"${tablePrefix}_sigs", buckets, "id")
+  }
+
+  /** Band keys with the band index folded in (`"<band>:<slice>"`): two
+    * documents share a folded key iff they share that band's slice —
+    * identical collision semantics to the (band, key) pair, as one
+    * single-column join key.
+    */
+  private def foldedBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    zip_with(
+      sequence(lit(0), lit(bands - 1)),
+      bandKeys(sig, bands, rows),
+      (b, k) => concat(b.cast("string"), lit(":"), k))
+
+  /** Incremental pair detection against a PERSISTED index (see
+    * [[writeMinhashIndex]]): same band/verify arithmetic as
+    * [[minhashPairsFromSignatures]], but the index side comes from the
+    * bucketed catalog tables, whose scans feed both joins with no
+    * Exchange. Lazy plan builder — the spec inspects the physical plan;
+    * [[minhashPairsAgainstIndex]] is the eager production wrapper.
+    */
+  private[graft] def minhashPairsAgainstIndexPlan(
+      newSigs: DataFrame,
+      tablePrefix: String,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
+    val rows = k / bands
+    val spark = newSigs.sparkSession
+    val xb = spark.table(s"${tablePrefix}_bands")
+      .select(col("bkey"), col("id").as("index_id"))
+    val xs = spark.table(s"${tablePrefix}_sigs")
+    val nb = newSigs.select(col("id").as("new_id"),
+      explode(foldedBandKeys(col("sig"), bands, rows)).as("bkey"))
+    val cand = nb.join(xb, Seq("bkey"))
+      .select("new_id", "index_id").distinct()
+    cand
+      .join(newSigs.select(col("id").as("new_id"),
+        col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
+      .join(xs.select(col("id").as("index_id"),
+        col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
+      .filter(sizeRejectFilter(threshold))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("jaccard", jaccardExpr)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
+
+  /** Eager production entry over [[minhashPairsAgainstIndexPlan]] —
+    * materializes the (small) pair set like every sibling pair builder.
+    */
+  def minhashPairsAgainstIndex(
+      newSigs: DataFrame,
+      tablePrefix: String,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    minhashPairsAgainstIndexPlan(newSigs, tablePrefix, k, bands, threshold)
+      .localCheckpoint(true)
+
   /** 60-bit SimHash per row from a token array.
     *
     * Relational formulation: explode distinct tokens, hash each once, then

@@ -42,6 +42,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
   }
 
+  test("persisted minhash index: zero Exchange under index scans, inline pair parity") {
+    // corpus where the new batch (id % 10 == 0) contains an exact dup and a
+    // near-dup of index-side docs, plus an unrelated doc that must not pair
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "some completely independent sentence about catalyst optimizer rules"),
+      (3L, "training corpora need dedup before the tokenizer ever sees them"),
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (20L, "training corpora need dedup before the tokenizer ever sees them"),
+      (30L, "nothing in common with any other document in this tiny corpus")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      corpus, "doc_id", CrossHash.wordShingles(toks, 3), k = 16).localCheckpoint(true)
+    val newSigs = sigs.filter(col("id") % 10 === 0).localCheckpoint(true)
+    val idxSigs = sigs.filter(col("id") % 10 =!= 0).localCheckpoint(true)
+
+    Dedup.writeMinhashIndex(idxSigs, "mh_idx_spec", buckets = 4, k = 16, bands = 8)
+
+    // reopen in a FRESH session (shared catalog, isolated state) — the
+    // next-day-ingest shape the index exists for
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false") // keep Exchanges visible
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    val newOnFresh = fresh.createDataFrame(newSigs.rdd, newSigs.schema)
+    val lazyPlan = Dedup.minhashPairsAgainstIndexPlan(
+      newOnFresh, "mh_idx_spec", k = 16, bands = 8, threshold = 0.5)
+
+    // every bucketed index scan must reach its consuming join with no
+    // Exchange in between (the new side shuffles to match; the index never)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val indexScans = paths(lazyPlan.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains("mh_idx_spec")
+    }
+    assert(indexScans.size == 2, s"expected both index tables scanned, got $indexScans")
+    indexScans.foreach { case (scan, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(anc.exists(_.isInstanceOf[BaseJoinExec]), "index scan must feed a join")
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed index scan and its join: $toJoin\n${scan.nodeName}")
+    }
+
+    // identical pair set to the inline (non-persisted) path
+    val viaIndex = lazyPlan.select("new_id", "index_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.minhashPairsFromSignatures(
+        newSigs, idxSigs, k = 16, bands = 8, threshold = 0.5)
+      .select("new_id", "index_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == inline, s"index path diverged: $viaIndex vs $inline")
+    assert(viaIndex.exists { case (n, i, j) => n == 20L && i == 3L && j == 1.0 })
+    assert(viaIndex.exists { case (n, i, _) => n == 10L && i == 1L })
+    assert(!viaIndex.exists { case (n, _, _) => n == 30L })
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close") {
     val sims = Dedup.simhash(docs, "doc_id", CrossHash.wordShingles(toks, 3))
       .as[(Long, Long)].collect().toMap
