@@ -330,6 +330,59 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Incremental QUANTILE maintenance — q_incr_rollup's missing piece at
+    // 100 TB: counts/sums/min/max merge trivially, but a quantile needs a
+    // mergeable summary. Per-day partials are fixed-256-bin histogram
+    // counts over the group's [min, max] (the range itself merges by
+    // min/max fold); merging days = summing counts; the quantile reads
+    // the merged CDF (first bin whose cumulative count reaches q·total —
+    // the same "smallest value with cdf ≥ q" definition percentile_disc
+    // uses, so the exact value's bin IS the looked-up bin). In-query
+    // certificate: (a) merged-from-dailies estimate equals the direct
+    // single-pass estimate EXACTLY (integer counts ⇒ merge-order
+    // invariance), (b) the bin-midpoint estimate lands within half a bin
+    // width of exact percentile_disc, per group and quantile. The oracle
+    // pins exact counts + all-TRUE, so approximation quality is itself
+    // hash-verified (the fn_hll_sketch convention).
+    "q_incr_quantiles" -> ((s, d) => {
+      val B = 256
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val rng = ev.groupBy("event_type").agg(
+        min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n_rows"))
+        .withColumn("w", (col("hi") - col("lo")) / B)
+      val binned = ev.join(broadcast(rng), "event_type")
+        .withColumn("bin",
+          when(col("w") === 0, lit(0)) // constant group: one bin, zero error
+            .otherwise(least(lit(B - 1),
+              floor((col("value") - col("lo")) / col("w")).cast("int"))))
+      def estFrom(hist: DataFrame): DataFrame = {
+        val byType = Window.partitionBy("event_type")
+        hist
+          .withColumn("cum", sum("n").over(byType.orderBy("bin")))
+          .withColumn("total", sum("n").over(byType))
+          .groupBy("event_type").agg(
+            min(when(col("cum") >= col("total") * 0.5, col("bin"))).as("b50"),
+            min(when(col("cum") >= col("total") * 0.9, col("bin"))).as("b90"))
+      }
+      val daily = binned.groupBy("event_type", "day", "bin").agg(count(lit(1)).as("n"))
+      val merged = estFrom(daily.groupBy("event_type", "bin").agg(sum("n").as("n")))
+      val direct = estFrom(binned.groupBy("event_type", "bin").agg(count(lit(1)).as("n")))
+        .select(col("event_type"), col("b50").as("d50"), col("b90").as("d90"))
+      val exact = ev.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("x50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("x90"))
+      merged.join(direct, "event_type")
+        .join(broadcast(rng), "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"),
+          (col("b50") === col("d50") && col("b90") === col("d90")).as("merge_ok"),
+          (abs(col("lo") + (col("b50") + 0.5) * col("w") - col("x50"))
+            <= col("w") / 2 + 1e-9).as("p50_ok"),
+          (abs(col("lo") + (col("b90") + 0.5) * col("w") - col("x90"))
+            <= col("w") / 2 + 1e-9).as("p90_ok"))
+        .orderBy("event_type")
+    }),
+
     // Snapshot diff — change-data capture between two loads of the same
     // table (the reference's daily reload, made auditable): full outer
     // join on the key classifies every row as added / removed / changed,
@@ -729,6 +782,11 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_incr_quantiles" ->
+      """SELECT event_type, count(1) AS n_rows,
+        |  TRUE AS merge_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
