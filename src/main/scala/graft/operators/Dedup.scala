@@ -570,6 +570,113 @@ object Dedup {
     out
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — the
+    * O(log n)-round escalation of [[connectedComponents]] for graphs whose
+    * component DIAMETER exceeds a sane round budget: the min-label loop
+    * moves labels one hop per round (diameter rounds total), while the
+    * star operators re-wire whole paths toward the component minimum, so
+    * the round count is logarithmic in component size (a 4096-node chain
+    * converges in a handful of rounds — pinned in PropertySpec).
+    *
+    * Same contract as [[connectedComponents]]: (id, rep) with rep = the
+    * component's minimum node id, one row per node appearing in any edge
+    * (self-loop-only nodes included). Label equivalence with the min-label
+    * loop on random graphs is property-tested.
+    *
+    * Round = small-star ∘ large-star over the CURRENT edge set, each one
+    * aggregation + one join (per-node neighbor minima — never a neighbor-
+    * list explosion), materialized per round with deterministic block
+    * release like every iterative loop here. Fixpoint = exact
+    * (count, Σa, Σb) signature equality in one aggregate pass, decimal
+    * sums so two distinct edge sets can't fold together by overflow.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // node universe (kept for singleton/self-loop nodes the star edges drop)
+    val nodes = raw.select(col("a").as("id")).union(raw.select(col("b").as("id")))
+      .distinct().persist(MEMORY_AND_DISK)
+    // canonical large→small orientation, loops out
+    var e = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct().persist(MEMORY_AND_DISK)
+
+    // large-star: every neighbor v > u re-wires to m(u) = min({u} ∪ Γ(u));
+    // each undirected edge is emitted exactly once, from its smaller
+    // endpoint, so orientation a > b is preserved.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), least(col("mn"), col("a")).as("m"))
+      sym.join(mins, sym("a") === col("u"))
+        .filter(col("b") > sym("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: each node links its smaller neighbors (and itself) to
+    // their collective minimum.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy("a").agg(min("b").as("m"))
+      cur.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    // count + Σa + Σb + Σxxhash64(a,b): the order-independent hash sum
+    // makes an accidental collision between two DIFFERENT consecutive
+    // edge sets (which the plain sums admit in principle) a 2^-64 event
+    def signature(cur: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) = {
+      val zero = lit(java.math.BigDecimal.ZERO)
+      val r = cur.agg(count(lit(1)),
+        coalesce(sum(col("a").cast("decimal(38,0)")), zero),
+        coalesce(sum(col("b").cast("decimal(38,0)")), zero),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")), zero)).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
+    }
+    var prevSig = signature(e)
+    var converged = prevSig._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // The round's plan references `e` several times (sym union + the
+      // mins join), so composing rounds lazily would grow the LOGICAL
+      // plan ~4× per round — exponential analyzer cost long before any
+      // data moves (persist caches blocks but does not truncate logical
+      // lineage). Bridge each round through its RDD: the new frame's
+      // plan is a flat scan of the materialized rows, so analyzer work
+      // stays O(1) per round while blocks release deterministically.
+      val plan = smallStar(largeStar(e))
+      val next = e.sparkSession.createDataFrame(plan.rdd, plan.schema)
+        .persist(MEMORY_AND_DISK)
+      val sig = signature(next) // doubles as the materializing action
+      e.unpersist()
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+      iter += 1
+    }
+    if (!converged) {
+      e.unpersist(); nodes.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponentsStar did not converge within " +
+          s"maxIter=$maxIter rounds — raise maxIter (rounds grow with " +
+          "log(component size), so this should be rare)")
+    }
+    // converged edge set is stars rooted at component minima; re-attach
+    // nodes that carried no non-loop edge as their own representatives
+    val labels = e.select(col("a").as("id"), col("b").as("rep"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Partial-overlap / containment pairs via shared content-defined
     * chunks: documents are cut at rolling-hash boundaries
     * ([[Text.cdcChunkFrame]]), and any two documents sharing enough chunk

@@ -129,6 +129,42 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("star CC contracts a 4096-node chain within a logarithmic round budget") {
+    // diameter 4095: the min-label loop would need 4095 rounds; the
+    // large-star/small-star pair must land the same labels inside a
+    // 16-round budget (≈ log-scale) or throw — this pins the O(log n)
+    // claim the operator exists for.
+    val n = 4096
+    val chain = (0L until (n - 1)).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponentsStar(chain, maxIter = 16)
+    assert(cc.count() == n)
+    assert(cc.select("rep").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("star CC labels == min-label CC labels on seeded random graphs") {
+    // three seeded shapes: sparse multi-component, dense near-single-
+    // component, and duplicate/self-loop-heavy — the structures a
+    // scalacheck forAll would explore, at a fixed handful of runs (both
+    // algorithms are iterative multi-action loops, so per-case cost is
+    // scheduler-bound; see the note in PropertySpec)
+    Seq((42, 40, 28), (7, 24, 40), (13, 12, 30)).foreach { case (seed, nodes, nEdges) =>
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(nEdges)((rnd.nextLong(nodes).abs, rnd.nextLong(nodes).abs))
+      val edges = es.toDF("a", "b")
+      val minLabel = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+      assert(star == minLabel, s"divergence at seed=$seed: $star vs $minLabel")
+    }
+  }
+
+  test("star CC handles empty edges, self-loops, and singletons like the min-label loop") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponentsStar(noEdges).count() == 0)
+    val loops = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(loops).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("connectedComponents and keepSurvivors handle an empty edge set") {
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(noEdges).count() == 0)

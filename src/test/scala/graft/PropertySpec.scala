@@ -201,6 +201,13 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // NOTE: star-CC vs min-label-CC equivalence lives in
+  // DedupSimilaritySpec over SEEDED random graphs, not here as a
+  // scalacheck property: both algorithms are iterative multi-action
+  // loops, so a 10-case forAll costs hundreds of scheduler round-trips
+  // (measured >10 min wall) for no more coverage than a handful of
+  // deterministic seeds exercising the same shapes.
+
   // keep runtime bounded: each property is a Spark job per case
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(10)
