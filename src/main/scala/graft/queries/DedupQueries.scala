@@ -162,6 +162,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Same contract through the O(log n)-round large-star/small-star
+    // algorithm (the documented escalation for deep-diameter components):
+    // identical labels to d_clusters against the identical recursive-CTE
+    // oracle — algorithm equivalence is itself hash-verified here, on the
+    // real corpus pair edges rather than spec fixtures.
+    "d_clusters_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cc = Dedup.connectedComponentsStar(minhashPairEdges(s, d))
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Clusters -> survivors: the deduplicated corpus, keeping the smallest
     // doc_id per near-dup cluster (the actual "dedup the corpus"
     // deliverable; left_anti of the losers out of documents).
@@ -419,6 +433,12 @@ object DedupQueries {
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
 
     "d_clusters" ->
+      s"""WITH RECURSIVE $ClusterRepBody
+         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "d_clusters_star" ->
       s"""WITH RECURSIVE $ClusterRepBody
          |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
          |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
