@@ -38,6 +38,9 @@ object ScaleBench {
     // run exercises exactly the boilerplate-exclusion path that keeps the
     // fp self-join bounded on real corpora.
     "d_cdc_containment", "d_incremental", "d_curate",
+    // round-6: star-algorithm CC — same pair-edge memo as d_clusters, so
+    // its timing is the algorithm's own incremental cost
+    "d_clusters_star",
     // round-5 additions. d_decontaminate's benchmark split stays 2% of the
     // corpus, so the broadcast side grows 10× but remains KBs; copy-unique
     // rewritten tokens kill cross-copy 5-gram overlap, so contamination
@@ -155,6 +158,9 @@ object ScaleBench {
     val family = which match {
       case "dedup" => DedupFamily
       case "warehouse" => WarehouseFamily
+      // focused CC comparison: minhash first to pay the shared pair-edge
+      // memo, then both component algorithms measure incremental cost
+      case "cc" => Seq("d_minhash_lsh", "d_clusters", "d_clusters_star")
       case _ => DedupFamily ++ WarehouseFamily
     }
 
