@@ -330,6 +330,27 @@ object StreamQueries {
       drain(joined, "st_join", "append").orderBy("view_id", "purchase_id")
     }),
 
+    // Stream-stream LEFT OUTER join drained in append mode through the
+    // flush-sentinel fixture: the bulk file arrives first (inner matches
+    // emit in-batch), then the sentinel batches push the watermark days
+    // past every view so all unmatched views' state is evicted and their
+    // null-extended rows emit before the drain stops. Sentinels flow
+    // through BOTH sides' filters (anything stricter gets predicate-
+    // pushed below the watermark node and starves it — see
+    // viewPurchaseJoinOuter's doc); their negative ids scrub their own
+    // self-join rows here. Oracle: the plain LEFT JOIN (every unmatched
+    // view present, purchase columns NULL).
+    "st_join_outer_parity" -> ((s, d) => {
+      val joined = EventStreams.viewPurchaseJoinOuter(eventsStreamFlush(s, d), "1 hour")
+        .select(
+          col("user_id"), col("view_id"), col("purchase_id"),
+          date_format(col("view_ts"), Fmt).as("view_ts"),
+          date_format(col("purchase_ts"), Fmt).as("purchase_ts"))
+      drain(joined, "st_join_outer", "append")
+        .filter(col("view_id") >= 0)
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // Cross-batch state merge: the same session-window aggregation, but the
     // input arrives as FOUR interleaved micro-batches (events hash-split by
     // id into four files, maxFilesPerTrigger=1) — every session's events
@@ -676,6 +697,17 @@ object StreamQueries {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "st_join_outer_parity" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
         |ORDER BY view_id, purchase_id""".stripMargin,

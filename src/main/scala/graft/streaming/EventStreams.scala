@@ -91,6 +91,47 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join — the shape [[viewPurchaseJoin]] can't
+    * test: a view with no purchase inside `within` must still be emitted
+    * (null-extended), and append mode only releases such a row once the
+    * watermark proves no match can arrive. Two structural points, both
+    * load-bearing:
+    *  - each side's filter ADMITS the flush-sentinel type alongside its
+    *    own event type. Writing the watermark "before" the filter is not
+    *    enough: a predicate that doesn't reference the event-time column
+    *    is pushed BELOW the EventTimeWatermark node by the optimizer, so
+    *    a sentinel-excluding filter would starve both sides' watermarks
+    *    and unmatched state would never be released (measured: the last
+    *    2 h of unmatched views never emitted). Sentinels carry negative
+    *    ids, so the caller drops their (rare) self-join rows after the
+    *    drain;
+    *  - the watermark attribute survives the per-side renames (alias
+    *    keeps the event-time metadata), so both join inputs stay
+    *    watermarked as the outer join requires.
+    */
+  def viewPurchaseJoinOuter(
+      events: DataFrame,
+      within: String = "1 hour",
+      watermark: String = "1 hour",
+      flushType: String = "__flush"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val views = wm
+      .filter(col("event_type") === "view" || col("event_type") === flushType)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val purchases = wm
+      .filter(col("event_type") === "purchase" || col("event_type") === flushType)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $within"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
