@@ -333,6 +333,37 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // K-extension: bucketed co-located join round-trip through the CATALOG
+    // — orders and customer bucketed on the join key, reopened from the
+    // catalog and joined. SinksSpec pins the zero-Exchange plan shape;
+    // this row pins that the bucketed write+read+join is LOSSLESS on real
+    // tables (the oracle checks joined content, not layout).
+    "k15_bucketed_join" -> ((s, d) => {
+      val key = ScratchKeys.forPath(d)
+      // a fresh JVM's in-memory catalog has forgotten the previous run's
+      // managed tables but their warehouse directories survive, and
+      // saveAsTable refuses a new managed table over an existing
+      // location — drop both halves before writing
+      Seq(s"b_orders_$key", s"b_customer_$key").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Sinks.writeBucketedTable(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"b_orders_$key", buckets = 8, bucketCol = "o_custkey")
+      Sinks.writeBucketedTable(
+        t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        s"b_customer_$key", buckets = 8, bucketCol = "c_custkey")
+      s.table(s"b_orders_$key")
+        .join(s.table(s"b_customer_$key"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -356,6 +387,12 @@ object ParityQueries {
     "s4_allowlist" ->
       """SELECT * FROM (VALUES ('events'),('lineitem'),('orders'))
         |AS t(table_name) ORDER BY table_name""".stripMargin,
+
+    "k15_bucketed_join" ->
+      """SELECT c_mktsegment, count(1)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice) + 0.000000001, 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "p1_date_format" ->
       s"""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '$OracleFmt') AS l_shipdate
