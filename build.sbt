@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default TZ too, not just Spark's session TZ: java.sql.Timestamp
+  // string constructors (JdbcSpec fixtures) and Derby interpret
+  // wall-clock strings in the JVM default zone — on a non-UTC host the
+  // UTC-pinned assertions would otherwise shift by the host offset
+  "-Duser.timezone=UTC",
   // 16g default: the full bench suite (~100 queries, streaming state
   // stores, memoized checkpoint blocks) runs in ONE JVM; at 8g the tail of
   // the suite ran GC-pressured and multi-stage queries measured 2-3x their

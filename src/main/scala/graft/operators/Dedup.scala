@@ -296,19 +296,31 @@ object Dedup {
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       val cand = banded(ns, "new_id").join(banded(xs, "index_id"), Seq("band", "key"))
         .select("new_id", "index_id").distinct()
-      cand
-        .join(ns.select(col("id").as("new_id"),
-          col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
-        .join(xs.select(col("id").as("index_id"),
-          col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
-        .filter(sizeRejectFilter(threshold))
-        .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
-        .withColumn("jaccard", jaccardExpr)
-        .filter(col("jaccard") >= threshold)
-        .select(col("new_id"), col("index_id"), col("jaccard"))
-        .localCheckpoint(true)
+      verifyNewIndexCandidates(cand, ns, xs, threshold).localCheckpoint(true)
     } finally { ns.unpersist(); xs.unpersist() }
   }
+
+  /** Shared exact-verify tail for the incremental paths: join the
+    * candidate (new_id, index_id) pairs back to both signature frames,
+    * size-reject, intersect, and threshold — ONE implementation so the
+    * inline ([[minhashPairsFromSignatures]]) and persisted-index
+    * ([[minhashPairsAgainstIndexPlan]]) paths cannot drift.
+    */
+  private def verifyNewIndexCandidates(
+      cand: DataFrame,
+      newSide: DataFrame,
+      indexSide: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(newSide.select(col("id").as("new_id"),
+        col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
+      .join(indexSide.select(col("id").as("index_id"),
+        col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
+      .filter(sizeRejectFilter(threshold))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("jaccard", jaccardExpr)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
 
   /** Persist a MinHash LSH index as BUCKETED catalog tables — the
     * cross-session production shape [[minhashSignatures]]'s doc promises:
@@ -341,11 +353,23 @@ object Dedup {
       bands: Int = 4): Unit = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
-    val banded = sigs.select(col("id"),
-      explode(foldedBandKeys(col("sig"), bands, k / bands)).as("bkey"))
-      .select(col("bkey"), col("id"))
-    graft.sources.Sinks.writeBucketedTable(banded, s"${tablePrefix}_bands", buckets, "bkey")
-    graft.sources.Sinks.writeBucketedTable(sigs, s"${tablePrefix}_sigs", buckets, "id")
+    // both table writes consume sigs — persist so an unmaterialized input
+    // (the full corpus signing) executes once, not once per write
+    val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = cached.select(col("id"),
+        explode(foldedBandKeys(col("sig"), bands, k / bands)).as("bkey"))
+        .select(col("bkey"), col("id"))
+      graft.sources.Sinks.writeBucketedTable(banded, s"${tablePrefix}_bands", buckets, "bkey")
+      graft.sources.Sinks.writeBucketedTable(cached, s"${tablePrefix}_sigs", buckets, "id")
+      // parameter record: band keys are (k, bands)-dependent strings, so a
+      // reader with different parameters would silently match nothing —
+      // the read path validates against this instead
+      val meta = cached.sparkSession.createDataFrame(
+        Seq((k, bands, buckets))).toDF("k", "bands", "buckets")
+      meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+    } finally cached.unpersist()
   }
 
   /** Band keys with the band index folded in (`"<band>:<slice>"`): two
@@ -376,6 +400,15 @@ object Dedup {
       s"k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
     val spark = newSigs.sparkSession
+    // fail loudly on a parameter mismatch: folded band keys are
+    // (k, bands)-dependent strings, so querying a k=16/bands=8 index with
+    // the bands=4 defaults would return ZERO pairs silently — the
+    // worst possible failure for a dedup gate
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    val (ik, ib) = (m.getInt(0), m.getInt(1))
+    require(ik == k && ib == bands,
+      s"index '$tablePrefix' was written with k=$ik bands=$ib but queried " +
+        s"with k=$k bands=$bands")
     val xb = spark.table(s"${tablePrefix}_bands")
       .select(col("bkey"), col("id").as("index_id"))
     val xs = spark.table(s"${tablePrefix}_sigs")
@@ -383,16 +416,7 @@ object Dedup {
       explode(foldedBandKeys(col("sig"), bands, rows)).as("bkey"))
     val cand = nb.join(xb, Seq("bkey"))
       .select("new_id", "index_id").distinct()
-    cand
-      .join(newSigs.select(col("id").as("new_id"),
-        col("sset").as("set_a"), col("ssz").as("sz_a")), "new_id")
-      .join(xs.select(col("id").as("index_id"),
-        col("sset").as("set_b"), col("ssz").as("sz_b")), "index_id")
-      .filter(sizeRejectFilter(threshold))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
-      .withColumn("jaccard", jaccardExpr)
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("index_id"), col("jaccard"))
+    verifyNewIndexCandidates(cand, newSigs, xs, threshold)
   }
 
   /** Eager production entry over [[minhashPairsAgainstIndexPlan]] —

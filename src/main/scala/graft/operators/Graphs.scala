@@ -24,10 +24,17 @@ import org.apache.spark.storage.StorageLevel
 object Graphs {
 
   /** Child session whose only divergence from the caller's conf is the
-    * loop's measured shuffle width; inherits everything else at creation.
+    * loop's measured shuffle width. `newSession()` alone rebuilds session
+    * state from the BUILDER-time options, silently dropping anything the
+    * caller set via `spark.conf.set` at runtime (AQE toggles, broadcast
+    * thresholds, timezone) — so the parent's current runtime conf is
+    * copied over explicitly; static/readonly entries are skipped.
     */
   private def loopSession(parent: SparkSession, parts: Long): SparkSession = {
     val child = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(child.conf.set(k, v))
+    }
     child.conf.set("spark.sql.shuffle.partitions", parts.toString)
     child
   }

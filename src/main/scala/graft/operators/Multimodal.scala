@@ -44,10 +44,10 @@ object Multimodal {
     * between the PNG encoder here and the SQL oracle (which recomputes the
     * channel means arithmetically). Channel c ∈ {0=R, 1=G, 2=B}.
     */
-  def pngWidth(id: Long): Int = (id % 13 + 4).toInt
-  def pngHeight(id: Long): Int = (id % 11 + 4).toInt
+  def pngWidth(id: Long): Int = (Math.floorMod(id, 13) + 4).toInt
+  def pngHeight(id: Long): Int = (Math.floorMod(id, 11) + 4).toInt
   def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
-    ((id * 37 + x * 11 + y * 17 + c * 29) % 256).toInt
+    Math.floorMod(id * 37 + x * 11 + y * 17 + c * 29, 256).toInt
 
   /** Synthesize one real PNG per input id: raster from [[pixelValue]],
     * encoded via the JDK's ImageIO PNG writer inside the partition

@@ -347,7 +347,12 @@ object StreamQueries {
           date_format(col("view_ts"), Fmt).as("view_ts"),
           date_format(col("purchase_ts"), Fmt).as("purchase_ts"))
       drain(joined, "st_join_outer", "append")
-        .filter(col("view_id") >= 0)
+        // scrub BOTH sentinel roles: a sentinel-as-view row (view_id < 0)
+        // and — should a sentinel ever share a user/window with a real
+        // view — a sentinel-as-purchase row (negative purchase_id), which
+        // would otherwise both leak and suppress that view's null row
+        .filter(col("view_id") >= 0 &&
+          (col("purchase_id").isNull || col("purchase_id") >= 0))
         .orderBy("view_id", "purchase_id")
     }),
 

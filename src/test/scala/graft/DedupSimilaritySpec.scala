@@ -90,6 +90,13 @@ class DedupSimilaritySpec extends SparkSpec {
         s"Exchange between bucketed index scan and its join: $toJoin\n${scan.nodeName}")
     }
 
+    // parameter mismatch must fail loudly, never silently return no pairs
+    // (folded band keys are (k, bands)-dependent strings)
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndexPlan(newOnFresh, "mh_idx_spec", k = 16, bands = 4)
+    }
+    assert(mismatch.getMessage.contains("written with k=16 bands=8"))
+
     // identical pair set to the inline (non-persisted) path
     val viaIndex = lazyPlan.select("new_id", "index_id", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
