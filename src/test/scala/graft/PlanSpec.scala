@@ -244,4 +244,39 @@ class PlanSpec extends SparkSpec {
       s"per-query top-k must prune map-side before the rank shuffle:\n$p")
   }
 
+  test("CBO: ANALYZE column stats flip a selective-filter join to broadcast") {
+    // The 100 TB claim behind ANALYZE TABLE: without column statistics a
+    // Filter inherits its child's size estimate, so a selectivity-1/ndv
+    // equality filter over a large table still plans as a shuffle join;
+    // with COMPUTE STATISTICS FOR COLUMNS the CBO estimates the filtered
+    // cardinality and broadcasts the (actually tiny) side with NO hint.
+    val n = 400000L
+    spark.range(n).selectExpr("id", "id % 50000 AS grp", "repeat('x', 40) AS pad")
+      .write.mode("overwrite").saveAsTable("cbo_fact")
+    spark.range(n).selectExpr("id", "repeat('y', 40) AS pad2")
+      .write.mode("overwrite").saveAsTable("cbo_other")
+    def joinPlan: String = {
+      val filtered = spark.table("cbo_fact").filter("grp = 7")
+      spark.table("cbo_other").join(filtered, "id")
+        .queryExecution.executedPlan.toString
+    }
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") // AQE would re-plan at runtime; this pins COMPILE-time stats use
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbo_other COMPUTE STATISTICS")
+      val before = joinPlan
+      assert(before.contains("SortMergeJoin"),
+        s"without column stats the filtered side must look big (shuffle join):\n$before")
+      spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS FOR COLUMNS grp")
+      val after = joinPlan
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats must shrink the filter estimate to a broadcast:\n$after")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
 }
