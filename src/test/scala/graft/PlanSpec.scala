@@ -244,6 +244,26 @@ class PlanSpec extends SparkSpec {
       s"per-query top-k must prune map-side before the rank shuffle:\n$p")
   }
 
+  test("day-partitioned layout prunes to one partition for a one-day read") {
+    // the property the DAY-partitioned sink exists for at 100 TB: a
+    // one-day predicate must prune at PLANNING time (PartitionFilters on
+    // the scan, one directory touched), never scan-then-filter
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = spark.range(300).selectExpr(
+      "id", "timestamp_micros(cast(1705276800000000 + id * 900000000 as long)) AS ts")
+    graft.sources.Sinks.write(df, out, dayPartitionField = Some("ts"))
+    val read = spark.read.parquet(out).filter("p_date = DATE'2024-01-16'")
+    val scan = read.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("p_date")),
+      s"day predicate must be a partition filter: ${scan.partitionFilters}")
+    // selectedPartitions is evaluated at planning: exactly one directory
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size == 1,
+      "one-day read must touch exactly one partition directory")
+    assert(read.count() == df.filter("to_date(ts) = DATE'2024-01-16'").count())
+  }
+
   test("CBO: ANALYZE column stats flip a selective-filter join to broadcast") {
     // The 100 TB claim behind ANALYZE TABLE: without column statistics a
     // Filter inherits its child's size estimate, so a selectivity-1/ndv
