@@ -292,6 +292,31 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // Same incremental contract through the PERSISTED index: the corpus
+    // (index side) is written via writeMinhashIndex — band-folded
+    // bucketed catalog tables plus the (k, bands) parameter record — and
+    // the day's batch is checked against the REOPENED tables. Identical
+    // oracle to d_incremental, so the write → reopen → zero-Exchange band
+    // join → verify chain is itself hash-verified end-to-end, not only
+    // spec-verified.
+    "d_incremental_indexed" -> ((s, d) => {
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+          .localCheckpoint(true)
+      }
+      val prefix = s"mh_index_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Dedup.writeMinhashIndex(
+        sigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
+      Dedup.minhashPairsAgainstIndex(
+          sigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4, threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .orderBy("new_id")
+    }),
+
     // Benchmark decontamination: a held-out "eval" split (2% of the
     // corpus by id hash) checked for word-5-gram overlap against the
     // training split — 5-grams because the ~40-word generator vocabulary
@@ -368,6 +393,15 @@ object DedupQueries {
     // the full self-join pair set restricted to (new, index) sides is
     // exactly what the asymmetric band join produces
     "d_incremental" ->
+      s"""WITH $MinhashPairsBody,
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    "d_incremental_indexed" ->
       s"""WITH $MinhashPairsBody,
          |hits AS (
          |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,

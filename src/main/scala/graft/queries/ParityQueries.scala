@@ -340,16 +340,8 @@ object ParityQueries {
     // tables (the oracle checks joined content, not layout).
     "k15_bucketed_join" -> ((s, d) => {
       val key = ScratchKeys.forPath(d)
-      // a fresh JVM's in-memory catalog has forgotten the previous run's
-      // managed tables but their warehouse directories survive, and
-      // saveAsTable refuses a new managed table over an existing
-      // location — drop both halves before writing
-      Seq(s"b_orders_$key", s"b_customer_$key").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tbl)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      Seq(s"b_orders_$key", s"b_customer_$key")
+        .foreach(Sinks.dropManagedTable(s, _))
       Sinks.writeBucketedTable(
         t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         s"b_orders_$key", buckets = 8, bucketCol = "o_custkey")

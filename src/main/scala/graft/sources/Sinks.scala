@@ -71,6 +71,20 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop a managed table AND its warehouse directory. A fresh JVM's
+    * in-memory catalog has forgotten the previous run's managed tables
+    * but their directories survive, and `saveAsTable` refuses to create a
+    * new managed table over an existing location — callers that re-create
+    * catalog tables idempotently (bucketed round-trips, index rebuilds)
+    * scrub through this first.
+    */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Z-value (Morton code) of two non-negative integer columns: their bits
     * interleaved (`a` on even positions, `b` on odd), so sorting by it
     * co-locates rows close in BOTH dimensions. Pure bitwise Column
