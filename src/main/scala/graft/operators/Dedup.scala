@@ -421,15 +421,22 @@ object Dedup {
 
   /** Eager production entry over [[minhashPairsAgainstIndexPlan]] —
     * materializes the (small) pair set like every sibling pair builder.
+    * The plan consumes `newSigs` twice (folded-band explode + verify
+    * join-back), so an unmaterialized signature frame is persisted here
+    * for the duration of the probe — otherwise the whole signing pipeline
+    * would execute once per consumer.
     */
   def minhashPairsAgainstIndex(
       newSigs: DataFrame,
       tablePrefix: String,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.7): DataFrame =
-    minhashPairsAgainstIndexPlan(newSigs, tablePrefix, k, bands, threshold)
+      threshold: Double = 0.7): DataFrame = {
+    val cached = newSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashPairsAgainstIndexPlan(cached, tablePrefix, k, bands, threshold)
       .localCheckpoint(true)
+    finally cached.unpersist()
+  }
 
   /** 60-bit SimHash per row from a token array.
     *

@@ -59,6 +59,9 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
+        // the SQL oracle recomputes pixelValue with plain %, which
+        // diverges from floorMod for negative ids — keep the contract loud
+        require(id >= 0, s"synthesizePng requires non-negative ids, got $id")
         val w = pngWidth(id); val h = pngHeight(id)
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
         var y = 0

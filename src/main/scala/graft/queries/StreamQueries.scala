@@ -206,6 +206,13 @@ object StreamQueries {
     if (!java.nio.file.Files.isDirectory(dir)) {
       java.nio.file.Files.createDirectories(dir)
       val raw = s.read.parquet(s"$d/events.parquet")
+      // sentinels carry user_id = -1; the post-drain scrubs downstream
+      // (st_join_outer_parity in particular) are only sound if that id
+      // space is disjoint from the real-user domain, so refuse to build
+      // the fixture over data that violates it
+      require(raw.filter(col("user_id") < 0).isEmpty,
+        "eventsStreamFlush requires non-negative real user_ids: " +
+          "sentinel rows use user_id = -1 and must never join real events")
       val tsIsLong = raw.schema("ts").dataType == LongType
       val stage = java.nio.file.Files.createTempDirectory("graft_flush_build_")
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
@@ -347,10 +354,15 @@ object StreamQueries {
           date_format(col("view_ts"), Fmt).as("view_ts"),
           date_format(col("purchase_ts"), Fmt).as("purchase_ts"))
       drain(joined, "st_join_outer", "append")
-        // scrub BOTH sentinel roles: a sentinel-as-view row (view_id < 0)
-        // and — should a sentinel ever share a user/window with a real
-        // view — a sentinel-as-purchase row (negative purchase_id), which
-        // would otherwise both leak and suppress that view's null row
+        // scrub sentinel rows. The load-bearing invariant is the FIXTURE's,
+        // not this filter's: sentinels carry user_id = -1, disjoint from
+        // the real-user domain (enforced with a loud require when
+        // eventsStreamFlush builds the fixture), so a sentinel can never
+        // inner-match a real view on the user-equality join key — the
+        // failure mode where a match both leaks a row AND suppresses that
+        // view's null-extended row cannot arise. What remains to scrub is
+        // sentinel self-join output: sentinel-as-view rows (view_id < 0)
+        // and their sentinel-as-purchase matches (purchase_id < 0).
         .filter(col("view_id") >= 0 &&
           (col("purchase_id").isNull || col("purchase_id") >= 0))
         .orderBy("view_id", "purchase_id")

@@ -79,9 +79,23 @@ object Sinks {
     * scrub through this first.
     */
   def dropManagedTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+    // simple identifiers only: a qualified (db.table) or quoted name would
+    // make the <warehouse>/<table> fallback below point at the wrong
+    // directory, and the name is interpolated into SQL
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"dropManagedTable expects an unqualified [A-Za-z0-9_]+ identifier, got '$table'")
+    // resolve the real location from the catalog while the entry still
+    // exists; fall back to the warehouse convention (lowercased — the
+    // catalog stores table directories case-folded) for the fresh-JVM case
+    // where only the directory survives
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val p =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
