@@ -383,6 +383,72 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Incremental quantiles with NO range assumption — the production
+    // replacement for q_incr_quantiles' fixed-[lo,hi] histogram, whose
+    // partials must be re-binned when a new day extends the range. KLL
+    // sketches (Spark's built-in kll_sketch_agg_double, same Datasketches
+    // family as fn_hll_sketch) are mergeable with a rank-error bound that
+    // depends only on k, never on the value range: per-day sketch
+    // partials, union-merged with kll_merge_agg_double, so day N+1 folds
+    // in as one more merge regardless of its values. Certificate design
+    // note: Datasketches KLL compaction is RANDOMIZED (an unseeded coin
+    // picks the compaction offset once n > k), so merged estimates are
+    // neither run-deterministic nor merge-order-invariant — an exact
+    // equality check like q_incr_quantiles' merge_ok is unattainable by
+    // construction. The honest mergeability certificate is the library's
+    // own guarantee, checked against ground truth: the merged sketch's
+    // p50/p90 estimates must have TRUE (exact, recomputed from the data)
+    // ranks within the k=200 normalized rank-error bound of the target
+    // rank, for BOTH an ascending-by-day and a descending-by-day merge
+    // order, certified at 2x the 99%-confidence bound so the booleans are
+    // stable across runs. The sketch's tracked n (exact in KLL through
+    // any merge tree) must equal the true count — the deterministic half
+    // of the mergeability claim. Oracle pins exact counts + all-TRUE.
+    "q_incr_quantiles_kll" -> ((s, d) => {
+      val K = 200
+      val eps = 2 * org.apache.datasketches.kll.KllSketch.getNormalizedRankError(K, false)
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      // consumed twice (asc + desc merges) — materialize the tiny
+      // (groups x days, ~KB sketches) partial frame once, per-suite
+      // convention for multi-consumed small frames
+      val daily = ev.groupBy("event_type", "day")
+        .agg(expr(s"kll_sketch_agg_double(value, $K)").as("sk"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      // two distinct merge orders: partial aggregation consumes each
+      // partition in its sorted order, so sorting the one-partition-per-
+      // group layout by day asc vs desc merges the identical day sketches
+      // through two different merge trees
+      def mergedEst(order: org.apache.spark.sql.Column, suffix: String): DataFrame =
+        daily.repartition(col("event_type")).sortWithinPartitions(order)
+          .groupBy("event_type")
+          .agg(expr("kll_merge_agg_double(sk)").as("msk"), sum("n").as("n" + suffix))
+          .select(col("event_type"), col("n" + suffix),
+            expr("kll_sketch_get_n_double(msk)").as("skn" + suffix),
+            expr("kll_sketch_get_quantile_double(msk, 0.5d)").as("e50" + suffix),
+            expr("kll_sketch_get_quantile_double(msk, 0.9d)").as("e90" + suffix))
+      val est = mergedEst(col("day").asc, "_a").join(
+        mergedEst(col("day").desc, "_b").drop("n_b"), "event_type")
+      // exact inclusive ranks of the four estimates, from the raw data
+      val certs = ev.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          max("n_a").as("n_a"), max("skn_a").as("skn_a"), max("skn_b").as("skn_b"),
+          (sum(when(col("value") <= col("e50_a"), 1).otherwise(0)) / count(lit(1))).as("r50_a"),
+          (sum(when(col("value") <= col("e90_a"), 1).otherwise(0)) / count(lit(1))).as("r90_a"),
+          (sum(when(col("value") <= col("e50_b"), 1).otherwise(0)) / count(lit(1))).as("r50_b"),
+          (sum(when(col("value") <= col("e90_b"), 1).otherwise(0)) / count(lit(1))).as("r90_b"))
+      val out = certs.select(col("event_type"), col("n_rows"),
+        (col("n_a") === col("n_rows") && col("skn_a") === col("n_rows") &&
+          col("skn_b") === col("n_rows")).as("n_ok"),
+        (abs(col("r50_a") - 0.5) <= eps).as("p50_ok"),
+        (abs(col("r90_a") - 0.9) <= eps).as("p90_ok"),
+        (abs(col("r50_b") - 0.5) <= eps).as("p50b_ok"),
+        (abs(col("r90_b") - 0.9) <= eps).as("p90b_ok"))
+        .orderBy("event_type")
+      out
+    }),
+
     // Snapshot diff — change-data capture between two loads of the same
     // table (the reference's daily reload, made auditable): full outer
     // join on the key classifies every row as added / removed / changed,
@@ -786,6 +852,11 @@ object RelationalQueries {
     "q_incr_quantiles" ->
       """SELECT event_type, count(1) AS n_rows,
         |  TRUE AS merge_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_incr_quantiles_kll" ->
+      """SELECT event_type, count(1) AS n_rows, TRUE AS n_ok,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p50b_ok, TRUE AS p90b_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_snapshot_diff" ->

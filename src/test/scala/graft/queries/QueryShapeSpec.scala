@@ -72,4 +72,63 @@ class QueryShapeSpec extends SparkSpec {
     assert(probes.forall(_.contains(" <&\"'> ")),
       "escaped metacharacters must round-trip verbatim")
   }
+
+  // q_incr_quantiles_kll's mergeability contract, pinned at the two KLL
+  // regimes. Exact equality of two merge orders is only guaranteed while
+  // every sketch is in EXACT mode (n ≤ k: the sketch stores all items, a
+  // merge is a concatenation); once compaction starts, Datasketches flips
+  // an unseeded coin per compaction, so different merge orders give
+  // different-but-bounded estimates — that bound is the contract there.
+  test("kll quantiles: exact mode (n <= k) is merge-order-invariant and exact") {
+    import spark.implicits._
+    // 120 values across 5 days, k = 200 > 120: every daily sketch and the
+    // merged sketch stay exact
+    val ev = (1 to 120).map(i => (i % 5, i.toDouble)).toDF("day", "value")
+    val daily = ev.groupBy("day")
+      .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+      .localCheckpoint(true)
+    def est(order: org.apache.spark.sql.Column): (Double, Double) =
+      daily.repartition(1).sortWithinPartitions(order)
+        .agg(expr("kll_merge_agg_double(sk)").as("msk"))
+        .selectExpr("kll_sketch_get_quantile_double(msk, 0.5d)",
+          "kll_sketch_get_quantile_double(msk, 0.9d)")
+        .as[(Double, Double)].head()
+    val (a50, a90) = est(col("day").asc)
+    val (b50, b90) = est(col("day").desc)
+    assert(a50 == b50 && a90 == b90,
+      s"exact-mode merges must be order-invariant: ($a50,$a90) vs ($b50,$b90)")
+    // inclusive-rank quantile over 1..120: smallest v with rank(v) >= q
+    assert(a50 == 60.0, s"p50 of 1..120 must be exact in exact mode, got $a50")
+    assert(a90 == 108.0, s"p90 of 1..120 must be exact in exact mode, got $a90")
+  }
+
+  test("kll quantiles: compaction mode bounds the true rank in both merge orders") {
+    import spark.implicits._
+    val k = 200
+    val eps = 2 * org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
+    // 8000 values > k forces compaction; seeded shuffle spreads days so
+    // each daily sketch also compacts
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 8000).toVector).zipWithIndex
+      .map { case (v, i) => (i % 16, v.toDouble) }
+    val ev = rows.toDF("day", "value").repartition(4).localCheckpoint(true)
+    val daily = ev.groupBy("day")
+      .agg(expr(s"kll_sketch_agg_double(value, $k)").as("sk"))
+      .localCheckpoint(true)
+    for (order <- Seq(col("day").asc, col("day").desc)) {
+      val (n, e50, e90) = daily.repartition(1).sortWithinPartitions(order)
+        .agg(expr("kll_merge_agg_double(sk)").as("msk"))
+        .selectExpr("kll_sketch_get_n_double(msk)",
+          "kll_sketch_get_quantile_double(msk, 0.5d)",
+          "kll_sketch_get_quantile_double(msk, 0.9d)")
+        .as[(Long, Double, Double)].head()
+      assert(n == 8000L, "tracked n is exact through any merge tree")
+      // true inclusive rank of the estimate over the uniform 1..8000
+      def trueRank(v: Double): Double = math.floor(v) / 8000.0
+      assert(math.abs(trueRank(e50) - 0.5) <= eps,
+        s"p50 estimate $e50 outside rank bound $eps")
+      assert(math.abs(trueRank(e90) - 0.9) <= eps,
+        s"p90 estimate $e90 outside rank bound $eps")
+    }
+  }
 }
