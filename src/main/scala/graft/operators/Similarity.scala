@@ -321,4 +321,102 @@ object Similarity {
       .withColumn("q", transform(col("emb"), v =>
         least(greatest(floor(v / col("scale") + 0.5), lit(-127.0)), lit(127.0))
           .cast("long")))
+
+  /** Persist the IVF index as catalog tables — the production shape of a
+    * 100 TB vector store, mirroring [[graft.operators.Dedup.writeMinhashIndex]]:
+    * build once, probe per query batch with zero Exchange on the index
+    * side, maintain by appending newly-listed vectors.
+    *
+    * Three tables:
+    *  - `<prefix>_lists` (cid, neighbor_id, ce) — the inverted lists,
+    *    bucketed+sorted on `cid`, so the probe join consumes the bucket
+    *    layout directly (the corpus never reshuffles at probe time; the
+    *    small probe side shuffles to match);
+    *  - `<prefix>_cents` (cid, cvec) — `nlist` rows, broadcast at probe;
+    *  - `<prefix>_meta` (nlist, iters, buckets) — introspection record
+    *    (unlike the minhash index there is no silent-mismatch failure
+    *    mode: the centroid table itself defines the lists).
+    *
+    * The quantizer ([[ivfCentroids]]) is bit-deterministic (smallest-id
+    * init, decimal means), so a probe through the persisted index returns
+    * EXACTLY what inline [[ivfTopK]] returns over the same corpus — the
+    * parity the spec pins.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      nlist: Int = 16,
+      iters: Int = 3): Unit = {
+    val cents = ivfCentroids(corpus, idCol, embCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .localCheckpoint(true) // consumed by assignment AND the listed join
+    val listed = c.join(
+        assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("ce"))
+    graft.sources.Sinks.writeBucketedTable(listed, s"${tablePrefix}_lists", buckets, "cid")
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_cents")
+    val meta = corpus.sparkSession.createDataFrame(
+      Seq((nlist, iters, buckets))).toDF("nlist", "iters", "buckets")
+    meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** IVF top-k against a PERSISTED index (see [[writeIvfIndex]]): the same
+    * probe arithmetic as [[ivfTopK]], but centroids and inverted lists
+    * come from the catalog — no k-means, no corpus re-listing, and the
+    * bucketed `_lists` scan feeds the candidate join with no Exchange.
+    * Lazy plan builder for the spec; [[ivfTopKAgainstIndex]] is the eager
+    * production wrapper.
+    */
+  private[graft] def ivfTopKAgainstIndexPlan(
+      queries: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val nlist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
+    val cents = spark.table(s"${tablePrefix}_cents")
+    val listed = spark.table(s"${tablePrefix}_lists")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val probes = q.crossJoin(broadcast(
+        cents.select(col("cid"), col("cvec"),
+          (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+      .select(col("query_id"), col("qe"),
+        (col("cn2") - lit(2.0) * dotD(col("qe"), col("cvec"))).as("d"), col("cid"))
+    val pw = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probed = probes.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val cand = probed.join(listed, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cand.select(
+      col("query_id"), col("neighbor_id"),
+      round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Eager production entry over [[ivfTopKAgainstIndexPlan]] — the result
+    * is top-k per query, bounded and small.
+    */
+  def ivfTopKAgainstIndex(
+      queries: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame =
+    ivfTopKAgainstIndexPlan(queries, tablePrefix, idCol, embCol, k, nprobe)
+      .localCheckpoint(true)
 }

@@ -135,6 +135,35 @@ object SimilarityQueries {
             / count(lit(1)).over(all)) >= IvfRecallFloor)
         .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok")
         .orderBy("query_id", "rank")
+    }),
+
+    // sim_knn_ivf through a PERSISTED index (the d_incremental_indexed
+    // twin for the similarity tier): centroids + bucketed inverted lists
+    // written as catalog tables via writeIvfIndex, then probed from the
+    // reopened tables — no k-means at probe time, zero Exchange on the
+    // lists scan (pinned in DedupSimilaritySpec). The deterministic
+    // quantizer makes the probe EXACTLY equal inline ivfTopK, so the
+    // identical recall oracle hash-verifies the whole write → reopen →
+    // probe chain end-to-end.
+    "sim_knn_ivf_indexed" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivf_index_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3)
+      val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivf_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfRecallFloor)
+        .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -254,6 +283,22 @@ object SimilarityQueries {
     // The rows are the exact brute-force top-3 (recomputed here); the IVF
     // recall certificate is pinned TRUE — below-floor recall hash-mismatches.
     "sim_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Identical oracle to sim_knn_ivf: the persisted-index probe must
+    // reproduce the inline path bit-for-bit (deterministic quantizer), so
+    // the same brute-force rows + pinned-TRUE recall certificate apply.
+    "sim_knn_ivf_indexed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
          |s AS (

@@ -110,6 +110,72 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!viaIndex.exists { case (n, _, _) => n == 30L })
   }
 
+  test("persisted IVF index: zero Exchange on the lists scan, exact inline parity") {
+    // deterministic 8-dim corpus: 3 well-separated direction clusters so
+    // both the quantizer and the top-k are unambiguous
+    val corpus = (0 until 60).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == base) 10.0f else 0.1f) + (i * 7 % 13) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", "ivf_idx_spec",
+      buckets = 4, nlist = 4, iters = 2)
+
+    // reopen in a FRESH session (shared catalog, isolated state) — the
+    // per-query-batch probe shape the index exists for
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false") // keep Exchanges visible
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    val qOnFresh = fresh.createDataFrame(queries.rdd, queries.schema)
+    val lazyPlan = Similarity.ivfTopKAgainstIndexPlan(
+      qOnFresh, "ivf_idx_spec", "vec_id", "embedding", k = 3, nprobe = 2)
+
+    // the bucketed lists scan must reach its candidate join with no
+    // Exchange in between (the probe side shuffles to match; the corpus
+    // never). The centroid table is exempt: it is nlist rows and reaches
+    // its join through an explicit broadcast.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val listScans = paths(lazyPlan.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains("ivf_idx_spec_lists")
+    }
+    assert(listScans.size == 1, s"expected exactly one lists scan, got $listScans")
+    listScans.foreach { case (scan, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(anc.exists(_.isInstanceOf[BaseJoinExec]), "lists scan must feed a join")
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed lists scan and its join: $toJoin\n${scan.nodeName}")
+    }
+
+    // nprobe beyond the index's nlist must fail loudly
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAgainstIndexPlan(
+        qOnFresh, "ivf_idx_spec", "vec_id", "embedding", k = 3, nprobe = 9)
+    }
+    assert(bad.getMessage.contains("nlist=4"))
+
+    // the deterministic quantizer makes the persisted probe EXACTLY the
+    // inline ivfTopK result — not recall-close, identical
+    val viaIndex = lazyPlan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaIndex == inline, s"index probe diverged: $viaIndex vs $inline")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close") {
     val sims = Dedup.simhash(docs, "doc_id", CrossHash.wordShingles(toks, 3))
       .as[(Long, Long)].collect().toMap
