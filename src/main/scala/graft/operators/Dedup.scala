@@ -708,6 +708,85 @@ object Dedup {
     out
   }
 
+  /** Rep-level contraction of a day's new edges against existing labels:
+    * each endpoint maps to its current representative (unknown nodes map
+    * to themselves), same-rep edges drop out. What remains is an edge set
+    * over REPRESENTATIVES — one edge per component-merging event, never
+    * per member — so the downstream CC runs on the components actually
+    * being merged today, not the corpus. Exposed for the spec to pin that
+    * untouched components never enter the recompute.
+    */
+  private[graft] def contractedEdges(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val e = newEdges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val la = labels.select(col("id").as("a"), col("rep").as("ra"))
+    val lb = labels.select(col("id").as("b"), col("rep").as("rb"))
+    e.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("ra"),
+        coalesce(col("rb"), col("b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+  }
+
+  /** Incremental connected components — the union-find step that keeps
+    * cluster membership current as ingest days add edges, WITHOUT
+    * re-running CC over the accumulated edge set. `labels` is the
+    * persisted (id, rep) table (rep = component minimum, the
+    * [[connectedComponents]]/[[connectedComponentsStar]] contract);
+    * `newEdges` is today's pair output (e.g.
+    * [[minhashPairsAgainstIndex]]). Three steps:
+    *
+    *  1. contract new edges to rep level ([[contractedEdges]]) — at most
+    *     |new edges| rows, zero rows for edges inside existing components;
+    *  2. run [[connectedComponentsStar]] on the contracted graph: its
+    *     node set is exactly the touched reps + unseen nodes, so the
+    *     O(log n) rounds operate on the day's merge events only;
+    *  3. relabel: old labels whose rep merged get the new rep via a
+    *     BROADCAST of the (old rep → new rep) map (metadata-scale: one
+    *     row per component merged today) — rows of untouched components
+    *     pass through the left join unchanged, byte-identical, and the
+    *     big label table never shuffles; unseen nodes union in with their
+    *     contracted-CC label (or themselves).
+    *
+    * Because old reps are their components' minima, the contracted CC's
+    * minimum over {merged reps ∪ new node ids} IS the merged component's
+    * global minimum — the result equals a full recompute over the union
+    * of all edges (oracle-verified by `d_incremental_clusters`, spec-pinned
+    * in DedupSimilaritySpec).
+    *
+    * At 100 TB: `labels` lives as a catalog table bucketed on `id` (the
+    * endpoint-lookup join consumes the bucket layout; the relabel join
+    * broadcasts, so the table is never reshuffled), rewritten only for
+    * rows whose rep changed — the maintenance cost is O(|day's edges| +
+    * |touched components|), never O(corpus).
+    */
+  def incrementalConnectedComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    val e = newEdges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true) // consumed by the contraction joins + the new-node scan
+    val contracted = contractedEdges(labels, e)
+    // eager and tiny: one (id, rep) row per touched rep / unseen node
+    val repMap = connectedComponentsStar(contracted, "ra", "rb")
+    // rep actually changed — self-labeled rows are relabel no-ops
+    val changed = repMap.filter(col("id") =!= col("rep"))
+    val touched = changed.select(col("id").as("rep"), col("rep").as("new_rep"))
+    val relabeled = labels.join(broadcast(touched), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+    val newNodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+    val newLabels = newNodes
+      .join(broadcast(changed.select(col("id"), col("rep").as("new_rep"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_rep"), col("id")).as("rep"))
+    relabeled.unionByName(newLabels)
+  }
+
   /** Partial-overlap / containment pairs via shared content-defined
     * chunks: documents are cut at rolling-hash boundaries
     * ([[Text.cdcChunkFrame]]), and any two documents sharing enough chunk

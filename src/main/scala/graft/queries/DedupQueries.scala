@@ -176,6 +176,32 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental cluster maintenance — the union-find step between
+    // d_incremental_indexed (which finds the day's new PAIRS) and
+    // d_clusters (which owns MEMBERSHIP): "yesterday's" labels (CC over
+    // the index-side edges) are persisted as a catalog table bucketed on
+    // id, then the day's edges (any pair touching the id%10==0 batch)
+    // merge against the REOPENED table — rep-level contraction, star CC
+    // over touched components only, broadcast relabel. Old-side edges ∪
+    // day edges = the full corpus edge set, so the oracle is the same
+    // full-recompute recursive CTE as d_clusters: equality IS the claim
+    // that incremental maintenance loses nothing.
+    "d_incremental_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = minhashPairEdges(s, d)
+      val oldEdges = edges.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
+      val newEdges = edges.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      val table = s"cc_labels_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropManagedTable(s, table)
+      graft.sources.Sinks.writeBucketedTable(
+        Dedup.connectedComponentsStar(oldEdges), table, 8, "id")
+      val inc = Dedup.incrementalConnectedComponents(s.table(table), newEdges)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "inc_rep")
+      docs.select("doc_id").join(inc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("inc_rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Clusters -> survivors: the deduplicated corpus, keeping the smallest
     // doc_id per near-dup cluster (the actual "dedup the corpus"
     // deliverable; left_anti of the losers out of documents).
@@ -473,6 +499,14 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "d_clusters_star" ->
+      s"""WITH RECURSIVE $ClusterRepBody
+         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full recompute over ALL edges — old-side ∪ day edges — so a hash
+    // match proves the incremental path equals the from-scratch answer.
+    "d_incremental_clusters" ->
       s"""WITH RECURSIVE $ClusterRepBody
          |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
          |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id

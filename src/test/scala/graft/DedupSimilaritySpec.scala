@@ -202,6 +202,67 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("incremental CC: untouched labels byte-identical, touched equal full recompute") {
+    // yesterday: chain {1,2,3}, pair {10,11}, pair {20,21}, pair {50,51}
+    val oldEdges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (21L, 20L), (51L, 50L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(oldEdges)
+    // today: merge comps 10+20, a no-op edge inside comp 1, a brand-new
+    // pair {40,41}, and new node 5 attaching to comp 1; comp {50,51}
+    // untouched by anything
+    val newEdges = Seq((20L, 11L), (3L, 2L), (41L, 40L), (5L, 1L)).toDF("a", "b")
+
+    // the recompute never sees untouched components OR non-rep members:
+    // contraction maps endpoints to reps and drops same-rep edges
+    val cNodes = Dedup.contractedEdges(labels, newEdges)
+      .as[(Long, Long)].collect().flatMap(p => Seq(p._1, p._2)).toSet
+    assert(cNodes == Set(10L, 20L, 40L, 41L, 1L, 5L),
+      s"contracted graph must hold touched reps + unseen nodes only, got $cNodes")
+
+    val persisted = "cc_inc_spec_labels"
+    graft.sources.Sinks.dropManagedTable(spark, persisted)
+    graft.sources.Sinks.writeBucketedTable(labels, persisted, 4, "id")
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val newOnFresh = fresh.createDataFrame(newEdges.rdd, newEdges.schema)
+    val inc = Dedup.incrementalConnectedComponents(fresh.table(persisted), newOnFresh)
+
+    // the persisted label table is never reshuffled: every scan of it
+    // (endpoint lookups, relabel, new-node anti join) reaches its join
+    // with no Exchange — bucketing on id serves the id-keyed joins, the
+    // rep-keyed relabel map is an explicit broadcast
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val labelScans = paths(inc.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains(persisted)
+    }
+    assert(labelScans.nonEmpty, "expected the persisted label table in the plan")
+    labelScans.foreach { case (scan, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed label scan and its join: $toJoin\n${scan.nodeName}")
+    }
+
+    val incMap = inc.as[(Long, Long)].collect().toMap
+    val oldMap = labels.as[(Long, Long)].collect().toMap
+    // untouched component AND unchanged-rep members pass through verbatim
+    for (id <- Seq(50L, 51L, 1L, 2L, 3L, 10L, 11L))
+      assert(incMap(id) == oldMap(id), s"node $id must keep its old label")
+    // the whole result equals CC from scratch over old ∪ new edges
+    val fullMap = Dedup.connectedComponentsStar(oldEdges.union(newEdges))
+      .as[(Long, Long)].collect().toMap
+    assert(incMap == fullMap, s"incremental diverged: $incMap vs $fullMap")
+    assert(incMap(20L) == 10L && incMap(21L) == 10L, "components 10 and 20 merged")
+    assert(incMap(41L) == 40L && incMap(5L) == 1L)
+  }
+
   test("star CC contracts a 4096-node chain within a logarithmic round budget") {
     // diameter 4095: the min-label loop would need 4095 rounds; the
     // large-star/small-star pair must land the same labels inside a
