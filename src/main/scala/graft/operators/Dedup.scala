@@ -438,6 +438,45 @@ object Dedup {
     finally cached.unpersist()
   }
 
+  /** Execute one ingest cycle of the minhash index's maintenance contract
+    * (see [[writeMinhashIndex]]): probe the batch's signatures against the
+    * CURRENT index, then append the batch's bands + signatures so later
+    * batches dedup against this one too. Probe strictly before append —
+    * a batch must never match itself. Parameters (k, bands, buckets) come
+    * from the index's own `_meta` record, so every appended band key is
+    * generated with exactly the fold the index was built with, and the
+    * appends land bucket-aligned (`bucketBy` + `sortBy` matching the
+    * existing spec), keeping probes zero-Exchange as the index grows.
+    * Returns the batch's (new_id, index_id, jaccard) pairs, eagerly
+    * materialized. This is the `foreachBatch` body of a streaming dedup
+    * ingest (`st_dedup_index_parity`); per call the cost is
+    * O(|batch| · bucket), never a corpus re-sign.
+    */
+  def ingestIntoMinhashIndex(
+      newSigs: DataFrame,
+      tablePrefix: String,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = newSigs.sparkSession
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    val (k, bands, buckets) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val cached = newSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs =
+        minhashPairsAgainstIndexPlan(cached, tablePrefix, k, bands, threshold)
+          .localCheckpoint(true)
+      val banded = cached.select(col("id"),
+        explode(foldedBandKeys(col("sig"), bands, k / bands)).as("bkey"))
+        .select(col("bkey"), col("id"))
+      banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "bkey").sortBy("bkey")
+        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+      cached.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tablePrefix}_sigs")
+      pairs
+    } finally cached.unpersist()
+  }
+
   /** 60-bit SimHash per row from a token array.
     *
     * Relational formulation: explode distinct tokens, hash each once, then

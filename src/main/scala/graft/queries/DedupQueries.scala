@@ -74,9 +74,11 @@ object DedupQueries {
 
   /** Shared oracle CTE chain producing the word-3-shingle MinHash+LSH pair
     * set (k=16, 4 bands, j ≥ 0.7) as `pairs(a, b)` — the edge set that
-    * d_minhash_lsh verifies and the cluster/survivor oracles close over.
+    * d_minhash_lsh verifies and the cluster/survivor oracles close over
+    * (package-visible: `st_dedup_index_parity`'s oracle closes over the
+    * same pair set from StreamQueries).
     */
-  private val MinhashPairsBody =
+  private[queries] val MinhashPairsBody =
     s"""$ToksBody,
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),

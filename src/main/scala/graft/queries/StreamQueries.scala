@@ -469,6 +469,69 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streaming ingest through the PERSISTED minhash index — the bridge
+    // between the streaming tier and the dedup tier, executing the
+    // maintenance contract writeMinhashIndex documents: the corpus side
+    // (doc_id % 10 != 0) seeds the index once; the day's batch
+    // (doc_id % 10 == 0) arrives as FOUR micro-batches, and each
+    // foreachBatch cycle signs the batch, probes the CURRENT index, lands
+    // the found pairs, then appends the batch's bands+signatures so later
+    // batches dedup against earlier ones too (cross-batch discovery is
+    // pinned with planted dups in DedupSimilaritySpec; this corpus has no
+    // new×new pairs, so the emitted new×index pairs must equal the batch
+    // d_incremental answer exactly). The output keeps new×index rows
+    // (matching d_incremental's oracle at any SF) and certifies the
+    // appends: after the drain the reopened index must hold EVERY
+    // document's signature — corpus seed + all four appended batches.
+    "st_dedup_index_parity" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val shingles = CrossHash.wordShingles(CrossHash.tokens(col("text")), 3)
+      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_dedup_${ScratchKeys.forPath(d)}", "docs4")
+      if (!java.nio.file.Files.isDirectory(splitDir)) {
+        docs.filter(col("doc_id") % 10 === 0)
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(splitDir.toString)
+      }
+      val prefix = s"mh_stream_index_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Dedup.writeMinhashIndex(
+        Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", shingles, k = 16),
+        prefix, buckets = 8, k = 16, bands = 4)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+      try {
+        val pairsDir = s"$scratch/pairs"
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => {
+              val sigs = Dedup.minhashSignatures(batch.toDF(), "doc_id", shingles, k = 16)
+              Dedup.ingestIntoMinhashIndex(sigs, prefix, threshold = 0.7)
+                .write.mode("append").parquet(pairsDir)
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val nDocs = docs.count()
+        val sigsN = s.table(s"${prefix}_sigs").count()
+        val bandsN = s.table(s"${prefix}_bands").count()
+        s.read.parquet(pairsDir)
+          .filter(col("index_id") % 10 =!= 0)
+          .groupBy("new_id")
+          .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+          .withColumn("index_ok", lit(sigsN == nDocs && bandsN == nDocs * 4))
+          .orderBy("new_id")
+          .localCheckpoint(true)
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
     // to a sink, then audited: per-type row and distinct-id counts must
     // equal the batch table's (event ids are unique, so dedup is an
@@ -637,6 +700,19 @@ object StreamQueries {
         | event_type, count(1) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
+
+    // The batch d_incremental answer (new×index minhash pairs, grouped)
+    // plus the pinned-TRUE append certificate — a dropped or double
+    // appended batch flips index_ok or changes the pair set.
+    "st_dedup_index_parity" ->
+      s"""WITH ${DedupQueries.MinhashPairsBody},
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
+         |  TRUE AS index_ok
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
 
     "st_sliding_parity" ->
       """SELECT strftime(make_timestamp(

@@ -202,6 +202,44 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("minhash ingest cycles: later batches dedup against earlier appends") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+        .localCheckpoint(true)
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "some completely independent sentence about catalyst optimizer rules"),
+      (3L, "training corpora need dedup before the tokenizer ever sees them")
+    ).toDF("doc_id", "text")
+    Seq("mh_ingest_spec_bands", "mh_ingest_spec_sigs", "mh_ingest_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeMinhashIndex(sigsOf(seed), "mh_ingest_spec", buckets = 4, k = 16, bands = 8)
+
+    // batch A: a near-dup of seed doc 1 plus a doc unlike anything so far
+    val batchA = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (40L, "zebras graze quietly beside the river while herons watch the current")
+    ).toDF("doc_id", "text")
+    val pairsA = Dedup.ingestIntoMinhashIndex(sigsOf(batchA), "mh_ingest_spec", 0.5)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(pairsA == Set((10L, 1L)), s"batch A must only match the seed, got $pairsA")
+
+    // batch B: an exact copy of batch A's doc 40 — which exists ONLY via
+    // batch A's append; finding it proves the maintenance step works
+    val batchB = Seq(
+      (50L, "zebras graze quietly beside the river while herons watch the current")
+    ).toDF("doc_id", "text")
+    val pairsB = Dedup.ingestIntoMinhashIndex(sigsOf(batchB), "mh_ingest_spec", 0.5)
+      .select("new_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairsB == Set((50L, 40L, 1.0)),
+      s"batch B must find the cross-batch exact dup via the appended index, got $pairsB")
+
+    // appends are cumulative and bucket-aligned: 3 seed + 2 + 1 docs
+    assert(spark.table("mh_ingest_spec_sigs").count() == 6L)
+    assert(spark.table("mh_ingest_spec_bands").count() == 6L * 8)
+  }
+
   test("incremental CC: untouched labels byte-identical, touched equal full recompute") {
     // yesterday: chain {1,2,3}, pair {10,11}, pair {20,21}, pair {50,51}
     val oldEdges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (21L, 20L), (51L, 50L))
