@@ -74,6 +74,18 @@ object ScaleBench {
     // audits: single-pass aggregations + anti-joins over the 10× tables
     "dq_uniqueness", "dq_ref_integrity")
 
+  /** Round-7: the two non-equi join shapes whose scaling exponent the
+    * equi-join skew batch can't see. q_asof_join linearizes a union of
+    * both sides through one per-key window (events × orders on offset-
+    * disjoint user/customer keys — rows per key grow ~1×, keys grow 10×,
+    * so the sort-within-partition cost should scale ~linearly);
+    * q_range_join is an equi join on the offset orderkey with a 30-day
+    * inequality residual (candidate rows per key are copy-local, so the
+    * post-join filter also grows ~linearly — the inequality never turns
+    * the equi join into a per-key cross product here).
+    */
+  private val RangeJoinFamily = Seq("q_asof_join", "q_range_join")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -161,7 +173,8 @@ object ScaleBench {
       // focused CC comparison: minhash first to pay the shared pair-edge
       // memo, then both component algorithms measure incremental cost
       case "cc" => Seq("d_minhash_lsh", "d_clusters", "d_clusters_star")
-      case _ => DedupFamily ++ WarehouseFamily
+      case "rangejoin" => RangeJoinFamily
+      case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
     // JIT warmup (untimed) at the smallest SF, mirroring Bench.
