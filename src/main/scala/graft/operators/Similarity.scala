@@ -153,7 +153,7 @@ object Similarity {
     * -2·v·c + |c|² (the |v|² term is constant per vector so argmin ignores
     * it), take the lexicographic min of (dist, cid). Returns (rowId, cid).
     */
-  private def assignToCentroids(
+  private[graft] def assignToCentroids(
       df: DataFrame, rowId: String, vCol: String, cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
@@ -363,6 +363,36 @@ object Similarity {
       Seq((nlist, iters, buckets))).toDF("nlist", "iters", "buckets")
     meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Append new vectors to a persisted IVF index (see [[writeIvfIndex]])
+    * under the FROZEN quantizer — the standard production maintenance
+    * split: inverted lists grow online per ingest batch, centroids
+    * retrain offline (a rebuild via [[writeIvfIndex]]) when drift
+    * warrants. Assignment against the existing `_cents` table is
+    * deterministic, so appending a batch yields byte-identical lists to
+    * having listed those vectors at build time with the same centroids
+    * (spec-pinned); appends land bucket-aligned on `cid`, keeping probes
+    * zero-Exchange as the index grows. Cost per batch:
+    * O(|batch| · nlist) assignment + one bucketed write — never a corpus
+    * re-listing.
+    */
+  def appendToIvfIndex(
+      newVecs: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String): Unit = {
+    val spark = newVecs.sparkSession
+    val buckets = spark.table(s"${tablePrefix}_meta").head().getInt(2)
+    val cents = spark.table(s"${tablePrefix}_cents")
+    val c = newVecs.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .localCheckpoint(true) // consumed by assignment AND the listed join
+    val listed = c.join(
+        assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("ce"))
+    listed.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(s"${tablePrefix}_lists")
   }
 
   /** IVF top-k against a PERSISTED index (see [[writeIvfIndex]]): the same

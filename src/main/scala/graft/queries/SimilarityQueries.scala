@@ -137,6 +137,42 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF index MAINTENANCE: the index is built from the vec_id%10!=0
+    // side only (centroids trained on that 90% — the frozen-quantizer
+    // production split), then the "day's" vectors append under the
+    // existing centroids via appendToIvfIndex, and the probe runs against
+    // the grown index. Certificates: corpus-level recall vs the full
+    // brute-force top-3 (the appended vectors are live candidates —
+    // a dropped append tanks recall below the floor), plus the reopened
+    // lists holding EVERY corpus vector exactly once. Byte-parity of
+    // append-time vs build-time listing under the same centroids is
+    // pinned in DedupSimilaritySpec.
+    "sim_knn_ivf_ingest" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivf_ingest_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3)
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") % 10 === 0),
+        prefix, "vec_id", "embedding")
+      val grown = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val complete = s.table(s"${prefix}_lists").count() == e.count() &&
+        s.table(s"${prefix}_lists").select("neighbor_id").distinct().count() == e.count()
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(grown, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivf_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
+    }),
+
     // sim_knn_ivf through a PERSISTED index (the d_incremental_indexed
     // twin for the similarity tier): centroids + bucketed inverted lists
     // written as catalog tables via writeIvfIndex, then probed from the
@@ -293,6 +329,23 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force rows + pinned-TRUE recall and completeness
+    // certificates: recall through the append-grown index must clear the
+    // corpus floor, and the lists must hold every vector exactly once.
+    "sim_knn_ivf_ingest" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+         |  TRUE AS ivf_recall_ok, TRUE AS index_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Identical oracle to sim_knn_ivf: the persisted-index probe must

@@ -176,6 +176,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("IVF append: frozen-quantizer listing equals one-shot listing, probes see it") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val dayA = corpus.filter(col("vec_id") < 60)
+    val dayB = corpus.filter(col("vec_id") >= 60)
+    Seq("ivf_app_spec_lists", "ivf_app_spec_cents", "ivf_app_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfIndex(dayA, "vec_id", "embedding", "ivf_app_spec",
+      buckets = 4, nlist = 4, iters = 2)
+    Similarity.appendToIvfIndex(dayB, "ivf_app_spec", "vec_id", "embedding")
+
+    // appended rows must be EXACTLY what a one-shot listing of the full
+    // corpus under the same (frozen) centroids would produce — assignment
+    // is deterministic given centroids
+    val listed = spark.table("ivf_app_spec_lists")
+      .select("cid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = Similarity.assignToCentroids(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id", "ce", spark.table("ivf_app_spec_cents"))
+      .select(col("cid"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    assert(listed == expected,
+      "append-grown lists must equal one-shot assignment under frozen centroids")
+    assert(listed.size == 80)
+
+    // probes reach the appended vectors: a wide top-k from vec 0 must
+    // surface its appended direction-cluster mates (60, 64, 68, 72, 76
+    // share vec 0's base pattern and rank far above cross-cluster ids)
+    val hits = Similarity.ivfTopKAgainstIndex(
+        corpus.filter(col("vec_id") === 0), "ivf_app_spec",
+        "vec_id", "embedding", k = 30, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.exists(_ >= 60L),
+      s"probe must surface appended vectors as candidates, got $hits")
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close") {
     val sims = Dedup.simhash(docs, "doc_id", CrossHash.wordShingles(toks, 3))
       .as[(Long, Long)].collect().toMap
