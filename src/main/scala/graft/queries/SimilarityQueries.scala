@@ -27,6 +27,14 @@ object SimilarityQueries {
     */
   val IvfRecallFloor = 0.45
 
+  /** Corpus-level recall floor certified by `sim_knn_pq` (PQ-ADC with
+    * m=16 subspaces × 16 codes, shortlist 128, exact re-rank): measured
+    * recall vs brute-force top-3 is 1.000 / 1.000 / 0.925 at sf0.001 /
+    * 0.01 / 0.1 — stable run-to-run because codebooks, encode, and ADC
+    * are all deterministic.
+    */
+  val PqRecallFloor = 0.70
+
   /** Oracle fragment: left-to-right double dot product of two list columns
     * over the first `dims` dimensions.
     */
@@ -200,6 +208,32 @@ object SimilarityQueries {
             / count(lit(1)).over(all)) >= IvfRecallFloor)
         .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok")
         .orderBy("query_id", "rank")
+    }),
+
+    // Product-quantization ANN (ADC): corpus compressed to 16 codebook
+    // codes per vector (8 packed bytes — 32× under float32), the wide
+    // scan scores codes with table lookups (never touching the full
+    // arrays), exact re-rank on a 128-candidate shortlist. Same
+    // recall-certificate pattern as sim_knn_ivf — the iterative codebook
+    // training has no tractable SQL twin, so the emitted rows are the
+    // exact brute-force top-3 and the PQ path contributes `pq_recall_ok`
+    // (corpus-level recall ≥ PqRecallFloor, pinned TRUE by the oracle; a
+    // codebook/encode/ADC regression that drops recall hash-mismatches).
+    // Measured recall: 1.000 / 1.000 / 0.925 at sf0.001 / 0.01 / 0.1.
+    "sim_knn_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val pq = Similarity.pqTopK(q, e, "vec_id", "embedding",
+          k = 3, m = 16, ks = 16, shortlist = 128, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("pq_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= PqRecallFloor)
+        .select("query_id", "rank", "neighbor_id", "cos", "pq_recall_ok")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -362,6 +396,21 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force rows + pinned-TRUE PQ recall certificate (the
+    // sim_knn_ivf pattern: iterative codebook training has no SQL twin).
+    "sim_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS pq_recall_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

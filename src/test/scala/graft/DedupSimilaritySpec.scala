@@ -443,6 +443,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF results should overlap brute-force top-10, got $recall")
   }
 
+  test("PQ top-k: high recall vs exact top-3; full shortlist equals brute force") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    // shortlist >= corpus ⇒ every candidate is exactly re-ranked, so PQ
+    // degrades to brute force regardless of codebook quality — the
+    // correctness of encode/ADC can't mask a broken re-rank (and vice
+    // versa, the recall floor below catches a broken ADC ordering)
+    val full = Similarity.pqTopK(q, e, "vec_id", "embedding",
+        k = 3, m = 16, ks = 16, shortlist = 10000, iters = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(full == brute)
+    val pq = Similarity.pqTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._3))
+    val recall = pq.count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= graft.queries.SimilarityQueries.PqRecallFloor,
+      s"PQ recall vs exact top-3 below floor: $recall")
+  }
+
+  test("PQ codebooks are deterministic, correctly shaped, and subspace-local") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def run() = Similarity.pqCodebooks(e, "vec_id", "emb", m = 4, ks = 8,
+      subDim = 16, iters = 2)
+    val books = run()
+    assert(books.length == 4 && books.forall(_.length == 8))
+    assert(books.flatten.forall(_.length == 16))
+    assert(books.map(_.toSeq.map(_.toSeq)).toSeq == run().map(_.toSeq.map(_.toSeq)).toSeq)
+  }
+
   test("IVF quantizer is deterministic across invocations") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def run() = Similarity.ivfCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
