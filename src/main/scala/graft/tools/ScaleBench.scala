@@ -86,6 +86,85 @@ object ScaleBench {
     */
   private val RangeJoinFamily = Seq("q_asof_join", "q_range_join")
 
+  /** Round-7: ANN-tier scaling with a FIXED query set against a growing
+    * corpus — the serving regime (the suite queries grow their query set
+    * with the corpus, which measures a different thing). Each copy of the
+    * 10× corpus cyclically rotates the embedding dimensions by c·7, so
+    * within-copy cosine structure (including the planted near-dup pairs)
+    * is preserved EXACTLY while cross-copy similarity collapses to
+    * background — per-query true-neighbor structure stays constant and
+    * only corpus size grows. Expected exponents ≈ 1 for every path: brute
+    * scans the corpus, LSH/PQ/IVF scan their bucketed/compressed fraction
+    * — the measurement pins that none of them hides a super-linear step
+    * (and separates the IVF index BUILD, paid once, from the probe).
+    * Index parameters are held fixed (nlist=16) across scales so the
+    * ratio is interpretable; production would grow nlist ~√n, making the
+    * probe sub-linear.
+    */
+  private def runAnn(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Similarity
+    import graft.sources.{Sinks, Tables}
+
+    if (!new java.io.File(s"$scaleDir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      println(s"SCALE embeddings written to $scaleDir")
+    }
+
+    // fixed query set: the 1× queries (copy 0 of the 10× corpus is
+    // byte-identical to the 1× table, so they exist at both scales)
+    val q = Tables.load(spark, src, "embeddings")
+      .filter(col("vec_id") % 50 === 0).localCheckpoint(true)
+
+    def timeOne(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def suite(dir: String, tag: String): Seq[(String, (Double, Long))] = {
+      val e = Tables.load(spark, dir, "embeddings")
+      val prefix = s"annscale_$tag"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(Sinks.dropManagedTable(spark, _))
+      Seq(
+        "ann_brute" -> timeOne(
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3).count()),
+        "ann_lsh" -> timeOne(
+          Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3).count()),
+        "ann_pq" -> timeOne(
+          Similarity.pqTopK(q, e, "vec_id", "embedding", k = 3).count()),
+        "ann_ivf_build" -> timeOne {
+          Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+            buckets = 8, nlist = 16, iters = 3)
+          spark.table(s"${prefix}_lists").count()
+        },
+        "ann_ivf_probe" -> timeOne(
+          Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+            k = 3, nprobe = 4).count()))
+    }
+
+    // JIT warmup (untimed) at the smallest SF
+    suite("/root/testdata/sf0.001", "warm")
+    val x1 = suite(src, "x1").toMap
+    val x10 = suite(scaleDir, "x10").toMap
+    val names = Seq("ann_brute", "ann_lsh", "ann_pq", "ann_ivf_build", "ann_ivf_probe")
+    println(f"${"query"}%-18s ${"x1 sec"}%8s ${"x10 sec"}%8s ${"ratio"}%7s ${"exp"}%5s ${"x1 rows"}%9s ${"x10 rows"}%9s")
+    names.foreach { n =>
+      val (t1, r1) = x1(n); val (t10, r10) = x10(n)
+      val ratio = t10 / t1
+      println(f"$n%-18s $t1%8.2f $t10%8.2f $ratio%7.2f ${math.log10(ratio)}%5.2f $r1%9d $r10%9d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -167,6 +246,11 @@ object ScaleBench {
     // Family selection: no arg or "dedup" → documents family; "warehouse"
     // → the round-5 family; "all" → both.
     val which = args.drop(1).headOption.getOrElse("all")
+    if (which == "ann") {
+      runAnn(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
     val family = which match {
       case "dedup" => DedupFamily
       case "warehouse" => WarehouseFamily
