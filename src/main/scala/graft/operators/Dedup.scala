@@ -943,6 +943,109 @@ object Dedup {
         count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Positions of word n-grams that also occur in at least `minDocs − 1`
+    * OTHER documents: (id, pos, gram) → the cross-document duplicated
+    * subset. Shared first stage of [[dupSpans]] and [[dupGramCoverage]].
+    *
+    * Positions are 1-based word indices (the gram starting at word `pos`),
+    * matching the oracle's `range(1, …)` enumeration. Within-document
+    * repetition alone does NOT mark a gram — `countDistinct(id)` counts
+    * documents, not occurrences — that signal belongs to
+    * [[Text.repetitionSignals]].
+    */
+  private def dupGramPositions(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      minDocs: Int): (DataFrame, DataFrame) = {
+    val grams = df.select(col(idCol).as("id"), posexplode(wordShingles(toks, n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    (grams, dup)
+  }
+
+  /** Substring-level duplicate spans — the exact-substring dedup modality
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed relationally: instead of a suffix array, mark
+    * every word n-gram that occurs in ≥ `minDocs` distinct documents, then
+    * merge CONSECUTIVE duplicated gram positions per document into maximal
+    * runs. A run of g consecutive duplicated n-grams certifies a duplicated
+    * substring of g + n − 1 words — document-level Jaccard never sees these
+    * when the surrounding text differs (partial copying, shared quotes,
+    * templated sections).
+    *
+    * Output: (id, start_pos, n_grams, span_words) per maximal run with at
+    * least `minRun` grams; `start_pos` is the 1-based word index of the
+    * span's first word and `span_words` = (max pos − min pos) + n its word
+    * length.
+    *
+    * Scale shape: cost is O(total grams), NEVER O(doc pairs) — one
+    * aggregation on the gram (hash shuffle), a semi-join back on the same
+    * key, and one per-document window for the run merge. A boilerplate gram
+    * occurring in millions of documents contributes one aggregation row and
+    * linear join-back rows — there is no pairwise blowup, which is exactly
+    * why span detection complements the pair-producing LSH paths at 100 TB.
+    */
+  def dupSpans(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      minDocs: Int = 2,
+      minRun: Int = 2): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (cross-document)")
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    val (grams, dup) = dupGramPositions(df, idCol, toks, n, minDocs)
+    // consecutive positions share (pos − row_number) — the classic
+    // gaps-and-islands grouping, one window over the per-document shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp")
+      .agg(
+        min("pos").as("start_pos"),
+        count(lit(1)).as("n_grams"),
+        (max("pos") - min("pos") + n).as("span_words"))
+      .filter(col("n_grams") >= minRun)
+      .drop("grp")
+  }
+
+  /** Per-document duplicated-gram coverage: the fraction of a document's
+    * n-gram positions that are cross-document duplicates ([[dupSpans]]'
+    * marking stage, aggregated instead of run-merged). The corpus filter
+    * built on top drops documents above a coverage threshold — the
+    * "mostly-duplicated document" gate (RefinedWeb-style) that doc-level
+    * survivor filters under-catch when each individual overlap partner is
+    * different.
+    *
+    * Output: (id, n_grams, n_dup, dup_frac) for every document with at
+    * least one gram; `dup_frac` rounded to 4 decimals with the shared
+    * +1e-9 presentation nudge.
+    */
+  def dupGramCoverage(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (cross-document)")
+    val (grams, dup) = dupGramPositions(df, idCol, toks, n, minDocs)
+    grams.join(dup.withColumn("is_dup", lit(1L)), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("is_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams") + 1e-9, 4))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ `threshold` within a blocking key
     * (here a precomputed cluster/label; at 100 TB the block key would come
     * from LSH — see [[Similarity.hyperplaneSignature]] — keeping the

@@ -87,6 +87,54 @@ object Sampling {
       .drop("__g")
   }
 
+  /** Token-budget mixture sampling — the data-mixing recipe that turns a
+    * heterogeneous corpus into a training mix: given target mixture weights
+    * per group (permille of the budget that each group should contribute)
+    * and a global unit budget (tokens/chars/bytes — whatever `unitCol`
+    * measures), derive each group's keep-rate
+    *
+    *   rate_g = min(1000, ⌊budget · w_g / units_g⌋) permille
+    *
+    * so a group's expected sampled mass is its budget share, capped at
+    * keeping everything when the group is smaller than its allocation
+    * (the cap is the under-represented-group case every published mix —
+    * Pile/ROOTS/Dolma-style — hits in practice). Membership is then the
+    * same salted-hash rule as every other sampler here: reproducible
+    * across runs, engines, and partitionings.
+    *
+    * All-integer rate arithmetic (the numerator is reduced to an exact
+    * multiple before dividing, operands < 2^53), so the oracle replays the
+    * exact rates; one small aggregation over group unit sums, broadcast
+    * back, zero additional shuffle on the corpus itself.
+    *
+    * Output: the sampled rows plus `group_units` and `rate_permille`
+    * audit columns. Groups without a weight keep nothing.
+    */
+  def budgetMixtureSample(
+      df: DataFrame,
+      groupCol: Column,
+      key: Column,
+      unitCol: Column,
+      weightPermille: Map[String, Int],
+      budget: Long,
+      salt: String): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    weightPermille.values.foreach(requirePermille)
+    val sizes = df.groupBy(groupCol.as("__g"))
+      .agg(sum(unitCol.cast("long")).as("group_units"))
+    val w = weightPermille.foldLeft(lit(0L)) { case (acc, (g, p)) =>
+      when(col("__g") === g, lit(p.toLong)).otherwise(acc)
+    }
+    val num = lit(budget) * w
+    val rates = sizes.select(col("__g"), col("group_units"),
+      least(lit(1000L),
+        ((num - pmod(num, col("group_units"))) / col("group_units")).cast("long"))
+        .cast("int").as("rate_permille"))
+    df.join(broadcast(rates), groupCol === col("__g"))
+      .filter(bucketOf(key, salt) < col("rate_permille"))
+      .drop("__g")
+  }
+
   /** Uniform integer priority in [0, 2^20): rank rows by it (ascending,
     * id tie-break) and take the first k for a deterministic fixed-SIZE
     * sample — the reproducible twin of reservoir sampling. Row-local, no

@@ -322,6 +322,50 @@ object Similarity {
         least(greatest(floor(v / col("scale") + 0.5), lit(-127.0)), lit(127.0))
           .cast("long")))
 
+  /** Deterministic ±1 sign matrix for [[randomProject]], derived from the
+    * engine-portable h60 so the oracle recomputes every entry:
+    * `sign(j, i) = +1 iff h60("salt:j:i") is even`. Driver-side precompute
+    * (dOut × dIn entries — metadata-scale), embedded as literals.
+    */
+  def signMatrix(dIn: Int, dOut: Int, salt: String): Array[Array[Double]] =
+    Array.tabulate(dOut, dIn)((j, i) =>
+      if (h60Local(s"$salt:$j:$i") % 2 == 0) 1.0 else -1.0)
+
+  /** Johnson–Lindenstrauss random projection with ±1 signs (Achlioptas
+    * 2003): project `dIn`-dim embeddings to `dOut` dims via
+    * `y_j = Σ_i x_i · sign(j, i) / √dOut` — pairwise distances are
+    * preserved in expectation with variance O(1/dOut), so downstream ANN /
+    * clustering runs on a 4× (64→16) smaller vector at 4× less dot-product
+    * cost. The database-side half of every "reduce then index" vector
+    * pipeline.
+    *
+    * Everything is deterministic and engine-replayable: the sign matrix
+    * derives from h60 ([[signMatrix]]), the per-dimension sum folds
+    * left-to-right ([[graft.functions.CrossHash.dotD]]), and √dOut is
+    * IEEE-exact for the power-of-4 dOut this is used with. Row-local
+    * arithmetic — zero shuffle, the projection pushes into the scan stage
+    * at any scale.
+    *
+    * Output: (idCol, j, v) — one row per projected dimension, `v` rounded
+    * to 4 decimals (the shared presentation contract with the oracle).
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dIn: Int,
+      dOut: Int,
+      salt: String): DataFrame = {
+    require(dIn >= 1 && dOut >= 1, s"dims must be positive: dIn=$dIn dOut=$dOut")
+    val m = signMatrix(dIn, dOut, salt)
+    val scale = math.sqrt(dOut.toDouble)
+    val proj = array((0 until dOut).map { j =>
+      round(dotD(col(embCol), typedlit(m(j).toSeq)) / scale, 4)
+    }: _*)
+    df.select(col(idCol), posexplode(proj))
+      .select(col(idCol), col("pos").cast("long").as("j"), col("col").as("v"))
+  }
+
   /** Persist the IVF index as catalog tables — the production shape of a
     * 100 TB vector store, mirroring [[graft.operators.Dedup.writeMinhashIndex]]:
     * build once, probe per query batch with zero Exchange on the index

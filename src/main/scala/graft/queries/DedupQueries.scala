@@ -358,6 +358,44 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Substring-level duplicate spans (the exact-substring dedup modality):
+    // maximal runs of consecutive word-5-grams each shared with at least
+    // one OTHER document — duplicated passages doc-level Jaccard misses
+    // when the surrounding text differs. 5-grams for the same reason as
+    // d_decontaminate: the ~40-word generator vocabulary makes shorter
+    // grams collide by chance. Cost is O(total grams), never O(doc pairs).
+    "d_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(t(s, d, "documents"), "doc_id", toks,
+          n = 5, minDocs = 2, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "start_pos")),
+
+    // Per-document duplicated-gram coverage — the aggregate form of
+    // d_dup_spans' marking stage: what fraction of each document's 5-gram
+    // positions is cross-document duplicated. The "mostly duplicated
+    // document" gate a curation pipeline thresholds on.
+    "d_dup_coverage" -> ((s, d) =>
+      Dedup.dupGramCoverage(t(s, d, "documents"), "doc_id", toks,
+          n = 5, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Token-budget mixture sampling — the data-mixing recipe: target
+    // mixture weights per language (permille of a 60k-char budget),
+    // per-group keep-rates derived from the group char sums (all-integer,
+    // oracle-replayable), capped at keep-everything for groups smaller
+    // than their allocation (zh's 500‰ share caps at 1000 at sf0.01 —
+    // the under-represented-group branch is exercised at the correctness
+    // gate's scale).
+    "d_mixture_sample" -> ((s, d) =>
+      Sampling.budgetMixtureSample(
+          t(s, d, "documents"), col("lang"), col("doc_id").cast("string"),
+          col("n_chars"),
+          Map("en" -> 250, "de" -> 100, "es" -> 75, "fr" -> 75, "zh" -> 500),
+          budget = 60000L, salt = "mix_v1")
+        .select("doc_id", "lang", "n_chars", "group_units", "rate_permille")
+        .orderBy("doc_id")),
+
     // Chunk-level containment: doc pairs sharing ≥ half of the smaller
     // doc's content-defined chunks (mask 16 ⇒ ~23-char expected chunks —
     // sized to this corpus's ~300-char documents so each carries ~13
@@ -450,6 +488,55 @@ object DedupQueries {
          |       min(bench_id) AS first_bench_id, count(*) AS n_shared_grams
          |FROM tr JOIN b USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_dup_spans" ->
+      s"""$ToksCte,
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS pos,
+         |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM p),
+         |s AS (
+         |  SELECT doc_id, min(pos) AS start_pos, count(*)::BIGINT AS n_grams,
+         |         (max(pos) - min(pos) + 5)::BIGINT AS span_words
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id, start_pos, n_grams, span_words
+         |FROM s WHERE n_grams >= 2 ORDER BY doc_id, start_pos""".stripMargin,
+
+    "d_dup_coverage" ->
+      s"""$ToksCte,
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS pos,
+         |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |c AS (
+         |  SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(d.gram)::BIGINT AS n_dup
+         |  FROM g LEFT JOIN d USING (gram) GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_dup,
+         |       round(n_dup::DOUBLE / n_grams + 0.000000001, 4) AS dup_frac
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "d_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, sum(n_chars)::BIGINT AS group_units FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, group_units,
+        |    least(1000, (60000 * CASE lang
+        |        WHEN 'en' THEN 250 WHEN 'de' THEN 100 WHEN 'es' THEN 75
+        |        WHEN 'fr' THEN 75 WHEN 'zh' THEN 500 ELSE 0 END) // group_units)::INT
+        |      AS rate_permille
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, d.n_chars, r.group_units, r.rate_permille
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (('0x' || substr(md5('mix_v1:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
+        |  < r.rate_permille
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d_cdc_containment" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

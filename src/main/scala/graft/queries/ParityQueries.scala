@@ -356,6 +356,23 @@ object ParityQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // K-extension: single-key sorted (clustered) layout — lineitem's fact
+    // shape written range-partitioned + sorted on ship date, the
+    // complementary layout to k7's z-order (perfect pruning on ONE key).
+    // The oracle pins ROW PRESERVATION (a layout rewrite moves bytes,
+    // never rows); the disjoint per-file min/max ranges — the pruning
+    // payoff — are pinned in SinksSpec.
+    "k16_sorted_layout" -> ((s, d) => {
+      val out = scratch(d, "orders_sorted")
+      Sinks.writeSortedLayout(t(s, d, "orders"), out, "o_orderdate",
+        files = 12, tieBreak = Seq("o_orderkey"))
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          date_format(col("o_orderdate"), Fmt).as("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     // K5: post-load row-count audit.
     "k5_count_audit" -> ((s, d) => {
       val out = scratch(d, "customer_audit")
@@ -444,6 +461,12 @@ object ParityQueries {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |round(o_totalprice, 2) AS o_totalprice,
          |strftime(o_orderdate, '$OracleFmt') AS o_orderdate, o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k16_sorted_layout" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |round(o_totalprice, 2) AS o_totalprice,
+         |strftime(o_orderdate, '$OracleFmt') AS o_orderdate
          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "k10_csv_roundtrip" ->

@@ -107,6 +107,17 @@ object SimilarityQueries {
     // wrong clamp, lossy beyond scale/2) hash-mismatches. Checksums
     // (q_sum, q_l1) pin the full quantized vector without emitting an
     // array column (array outputs break the driver's row-sort compare).
+    // Johnson–Lindenstrauss ±1 random projection, 64 → 16 dims: the
+    // "reduce then index" step that cuts downstream ANN/clustering dot
+    // products 4×. Sign matrix derived from h60 (the oracle recomputes
+    // every entry), sums fold left-to-right — fully deterministic, zero
+    // shuffle; distance-distortion behavior is pinned in
+    // DedupSimilaritySpec over the planted near-dup pairs.
+    "sim_rp_project" -> ((s, d) =>
+      Similarity.randomProject(emb(s, d), "vec_id", "embedding",
+          dIn = 64, dOut = 16, salt = "rp_v1")
+        .orderBy("vec_id", "j")),
+
     "sim_quantize_i8" -> ((s, d) =>
       Similarity.quantizeI8(emb(s, d), "vec_id", "embedding")
         .select(
@@ -279,6 +290,20 @@ object SimilarityQueries {
          |  FROM r2)
          |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 4) AS cos
          |FROM r3 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_rp_project" ->
+      """WITH sm AS (
+        |  SELECT j, i,
+        |    CASE WHEN (('0x' || substr(md5('rp_v1:' || j::VARCHAR || ':' || i::VARCHAR),
+        |                1, 15))::BIGINT % 2) = 0
+        |         THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(0, 16) a(j), range(0, 64) b(i)),
+        |sv AS (SELECT j, list(sgn ORDER BY i) AS sv FROM sm GROUP BY j)
+        |SELECT e.vec_id, s.j,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> e.embedding[i]::DOUBLE * s.sv[i])) / sqrt(16.0), 4) AS v
+        |FROM embeddings e CROSS JOIN sv s
+        |ORDER BY e.vec_id, s.j""".stripMargin,
 
     "sim_quantize_i8" ->
       """WITH e AS (

@@ -136,6 +136,30 @@ object Sinks {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Single-key sorted (clustered) parquet layout — the Delta/Iceberg
+    * `OPTIMIZE … ORDER BY` shape for tables overwhelmingly queried by ONE
+    * key (time ranges on a fact table): range-partition into `files`
+    * output files on the key and sort within each, so the per-file footer
+    * min/max ranges are DISJOINT and a key-range predicate prunes every
+    * non-overlapping file at planning time (pinned in SinksSpec). The
+    * complementary layout to [[writeZOrdered]]: perfect pruning on one key
+    * instead of usable pruning on two.
+    *
+    * `tieBreak` columns extend the within-file sort (stable layouts diff
+    * cleanly run-over-run); they do not affect file assignment.
+    */
+  def writeSortedLayout(
+      df: DataFrame,
+      path: String,
+      key: String,
+      files: Int,
+      tieBreak: Seq[String] = Nil): Unit = {
+    require(files >= 1, s"files=$files must be >= 1")
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key, tieBreak: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction — the table-maintenance pass every streaming or
     * per-batch-append sink eventually needs (thousands of KB-sized files
     * turn a 100 TB scan into a metadata storm and kill split planning).

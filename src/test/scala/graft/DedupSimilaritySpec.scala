@@ -567,6 +567,78 @@ class DedupSimilaritySpec extends SparkSpec {
       "unrelated doc must not pair with anything")
   }
 
+  test("dupSpans merges consecutive cross-doc duplicated grams into maximal runs") {
+    val docs = Seq(
+      (1L, "a b c d e f g x1 y1 z1 q r s t u v w"),
+      (2L, "a b c d e f g x2 y2 z2 q r s t u v w"),
+      (3L, "totally different words here nothing shared with the others at all"),
+      // within-document repetition only: "p p p" recurs but in ONE doc —
+      // cross-document marking must ignore it
+      (4L, "p p p p p p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", CrossHash.tokens(col("text")),
+        n = 3, minDocs = 2, minRun = 2)
+      .select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // docs 1/2 share "a b c d e f g" (3-gram positions 1..5) and
+    // "q r s t u v w" (positions 11..15); the differing x/y/z middle
+    // breaks the run — two maximal spans of 7 words each, per doc
+    val expected = for (id <- Set(1L, 2L); start <- Set(1L, 11L))
+      yield (id, start, 5L, 7L)
+    assert(out == expected)
+  }
+
+  test("dupSpans minRun filters isolated single-gram matches; minRun=1 keeps them") {
+    val docs = Seq(
+      (1L, "aa k1 k2 k3 bb cc"),
+      (2L, "dd ee k1 k2 k3 ff")
+    ).toDF("doc_id", "text")
+    val toksCol = CrossHash.tokens(col("text"))
+    // exactly one shared 3-gram per doc (different positions) — a run of 1
+    assert(Dedup.dupSpans(docs, "doc_id", toksCol, n = 3, minRun = 2).isEmpty)
+    val loose = Dedup.dupSpans(docs, "doc_id", toksCol, n = 3, minRun = 1)
+      .select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L, 1L, 3L), (2L, 3L, 1L, 3L)))
+  }
+
+  test("dupGramCoverage: duplicated fraction per document, zero for unshared docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g x1 y1 z1 q r s t u v w"),
+      (2L, "a b c d e f g x2 y2 z2 q r s t u v w"),
+      (3L, "totally different words here nothing shared with the others at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramCoverage(docs, "doc_id", CrossHash.tokens(col("text")),
+        n = 3, minDocs = 2)
+      .select("id", "n_grams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2: 15 gram positions, 10 duplicated (5 + 5)
+    assert(out(1L) == ((1L, 15L, 10L, 0.6667)))
+    assert(out(2L) == ((2L, 15L, 10L, 0.6667)))
+    assert(out(3L) == ((3L, 9L, 0L, 0.0)))
+  }
+
+  test("randomProject matches the driver-side computation exactly and is deterministic") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "emb")
+    val out = Similarity.randomProject(df, "id", "emb", dIn = 8, dOut = 4, salt = "t_rp")
+      .select("id", "j", "v").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == 20 * 4)
+    val m = Similarity.signMatrix(8, 4, "t_rp")
+    for ((id, emb) <- rows; j <- 0 until 4) {
+      val expected = BigDecimal(
+          emb.zipWithIndex.map { case (x, i) => x.toDouble * m(j)(i) }
+            .foldLeft(0.0)(_ + _) / math.sqrt(4.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((id, j.toLong)) == expected, s"id=$id j=$j")
+    }
+    // the sign matrix really derives from h60 (the oracle's contract)
+    for (j <- 0 until 4; i <- 0 until 8)
+      assert(m(j)(i) == (if (CrossHash.h60Local(s"t_rp:$j:$i") % 2 == 0) 1.0 else -1.0))
+  }
+
   test("quantizeI8: error bounded by scale/2, q in [-127,127], zero vector safe") {
     val rnd = new scala.util.Random(11)
     val rows = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 6 - 3))) :+

@@ -202,6 +202,28 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("Sampling.budgetMixtureSample: budget-derived rates, cap branch, unweighted dropped") {
+    val rows =
+      (1 to 4).map(i => (i.toLong, "g1", 10L)) ++   // 40 units
+      (5 to 6).map(i => (i.toLong, "g2", 5L)) ++    // 10 units
+      Seq((7L, "g3", 10L))                          // no weight -> dropped
+    val df = rows.toDF("id", "g", "units")
+    val out = Sampling.budgetMixtureSample(df, col("g"), col("id").cast("string"),
+        col("units"), Map("g1" -> 500, "g2" -> 500), budget = 30L, salt = "t_mix")
+      .select("id", "g", "group_units", "rate_permille")
+      .as[(Long, String, Long, Int)].collect().toSeq.sortBy(_._1)
+    // g1: floor(30·500/40) = 375‰; g2: floor(30·500/10) = 1500 -> capped 1000‰
+    assert(out.filter(_._2 == "g1").forall(r => r._3 == 40L && r._4 == 375))
+    assert(out.filter(_._2 == "g2").forall(r => r._3 == 10L && r._4 == 1000))
+    assert(out.count(_._2 == "g2") == 2)  // rate 1000 keeps every row
+    assert(!out.exists(_._2 == "g3"))     // unweighted group keeps nothing
+    val again = Sampling.budgetMixtureSample(df, col("g"), col("id").cast("string"),
+        col("units"), Map("g1" -> 500, "g2" -> 500), budget = 30L, salt = "t_mix")
+      .select("id", "g", "group_units", "rate_permille")
+      .as[(Long, String, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+  }
+
   test("Text.unigramNll: hand-computed corpus LM mean negative log-likelihood") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1, total=5

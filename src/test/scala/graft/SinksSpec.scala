@@ -117,6 +117,43 @@ class SinksSpec extends SparkSpec {
     assert(admittingFiles(zdir, "kb", 700, 710) <= files * 3 / 4)
   }
 
+  test("sorted layout: disjoint per-file key ranges, sorted within files, rows preserved") {
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val df = (0 until n).map(i => ((i * 2654435761L % 100000).toInt, i))
+      .toDF("k", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val files = 8
+    Sinks.writeSortedLayout(df, dir, "k", files = files, tieBreak = Seq("payload"))
+
+    val perFile = spark.read.parquet(dir)
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == files)
+    assert(perFile.map(_._3).sum == n)
+    // the pruning payoff: every file's [min, max] key range is disjoint
+    // from every other's (equal keys land in one range partition, so the
+    // ranges cannot even touch)
+    perFile.sliding(2).foreach {
+      case Array((_, prevMax, _), (nextMin, _, _)) => assert(prevMax < nextMin)
+      case _ =>
+    }
+    // rows within each file are sorted by the key (footer row-group stats
+    // stay tight for range predicates)
+    val unsortedFiles = spark.read.parquet(dir)
+      .select(col("k"), input_file_name().as("f"))
+      .withColumn("prev", lag("k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("k")).count()
+    assert(unsortedFiles == 0)
+    // lossless
+    assert(spark.read.parquet(dir).except(df).isEmpty
+      && df.except(spark.read.parquet(dir)).isEmpty)
+  }
+
   test("compaction sizes output files to the byte budget and loses nothing") {
     import org.apache.spark.sql.functions._
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
