@@ -114,6 +114,72 @@ object Graphs {
     } finally ee0.unpersist()
   }
 
+  /** k-core decomposition of an UNDIRECTED edge list (a, b): iteratively
+    * peel nodes of degree < k until the remaining subgraph's minimum
+    * degree is ≥ k (the standard cohesion measure — the k-core is the
+    * maximal subgraph where every node has ≥ k neighbors WITHIN the
+    * subgraph; a plain degree filter over-counts neighbors that are
+    * themselves about to be peeled).
+    *
+    * Per round: one degree aggregation + two semi-joins filtering edges to
+    * surviving endpoints — linear in the current edge count, which shrinks
+    * monotonically. Rounds are eager (the edge state is referenced by both
+    * semi-joins; lazy composition would double the plan per round) with
+    * superseded blocks released deterministically. Converges in ≤ rounds
+    * proportional to the longest peel cascade; `maxRounds` fails loudly
+    * rather than spinning (a converging peel strictly shrinks the edge
+    * set, so maxRounds rounds bound cascades of that depth).
+    *
+    * Returns (node, core_deg): the members of the k-core with their
+    * within-core degree. Empty when no k-core exists.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val parent = edges.sparkSession
+    val ee0 = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = ee0.count()
+      if (m == 0) {
+        return parent.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("core_deg", lit(0L)).limit(0)
+      }
+      val child = loopSession(parent, measuredParts(parent, m))
+      var ee = bridge(child, ee0).persist(StorageLevel.MEMORY_AND_DISK)
+      var edgeCount = ee.count()
+      var rounds = 0
+      var converged = false
+      while (!converged && edgeCount > 0 && rounds < maxRounds) {
+        val keep = ee.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        // the round references `ee` three times (the edge scan + both
+        // semi-join keep sides derive from it), so composing rounds lazily
+        // would grow the LOGICAL plan ~3× per round — exponential analyzer
+        // cost long before any data moves (persist caches blocks but does
+        // not truncate lineage). Bridge each round through its RDD, the
+        // same discipline as connectedComponentsStar.
+        val plan = ee
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+        val next = child.createDataFrame(plan.rdd, plan.schema)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val c = next.count()
+        if (c == edgeCount) { next.unpersist(); converged = true }
+        else { ee.unpersist(); ee = next; edgeCount = c; rounds += 1 }
+      }
+      if (!converged && edgeCount > 0)
+        throw new IllegalStateException(
+          s"kCore did not converge in $maxRounds rounds (edges remaining: $edgeCount)")
+      val out = bridge(parent,
+        ee.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+          .localCheckpoint(true))
+      ee.unpersist()
+      out
+    } finally ee0.unpersist()
+  }
+
   /** BFS depths from `source` over an UNDIRECTED edge list (a, b), capped
     * at `maxHops` — fixed round count (deterministic, oracle-replayable by
     * a UNION-deduped recursive CTE) rather than a convergence test. Each

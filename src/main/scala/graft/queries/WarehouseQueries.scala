@@ -224,6 +224,20 @@ object WarehouseQueries {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // k-core decomposition (k=3) of the strong co-purchase graph: the
+    // maximal subgraph where every part co-occurs strongly with ≥ 3 other
+    // CORE parts — the cohesion census a plain degree filter over-counts
+    // (it counts neighbors that are themselves about to be peeled; the
+    // sf0.01 graph needs 10 cascade rounds to stabilize). At sf0.1 the
+    // strong graph is sparser relative to its basket space and the 3-core
+    // is legitimately EMPTY (2 peel rounds) — the empty result is the
+    // correct answer, verified as such.
+    "q_kcore" -> ((s, d) => {
+      val edges = basketPairCounts(s, d).filter(col("n_ab") >= 2).select("a", "b")
+      graft.operators.Graphs.kCore(edges, k = 3)
+        .orderBy("node")
+    }),
+
     // Deterministic PageRank (10 fixed iterations, damping 0.85) over the
     // strong co-purchase graph — which parts sit central in baskets. The
     // oracle replays every iteration with a recursive CTE; ranks are
@@ -740,6 +754,40 @@ object WarehouseQueries {
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
         |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin,
+
+    // Peel rounds unrolled as CTE pairs (e_t = edges among round-(t−1)
+    // survivors; d_t = nodes with in-subgraph degree ≥ 3). 14 rounds: the
+    // sf0.01 cascade needs 10, sf0.1 needs 2, and extra rounds past the
+    // fixpoint are idempotent — so the unroll is convergence-safe at both
+    // verified SFs without a recursive multi-self-reference (whose
+    // working-table semantics differ across engines).
+    // AS MATERIALIZED on every round CTE: each e_t references e_{t-1}
+    // three times (edge scan + both endpoint IN-filters), so an INLINING
+    // planner would expand the chain 3^rounds times — the same
+    // exponential-plan hazard the Spark loop avoids by RDD-bridging each
+    // round (Graphs.kCore); materialization bounds the oracle at one
+    // evaluation per round.
+    "q_kcore" -> {
+      val rounds = 14
+      val steps = (1 to rounds).map { t =>
+        s"""e$t AS MATERIALIZED (
+           |  SELECT src, dst FROM e${t - 1}
+           |  WHERE src IN (SELECT src FROM d${t - 1})
+           |    AND dst IN (SELECT src FROM d${t - 1})),
+           |d$t AS MATERIALIZED (
+           |  SELECT src FROM e$t GROUP BY src HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+         |p AS MATERIALIZED (
+         |  SELECT x.item AS a, y.item AS b
+         |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING count(1) >= 2),
+         |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |d0 AS MATERIALIZED (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+         |$steps
+         |SELECT src AS node, count(*) AS core_deg
+         |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+    },
 
     "q_pagerank" ->
       """WITH RECURSIVE

@@ -54,4 +54,20 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("kCore peels cascades (pendant chain falls node by node); high k empties") {
+    // triangle 1-2-3 plus pendant chain 3-4-5: node 5 (deg 1) peels first,
+    // which drops 4 to deg 1 — a 2-round cascade a one-shot degree filter
+    // would miss (it would keep 4, whose counted neighbor 5 is gone)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = Graphs.kCore(edges, k = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // no 3-core exists: the triangle's within-core degrees are all 2
+    assert(Graphs.kCore(edges, k = 3).isEmpty)
+    // deterministic: identical on re-run
+    val again = Graphs.kCore(edges, k = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(again == core)
+  }
 }
