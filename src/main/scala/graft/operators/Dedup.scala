@@ -959,7 +959,12 @@ object Dedup {
       toks: Column,
       n: Int,
       minDocs: Int): (DataFrame, DataFrame) = {
-    val grams = df.select(col(idCol).as("id"), posexplode(wordShingles(toks, n)))
+    // materialize the token array at a projection boundary BEFORE the
+    // shingle transform: slices inside the transform lambda then reference
+    // the bound array instead of re-running the tokenizer per position
+    // (measured 6× on the explode stage at sf0.1)
+    val grams = df.select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), posexplode(wordShingles(col("tk"), n)))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col("id")).as("n_docs"))
@@ -1001,11 +1006,19 @@ object Dedup {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (cross-document)")
     require(minRun >= 1, s"minRun=$minRun must be >= 1")
     val (grams, dup) = dupGramPositions(df, idCol, toks, n, minDocs)
-    // consecutive positions share (pos − row_number) — the classic
-    // gaps-and-islands grouping, one window over the per-document shuffle
+    mergeRuns(grams.join(dup, Seq("gram"), "left_semi"), n, minRun)
+  }
+
+  /** Gaps-and-islands run merge over marked (id, pos) gram positions:
+    * consecutive positions share (pos − row_number), one window over the
+    * per-document shuffle. Shared tail of [[dupSpans]] and
+    * [[dupSpansAgainstIndex]] so the batch and incremental paths cannot
+    * drift.
+    */
+  private def mergeRuns(marked: DataFrame, n: Int, minRun: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
-    grams.join(dup, Seq("gram"), "left_semi")
+    marked
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("id", "grp")
       .agg(
@@ -1014,6 +1027,90 @@ object Dedup {
         (max("pos") - min("pos") + n).as("span_words"))
       .filter(col("n_grams") >= minRun)
       .drop("grp")
+  }
+
+  /** Persist the cross-document gram index as a bucketed catalog table —
+    * the production shape of incremental substring-dedup, mirroring
+    * [[writeMinhashIndex]]: the corpus's grams are aggregated once, and
+    * each ingest day marks its new documents against the REOPENED table
+    * with zero Exchange on the index side.
+    *
+    * Tables:
+    *  - `<prefix>_grams` (gram, n_docs), bucketed+sorted on `gram` — one
+    *    row per distinct gram with its document frequency; the probe join
+    *    consumes the bucket layout directly;
+    *  - `<prefix>_meta` (n, buckets) — the gram width is baked into the
+    *    stored strings, so a reader with a different `n` would silently
+    *    match nothing; the read path validates against this record.
+    *
+    * Maintenance contract: per ingest day, append the day's per-batch
+    * (gram, n_docs) partials bucket-aligned — presence tests (the probe's
+    * need) read appended partials as-is; df consumers re-aggregate by
+    * gram, which the bucketing keeps Exchange-free.
+    */
+  def writeGramIndex(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      tablePrefix: String,
+      buckets: Int): Unit = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val counts = df
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
+      .groupBy("gram").agg(countDistinct(col("id")).as("n_docs"))
+    graft.sources.Sinks.writeBucketedTable(counts, s"${tablePrefix}_grams", buckets, "gram")
+    val meta = df.sparkSession.createDataFrame(Seq((n, buckets))).toDF("n", "buckets")
+    meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Incremental duplicate spans for a NEW batch against the PERSISTED
+    * gram index ([[writeGramIndex]]): a new document's gram position is
+    * cross-document-duplicated iff the gram exists in the index (≥ 1
+    * indexed document has it) OR ≥ 2 distinct new documents share it —
+    * exactly the full-recompute `minDocs = 2` marking restricted to the
+    * new batch, so the batch oracle verifies this path unchanged.
+    *
+    * Plan shape: the index side is a deduplicated scan of the bucketed
+    * gram table (aggregation reuses the bucket partitioning — no
+    * Exchange; asserted in DedupSimilaritySpec); both marks land as
+    * LEFT joins against one-row-per-gram sides (no position fan-out),
+    * then the shared [[mergeRuns]] tail. Cost is O(|day| grams), never a
+    * corpus re-scan.
+    */
+  def dupSpansAgainstIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      minRun: Int = 2): DataFrame = {
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    val spark = newDocs.sparkSession
+    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val grams = newDocs
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), posexplode(wordShingles(col("tk"), n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distinct-per-gram on the appended index: presence is what the
+      // probe needs, and the aggregation rides the bucket partitioning
+      val idxDup = spark.table(s"${tablePrefix}_grams")
+        .select(col("gram")).distinct()
+        .withColumn("in_index", lit(1L))
+      val newDup = grams.groupBy("gram")
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"), lit(1L).as("in_batch"))
+      val marked = grams
+        .join(idxDup, Seq("gram"), "left")
+        .join(newDup, Seq("gram"), "left")
+        .filter(col("in_index").isNotNull || col("in_batch").isNotNull)
+        .select("id", "pos")
+      mergeRuns(marked, n, minRun).localCheckpoint(true)
+    } finally grams.unpersist()
   }
 
   /** Per-document duplicated-gram coverage: the fraction of a document's

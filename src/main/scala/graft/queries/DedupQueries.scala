@@ -20,6 +20,17 @@ object DedupQueries {
 
   private def toks = CrossHash.tokens(col("text"))
 
+  /** Documents with the token array materialized as a column (`__tk`) so
+    * shingle transforms slice a bound array instead of re-running the
+    * tokenizer per shingle position inside the lambda — measured 6× on
+    * the signing stage, 3× on the whole minhash pipeline at sf0.1. Every
+    * word-shingle consumer feeds from this projection.
+    */
+  private def docsTk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("__tk", toks)
+
+  private def tkShingles(w: Int) = CrossHash.wordShingles(col("__tk"), w)
+
   /** Shared MinHash pair-edge frame: `d_minhash_lsh`, `d_clusters` and
     * `d_dedup_keep` all close over the SAME word-3-shingle edge set
     * (k=16, 4 bands, j ≥ 0.7). A real pipeline materializes the pair table
@@ -35,7 +46,7 @@ object DedupQueries {
   private def minhashPairEdges(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"minhash_pairs:$d") {
       Dedup.minhashPairs(
-        t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3),
+        docsTk(s, d), "doc_id", tkShingles(3),
         k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true)
     }
 
@@ -46,7 +57,7 @@ object DedupQueries {
     */
   private def simhashFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"simhash_w3:$d") {
-      Dedup.simhash(t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3))
+      Dedup.simhash(docsTk(s, d), "doc_id", tkShingles(3))
         .localCheckpoint(true)
     }
 
@@ -308,7 +319,7 @@ object DedupQueries {
     "d_incremental" -> ((s, d) => {
       val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
         Dedup.minhashSignatures(
-          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
           .localCheckpoint(true)
       }
       Dedup.minhashPairsFromSignatures(
@@ -330,7 +341,7 @@ object DedupQueries {
     "d_incremental_indexed" -> ((s, d) => {
       val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
         Dedup.minhashSignatures(
-          t(s, d, "documents"), "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
           .localCheckpoint(true)
       }
       val prefix = s"mh_index_${ScratchKeys.forPath(d)}"
@@ -353,8 +364,8 @@ object DedupQueries {
     // pairs that straddle the split).
     "d_decontaminate" -> ((s, d) =>
       Dedup.decontaminate(
-          t(s, d, "documents"), "doc_id",
-          CrossHash.wordShingles(toks, 5), col("doc_id") % 50 === 7)
+          docsTk(s, d), "doc_id",
+          tkShingles(5), col("doc_id") % 50 === 7)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -369,6 +380,28 @@ object DedupQueries {
           n = 5, minDocs = 2, minRun = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "start_pos")),
+
+    // Same substring marking through the PERSISTED gram index: the 90%
+    // corpus's gram df table is written bucketed on gram, and the day's
+    // batch (doc_id % 10 = 0) is marked against the REOPENED table — a
+    // position is duplicated iff its gram is indexed OR shared by ≥ 2 new
+    // docs, which equals the full-corpus marking restricted to the batch;
+    // the oracle is therefore the batch oracle filtered to the new ids,
+    // so the write → reopen → zero-Exchange probe chain is hash-verified
+    // end-to-end.
+    "d_dup_spans_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = s"gram_index_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_grams", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Dedup.writeGramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", toks,
+        n = 5, prefix, buckets = 8)
+      Dedup.dupSpansAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", toks, prefix, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "start_pos")
+    }),
 
     // Per-document duplicated-gram coverage — the aggregate form of
     // d_dup_spans' marking stage: what fraction of each document's 5-gram
@@ -507,6 +540,28 @@ object DedupQueries {
          |  FROM r GROUP BY doc_id, grp)
          |SELECT doc_id, start_pos, n_grams, span_words
          |FROM s WHERE n_grams >= 2 ORDER BY doc_id, start_pos""".stripMargin,
+
+    // full-corpus marking restricted to the new batch — equality IS the
+    // claim that the index probe loses nothing vs the batch recompute
+    "d_dup_spans_indexed" ->
+      s"""$ToksCte,
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS pos,
+         |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM p),
+         |s AS (
+         |  SELECT doc_id, min(pos) AS start_pos, count(*)::BIGINT AS n_grams,
+         |         (max(pos) - min(pos) + 5)::BIGINT AS span_words
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id, start_pos, n_grams, span_words
+         |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
+         |ORDER BY doc_id, start_pos""".stripMargin,
 
     "d_dup_coverage" ->
       s"""$ToksCte,

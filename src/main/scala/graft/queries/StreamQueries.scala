@@ -487,7 +487,10 @@ object StreamQueries {
       import graft.functions.CrossHash
       import graft.operators.Dedup
       val docs = graft.sources.Tables.load(s, d, "documents")
-      val shingles = CrossHash.wordShingles(CrossHash.tokens(col("text")), 3)
+      // shingles slice a materialized token column (`__tk`, added per
+      // consumer below) instead of re-tokenizing per position — same
+      // rationale as DedupQueries.docsTk; the split files stay tokenless
+      val shingles = CrossHash.wordShingles(col("__tk"), 3)
       val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_stream_dedup_${ScratchKeys.forPath(d)}", "docs4")
       if (!java.nio.file.Files.isDirectory(splitDir)) {
@@ -503,7 +506,9 @@ object StreamQueries {
       // "yesterday's corpus", already signed in production; only the
       // streamed batches sign fresh, inside their foreachBatch cycles
       val corpusSigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(docs, "doc_id", shingles, k = 16)
+        Dedup.minhashSignatures(
+          docs.withColumn("__tk", CrossHash.tokens(col("text"))),
+          "doc_id", shingles, k = 16)
           .localCheckpoint(true)
       }
       Dedup.writeMinhashIndex(
@@ -518,7 +523,9 @@ object StreamQueries {
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                 _: Long) => {
-              val sigs = Dedup.minhashSignatures(batch.toDF(), "doc_id", shingles, k = 16)
+              val sigs = Dedup.minhashSignatures(
+                batch.toDF().withColumn("__tk", CrossHash.tokens(col("text"))),
+                "doc_id", shingles, k = 16)
               Dedup.ingestIntoMinhashIndex(sigs, prefix, threshold = 0.7)
                 .write.mode("append").parquet(pairsDir)
             })

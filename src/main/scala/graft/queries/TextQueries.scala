@@ -204,15 +204,16 @@ object TextQueries {
     // its distinct grams is blocklisted (the curation gate input).
     "tx_boilerplate" -> ((s, d) =>
       Text.boilerplateCoverage(
-          docs(s, d), "doc_id", CrossHash.wordShingles(toks, 3), topK = 500)
+          docs(s, d).withColumn("__tk", toks), "doc_id",
+          CrossHash.wordShingles(col("__tk"), 3), topK = 500)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
     // Corpus n-gram frequency table — the training-data corpus statistic:
     // top word bigrams by count, ties broken lexicographically.
     "tx_ngram_freq" -> ((s, d) =>
-      docs(s, d)
-        .select(explode(CrossHash.wordShingles(toks, 2)).as("gram"))
+      docs(s, d).withColumn("__tk", toks)
+        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)),

@@ -32,6 +32,48 @@ object ProfileScratch {
     val df = Tables.load(spark, d, "documents")
     df.count() // footer/page-cache warm
 
+    if (args.headOption.contains("spans")) {
+      val toksCol = tokens(col("text"))
+      val g = df.select(col("doc_id").as("id"), posexplode(wordShingles(toksCol, 5)))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+      time("span grams explode")(g.count())
+      time("span grams explode 2")(g.count())
+      val gMat = df.select(col("doc_id").as("id"), toksCol.as("tk"))
+        .select(col("id"), posexplode(wordShingles(col("tk"), 5)))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+      time("span grams explode (materialized toks)")(gMat.count())
+      time("span grams explode (materialized toks) 2")(gMat.count())
+      val dup = g.groupBy("gram").agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      time("dup gram agg")(println("dup grams = " + dup.count()))
+      time("semi join back")(g.join(dup, Seq("gram"), "left_semi").count())
+      time("full dupSpans A")(
+        Dedup.dupSpans(df, "doc_id", toksCol, 5, 2, 2).count())
+      time("full dupSpans B")(
+        Dedup.dupSpans(df, "doc_id", toksCol, 5, 2, 2).count())
+      time("full dupGramCoverage")(
+        Dedup.dupGramCoverage(df, "doc_id", toksCol, 5, 2).count())
+      // does the established word-shingle signing path gain the same way?
+      val wsInline = df.select(col("doc_id").as("id"),
+        explode(array_distinct(wordShingles(toksCol, 3))).as("s"))
+        .select(col("id"), (h60(col("s")) % Dedup.MinhashMod).as("h"))
+      val wsMat = df.select(col("doc_id").as("id"), toksCol.as("tk"))
+        .select(col("id"), explode(array_distinct(wordShingles(col("tk"), 3))).as("s"))
+        .select(col("id"), (h60(col("s")) % Dedup.MinhashMod).as("h"))
+      time("ws sign inline toks")(wsInline.count())
+      time("ws sign inline toks 2")(wsInline.count())
+      time("ws sign materialized toks")(wsMat.count())
+      time("ws sign materialized toks 2")(wsMat.count())
+      time("minhashPairs inline toks")(Dedup.minhashPairs(
+        df, "doc_id", wordShingles(toksCol, 3), 16, 4, 0.7,
+        assumeUnboundedVocab = true).count())
+      time("minhashPairs materialized toks")(Dedup.minhashPairs(
+        df.withColumn("__tk", toksCol), "doc_id", wordShingles(col("__tk"), 3),
+        16, 4, 0.7, assumeUnboundedVocab = true).count())
+      spark.stop()
+      return
+    }
+
     // stage costs, char-gram variant (d_ngram_jaccard)
     val grams = df.select(col("doc_id").as("id"),
       explode(array_distinct(charGrams(col("text"), 4))).as("s"))

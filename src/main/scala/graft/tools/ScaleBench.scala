@@ -74,6 +74,16 @@ object ScaleBench {
     // audits: single-pass aggregations + anti-joins over the 10× tables
     "dq_uniqueness", "dq_ref_integrity")
 
+  /** Round-7: the substring-dedup family — gram df aggregation + semi-join
+    * back + per-document window. The 10× corpus's copy-unique rewritten
+    * tokens (every 5th position) kill cross-copy 5-gram matches (every
+    * 5-gram window contains exactly one rewritten position), while
+    * within-copy duplicated grams between planted near-dup docs survive —
+    * so duplicated-gram mass scales ~linearly, the claimed regime for the
+    * O(total grams) design (cost must never depend on doc-pair counts).
+    */
+  private val SubstrFamily = Seq("d_dup_spans", "d_dup_coverage")
+
   /** Round-7: the two non-equi join shapes whose scaling exponent the
     * equi-join skew batch can't see. q_asof_join linearizes a union of
     * both sides through one per-key window (events × orders on offset-
@@ -258,6 +268,11 @@ object ScaleBench {
       // memo, then both component algorithms measure incremental cost
       case "cc" => Seq("d_minhash_lsh", "d_clusters", "d_clusters_star")
       case "rangejoin" => RangeJoinFamily
+      case "substr" => SubstrFamily
+      // k-core over 10 disjoint strong-graph copies: rounds are governed
+      // by the deepest per-copy cascade (identical in every copy), so the
+      // ratio isolates the per-round cost growth
+      case "kcore" => Seq("q_kcore")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 

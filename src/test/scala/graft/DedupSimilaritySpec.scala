@@ -618,6 +618,68 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == ((3L, 9L, 0L, 0.0)))
   }
 
+  test("persisted gram index: zero Exchange on the index scan, batch-path parity") {
+    val corpus = Seq(
+      (1L, "a b c d e f g x1 y1 z1 q r s t u v w"),
+      (2L, "totally different words here nothing shared with the others at all"),
+      (10L, "a b c d e f g x2 y2 z2 q r s t u v w"),   // new: overlaps doc 1
+      (20L, "pp qq rr ss tt uu vv ww zz yy xx nn mm"), // new: overlaps doc 30
+      (30L, "oo pp qq rr ss tt uu vv kk jj hh gg ff")  // new: new×new duplication
+    ).toDF("doc_id", "text")
+    val toksCol = CrossHash.tokens(col("text"))
+    val newDocs = corpus.filter(col("doc_id") % 10 === 0)
+    Seq("gram_idx_spec_grams", "gram_idx_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(corpus.filter(col("doc_id") % 10 =!= 0), "doc_id",
+      toksCol, n = 3, "gram_idx_spec", buckets = 4)
+
+    // reopen in a FRESH session — the next-day-ingest shape
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false") // keep Exchanges visible
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    val newOnFresh = fresh.createDataFrame(newDocs.rdd, newDocs.schema)
+    val viaIndex = Dedup.dupSpansAgainstIndex(
+      newOnFresh, "doc_id", CrossHash.tokens(col("text")), "gram_idx_spec", minRun = 2)
+
+    // the bucketed gram scan must reach its consuming join with no
+    // Exchange (the probe side shuffles to match; the index never). The
+    // probe is eager, so the plan is rebuilt lazily here for inspection.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val lazyProbe = fresh.table("gram_idx_spec_grams").select(col("gram")).distinct()
+      .withColumn("in_index", lit(1L))
+      .join(newOnFresh.select(explode(CrossHash.wordShingles(
+        CrossHash.tokens(col("text")), 3)).as("gram")), Seq("gram"))
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val idxScans = paths(lazyProbe.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains("gram_idx_spec")
+    }
+    assert(idxScans.size == 1, s"expected the gram table scanned once, got $idxScans")
+    idxScans.foreach { case (scan, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(anc.exists(_.isInstanceOf[BaseJoinExec]), "index scan must feed a join")
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed gram scan and its join: $toJoin\n${scan.nodeName}")
+    }
+
+    // parity: index probe == full-corpus batch marking restricted to the
+    // new ids (index-hit spans for 10, new×new spans for 20/30)
+    val batch = Dedup.dupSpans(corpus, "doc_id", toksCol, n = 3, minDocs = 2, minRun = 2)
+      .filter(col("id") % 10 === 0)
+      .select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inc = viaIndex.select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == batch, s"index path diverged: $inc vs $batch")
+    assert(inc.exists(_._1 == 10L)) // index-hit duplication found
+    assert(inc.exists(_._1 == 20L) && inc.exists(_._1 == 30L)) // new×new found
+  }
+
   test("randomProject matches the driver-side computation exactly and is deterministic") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
