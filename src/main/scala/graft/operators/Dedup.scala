@@ -1113,6 +1113,69 @@ object Dedup {
     } finally grams.unpersist()
   }
 
+  /** One ingest cycle of the gram index's maintenance contract (see
+    * [[writeGramIndex]]): append the batch's per-batch (gram, n_docs)
+    * partials bucket-aligned. Gram width and bucket count come from the
+    * index's own `_meta` record, so appended grams are generated with
+    * exactly the width the index was built with and land in the layout
+    * the probes consume. Unlike the minhash ingest (pairs are emitted
+    * per batch), span marking is deferred to [[dupSpansAtDayClose]]:
+    * a gram shared by two documents in DIFFERENT micro-batches must mark
+    * BOTH documents' positions, which no per-batch probe can do for the
+    * earlier one — df partials summed at day close can. Cost per call is
+    * O(|batch| grams): one aggregation, one bucketed append, no corpus
+    * re-scan.
+    */
+  def ingestIntoGramIndex(
+      batch: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = batch.sparkSession
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    val (n, buckets) = (m.getInt(0), m.getInt(1))
+    val counts = batch
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
+      .groupBy("gram").agg(countDistinct(col("id")).as("n_docs"))
+    graft.sources.Sinks.writeBucketedTable(
+      counts, s"${tablePrefix}_grams", buckets, "gram",
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Duplicate spans for the day's documents once every batch has been
+    * [[ingestIntoGramIndex appended]]: a position is cross-document
+    * duplicated iff the TOTAL document frequency of its gram across all
+    * index partials is ≥ 2. Each document contributes exactly 1 to each
+    * of its distinct grams' totals (it arrives in exactly one batch and
+    * partials count distinct ids), so total ≥ 2 ⟺ at least one OTHER
+    * document shares the gram — the full-corpus `minDocs = 2` marking
+    * restricted to the probed documents, self-counting handled, with no
+    * assumption about how the day was split into batches. The summing
+    * aggregation rides the gram table's bucket partitioning (zero
+    * Exchange on the index side, pinned in DedupSimilaritySpec).
+    */
+  def dupSpansAtDayClose(
+      dayDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      minRun: Int = 2): DataFrame = {
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    val spark = dayDocs.sparkSession
+    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val dupGrams = spark.table(s"${tablePrefix}_grams")
+      .groupBy("gram").agg(sum("n_docs").as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val grams = dayDocs
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), posexplode(wordShingles(col("tk"), n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    mergeRuns(grams.join(dupGrams, Seq("gram"), "left_semi"), n, minRun)
+      .localCheckpoint(true)
+  }
+
   /** Per-document duplicated-gram coverage: the fraction of a document's
     * n-gram positions that are cross-document duplicates ([[dupSpans]]'
     * marking stage, aggregated instead of run-merged). The corpus filter

@@ -83,6 +83,30 @@ object DedupQueries {
 
   private val ToksCte = s"WITH $ToksBody"
 
+  /** Shared oracle CTE chain for the word-5-gram duplicate-span marking
+    * (full-corpus `minDocs = 2`, runs merged per document) as `s(doc_id,
+    * start_pos, n_grams, span_words)` — `d_dup_spans_indexed` and
+    * StreamQueries' `st_gram_index_parity` both restrict it to the day's
+    * documents, because both paths claim EXACT equality with the
+    * full-corpus marking.
+    */
+  private[queries] val GramSpansIndexedBody =
+    s"""$ToksBody,
+       |g AS (
+       |  SELECT doc_id, i::BIGINT AS pos,
+       |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+       |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM p),
+       |s AS (
+       |  SELECT doc_id, min(pos) AS start_pos, count(*)::BIGINT AS n_grams,
+       |         (max(pos) - min(pos) + 5)::BIGINT AS span_words
+       |  FROM r GROUP BY doc_id, grp)""".stripMargin
+
   /** Shared oracle CTE chain producing the word-3-shingle MinHash+LSH pair
     * set (k=16, 4 bands, j ≥ 0.7) as `pairs(a, b)` — the edge set that
     * d_minhash_lsh verifies and the cluster/survivor oracles close over
@@ -544,21 +568,7 @@ object DedupQueries {
     // full-corpus marking restricted to the new batch — equality IS the
     // claim that the index probe loses nothing vs the batch recompute
     "d_dup_spans_indexed" ->
-      s"""$ToksCte,
-         |g AS (
-         |  SELECT doc_id, i::BIGINT AS pos,
-         |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
-         |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
-         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
-         |r AS (
-         |  SELECT doc_id, pos,
-         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM p),
-         |s AS (
-         |  SELECT doc_id, min(pos) AS start_pos, count(*)::BIGINT AS n_grams,
-         |         (max(pos) - min(pos) + 5)::BIGINT AS span_words
-         |  FROM r GROUP BY doc_id, grp)
+      s"""WITH $GramSpansIndexedBody
          |SELECT doc_id, start_pos, n_grams, span_words
          |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
          |ORDER BY doc_id, start_pos""".stripMargin,

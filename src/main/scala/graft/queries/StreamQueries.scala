@@ -602,6 +602,69 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Streaming ingest through the PERSISTED gram index — the substring
+    // twin of st_dedup_index_parity, executing writeGramIndex's
+    // maintenance contract: the corpus side (doc_id % 10 != 0) seeds the
+    // index, the day's documents (doc_id % 10 == 0) arrive as FOUR
+    // micro-batches, and each foreachBatch cycle appends the batch's
+    // (gram, n_docs) partials bucket-aligned. Span marking is deferred
+    // to day close (unlike the pair-emitting minhash bridge): a gram
+    // shared by two docs in DIFFERENT micro-batches must mark BOTH docs'
+    // positions, which no per-batch probe can do for the earlier one —
+    // summed df across partials ≥ 2 at day close can, and equals the
+    // full-corpus marking restricted to the day EXACTLY (each document
+    // contributes 1 to each of its distinct grams regardless of how the
+    // day was split). The oracle is therefore the batch
+    // d_dup_spans_indexed oracle verbatim, plus the append certificate:
+    // sum(n_docs) over the index must equal the independently recomputed
+    // distinct (doc, gram) count over ALL documents — a dropped or
+    // double-appended batch flips index_ok.
+    "st_gram_index_parity" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_gram_${ScratchKeys.forPath(d)}", "docs4")
+      if (!java.nio.file.Files.isDirectory(splitDir)) {
+        docs.filter(col("doc_id") % 10 === 0)
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(splitDir.toString)
+      }
+      val prefix = s"gram_stream_index_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_grams", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Dedup.writeGramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+        CrossHash.tokens(col("text")), n = 5, prefix, buckets = 8)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_gram_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Dedup.ingestIntoGramIndex(batch.toDF(), "doc_id",
+                CrossHash.tokens(col("text")), prefix))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val dfSum = s.table(s"${prefix}_grams")
+        .agg(sum("n_docs")).head().getLong(0)
+      val expected = docs
+        .select(col("doc_id"), explode(array_distinct(
+          CrossHash.wordShingles(CrossHash.tokens(col("text")), 5))).as("g"))
+        .count()
+      Dedup.dupSpansAtDayClose(
+          s.read.parquet(splitDir.toString), "doc_id",
+          CrossHash.tokens(col("text")), prefix, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("index_ok", lit(dfSum == expected))
+        .orderBy("doc_id", "start_pos")
+    }),
+
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
     // to a sink, then audited: per-type row and distinct-id counts must
     // equal the batch table's (event ids are unique, so dedup is an
@@ -806,6 +869,17 @@ object StreamQueries {
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
          |  TRUE AS index_ok
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // The batch d_dup_spans_indexed oracle verbatim (full-corpus marking
+    // restricted to the day's documents) + the pinned-TRUE append
+    // certificate — four streamed df-partial appends must lose nothing a
+    // one-shot batch marking keeps, including spans whose two documents
+    // arrived in different micro-batches.
+    "st_gram_index_parity" ->
+      s"""WITH ${DedupQueries.GramSpansIndexedBody}
+         |SELECT doc_id, start_pos, n_grams, span_words, TRUE AS index_ok
+         |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
+         |ORDER BY doc_id, start_pos""".stripMargin,
 
     "st_sliding_parity" ->
       """SELECT strftime(make_timestamp(

@@ -680,6 +680,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inc.exists(_._1 == 20L) && inc.exists(_._1 == 30L)) // new×new found
   }
 
+  test("gram-index ingest: cross-micro-batch duplication marks BOTH documents at day close") {
+    // corpus doc 1; day docs 10/30 share a 3-gram run ABSENT from the
+    // corpus and arrive in DIFFERENT batches — the case a per-batch probe
+    // can only half-mark (batch 1 sees the gram in neither the index nor
+    // its own batch), and the df-partial day-close rule must fully mark.
+    // Doc 20 overlaps the corpus (the index-hit path must still work).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "xx yy zz ww vv uu one two three four five"),
+      (20L, "alpha beta gamma delta epsilon other tail words here now"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (30L, "qq rr ss one two three four five tt pp"))
+      .toDF("doc_id", "text")
+    val toksCol = CrossHash.tokens(col("text"))
+    Seq("gram_ing_spec_grams", "gram_ing_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(corpus, "doc_id", toksCol, n = 3, "gram_ing_spec", buckets = 4)
+    Dedup.ingestIntoGramIndex(batch1, "doc_id", toksCol, "gram_ing_spec")
+    Dedup.ingestIntoGramIndex(batch2, "doc_id", toksCol, "gram_ing_spec")
+
+    val day = batch1.unionByName(batch2)
+    val atClose = Dedup.dupSpansAtDayClose(day, "doc_id", toksCol,
+        "gram_ing_spec", minRun = 2)
+      .select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // ground truth: full-corpus batch marking restricted to the day docs
+    val batch = Dedup.dupSpans(corpus.unionByName(day), "doc_id", toksCol,
+        n = 3, minDocs = 2, minRun = 2)
+      .filter(col("id") >= 10L)
+      .select("id", "start_pos", "n_grams", "span_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(atClose == batch, s"day-close diverged: $atClose vs $batch")
+    // the cross-batch run ("one two three four five") marks BOTH 10 and 30
+    assert(atClose.exists(_._1 == 10L), "earlier batch's doc must be marked")
+    assert(atClose.exists(_._1 == 30L), "later batch's doc must be marked")
+    assert(atClose.exists(_._1 == 20L), "index-hit doc must be marked")
+
+    // append certificate: every doc contributed exactly 1 per distinct gram
+    val dfSum = spark.table("gram_ing_spec_grams").agg(sum("n_docs"))
+      .head().getLong(0)
+    val expected = corpus.unionByName(day)
+      .select(col("doc_id"), explode(array_distinct(
+        CrossHash.wordShingles(toksCol, 3))).as("g")).count()
+    assert(dfSum == expected, s"df mass $dfSum != distinct (doc, gram) count $expected")
+
+    // the day-close df aggregation must ride the bucket layout — no
+    // Exchange between the gram-table scan and its aggregation
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val lazyAgg = spark.table("gram_ing_spec_grams")
+      .groupBy("gram").agg(sum("n_docs").as("df"))
+    def paths2(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths2(_, p :: anc))
+      }
+    paths2(lazyAgg.queryExecution.executedPlan, Nil).foreach { case (_, anc) =>
+      assert(anc.exists(_.isInstanceOf[BaseAggregateExec]), "scan must feed the agg")
+      assert(!anc.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed gram scan and df aggregation: $anc")
+    }
+  }
+
   test("randomProject matches the driver-side computation exactly and is deterministic") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
