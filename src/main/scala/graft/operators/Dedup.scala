@@ -1176,6 +1176,66 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Excise the duplicated spans from the corpus — the OUTPUT step of
+    * exact-substring dedup (Lee et al. 2022 §4: the duplicated substring
+    * is removed from the training text, not just reported): every token
+    * position covered by a [[dupSpans]] run is dropped and the survivors
+    * are re-joined in order. Documents with no duplicated spans pass
+    * through byte-identical; a fully-covered document survives as an
+    * empty string (the curation gate downstream decides whether to keep
+    * empty rows).
+    *
+    * Plan shape on top of the marking stage: one `posexplode` of the
+    * token arrays, one anti-join against the exploded covered positions
+    * (both sides shuffle on the id — the same key the window already
+    * used), and one per-document sort-aggregation that rebuilds the text
+    * (`array_sort` on (pos, tok) structs, then a projection join — no
+    * order-dependent `collect_list` assumption). Every term is linear in
+    * total token positions; nothing depends on how many documents share
+    * a span.
+    */
+  def removeDupSpans(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      minDocs: Int = 2,
+      minRun: Int = 2): DataFrame =
+    removeSpans(df, idCol, toks, dupSpans(df, idCol, toks, n, minDocs, minRun))
+
+  /** The excision stage of [[removeDupSpans]] against a PRECOMPUTED span
+    * frame (`id, start_pos, n_grams, span_words` — [[dupSpans]]' shape):
+    * a real pipeline materializes the span report once and feeds both the
+    * audit and the rewrite from it, so the expensive marking never runs
+    * twice.
+    */
+  def removeSpans(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      spans: DataFrame): DataFrame = {
+    val covered = spans.select(col("id"),
+        explode(sequence(col("start_pos"),
+          col("start_pos") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val tokens = df
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), posexplode(col("tk")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("n_toks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document duplicated-gram coverage: the fraction of a document's
     * n-gram positions that are cross-document duplicates ([[dupSpans]]'
     * marking stage, aggregated instead of run-merged). The corpus filter

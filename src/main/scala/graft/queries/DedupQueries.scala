@@ -31,6 +31,18 @@ object DedupQueries {
 
   private def tkShingles(w: Int) = CrossHash.wordShingles(col("__tk"), w)
 
+  /** Shared duplicate-span frame (word-5-grams, minDocs=2, minRun=2):
+    * `d_dup_spans` reports it and `d_dup_spans_removed` excises it — the
+    * pipeline shape where the span report is materialized once and feeds
+    * both the audit and the rewrite.
+    */
+  private def dupSpansFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"dup_spans_w5:$d") {
+      Dedup.dupSpans(docsTk(s, d), "doc_id", col("__tk"),
+          n = 5, minDocs = 2, minRun = 2)
+        .localCheckpoint(true)
+    }
+
   /** Shared MinHash pair-edge frame: `d_minhash_lsh`, `d_clusters` and
     * `d_dedup_keep` all close over the SAME word-3-shingle edge set
     * (k=16, 4 bands, j ≥ 0.7). A real pipeline materializes the pair table
@@ -400,8 +412,7 @@ object DedupQueries {
     // d_decontaminate: the ~40-word generator vocabulary makes shorter
     // grams collide by chance. Cost is O(total grams), never O(doc pairs).
     "d_dup_spans" -> ((s, d) =>
-      Dedup.dupSpans(t(s, d, "documents"), "doc_id", toks,
-          n = 5, minDocs = 2, minRun = 2)
+      dupSpansFrame(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "start_pos")),
 
@@ -426,6 +437,17 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "start_pos")
     }),
+
+    // The OUTPUT step of substring dedup — duplicated spans EXCISED from
+    // the text (Lee et al. 2022 removes the duplicated substring from the
+    // training corpus; the span report alone is not the product): every
+    // token position covered by a d_dup_spans run is dropped and the
+    // survivors re-joined in order. Untouched documents must come back
+    // byte-identical, which the hash compare enforces corpus-wide.
+    "d_dup_spans_removed" -> ((s, d) =>
+      Dedup.removeSpans(docsTk(s, d), "doc_id", col("__tk"), dupSpansFrame(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // Per-document duplicated-gram coverage — the aggregate form of
     // d_dup_spans' marking stage: what fraction of each document's 5-gram
@@ -572,6 +594,29 @@ object DedupQueries {
          |SELECT doc_id, start_pos, n_grams, span_words
          |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
          |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // the same excision rebuilt from the shared spans CTE: covered
+    // positions = every token a span reaches; survivors re-joined with
+    // single spaces in position order
+    "d_dup_spans_removed" ->
+      s"""WITH $GramSpansIndexedBody,
+         |spans AS (SELECT doc_id, start_pos, span_words FROM s WHERE n_grams >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, start_pos + i AS pos
+         |  FROM spans, unnest(range(0, span_words)) u(i)),
+         |tk AS (
+         |  SELECT doc_id, i::BIGINT AS pos, toks[i] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+         |kept AS (
+         |  SELECT tk.doc_id, pos, tok FROM tk
+         |  ANTI JOIN cov USING (doc_id, pos)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       (len(t.toks) - coalesce(n_kept, 0))::BIGINT AS n_removed
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "d_dup_coverage" ->
       s"""$ToksCte,

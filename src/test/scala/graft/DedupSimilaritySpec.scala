@@ -680,6 +680,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inc.exists(_._1 == 20L) && inc.exists(_._1 == 30L)) // new×new found
   }
 
+  test("removeDupSpans excises covered tokens; untouched docs byte-identical; full cover -> empty") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),        // shares "a b c d e f" with 2 and 4
+      (2L, "x1 a b c d e f y1"),
+      (3L, "p q r s t u v w"),        // unique — must pass through byte-identical
+      (4L, "a b c d e f")             // every gram duplicated — fully excised
+    ).toDF("doc_id", "text")
+    val byId = Dedup.removeDupSpans(corpus, "doc_id",
+        CrossHash.tokens(col("text")), n = 3, minDocs = 2, minRun = 2)
+      .select("id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == (("g h", 6L)))     // span pos 1-4 covers tokens 1..6
+    assert(byId(2L) == (("x1 y1", 6L)))   // span pos 2-5 covers tokens 2..7
+    assert(byId(3L) == (("p q r s t u v w", 0L)))
+    assert(byId(4L) == (("", 6L)))        // fully covered survives as empty
+    assert(byId.size == 4)
+  }
+
   test("gram-index ingest: cross-micro-batch duplication marks BOTH documents at day close") {
     // corpus doc 1; day docs 10/30 share a 3-gram run ABSENT from the
     // corpus and arrive in DIFFERENT batches — the case a per-batch probe
