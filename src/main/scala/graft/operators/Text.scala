@@ -368,4 +368,76 @@ object Text {
       .withColumn("bp_frac",
         round(col("n_bp").cast("double") / col("n_grams") + 1e-9, 4))
   }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-training step of an LLM data pipeline, re-expressed
+    * relationally: the corpus collapses to one (word, freq, symbol-list)
+    * table (symbols start as characters), then each merge round is
+    *
+    *  1. adjacent-pair counts: one explode of per-word pair lists + one
+    *     frequency-weighted aggregation — the ONLY per-round shuffle,
+    *     and it runs over the distinct-word table (vocabulary-sized,
+    *     thousands of rows), never the corpus;
+    *  2. argmax pair (count desc, then lexicographic — fully
+    *     deterministic), a one-row frame broadcast back;
+    *  3. greedy left-to-right merge application per word via
+    *     `aggregate()` over the symbol list — the classic BPE scan is a
+    *     fold: replace the accumulator's last element when (last, next)
+    *     equals the merge pair. The merged symbol is strictly longer
+    *     than its left part, so it can never chain into an overlapping
+    *     second merge — greedy non-overlap for free. Row-local, no
+    *     shuffle.
+    *
+    * The driver-side loop is over MERGE ROUNDS (parameter-sized, like
+    * the CC/k-core round loops); each round localCheckpoints the
+    * vocabulary table so the plan stays flat. At 100 TB the corpus pass
+    * happens once (the word-count aggregation); every round after that
+    * touches only the vocabulary, which is why production BPE trainers
+    * run on word counts — this is that exact shape.
+    *
+    * Returns the merge table (rank, l, r, cnt): rank-r merge joined
+    * symbols l+r, which occurred cnt times (frequency-weighted) at the
+    * time of merging.
+    */
+  def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    var vocab = df
+      .select(explode(tokens(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to nMerges) {
+      val pairCounts = vocab.select(col("freq"),
+          explode(when(size(col("syms")) > 1,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(
+                element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairCounts
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .select(lit(r).as("rank"), col("l"), col("r"), col("cnt"))
+        .localCheckpoint(true)
+      merges += top
+      val t = broadcast(top.select(col("l").as("__ml"), col("r").as("__mr")))
+      vocab = vocab.crossJoin(t)
+        .withColumn("syms", aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            try_element_at(acc, lit(-1)) === col("__ml") && x === col("__mr"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("__ml"), col("__mr")))))
+            .otherwise(concat(acc, array(x)))))
+        .drop("__ml", "__mr")
+        .localCheckpoint(true)
+    }
+    merges.result().reduce(_ unionByName _)
+  }
 }

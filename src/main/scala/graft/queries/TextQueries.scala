@@ -218,6 +218,17 @@ object TextQueries {
         .orderBy(col("n").desc, col("gram"))
         .limit(20)),
 
+    // Distributed BPE merge training — tokenizer training as a corpus
+    // operator: six merge rounds over the frequency-weighted word table
+    // (corpus pass happens ONCE; every round is vocabulary-sized),
+    // argmax pair by (count desc, lexicographic). The oracle replays the
+    // identical rounds as hand-unrolled recursive CTEs: the greedy
+    // left-to-right merge is the same fold, expressed as a per-word
+    // position recursion.
+    "tx_bpe_merges" -> ((s, d) =>
+      Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
+        .orderBy("rank")),
+
     // PMI word co-occurrence: which token pairs appear in the same
     // document far more than chance — the collocation statistic behind
     // phrase mining and tokenizer-merge candidates. Scale shape: the
@@ -300,6 +311,53 @@ object TextQueries {
           round(col("mean_b") + 1e-9, 6).as("mean_b"))
         .orderBy("asset_id"))
   )
+
+  /** Generated BPE oracle: `n` hand-unrolled merge rounds. Each round r
+    * derives pair counts from the round-(r−1) symbol table, picks the
+    * (count desc, l, r) argmax, and applies it with a per-word position
+    * recursion — `acc[-1] = l AND next = r` replaces the accumulator's
+    * last element, the exact fold `Text.bpeMerges` runs via `aggregate()`.
+    */
+  private def bpeOracle(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val prev = s"s${r - 1}"
+      // MATERIALIZED is load-bearing: each round references the previous
+      // round's symbol table from three places, so inlined CTEs would
+      // re-derive the whole chain ~3^rounds times (measured: n=3 already
+      // 8× slower than the materialized n=6) — the same blowup the k-core
+      // oracle pins engine-side.
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq)::BIGINT AS cnt
+         |  FROM $prev, unnest(range(1, len(syms))) u(i)
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |a$r AS (
+         |  SELECT word, freq, syms, 1 AS pos, [syms[1]] AS acc FROM $prev
+         |  UNION ALL
+         |  SELECT a.word, a.freq, a.syms, a.pos + 1,
+         |    CASE WHEN a.acc[-1] = t.l AND a.syms[a.pos + 1] = t.r
+         |         THEN a.acc[1:len(a.acc) - 1] || [t.l || t.r]
+         |         ELSE a.acc || [a.syms[a.pos + 1]] END
+         |  FROM a$r a, t$r t WHERE a.pos < len(a.syms)),
+         |s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM a$r WHERE pos = len(syms))"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(r => s"SELECT $r AS rank, l, r, cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |w AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |    FROM documents) u
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |  FROM w),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = {
     val toksCte =
@@ -556,6 +614,8 @@ object TextQueries {
           |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
           |    + 0.000000001, 4) AS intercept
           |FROM s""".stripMargin,
+
+      "tx_bpe_merges" -> bpeOracle(6),
 
       "tx_pmi" ->
         s"""$toksCte,

@@ -280,4 +280,39 @@ class OperatorsSpec extends SparkSpec {
     // document shorter than the gram width: one chunk covering it all
     assert(chunksOf("tiny") == Seq("tiny"))
   }
+
+  test("Text.bpeMerges: hand-computed merge sequence, greedy non-overlap, determinism") {
+    import spark.implicits._
+    // word freqs: the×3 cat×1 hat×2 bat×1 → round-1 pairs: at=4, th=3,
+    // he=3, ha=2, ca=1, ba=1 → merge "at"; round 2: th=3 ties he=3, l
+    // tie-break picks he; round 3: t+he=3; round 4: h+at=2.
+    val docs = Seq("the the cat hat", "the hat bat").toDF("text")
+    val out = Text.bpeMerges(docs, col("text"), nMerges = 4)
+      .orderBy("rank")
+      .select("rank", "l", "r", "cnt")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", "t", 4L), (2, "h", "e", 3L), (3, "t", "he", 3L), (4, "h", "at", 2L)))
+
+    // greedy left-to-right non-overlap: "aaa" has pair (a,a) ×2 per word
+    // occurrence but only ONE merge applies per triple (the merged "aa"
+    // cannot chain); the second round then merges (aa, a).
+    val rep = Seq("aaa aaa aaa").toDF("text")
+    val m = Text.bpeMerges(rep, col("text"), nMerges = 2)
+      .orderBy("rank").select("l", "r", "cnt")
+      .as[(String, String, Long)].collect().toSeq
+    assert(m == Seq(("a", "a", 6L), ("aa", "a", 3L)))
+
+    // single-char words contribute no pairs and survive unchanged
+    val single = Seq("a b a b ab").toDF("text")
+    val s1 = Text.bpeMerges(single, col("text"), nMerges = 1)
+      .select("l", "r", "cnt").as[(String, String, Long)].collect().toSeq
+    assert(s1 == Seq(("a", "b", 1L)))
+
+    // determinism: identical reruns produce identical tables
+    val again = Text.bpeMerges(docs, col("text"), nMerges = 4)
+      .orderBy("rank").select("rank", "l", "r", "cnt")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(again == out)
+  }
 }
