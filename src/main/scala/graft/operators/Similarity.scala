@@ -538,6 +538,55 @@ object Similarity {
     * tried. The exact re-rank uses the original vectors — cosine is
     * scale-invariant, so normalization changes nothing downstream.
     */
+  /** L2-normalize an array<double> column (guarded against zero vectors) —
+    * the cosine-PQ preprocessing shared by the inline and persisted paths.
+    */
+  private[graft] def normalizedArr(e: Column): Column = {
+    val n = greatest(l2Norm(e), lit(1e-30))
+    transform(e, x => x / n)
+  }
+
+  /** PQ encode columns `code0..code{m-1}`: per-subspace
+    * argmin_c (‖c‖² − 2·sub_j·c) over the literal codebooks (the ‖sub‖²
+    * term is constant per row); distance ties break to the smaller code
+    * id. Row-local, no shuffle — the 100 TB encode is a map-only pass.
+    */
+  private[graft] def pqCodeCols(
+      books: Array[Array[Array[Double]]], subDim: Int, cen: Column): Seq[Column] = {
+    val bookNorm2 = books.map(_.map(c => c.map(x => x * x).sum))
+    books.indices.map { j =>
+      val cands = books(j).zipWithIndex.map { case (cv, i) =>
+        struct(
+          (lit(bookNorm2(j)(i))
+            - lit(2.0) * dotD(slice(cen, j * subDim + 1, subDim), typedlit(cv.toSeq))).as("d"),
+          lit(i + 1).as("cid"))
+      }
+      array_min(array(cands: _*)).getField("cid").as(s"code$j")
+    }
+  }
+
+  /** Reconstruction-norm² Σⱼ ‖c_code‖² from the selected `code*` columns —
+    * exact for the quantized vector since subspaces are disjoint.
+    */
+  private[graft] def pqCn2aCol(books: Array[Array[Array[Double]]]): Column = {
+    val bookNorm2 = books.map(_.map(c => c.map(x => x * x).sum))
+    greatest(books.indices.map(j =>
+        element_at(typedlit(bookNorm2(j).toSeq), col(s"code$j"))).reduce(_ + _),
+      lit(1e-30))
+  }
+
+  /** Per-subspace ADC lookup tables `qtab_j[c] = qsub_j · c_c` over the
+    * normalized query — precomputed once per query, the ADC table of the
+    * original scheme.
+    */
+  private[graft] def pqQueryTabCols(
+      books: Array[Array[Array[Double]]], subDim: Int, qen: Column): Seq[Column] =
+    books.indices.map { j =>
+      array(books(j).map(cv =>
+          dotD(slice(qen, j * subDim + 1, subDim), typedlit(cv.toSeq))): _*)
+        .as(s"qtab$j")
+    }
+
   def pqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -551,48 +600,20 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    def subv(e: Column, j: Int) = slice(e, j * subDim + 1, subDim)
-    def normalized(e: Column): Column = {
-      val n = greatest(l2Norm(e), lit(1e-30))
-      transform(e, x => x / n)
-    }
 
     val c0 = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).cast("array<double>").as("ce"))
-    val cN = c0.withColumn("cen", normalized(col("ce")))
+    val cN = c0.withColumn("cen", normalizedArr(col("ce")))
     val books = pqCodebooks(cN, "neighbor_id", "cen", m, ks, subDim, iters)
-    val bookNorm2 = books.map(_.map(c => c.map(x => x * x).sum))
 
-    // encode: code_j = argmin_c (‖c‖² − 2·sub_j·c) over literal centroids
-    // (the ‖sub‖² term is constant per row); ties break to the smaller
-    // code. Row-local, no shuffle — the 100 TB encode is a map-only pass.
-    val codeCols = (0 until m).map { j =>
-      val cands = books(j).zipWithIndex.map { case (cv, i) =>
-        struct(
-          (lit(bookNorm2(j)(i)) - lit(2.0) * dotD(subv(col("cen"), j), typedlit(cv.toSeq))).as("d"),
-          lit(i + 1).as("cid"))
-      }
-      array_min(array(cands: _*)).getField("cid").as(s"code$j")
-    }
-    val coded = cN.select((col("neighbor_id") +: codeCols): _*)
-      .withColumn("cn2a",
-        greatest((0 until m).map(j =>
-            element_at(typedlit(bookNorm2(j).toSeq), col(s"code$j"))
-          ).reduce(_ + _), lit(1e-30)))
+    val coded = cN.select((col("neighbor_id") +: pqCodeCols(books, subDim, col("cen"))): _*)
+      .withColumn("cn2a", pqCn2aCol(books))
 
-    // query side: per-subspace lookup tables qtab_j[c] = qsub_j · c_c over
-    // the NORMALIZED query, precomputed once per query and broadcast — the
-    // ADC table of the original scheme
     val q0 = queries.select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("qe"))
       .withColumn("qn", l2Norm(col("qe")))
-    val qN = q0.withColumn("qen", normalized(col("qe")))
-    val qtabCols = (0 until m).map { j =>
-      array(books(j).map(cv =>
-          dotD(subv(col("qen"), j), typedlit(cv.toSeq))): _*)
-        .as(s"qtab$j")
-    }
-    val q1 = qN.select((col("query_id") +: qtabCols): _*)
+    val qN = q0.withColumn("qen", normalizedArr(col("qe")))
+    val q1 = qN.select((col("query_id") +: pqQueryTabCols(books, subDim, col("qen"))): _*)
 
     // both sides unit-normalized, so approx cosine = adc / ‖ĉ‖ (the
     // reconstruction norm ≈ 1 corrects the quantized side's residual)
@@ -672,5 +693,208 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame =
     ivfTopKAgainstIndexPlan(queries, tablePrefix, idCol, embCol, k, nprobe)
+      .localCheckpoint(true)
+
+  /** Persisted IVF-PQ index — the production vector-store shape (FAISS
+    * `IVFx,PQy` with `by_residual=false`): a coarse IVF quantizer prunes
+    * which lists a query scans, and inside the lists every vector is a PQ
+    * code, so the wide probe join carries 4-bit codes instead of float
+    * arrays. Composition of [[writeIvfIndex]] (coarse, raw-vector L2
+    * cells, same `ivfCentroids` rules) and [[pqCodebooks]] (fine,
+    * normalized-vector subspace codes, `by_residual=false` kept for
+    * bit-determinism — residual PQ would couple codebooks to cell
+    * assignment and is the documented trade-off). Tables:
+    *
+    *  - `<prefix>_codes` (cid, neighbor_id, codes array, cn2a) — BUCKETED
+    *    on `cid`: probes consume the layout with zero Exchange on the
+    *    index side, and the per-candidate bytes are m codes + one norm —
+    *    the ~32× scan-width cut is the point of PQ at 100 TB;
+    *  - `<prefix>_vecs` (neighbor_id, ce) — full vectors, joined back ONLY
+    *    for the bounded |queries|·shortlist exact re-rank;
+    *  - `<prefix>_cents` / `<prefix>_books` — coarse centroids (nlist
+    *    rows) and PQ codebooks (m·ks rows), both metadata-scale;
+    *  - `<prefix>_meta` (nlist, m, ks, subDim, buckets).
+    *
+    * Everything downstream of training is deterministic (literal-codebook
+    * argmin encode, deterministic coarse assignment), so two builds over
+    * the same corpus are byte-identical — spec-pinned.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      nlist: Int = 16,
+      nlistIters: Int = 3,
+      m: Int = 16,
+      ks: Int = 16,
+      iters: Int = 2,
+      dims: Int = 64): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val spark = corpus.sparkSession
+
+    val cents = ivfCentroids(corpus, idCol, embCol, nlist, nlistIters)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).cast("array<double>").as("ce"))
+      .localCheckpoint(true) // consumed by codebooks, encode, assignment, _vecs
+    val cN = c.withColumn("cen", normalizedArr(col("ce")))
+    val books = pqCodebooks(cN, "neighbor_id", "cen", m, ks, subDim, iters)
+
+    val coded = cN.select((col("neighbor_id") +: pqCodeCols(books, subDim, col("cen"))): _*)
+      .withColumn("cn2a", pqCn2aCol(books))
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes"), col("cn2a"))
+    val assigned = assignToCentroids(c, "neighbor_id", "ce", cents)
+    val codesTable = coded.join(assigned, "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("codes"), col("cn2a"))
+    graft.sources.Sinks.writeBucketedTable(codesTable, s"${tablePrefix}_codes", buckets, "cid")
+
+    c.select(col("neighbor_id"), col("ce"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_vecs")
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_cents")
+    val bookRows = for (j <- 0 until m; i <- 0 until ks)
+      yield (j, (i + 1).toLong, books(j)(i).toSeq)
+    spark.createDataFrame(bookRows).toDF("j", "cid", "cvec")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_books")
+    spark.createDataFrame(Seq((nlist, m, ks, subDim, buckets)))
+      .toDF("nlist", "m", "ks", "subDim", "buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index (see
+    * [[writeIvfPqIndex]]) under the FROZEN coarse quantizer AND frozen PQ
+    * codebooks — the same production maintenance split as
+    * [[appendToIvfIndex]], extended to the code tier: lists and codes grow
+    * online per batch; centroids/codebooks retrain offline (a rebuild)
+    * when drift warrants. Assignment and encode are deterministic given
+    * the stored quantizers, so appending a batch yields byte-identical
+    * `_codes` rows to having coded those vectors at build time
+    * (spec-pinned); appends land bucket-aligned on `cid`, keeping probes
+    * zero-Exchange as the index grows. Cost per batch: O(|batch| ·
+    * (nlist + m·ks)) row-local arithmetic + two appends — never a corpus
+    * re-coding.
+    */
+  def appendToIvfPqIndex(
+      newVecs: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (m, ks, subDim, buckets) =
+      (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
+    val books = Array.fill(m, ks)(Array.empty[Double])
+    spark.table(s"${tablePrefix}_books").collect().foreach { r =>
+      books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
+    }
+    val cents = spark.table(s"${tablePrefix}_cents")
+    val c = newVecs.select(col(idCol).as("neighbor_id"),
+        col(embCol).cast("array<double>").as("ce"))
+      .localCheckpoint(true) // consumed by encode, assignment, and _vecs
+    val cN = c.withColumn("cen", normalizedArr(col("ce")))
+    val coded = cN.select((col("neighbor_id") +: pqCodeCols(books, subDim, col("cen"))): _*)
+      .withColumn("cn2a", pqCn2aCol(books))
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes"), col("cn2a"))
+    val assigned = assignToCentroids(c, "neighbor_id", "ce", cents)
+    coded.join(assigned, "neighbor_id")
+      .select(col("cid"), col("neighbor_id"), col("codes"), col("cn2a"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(s"${tablePrefix}_codes")
+    c.select(col("neighbor_id"), col("ce"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tablePrefix}_vecs")
+  }
+
+  /** Top-k against a persisted IVF-PQ index (see [[writeIvfPqIndex]]):
+    * coarse-probe `nprobe` cells against the reopened `_cents`, ADC-score
+    * ONLY those cells' PQ codes from the bucketed `_codes` scan (zero
+    * Exchange on the index side — the probe side shuffles to match),
+    * exact-cosine re-rank of the per-query `shortlist` from `_vecs`.
+    * Codebooks collect from `_books` — metadata-scale, like the index
+    * `_meta` reads. Lazy plan builder for the spec;
+    * [[ivfPqTopKAgainstIndex]] is the eager production wrapper.
+    */
+  private[graft] def ivfPqTopKAgainstIndexPlan(
+      queries: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 128): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (nlist, m, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(3))
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
+    val ks = meta.getInt(2)
+    val books = Array.fill(m, ks)(Array.empty[Double])
+    spark.table(s"${tablePrefix}_books").collect().foreach { r =>
+      books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
+    }
+    val cents = spark.table(s"${tablePrefix}_cents")
+    val codes = spark.table(s"${tablePrefix}_codes")
+    val vecs = spark.table(s"${tablePrefix}_vecs")
+
+    val q0 = queries.select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    // coarse probe: same arithmetic as ivfTopKAgainstIndexPlan (raw
+    // vectors, L2 cells)
+    val probes = q0.crossJoin(broadcast(
+        cents.select(col("cid"), col("cvec"),
+          (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+      .select(col("query_id"), col("qe"),
+        (col("cn2") - lit(2.0) * dotD(col("qe"), col("cvec"))).as("d"), col("cid"))
+    val pw = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probed = probes.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    // ADC tables over the normalized query ride along into the cell join
+    val qt = probed.withColumn("qen", normalizedArr(col("qe")))
+      .select(Seq(col("query_id"), col("cid"))
+        ++ pqQueryTabCols(books, subDim, col("qen")): _*)
+
+    val adc = (0 until m).map(j =>
+      element_at(col(s"qtab$j"), element_at(col("codes"), j + 1))).reduce(_ + _)
+    val scoredApprox = qt.join(codes, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc / sqrt(col("cn2a")), 7).as("approx"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val short = scoredApprox.withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank on the bounded shortlist: full vectors join back HERE
+    val rescored = broadcast(short.join(q0, "query_id"))
+      .join(vecs, "neighbor_id")
+      .withColumn("cos",
+        round(dotD(col("qe"), col("ce")) / (col("qn") * l2Norm(col("ce"))), 7))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rescored
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Eager production entry over [[ivfPqTopKAgainstIndexPlan]]. */
+  def ivfPqTopKAgainstIndex(
+      queries: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 128): DataFrame =
+    ivfPqTopKAgainstIndexPlan(queries, tablePrefix, idCol, embCol, k, nprobe, shortlist)
       .localCheckpoint(true)
 }

@@ -427,17 +427,58 @@ object Text {
       merges += top
       val t = broadcast(top.select(col("l").as("__ml"), col("r").as("__mr")))
       vocab = vocab.crossJoin(t)
-        .withColumn("syms", aggregate(
-          col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            try_element_at(acc, lit(-1)) === col("__ml") && x === col("__mr"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(col("__ml"), col("__mr")))))
-            .otherwise(concat(acc, array(x)))))
+        .withColumn("syms", mergeFold(col("syms"), col("__ml"), col("__mr")))
         .drop("__ml", "__mr")
         .localCheckpoint(true)
     }
     merges.result().reduce(_ unionByName _)
+  }
+
+  /** One learned merge (l, r) applied to a symbol sequence in a single
+    * greedy left-to-right fold: replace the accumulator's last element
+    * when (last, next) equals the merge pair. Shared by training
+    * (`bpeMerges`) and encoding (`bpeEncodeWords`) so the two stay
+    * step-identical — which is exactly why encoding the training corpus
+    * reproduces training's final symbol table (the property the
+    * `tx_bpe_encode`/`tx_bpe_vocab` oracles lean on).
+    */
+  private def mergeFold(syms: Column, l: Column, r: Column): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE encoding — apply a learned merge table to segment words into
+    * subword symbols (the tokenize step that follows `bpeMerges`' train
+    * step). The merge table is tokenizer-parameter-scale, so it collects
+    * to the driver (metadata-sized, like the persisted-index `_meta`
+    * reads) and becomes ONE array literal; the whole encode is then a
+    * nested fold — outer over merges in rank order, inner the same
+    * greedy left-to-right `mergeFold` used in training — entirely
+    * row-local, zero shuffle. Callers encode the DISTINCT-word table and
+    * join back to the corpus (the same vocabulary trick training uses),
+    * so the per-word O(|merges|·|word|) scan cost is paid once per
+    * distinct word, never per corpus occurrence; at 100 TB the corpus
+    * only ever sees one explode and one equi-join on `word`.
+    *
+    * Words the merge table never saw segment fine (merges simply don't
+    * fire); empty strings yield empty symbol lists. Returns `words` plus
+    * a `syms` array<string> column.
+    */
+  def bpeEncodeWords(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    val ms: Seq[(String, String)] = merges.orderBy("rank").select("l", "r")
+      .collect().toSeq.map(row => (row.getString(0), row.getString(1)))
+    val chars = when(length(col(wordCol)) > 0,
+        transform(sequence(lit(1), length(col(wordCol))),
+          i => col(wordCol).substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    // typedlit emits a single array literal (not a per-element
+    // CreateArray), so a production-sized merge table stays one constant.
+    words.withColumn("syms",
+      aggregate(typedlit(ms), chars,
+        (syms, m) => mergeFold(syms, m.getField("_1"), m.getField("_2"))))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.streaming.EventStreams
 
@@ -52,16 +52,27 @@ object StreamQueries {
     }
   }
 
-  /** The events table as a bounded file STREAM, with the same
-    * TIMESTAMP(NANOS)→micros conversion the batch source applies
-    * (`Tables.load`); readStream needs the on-disk schema up front.
+  /** Event-time normalization mirroring `Tables.load`: nanos-as-long ts
+    * divides to micros; the regenerated corpus' `timestamp[us]` (inferred
+    * TIMESTAMP_NTZ, which `withWatermark` and `unix_micros` reject) casts
+    * to session-zone TIMESTAMP — same wall clock under the pinned UTC
+    * sessions, so batch oracles and drained streams agree.
+    */
+  private def withEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
+  /** The events table as a bounded file STREAM, with the same event-time
+    * conversion the batch source applies (`Tables.load`); readStream needs
+    * the on-disk schema up front.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val onDisk = s.read.parquet(s"$d/events.parquet").schema
     val raw = s.readStream.schema(onDisk).parquet(asDir(d, "events"))
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    withEventTs(raw)
   }
 
   /** Stateful streaming instantiates one state store per side per shuffle
@@ -91,24 +102,33 @@ object StreamQueries {
     * into four files (one-time, per data dir), `maxFilesPerTrigger=1`.
     * Every user's events spread across batches, so consumers exercise
     * cross-batch behavior (state merge, incremental sink merges) that a
-    * single-batch drain never does. Split from the RAW read (nanos-as-long
-    * ts), so the split files carry the same on-disk schema the stream
-    * reader is given.
+    * single-batch drain never does. Split from the RAW read (whatever
+    * on-disk ts form the corpus ships), so the split files carry the same
+    * schema the stream reader is given; `withEventTs` normalizes after.
     */
   private def eventsStreamSplit(s: SparkSession, d: String): DataFrame = {
     val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_split_${ScratchKeys.forPath(d)}", "events4")
     if (!java.nio.file.Files.isDirectory(splitDir)) {
-      s.read.parquet(s"$d/events.parquet")
-        .repartition(4, col("event_id"))
-        .write.mode("overwrite").parquet(splitDir.toString)
+      // build in a staging dir and move into place LAST: a failed build
+      // must not leave a dir that passes the exists-check with partial
+      // (or zero) files — that wedges the fixture for every later run
+      val stage = java.nio.file.Files.createTempDirectory("graft_split_build_")
+      try {
+        val out = stage.resolve("out")
+        s.read.parquet(s"$d/events.parquet")
+          .repartition(4, col("event_id"))
+          .write.mode("overwrite").parquet(out.toString)
+        java.nio.file.Files.createDirectories(splitDir.getParent)
+        try java.nio.file.Files.move(out, splitDir)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally deleteRecursively(stage)
     }
-    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    // schema from the fixture's own files (see eventsStreamLate)
+    val onDisk = s.read.parquet(splitDir.toString).schema
     val raw = s.readStream.schema(onDisk)
       .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    withEventTs(raw)
   }
 
   /** Late-arrival fixture: five single-file micro-batches in a pinned
@@ -140,33 +160,31 @@ object StreamQueries {
   private def eventsStreamLate(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_late_${ScratchKeys.forPath(d)}", "events_late")
-    val onDisk = s.read.parquet(s"$d/events.parquet").schema
     if (!java.nio.file.Files.isDirectory(dir)) {
-      java.nio.file.Files.createDirectories(dir)
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val tsIsLong = raw.schema("ts").dataType == LongType
+      // normalize event time BEFORE building, so every fixture file (real
+      // rows and sentinels alike) carries one session-zone TIMESTAMP form
+      val raw = withEventTs(s.read.parquet(s"$d/events.parquet"))
+      // build in a staging dir, move into place LAST (see eventsStreamSplit)
       val stage = java.nio.file.Files.createTempDirectory("graft_late_build_")
+      val out = stage.resolve("out")
+      java.nio.file.Files.createDirectories(out)
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val part = s"$stage/$name"
         df.coalesce(1).write.mode("overwrite").parquet(part)
         val file = new java.io.File(part).listFiles()
           .filter(_.getName.startsWith("part-")).head
-        val dest = dir.resolve(s"$name.parquet")
+        val dest = out.resolve(s"$name.parquet")
         java.nio.file.Files.move(file.toPath, dest)
         dest.toFile.setLastModified(mtimeMs)
       }
       try {
         val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxNs =
-          if (tsIsLong) raw.agg(max("ts")).head.getLong(0)
-          else raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+        val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
         def sentinel(id: Long, days: Long): DataFrame = {
           val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
-          val tsCol =
-            if (tsIsLong) lit(ns)
-            else expr(s"timestamp_micros(${ns / 1000}L)")
           raw.limit(1).select(
-            lit(-id).cast("long").as("event_id"), tsCol.as("ts"),
+            lit(-id).cast("long").as("event_id"),
+            expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
             lit(-1L).as("user_id"), lit("__flush").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props"))
         }
@@ -175,13 +193,18 @@ object StreamQueries {
         writeOne(raw.filter(pmod(col("event_id"), lit(5)) === 0), "f3_late", 3000000L)
         writeOne(sentinel(2, 2), "f4_flush_a", 4000000L)
         writeOne(sentinel(3, 3), "f5_flush_b", 5000000L)
+        java.nio.file.Files.createDirectories(dir.getParent)
+        try java.nio.file.Files.move(out, dir)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       } finally deleteRecursively(stage)
     }
+    // schema from the fixture's OWN files: a fixture built from an earlier
+    // corpus form (nanos-as-long, NTZ) must be read with the type it
+    // actually stores, not the current source table's
+    val onDisk = s.read.parquet(dir.toString).schema
     val raw = s.readStream.schema(onDisk)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    withEventTs(raw)
   }
 
   /** Flush fixture for APPEND-mode windowed aggregations with nothing
@@ -202,10 +225,9 @@ object StreamQueries {
   private def eventsStreamFlush(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_flush_${ScratchKeys.forPath(d)}", "events_flush")
-    val onDisk = s.read.parquet(s"$d/events.parquet").schema
     if (!java.nio.file.Files.isDirectory(dir)) {
-      java.nio.file.Files.createDirectories(dir)
-      val raw = s.read.parquet(s"$d/events.parquet")
+      // normalize event time BEFORE building (see eventsStreamLate)
+      val raw = withEventTs(s.read.parquet(s"$d/events.parquet"))
       // sentinels carry user_id = -1; the post-drain scrubs downstream
       // (st_join_outer_parity in particular) are only sound if that id
       // space is disjoint from the real-user domain, so refuse to build
@@ -213,29 +235,27 @@ object StreamQueries {
       require(raw.filter(col("user_id") < 0).isEmpty,
         "eventsStreamFlush requires non-negative real user_ids: " +
           "sentinel rows use user_id = -1 and must never join real events")
-      val tsIsLong = raw.schema("ts").dataType == LongType
+      // build in a staging dir, move into place LAST (see eventsStreamSplit)
       val stage = java.nio.file.Files.createTempDirectory("graft_flush_build_")
+      val out = stage.resolve("out")
+      java.nio.file.Files.createDirectories(out)
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val part = s"$stage/$name"
         df.coalesce(1).write.mode("overwrite").parquet(part)
         val file = new java.io.File(part).listFiles()
           .filter(_.getName.startsWith("part-")).head
-        val dest = dir.resolve(s"$name.parquet")
+        val dest = out.resolve(s"$name.parquet")
         java.nio.file.Files.move(file.toPath, dest)
         dest.toFile.setLastModified(mtimeMs)
       }
       try {
         val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxNs =
-          if (tsIsLong) raw.agg(max("ts")).head.getLong(0)
-          else raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+        val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
         def sentinel(id: Long, days: Long): DataFrame = {
           val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
-          val tsCol =
-            if (tsIsLong) lit(ns)
-            else expr(s"timestamp_micros(${ns / 1000}L)")
           raw.limit(1).select(
-            lit(-id).cast("long").as("event_id"), tsCol.as("ts"),
+            lit(-id).cast("long").as("event_id"),
+            expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
             lit(-1L).as("user_id"), lit("__flush").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props"))
         }
@@ -243,13 +263,16 @@ object StreamQueries {
         writeOne(sentinel(1, 2), "f2_flush_a", 2000000L)
         writeOne(sentinel(2, 3), "f3_flush_b", 3000000L)
         writeOne(sentinel(3, 4), "f4_flush_c", 4000000L)
+        java.nio.file.Files.createDirectories(dir.getParent)
+        try java.nio.file.Files.move(out, dir)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       } finally deleteRecursively(stage)
     }
+    // schema from the fixture's own files (see eventsStreamLate)
+    val onDisk = s.read.parquet(dir.toString).schema
     val raw = s.readStream.schema(onDisk)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    withEventTs(raw)
   }
 
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {

@@ -229,6 +229,48 @@ object TextQueries {
       Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
         .orderBy("rank")),
 
+    // BPE encoding — token counting under the LEARNED tokenizer (the
+    // budget/packing statistic real pipelines need, vs tx_tokens'
+    // whitespace count): train six merges, encode the DISTINCT-word
+    // table with the collected merge array (row-local nested fold, zero
+    // shuffle), join subword counts back to the corpus. Because encoding
+    // replays training's per-merge greedy passes in rank order, the
+    // oracle's training-final symbol table IS the encoded vocabulary —
+    // the oracle therefore verifies the train→encode consistency
+    // property itself, not just the counts.
+    "tx_bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Text.bpeMerges(dd, col("text"), nMerges = 6)
+      val words = dd.select(explode(toks).as("word"))
+        .filter(col("word") =!= "").distinct()
+      val enc = Text.bpeEncodeWords(words, "word", merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      dd.select(col("doc_id"), explode(toks).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtoks"))
+        .withColumn("subtok_ratio",
+          round(col("n_subtoks").cast("double") / col("n_words") + 1e-9, 4))
+        .orderBy("doc_id")
+    }),
+
+    // Subword vocabulary usage: frequency-weighted symbol histogram of
+    // the encoded corpus (which learned units actually carry the data —
+    // the tokenizer-health statistic behind fertility/coverage reports).
+    // Same encode machinery; aggregation rides the vocabulary table.
+    "tx_bpe_vocab" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Text.bpeMerges(dd, col("text"), nMerges = 6)
+      val wf = dd.select(explode(toks).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      Text.bpeEncodeWords(wf, "word", merges)
+        .select(explode(col("syms")).as("sym"), col("freq"))
+        .groupBy("sym").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("sym")).limit(30)
+    }),
+
     // PMI word co-occurrence: which token pairs appear in the same
     // document far more than chance — the collocation statistic behind
     // phrase mining and tokenizer-merge candidates. Scale shape: the
@@ -318,7 +360,7 @@ object TextQueries {
     * recursion — `acc[-1] = l AND next = r` replaces the accumulator's
     * last element, the exact fold `Text.bpeMerges` runs via `aggregate()`.
     */
-  private def bpeOracle(n: Int): String = {
+  private def bpeChainSql(n: Int): String = {
     val rounds = (1 to n).map { r =>
       val prev = s"s${r - 1}"
       // MATERIALIZED is load-bearing: each round references the previous
@@ -342,8 +384,6 @@ object TextQueries {
          |s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM a$r WHERE pos = len(syms))"""
         .stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(r => s"SELECT $r AS rank, l, r, cnt FROM t$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE
        |w AS (
        |  SELECT word, count(*)::BIGINT AS freq FROM (
@@ -354,10 +394,42 @@ object TextQueries {
        |  SELECT word, freq,
        |         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
        |  FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(n: Int): String = {
+    val out = (1 to n).map(r => s"SELECT $r AS rank, l, r, cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeChainSql(n)}
        |$out
        |ORDER BY rank""".stripMargin
   }
+
+  /** Encode oracle: the round-n symbol table IS the encoded vocabulary
+    * (encoding replays training's per-merge passes in rank order, and the
+    * corpus is its own training set), so per-document subtoken counts are
+    * a join of corpus tokens against s{n}.
+    */
+  private def bpeEncodeOracle(n: Int): String =
+    s"""${bpeChainSql(n)},
+       |enc AS (SELECT word, len(syms)::BIGINT AS n_sub FROM s$n),
+       |dt AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents)
+       |SELECT dt.doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subtoks,
+       |  round(sum(n_sub)::DOUBLE / count(*) + 0.000000001, 4) AS subtok_ratio
+       |FROM dt JOIN enc USING (word)
+       |WHERE word <> ''
+       |GROUP BY dt.doc_id
+       |ORDER BY dt.doc_id""".stripMargin
+
+  private def bpeVocabOracle(n: Int): String =
+    s"""${bpeChainSql(n)}
+       |SELECT sym, sum(freq)::BIGINT AS cnt
+       |FROM (SELECT unnest(syms) AS sym, freq FROM s$n) u
+       |GROUP BY sym
+       |ORDER BY cnt DESC, sym
+       |LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = {
     val toksCte =
@@ -616,6 +688,10 @@ object TextQueries {
           |FROM s""".stripMargin,
 
       "tx_bpe_merges" -> bpeOracle(6),
+
+      "tx_bpe_encode" -> bpeEncodeOracle(6),
+
+      "tx_bpe_vocab" -> bpeVocabOracle(6),
 
       "tx_pmi" ->
         s"""$toksCte,

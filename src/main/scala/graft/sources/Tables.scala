@@ -15,23 +15,30 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
-    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (plain reads
-    * fail with PARQUET_TYPE_ILLEGAL). Converted back to micros timestamps on
-    * load; integer `div` avoids the precision loss a double division would
-    * incur on ~1.7e18 nano values.
+  /** Event-time columns normalized to session-zone TIMESTAMP on load. The
+    * corpus has shipped two on-disk forms: TIMESTAMP(NANOS), which Spark
+    * reads as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (divided to micros with integer `div` — a double division would lose
+    * precision on ~1.7e18 nano values), and plain `timestamp[us]` with no
+    * timezone, which Spark 4 infers as TIMESTAMP_NTZ. NTZ is rejected by
+    * watermarks and `unix_micros`, so it casts to TIMESTAMP — under the
+    * UTC sessions every entry point pins, the wall clock (and therefore
+    * the DuckDB-oracle strings) is unchanged.
     */
-  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  private val eventTimeColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   /** S1: full table scan. Column pruning + predicate pushdown are Catalyst's
     * job — callers just compose on the returned (lazy) DataFrame.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.columns.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else df
+    eventTimeColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (!df.columns.contains(c)) df
+      else df.schema(c).dataType match {
+        case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+        case _ => df
+      }
     }
   }
 
@@ -80,14 +87,14 @@ object Tables {
       tsCol: String,
       day: java.time.LocalDate): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val isNanos = nanosColumns.getOrElse(name, Nil).contains(tsCol) &&
+    val isNanos = eventTimeColumns.getOrElse(name, Nil).contains(tsCol) &&
       raw.columns.contains(tsCol) && raw.schema(tsCol).dataType == LongType
     if (isNanos) {
       val zone = java.time.ZoneOffset.UTC
       val loNanos = day.atStartOfDay(zone).toInstant.getEpochSecond * 1000000000L
       val hiNanos = day.plusDays(1).atStartOfDay(zone).toInstant.getEpochSecond * 1000000000L
       val filtered = raw.filter(col(tsCol) >= loNanos && col(tsCol) < hiNanos)
-      nanosColumns(name).foldLeft(filtered) { (df, c) =>
+      eventTimeColumns(name).foldLeft(filtered) { (df, c) =>
         if (df.columns.contains(c) && df.schema(c).dataType == LongType)
           df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
         else df

@@ -176,6 +176,81 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("persisted IVF-PQ index: zero Exchange on codes scan, no vectors in the wide join, recall") {
+    // 3 well-separated direction clusters, 16-dim (m=4 × subDim=4)
+    val corpus = (0 until 60).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(16)(d =>
+        (if (d % 3 == base) 10.0f else 0.1f) + (i * 7 % 13) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    Seq("ivfpq_spec_codes", "ivfpq_spec_vecs", "ivfpq_spec_cents",
+        "ivfpq_spec_books", "ivfpq_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", "ivfpq_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
+
+    // the codes table carries PQ codes + one norm, never embedding arrays —
+    // the scan-width claim the index exists for
+    val codeCols = spark.table("ivfpq_spec_codes").schema.fieldNames.toSet
+    assert(codeCols == Set("cid", "neighbor_id", "codes", "cn2a"))
+    assert(spark.table("ivfpq_spec_codes").count() == 60)
+    assert(spark.table("ivfpq_spec_codes")
+      .select("neighbor_id").distinct().count() == 60)
+
+    // reopen in a fresh session; bucketed codes scan must feed its join
+    // with no Exchange (probe side shuffles to match; the index never)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val qOnFresh = fresh.createDataFrame(queries.rdd, queries.schema)
+    val lazyPlan = Similarity.ivfPqTopKAgainstIndexPlan(
+      qOnFresh, "ivfpq_spec", "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 32)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val codeScans = paths(lazyPlan.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains("ivfpq_spec_codes")
+    }
+    assert(codeScans.size == 1, s"expected exactly one codes scan, got $codeScans")
+    codeScans.foreach { case (scan, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(anc.exists(_.isInstanceOf[BaseJoinExec]), "codes scan must feed a join")
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between bucketed codes scan and its join: $toJoin\n${scan.nodeName}")
+    }
+
+    // nprobe beyond nlist fails loudly
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKAgainstIndexPlan(
+        qOnFresh, "ivfpq_spec", "vec_id", "embedding", k = 3, nprobe = 9)
+    }
+    assert(bad.getMessage.contains("nlist=4"))
+
+    // deterministic pipeline: two probes are byte-identical, and on this
+    // cleanly separable fixture the probe recovers the exact top-3
+    val got = lazyPlan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val again = Similarity.ivfPqTopKAgainstIndex(
+        qOnFresh, "ivfpq_spec", "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == again, "IVF-PQ probe must be deterministic")
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val gotRanks = got.map(t => (t._1, t._2, t._3))
+    assert(gotRanks == brute,
+      s"separable-fixture probe must recover exact top-3: $gotRanks vs $brute")
+  }
+
   test("IVF append: frozen-quantizer listing equals one-shot listing, probes see it") {
     val corpus = (0 until 80).map { i =>
       val base = i % 4

@@ -315,4 +315,35 @@ class OperatorsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(again == out)
   }
+
+  test("Text.bpeEncodeWords: training parity, unseen words, empty merge table") {
+    import spark.implicits._
+    // merges learned on the/cat/hat/bat fixture: at, he, t+he, h+at
+    val docs = Seq("the the cat hat", "the hat bat").toDF("text")
+    val merges = Text.bpeMerges(docs, col("text"), nMerges = 4)
+
+    def enc(ws: String*): Map[String, Seq[String]] =
+      Text.bpeEncodeWords(ws.toDF("word"), "word", merges)
+        .select("word", "syms").as[(String, Seq[String])]
+        .collect().toMap
+
+    // training parity: encoding the training vocabulary reproduces the
+    // final training segmentation (same greedy pass per merge, in rank
+    // order) — the property the tx_bpe_encode oracle leans on
+    assert(enc("the", "cat", "hat", "bat") == Map(
+      "the" -> Seq("the"), "cat" -> Seq("c", "at"),
+      "hat" -> Seq("hat"), "bat" -> Seq("b", "at")))
+
+    // unseen words segment with whatever merges fire: "that" takes (a,t)
+    // then (h,at); "bathe" takes (a,t) then (h,e) and nothing else —
+    // (t,he) cannot fire because the 't' was already consumed into "at"
+    assert(enc("that", "bathe") == Map(
+      "that" -> Seq("t", "hat"), "bathe" -> Seq("b", "at", "he")))
+
+    // empty merge table = character segmentation; empty word = empty syms
+    val none = Text.bpeMerges(docs, col("text"), nMerges = 1).limit(0)
+    val chars = Text.bpeEncodeWords(Seq("ab", "").toDF("word"), "word", none)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(chars == Map("ab" -> Seq("a", "b"), "" -> Seq.empty))
+  }
 }
