@@ -259,6 +259,42 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ index maintenance: build over 90% of the corpus, append the
+    // held-out 10% under the FROZEN coarse quantizer and codebooks
+    // (assignment and encode are deterministic given the stored
+    // quantizers), probe the grown index. Certificates: compound recall
+    // vs full brute-force top-3 (dropped appends tank recall — appended
+    // vectors are live candidates), plus the reopened codes table holding
+    // every corpus vector exactly once. Byte-parity of append-time vs
+    // build-time coding is pinned in DedupSimilaritySpec.
+    "sim_knn_ivfpq_ingest" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivfpq_ingest_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
+          s"${prefix}_books", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+      Similarity.appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0),
+        prefix, "vec_id", "embedding")
+      val grown = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = 4, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val complete = s.table(s"${prefix}_codes").count() == e.count() &&
+        s.table(s"${prefix}_codes").select("neighbor_id").distinct().count() == e.count()
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(grown, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivfpq_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfPqRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivfpq_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
+    }),
+
     // Persisted IVF-PQ index (FAISS `IVF16,PQ16` shape, by_residual=false):
     // coarse cells prune WHICH lists a query scans (nprobe/nlist), PQ codes
     // shrink WHAT each scanned candidate costs (~32× narrower than float
@@ -448,6 +484,23 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
          |  TRUE AS ivf_recall_ok, TRUE AS index_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force rows + pinned-TRUE recall and completeness
+    // certificates for the append-grown IVF-PQ index (the sim_knn_ivf
+    // pattern: neither quantizer training has a SQL twin).
+    "sim_knn_ivfpq_ingest" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+         |  TRUE AS ivfpq_recall_ok, TRUE AS index_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Identical oracle to sim_knn_ivf: the persisted-index probe must

@@ -251,6 +251,65 @@ class DedupSimilaritySpec extends SparkSpec {
       s"separable-fixture probe must recover exact top-3: $gotRanks vs $brute")
   }
 
+  test("IVF-PQ append: frozen-quantizer coding equals one-shot coding, probes see it") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(16)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val dayA = corpus.filter(col("vec_id") < 60)
+    val dayB = corpus.filter(col("vec_id") >= 60)
+    for (t <- Seq("codes", "vecs", "cents", "books", "meta"))
+      graft.sources.Sinks.dropManagedTable(spark, s"ivfpq_app_spec_$t")
+    Similarity.writeIvfPqIndex(dayA, "vec_id", "embedding", "ivfpq_app_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
+    Similarity.appendToIvfPqIndex(dayB, "ivfpq_app_spec", "vec_id", "embedding")
+
+    // append-grown codes must be EXACTLY what direct coding of the full
+    // corpus under the STORED (frozen) quantizers produces — assignment
+    // and encode are deterministic given centroids+codebooks, so the
+    // append path adds nothing the build path wouldn't have
+    val codesRows = spark.table("ivfpq_app_spec_codes")
+      .select("cid", "neighbor_id", "codes", "cn2a")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getDouble(3)))
+      .toSet
+    assert(codesRows.size == 80)
+    assert(codesRows.map(_._2) == (0 until 80).map(_.toLong).toSet)
+    val books = Array.fill(4, 8)(Array.empty[Double])
+    spark.table("ivfpq_app_spec_books").collect().foreach { r =>
+      books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
+    }
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ce"))
+    val cN = c.withColumn("cen", Similarity.normalizedArr(col("ce")))
+    val expected = cN
+      .select((col("neighbor_id") +: Similarity.pqCodeCols(books, 4, col("cen"))): _*)
+      .withColumn("cn2a", Similarity.pqCn2aCol(books))
+      .select(col("neighbor_id"),
+        array((0 until 4).map(j => col(s"code$j")): _*).as("codes"), col("cn2a"))
+      .join(Similarity.assignToCentroids(c, "neighbor_id", "ce",
+        spark.table("ivfpq_app_spec_cents")), "neighbor_id")
+      .select("cid", "neighbor_id", "codes", "cn2a")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getDouble(3)))
+      .toSet
+    assert(codesRows == expected,
+      "append-grown codes must equal one-shot coding under frozen quantizers")
+
+    // probes reach the appended vectors: a wide top-k from vec 0 must
+    // surface appended direction-cluster mates (60, 64, 68, 72, 76)
+    val hits = Similarity.ivfPqTopKAgainstIndex(
+        corpus.filter(col("vec_id") === 0), "ivfpq_app_spec",
+        "vec_id", "embedding", k = 30, nprobe = 2, shortlist = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.exists(_ >= 60L),
+      s"probe must surface appended vectors as candidates, got $hits")
+  }
+
   test("IVF append: frozen-quantizer listing equals one-shot listing, probes see it") {
     val corpus = (0 until 80).map { i =>
       val base = i % 4
