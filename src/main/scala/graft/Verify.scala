@@ -16,8 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.ts is parquet TIMESTAMP(NANOS); read as long nanos
-      // (Tables.load converts back to a micros timestamp).
+      // events.ts has shipped as TIMESTAMP(NANOS) (needs this flag to read
+      // as long nanos) and as timestamp[us]/NTZ; Tables.load normalizes
+      // both to a session-zone micros timestamp. Harmless on non-NANOS
+      // corpora.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

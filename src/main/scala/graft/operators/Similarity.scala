@@ -865,7 +865,13 @@ object Similarity {
 
     val adc = (0 until m).map(j =>
       element_at(col(s"qtab$j"), element_at(col("codes"), j + 1))).reduce(_ + _)
-    val scoredApprox = qt.join(codes, "cid")
+    // broadcast the probe side EXPLICITLY: the query set is bounded by
+    // contract (like bruteForceTopK), and the BroadcastExchange is also a
+    // materialization barrier — without it ProjectCollapsing inlines the
+    // m·ks-entry ADC-table expressions into the join output and recomputes
+    // all of them PER CANDIDATE row instead of once per probe row
+    // (measured 6.5× at the 10× ScaleBench before the barrier)
+    val scoredApprox = broadcast(qt).join(codes, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc / sqrt(col("cn2a")), 7).as("approx"))

@@ -16,6 +16,18 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Suite-shared BPE merge table (6 merges): training runs once per
+    * session+dir and the three BPE queries consume the same frame — the
+    * in-session analogue of persisting the tokenizer artifact once for
+    * all downstream consumers. Safe to memoize: deterministic for the
+    * key, and every per-round frame inside bpeMerges is already
+    * localCheckpointed.
+    */
+  private def bpeMerges6(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"bpe_merges6:$d") {
+      Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
+    }
+
   private def toks = CrossHash.tokens(col("text"))
 
   /** Fixed BM25 query bag — high-signal corpus terms (see the generator's
@@ -226,8 +238,7 @@ object TextQueries {
     // left-to-right merge is the same fold, expressed as a per-word
     // position recursion.
     "tx_bpe_merges" -> ((s, d) =>
-      Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
-        .orderBy("rank")),
+      bpeMerges6(s, d).orderBy("rank")),
 
     // BPE encoding — token counting under the LEARNED tokenizer (the
     // budget/packing statistic real pipelines need, vs tx_tokens'
@@ -240,7 +251,7 @@ object TextQueries {
     // property itself, not just the counts.
     "tx_bpe_encode" -> ((s, d) => {
       val dd = docs(s, d)
-      val merges = Text.bpeMerges(dd, col("text"), nMerges = 6)
+      val merges = bpeMerges6(s, d)
       val words = dd.select(explode(toks).as("word"))
         .filter(col("word") =!= "").distinct()
       val enc = Text.bpeEncodeWords(words, "word", merges)
@@ -261,7 +272,7 @@ object TextQueries {
     // Same encode machinery; aggregation rides the vocabulary table.
     "tx_bpe_vocab" -> ((s, d) => {
       val dd = docs(s, d)
-      val merges = Text.bpeMerges(dd, col("text"), nMerges = 6)
+      val merges = bpeMerges6(s, d)
       val wf = dd.select(explode(toks).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))

@@ -145,6 +145,10 @@ object ScaleBench {
       val prefix = s"annscale_$tag"
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
         .foreach(Sinks.dropManagedTable(spark, _))
+      val pqPrefix = s"annscale_pq_$tag"
+      Seq(s"${pqPrefix}_codes", s"${pqPrefix}_vecs", s"${pqPrefix}_cents",
+          s"${pqPrefix}_books", s"${pqPrefix}_meta")
+        .foreach(Sinks.dropManagedTable(spark, _))
       Seq(
         "ann_brute" -> timeOne(
           Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3).count()),
@@ -159,14 +163,23 @@ object ScaleBench {
         },
         "ann_ivf_probe" -> timeOne(
           Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
-            k = 3, nprobe = 4).count()))
+            k = 3, nprobe = 4).count()),
+        "ann_ivfpq_build" -> timeOne {
+          Similarity.writeIvfPqIndex(e, "vec_id", "embedding", pqPrefix,
+            buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+          spark.table(s"${pqPrefix}_codes").count()
+        },
+        "ann_ivfpq_probe" -> timeOne(
+          Similarity.ivfPqTopKAgainstIndex(q, pqPrefix, "vec_id", "embedding",
+            k = 3, nprobe = 4, shortlist = 128).count()))
     }
 
     // JIT warmup (untimed) at the smallest SF
     suite("/root/testdata/sf0.001", "warm")
     val x1 = suite(src, "x1").toMap
     val x10 = suite(scaleDir, "x10").toMap
-    val names = Seq("ann_brute", "ann_lsh", "ann_pq", "ann_ivf_build", "ann_ivf_probe")
+    val names = Seq("ann_brute", "ann_lsh", "ann_pq", "ann_ivf_build", "ann_ivf_probe",
+      "ann_ivfpq_build", "ann_ivfpq_probe")
     println(f"${"query"}%-18s ${"x1 sec"}%8s ${"x10 sec"}%8s ${"ratio"}%7s ${"exp"}%5s ${"x1 rows"}%9s ${"x10 rows"}%9s")
     names.foreach { n =>
       val (t1, r1) = x1(n); val (t10, r10) = x10(n)
@@ -183,6 +196,8 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse_scalebench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -227,8 +242,9 @@ object ScaleBench {
         .withColumn("o_custkey", col("o_custkey") + col("c") * 1000000L)
         .drop("c").repartition(32)
         .write.mode("overwrite").parquet(s"$scaleDir/orders.parquet")
-      // events.ts is nanos-long on disk; copied through unchanged so the
-      // scaled table keeps the exact on-disk schema Tables.load handles
+      // events.ts is copied through unchanged so the scaled table keeps
+      // the exact on-disk schema (nanos-long or timestamp[us], per
+      // corpus generation) that Tables.load normalizes
       spark.read.parquet(s"$src/events.parquet")
         .withColumn("c", copies)
         .withColumn("event_id", col("event_id") + col("c") * 1000000000L)
