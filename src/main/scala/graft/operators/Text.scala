@@ -467,6 +467,14 @@ object Text {
     * Words the merge table never saw segment fine (merges simply don't
     * fire); empty strings yield empty symbol lists. Returns `words` plus
     * a `syms` array<string> column.
+    *
+    * Consumers that EXPLODE `syms` should materialize this frame first
+    * (it is vocabulary-sized — the artifact a real pipeline persists):
+    * `InferFiltersFromGenerate` adds `size(syms) > 0` / `isnotnull(syms)`
+    * predicates above the alias, and predicate pushdown re-derives the
+    * fold behind them through any upstream aggregation — onto every
+    * corpus token if the word table's lineage is still attached
+    * (measured 8.3 s vs 0.3 s at sf0.1 in `tx_bpe_vocab`).
     */
   def bpeEncodeWords(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
     val ms: Seq[(String, String)] = merges.orderBy("rank").select("l", "r")

@@ -276,7 +276,16 @@ object TextQueries {
       val wf = dd.select(explode(toks).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))
+      // materialize the encoded vocabulary (vocab-sized — the artifact a
+      // real pipeline persists) BEFORE exploding: the explode makes
+      // InferFiltersFromGenerate add size(syms)>0 / isnotnull(syms)
+      // predicates, and pushdown re-derives the fold behind them through
+      // the aggregation onto EVERY corpus token — measured 8.3 s vs
+      // 0.3 s at sf0.1 (the plan showed the fold inside a Filter below
+      // the word groupBy). Same projection-boundary discipline as the
+      // round-7 tokenizer-materialization sweep.
       Text.bpeEncodeWords(wf, "word", merges)
+        .localCheckpoint(true)
         .select(explode(col("syms")).as("sym"), col("freq"))
         .groupBy("sym").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("sym")).limit(30)
