@@ -89,6 +89,8 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val isNanos = eventTimeColumns.getOrElse(name, Nil).contains(tsCol) &&
       raw.columns.contains(tsCol) && raw.schema(tsCol).dataType == LongType
+    val isNtz = eventTimeColumns.getOrElse(name, Nil).contains(tsCol) &&
+      raw.columns.contains(tsCol) && raw.schema(tsCol).dataType == TimestampNTZType
     if (isNanos) {
       val zone = java.time.ZoneOffset.UTC
       val loNanos = day.atStartOfDay(zone).toInstant.getEpochSecond * 1000000000L
@@ -99,6 +101,13 @@ object Tables {
           df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
         else df
       }
+    } else if (isNtz) {
+      // same discipline as the nanos branch: range-filter the RAW NTZ
+      // column (attribute-vs-NTZ-literal — pushes to the parquet scan)
+      // BEFORE the session-zone cast; a predicate on cast(ts) cannot push
+      val (lo, hi) = dayBounds(TimestampNTZType, day)
+      raw.filter(col(tsCol) >= lo && col(tsCol) < hi)
+        .withColumn(tsCol, col(tsCol).cast(TimestampType))
     } else incremental(load(spark, sfDir, name), tsCol, day)
   }
 

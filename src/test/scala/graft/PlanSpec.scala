@@ -36,15 +36,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
   }
 
-  test("incremental scan pushes the day range onto the raw nanos column") {
+  test("incremental scan pushes the day range onto the raw on-disk ts column") {
     val df = graft.sources.Tables.loadIncremental(spark, sf, "events", "ts",
       java.time.LocalDate.parse("2024-01-15"))
     val p = df.queryExecution.executedPlan.toString
     // the filter must reach the parquet scan as attribute-vs-literal on the
-    // LONG nanos column (row-group skipping); a post-conversion filter
-    // would not appear in PushedFilters at all
+    // RAW on-disk column — long nanos or timestamp[us]/NTZ, whichever form
+    // the corpus ships (row-group skipping); a filter on the session-zone
+    // conversion would not appear in PushedFilters at all
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
       s"day range not pushed to the scan:\n$p")
+    // and the normalized output is watermark/unix_micros-compatible
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
   }
 
   test("salted join joins on (key, salt), not key alone") {
