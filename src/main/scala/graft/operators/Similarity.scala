@@ -431,6 +431,13 @@ object Similarity {
     val cents = spark.table(s"${tablePrefix}_cents")
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .localCheckpoint(true) // consumed by assignment AND the listed join
+    // wrong-width vectors would assign on null-padded distances (cid
+    // tie-break only) instead of failing — refuse loudly; the expected
+    // dimension is whatever the stored quantizer carries
+    val dim = cents.select(size(col("cvec"))).head().getInt(0)
+    require(c.filter(size(col("ce")) =!= dim).isEmpty,
+      s"appendToIvfIndex: batch contains vectors whose dimension != $dim " +
+        s"(dimension of index '$tablePrefix' centroids)")
     val listed = c.join(
         assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("ce"))
@@ -739,6 +746,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(embCol).cast("array<double>").as("ce"))
       .localCheckpoint(true) // consumed by codebooks, encode, assignment, _vecs
+    // a wrong-width vector would not fail: slice() pads short subvectors,
+    // dotD null-pads, and the argmin tie-break silently writes code 1 —
+    // a poisoned index. Refuse loudly instead.
+    require(c.filter(size(col("ce")) =!= dims).isEmpty,
+      s"writeIvfPqIndex: corpus contains vectors whose dimension != $dims")
     val cN = c.withColumn("cen", normalizedArr(col("ce")))
     val books = pqCodebooks(cN, "neighbor_id", "cen", m, ks, subDim, iters)
 
@@ -797,6 +809,13 @@ object Similarity {
     val c = newVecs.select(col(idCol).as("neighbor_id"),
         col(embCol).cast("array<double>").as("ce"))
       .localCheckpoint(true) // consumed by encode, assignment, and _vecs
+    // same refusal as writeIvfPqIndex: a wrong-width batch would encode
+    // to silently-poisoned codes (slice pads, dotD null-pads, argmin
+    // falls back to code 1) — and append is the entry point most likely
+    // to be fed by a DIFFERENT process than the one that built the index
+    require(c.filter(size(col("ce")) =!= m * subDim).isEmpty,
+      s"appendToIvfPqIndex: batch contains vectors whose dimension != ${m * subDim} " +
+        s"(index '$tablePrefix' was built with m=$m, subDim=$subDim)")
     val cN = c.withColumn("cen", normalizedArr(col("ce")))
     val coded = cN.select((col("neighbor_id") +: pqCodeCols(books, subDim, col("cen"))): _*)
       .withColumn("cn2a", pqCn2aCol(books))
@@ -857,21 +876,27 @@ object Similarity {
     val pw = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
     val probed = probes.withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qe"), col("cid"))
-    // ADC tables over the normalized query ride along into the cell join
-    val qt = probed.withColumn("qen", normalizedArr(col("qe")))
-      .select(Seq(col("query_id"), col("cid"))
-        ++ pqQueryTabCols(books, subDim, col("qen")): _*)
+      .select(col("query_id"), col("cid"))
+    // ADC tables computed ONCE PER QUERY and materialized: the bounded
+    // query set makes this metadata-scale, and the checkpoint is the
+    // barrier without which ProjectCollapsing inlines the m·ks-entry
+    // table expressions into the candidate join and recomputes them PER
+    // CANDIDATE row (measured 6.5× at the 10× ScaleBench). The qtab
+    // columns then reach the cell join as plain data through a
+    // query_id equi-join.
+    val qtabs = q0.withColumn("qen", normalizedArr(col("qe")))
+      .select(Seq(col("query_id")) ++ pqQueryTabCols(books, subDim, col("qen")): _*)
+      .localCheckpoint(true)
+    val qt = probed.join(qtabs, "query_id")
 
     val adc = (0 until m).map(j =>
       element_at(col(s"qtab$j"), element_at(col("codes"), j + 1))).reduce(_ + _)
-    // broadcast the probe side EXPLICITLY: the query set is bounded by
-    // contract (like bruteForceTopK), and the BroadcastExchange is also a
-    // materialization barrier — without it ProjectCollapsing inlines the
-    // m·ks-entry ADC-table expressions into the join output and recomputes
-    // all of them PER CANDIDATE row instead of once per probe row
-    // (measured 6.5× at the 10× ScaleBench before the barrier)
-    val scoredApprox = broadcast(qt).join(codes, "cid")
+    // no broadcast hint on the cell join: locally the optimizer
+    // broadcasts the tiny probe side anyway, and at scale the codes
+    // table cannot broadcast — the join then rides the bucket layout
+    // with zero Exchange on the index side, which is exactly the path
+    // the spec pins by disabling auto-broadcast
+    val scoredApprox = qt.join(codes, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc / sqrt(col("cn2a")), 7).as("approx"))

@@ -191,8 +191,11 @@ object SimilarityQueries {
       val grown = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      val complete = s.table(s"${prefix}_lists").count() == e.count() &&
-        s.table(s"${prefix}_lists").select("neighbor_id").distinct().count() == e.count()
+      // one aggregation pass over each side (see sim_knn_ivfpq_ingest)
+      val eN = e.count()
+      val ls = s.table(s"${prefix}_lists")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val complete = ls.getLong(0) == eN && ls.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(grown, Seq("query_id", "neighbor_id"), "left")
@@ -282,8 +285,12 @@ object SimilarityQueries {
       val grown = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = 4, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      val complete = s.table(s"${prefix}_codes").count() == e.count() &&
-        s.table(s"${prefix}_codes").select("neighbor_id").distinct().count() == e.count()
+      // one aggregation pass over each side: total and distinct ids
+      // together, instead of four separate count jobs
+      val eN = e.count()
+      val cs = s.table(s"${prefix}_codes")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val complete = cs.getLong(0) == eN && cs.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(grown, Seq("query_id", "neighbor_id"), "left")

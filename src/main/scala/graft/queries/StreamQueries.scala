@@ -65,6 +65,55 @@ object StreamQueries {
       case _ => raw
     }
 
+  /** Once-per-corpus fixture directory, keyed by the SOURCE table's path
+    * AND content generation (length ^ rotated mtime): the driver
+    * regenerates the corpus between rounds at the same path, and a
+    * fixture split from the old generation must not be silently replayed
+    * against oracles computed on the new one. A regeneration simply
+    * orphans the old dir and triggers a fresh build.
+    */
+  private def fixtureDir(kind: String, d: String, table: String, leaf: String): java.nio.file.Path = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val gen = java.lang.Long.toHexString(
+      f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21))
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${kind}_${ScratchKeys.forPath(d)}_$gen", leaf)
+  }
+
+  /** True iff `dir` holds at least one parquet file. An EMPTY directory —
+    * what a pre-build crash used to leave behind after creating the dir
+    * first — must NOT pass the built check, or the fixture wedges
+    * permanently (the exists-check passes, the parquet read throws).
+    */
+  private def fixtureReady(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(dir) && {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+
+  /** Build a fixture directory atomically: `build` writes its finished
+    * files into `out` (scratch space for intermediate spark writes is
+    * `work`), and `out` moves into place LAST — same /tmp filesystem, so
+    * a failed or interrupted build leaves nothing that passes
+    * [[fixtureReady]], and a concurrent winner is accepted as-is.
+    */
+  private def buildFixture(dir: java.nio.file.Path)(
+      build: (java.nio.file.Path, java.nio.file.Path) => Unit): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_fixture_build_")
+    try {
+      val out = stage.resolve("out")
+      val work = stage.resolve("work")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.createDirectories(work)
+      build(out, work)
+      java.nio.file.Files.createDirectories(dir.getParent)
+      try java.nio.file.Files.move(out, dir)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } finally deleteRecursively(stage)
+  }
+
   /** The events table as a bounded file STREAM, with the same event-time
     * conversion the batch source applies (`Tables.load`); readStream needs
     * the on-disk schema up front.
@@ -107,22 +156,11 @@ object StreamQueries {
     * schema the stream reader is given; `withEventTs` normalizes after.
     */
   private def eventsStreamSplit(s: SparkSession, d: String): DataFrame = {
-    val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_split_${ScratchKeys.forPath(d)}", "events4")
-    if (!java.nio.file.Files.isDirectory(splitDir)) {
-      // build in a staging dir and move into place LAST: a failed build
-      // must not leave a dir that passes the exists-check with partial
-      // (or zero) files — that wedges the fixture for every later run
-      val stage = java.nio.file.Files.createTempDirectory("graft_split_build_")
-      try {
-        val out = stage.resolve("out")
-        s.read.parquet(s"$d/events.parquet")
-          .repartition(4, col("event_id"))
-          .write.mode("overwrite").parquet(out.toString)
-        java.nio.file.Files.createDirectories(splitDir.getParent)
-        try java.nio.file.Files.move(out, splitDir)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally deleteRecursively(stage)
+    val splitDir = fixtureDir("split", d, "events", "events4")
+    if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+      s.read.parquet(s"$d/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(out.toString)
     }
     // schema from the fixture's own files (see eventsStreamLate)
     val onDisk = s.read.parquet(splitDir.toString).schema
@@ -158,18 +196,13 @@ object StreamQueries {
     * (max ts) is fixture construction, not query-path work.
     */
   private def eventsStreamLate(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_late_${ScratchKeys.forPath(d)}", "events_late")
-    if (!java.nio.file.Files.isDirectory(dir)) {
+    val dir = fixtureDir("late", d, "events", "events_late")
+    if (!fixtureReady(dir)) buildFixture(dir) { (out, work) =>
       // normalize event time BEFORE building, so every fixture file (real
       // rows and sentinels alike) carries one session-zone TIMESTAMP form
       val raw = withEventTs(s.read.parquet(s"$d/events.parquet"))
-      // build in a staging dir, move into place LAST (see eventsStreamSplit)
-      val stage = java.nio.file.Files.createTempDirectory("graft_late_build_")
-      val out = stage.resolve("out")
-      java.nio.file.Files.createDirectories(out)
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val part = s"$stage/$name"
+        val part = s"$work/$name"
         df.coalesce(1).write.mode("overwrite").parquet(part)
         val file = new java.io.File(part).listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -177,26 +210,21 @@ object StreamQueries {
         java.nio.file.Files.move(file.toPath, dest)
         dest.toFile.setLastModified(mtimeMs)
       }
-      try {
-        val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
-        def sentinel(id: Long, days: Long): DataFrame = {
-          val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
-          raw.limit(1).select(
-            lit(-id).cast("long").as("event_id"),
-            expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
-            lit(-1L).as("user_id"), lit("__flush").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-        }
-        writeOne(raw.filter(pmod(col("event_id"), lit(5)) =!= 0), "f1_ontime", 1000000L)
-        writeOne(sentinel(1, 0), "f2_wm_advance", 2000000L)
-        writeOne(raw.filter(pmod(col("event_id"), lit(5)) === 0), "f3_late", 3000000L)
-        writeOne(sentinel(2, 2), "f4_flush_a", 4000000L)
-        writeOne(sentinel(3, 3), "f5_flush_b", 5000000L)
-        java.nio.file.Files.createDirectories(dir.getParent)
-        try java.nio.file.Files.move(out, dir)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally deleteRecursively(stage)
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+      def sentinel(id: Long, days: Long): DataFrame = {
+        val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
+        raw.limit(1).select(
+          lit(-id).cast("long").as("event_id"),
+          expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      }
+      writeOne(raw.filter(pmod(col("event_id"), lit(5)) =!= 0), "f1_ontime", 1000000L)
+      writeOne(sentinel(1, 0), "f2_wm_advance", 2000000L)
+      writeOne(raw.filter(pmod(col("event_id"), lit(5)) === 0), "f3_late", 3000000L)
+      writeOne(sentinel(2, 2), "f4_flush_a", 4000000L)
+      writeOne(sentinel(3, 3), "f5_flush_b", 5000000L)
     }
     // schema from the fixture's OWN files: a fixture built from an earlier
     // corpus form (nanos-as-long, NTZ) must be read with the type it
@@ -223,9 +251,8 @@ object StreamQueries {
     * eventsStreamLate).
     */
   private def eventsStreamFlush(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_flush_${ScratchKeys.forPath(d)}", "events_flush")
-    if (!java.nio.file.Files.isDirectory(dir)) {
+    val dir = fixtureDir("flush", d, "events", "events_flush")
+    if (!fixtureReady(dir)) buildFixture(dir) { (out, work) =>
       // normalize event time BEFORE building (see eventsStreamLate)
       val raw = withEventTs(s.read.parquet(s"$d/events.parquet"))
       // sentinels carry user_id = -1; the post-drain scrubs downstream
@@ -235,12 +262,8 @@ object StreamQueries {
       require(raw.filter(col("user_id") < 0).isEmpty,
         "eventsStreamFlush requires non-negative real user_ids: " +
           "sentinel rows use user_id = -1 and must never join real events")
-      // build in a staging dir, move into place LAST (see eventsStreamSplit)
-      val stage = java.nio.file.Files.createTempDirectory("graft_flush_build_")
-      val out = stage.resolve("out")
-      java.nio.file.Files.createDirectories(out)
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val part = s"$stage/$name"
+        val part = s"$work/$name"
         df.coalesce(1).write.mode("overwrite").parquet(part)
         val file = new java.io.File(part).listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -248,25 +271,20 @@ object StreamQueries {
         java.nio.file.Files.move(file.toPath, dest)
         dest.toFile.setLastModified(mtimeMs)
       }
-      try {
-        val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
-        def sentinel(id: Long, days: Long): DataFrame = {
-          val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
-          raw.limit(1).select(
-            lit(-id).cast("long").as("event_id"),
-            expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
-            lit(-1L).as("user_id"), lit("__flush").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-        }
-        writeOne(raw, "f1_all", 1000000L)
-        writeOne(sentinel(1, 2), "f2_flush_a", 2000000L)
-        writeOne(sentinel(2, 3), "f3_flush_b", 3000000L)
-        writeOne(sentinel(3, 4), "f4_flush_c", 4000000L)
-        java.nio.file.Files.createDirectories(dir.getParent)
-        try java.nio.file.Files.move(out, dir)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally deleteRecursively(stage)
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val maxNs = raw.selectExpr("max(unix_micros(ts))").head.getLong(0) * 1000L
+      def sentinel(id: Long, days: Long): DataFrame = {
+        val ns = (maxNs / hourNs + 1 + days * 24) * hourNs + hourNs / 2
+        raw.limit(1).select(
+          lit(-id).cast("long").as("event_id"),
+          expr(s"timestamp_micros(${ns / 1000}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      }
+      writeOne(raw, "f1_all", 1000000L)
+      writeOne(sentinel(1, 2), "f2_flush_a", 2000000L)
+      writeOne(sentinel(2, 3), "f3_flush_b", 3000000L)
+      writeOne(sentinel(3, 4), "f4_flush_c", 4000000L)
     }
     // schema from the fixture's own files (see eventsStreamLate)
     val onDisk = s.read.parquet(dir.toString).schema
@@ -514,12 +532,11 @@ object StreamQueries {
       // consumer below) instead of re-tokenizing per position — same
       // rationale as DedupQueries.docsTk; the split files stay tokenless
       val shingles = CrossHash.wordShingles(col("__tk"), 3)
-      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_dedup_${ScratchKeys.forPath(d)}", "docs4")
-      if (!java.nio.file.Files.isDirectory(splitDir)) {
+      val splitDir = fixtureDir("dedup", d, "documents", "docs4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
         docs.filter(col("doc_id") % 10 === 0)
           .repartition(4, col("doc_id"))
-          .write.mode("overwrite").parquet(splitDir.toString)
+          .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"mh_stream_index_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
@@ -581,12 +598,11 @@ object StreamQueries {
     "st_ann_index_parity" -> ((s, d) => {
       import graft.operators.Similarity
       val e = graft.sources.Tables.load(s, d, "embeddings")
-      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_ann_${ScratchKeys.forPath(d)}", "emb4")
-      if (!java.nio.file.Files.isDirectory(splitDir)) {
+      val splitDir = fixtureDir("ann", d, "embeddings", "emb4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
         e.filter(col("vec_id") % 10 === 0)
           .repartition(4, col("vec_id"))
-          .write.mode("overwrite").parquet(splitDir.toString)
+          .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"ivf_stream_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
@@ -646,12 +662,11 @@ object StreamQueries {
       import graft.functions.CrossHash
       import graft.operators.Dedup
       val docs = graft.sources.Tables.load(s, d, "documents")
-      val splitDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_gram_${ScratchKeys.forPath(d)}", "docs4")
-      if (!java.nio.file.Files.isDirectory(splitDir)) {
+      val splitDir = fixtureDir("gram", d, "documents", "docs4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
         docs.filter(col("doc_id") % 10 === 0)
           .repartition(4, col("doc_id"))
-          .write.mode("overwrite").parquet(splitDir.toString)
+          .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"gram_stream_index_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_grams", s"${prefix}_meta")

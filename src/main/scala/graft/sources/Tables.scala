@@ -104,10 +104,15 @@ object Tables {
     } else if (isNtz) {
       // same discipline as the nanos branch: range-filter the RAW NTZ
       // column (attribute-vs-NTZ-literal — pushes to the parquet scan)
-      // BEFORE the session-zone cast; a predicate on cast(ts) cannot push
+      // BEFORE the session-zone cast, and normalize EVERY configured
+      // event-time column like the nanos branch does
       val (lo, hi) = dayBounds(TimestampNTZType, day)
-      raw.filter(col(tsCol) >= lo && col(tsCol) < hi)
-        .withColumn(tsCol, col(tsCol).cast(TimestampType))
+      val filtered = raw.filter(col(tsCol) >= lo && col(tsCol) < hi)
+      eventTimeColumns(name).foldLeft(filtered) { (df, c) =>
+        if (df.columns.contains(c) && df.schema(c).dataType == TimestampNTZType)
+          df.withColumn(c, col(c).cast(TimestampType))
+        else df
+      }
     } else incremental(load(spark, sfDir, name), tsCol, day)
   }
 
