@@ -708,9 +708,11 @@ object Similarity {
     * code, so the wide probe join carries 4-bit codes instead of float
     * arrays. Composition of [[writeIvfIndex]] (coarse, raw-vector L2
     * cells, same `ivfCentroids` rules) and [[pqCodebooks]] (fine,
-    * normalized-vector subspace codes, `by_residual=false` kept for
-    * bit-determinism — residual PQ would couple codebooks to cell
-    * assignment and is the documented trade-off). Tables:
+    * normalized-vector subspace codes, `by_residual=false`: residual
+    * encoding chiefly benefits L2 metrics, while for cosine/IP the
+    * non-residual form is standard practice — and it keeps codebooks
+    * decoupled from cell assignment, which is what makes the whole
+    * build bit-deterministic). Tables:
     *
     *  - `<prefix>_codes` (cid, neighbor_id, codes array, cn2a) — BUCKETED
     *    on `cid`: probes consume the layout with zero Exchange on the
