@@ -627,8 +627,11 @@ object StreamQueries {
           e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
           k = 3, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      val complete = s.table(s"${prefix}_lists").count() == e.count() &&
-        s.table(s"${prefix}_lists").select("neighbor_id").distinct().count() == e.count()
+      // one aggregation pass per side (see sim_knn_ivfpq_ingest)
+      val eN = e.count()
+      val ls = s.table(s"${prefix}_lists")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val complete = ls.getLong(0) == eN && ls.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(
         e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
       val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
@@ -638,6 +641,65 @@ object StreamQueries {
             / count(lit(1)).over(all)) >= SimilarityQueries.IvfRecallFloor)
         .withColumn("index_ok", lit(complete))
         .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
+    // the code tier — each micro-batch appends under the FROZEN coarse
+    // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
+    // appends produce byte-identical codes to sim_knn_ivfpq_ingest's
+    // one-shot batch append, and the probe matches the SAME brute-force
+    // oracle exactly. Certificates: compound recall through the grown
+    // index plus exactly-once codes completeness.
+    "st_ivfpq_index_parity" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+      // the same 4-file split fixture st_ann_index_parity streams
+      val splitDir = fixtureDir("ann", d, "embeddings", "emb4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        e.filter(col("vec_id") % 10 === 0)
+          .repartition(4, col("vec_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"ivfpq_stream_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
+          s"${prefix}_books", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ivfpq_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Similarity.appendToIvfPqIndex(batch.toDF(), prefix, "vec_id", "embedding"))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val grown = Similarity.ivfPqTopKAgainstIndex(
+          e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
+          k = 3, nprobe = 4, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      // one aggregation pass per side (see sim_knn_ivfpq_ingest)
+      val eN = e.count()
+      val cs = s.table(s"${prefix}_codes")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val complete = cs.getLong(0) == eN && cs.getLong(1) == eN
+      val brute = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      brute.join(grown, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivfpq_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= SimilarityQueries.IvfPqRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivfpq_recall_ok", "index_ok")
         .orderBy("query_id", "rank")
     }),
 
@@ -893,6 +955,28 @@ object StreamQueries {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
         |  TRUE AS ivf_recall_ok, TRUE AS index_ok
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force rows + pinned-TRUE certificates, like st_ann — the
+    // streamed IVF-PQ appends must reproduce the one-shot batch index.
+    "st_ivfpq_index_parity" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |        i -> qe[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 7) AS cos
+        |  FROM q JOIN e ON vec_id <> qid),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+        |  TRUE AS ivfpq_recall_ok, TRUE AS index_ok
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // The batch d_incremental answer (new×index minhash pairs, grouped)
