@@ -55,7 +55,7 @@ object DedupQueries {
     * [[FrameMemo]] (weak session keys, soft frame refs); the frame is
     * already eagerly materialized by `minhashPairs` itself.
     */
-  private def minhashPairEdges(s: SparkSession, d: String): DataFrame =
+  private[queries] def minhashPairEdges(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"minhash_pairs:$d") {
       Dedup.minhashPairs(
         docsTk(s, d), "doc_id", tkShingles(3),
@@ -157,7 +157,7 @@ object DedupQueries {
     * CTE chain ending in `rep(id, rep)` — the oracle twin of
     * [[graft.operators.Dedup.connectedComponents]].
     */
-  private val ClusterRepBody =
+  private[queries] val ClusterRepBody =
     s"""$MinhashPairsBody,
        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |walk AS (

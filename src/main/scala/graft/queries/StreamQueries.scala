@@ -644,6 +644,63 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Streamed incremental connected components: the day's near-dup
+    // edges arrive in four micro-batches, each folding into the
+    // PERSISTED label table via one incrementalConnectedComponents
+    // update (contract to rep level → star-CC over touched components →
+    // broadcast relabel → materialize → overwrite). Every update yields
+    // the EXACT components of the union-so-far (the incremental-CC spec
+    // pins equality with from-scratch CC), so the updates COMPOSE: the
+    // final labels are independent of how the day's edges were split
+    // across batches and equal the one-shot day-batch update — the
+    // oracle is d_incremental_clusters' full-recompute oracle verbatim.
+    "st_incr_cc_parity" -> ((s, d) => {
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val edges = DedupQueries.minhashPairEdges(s, d)
+      val oldEdges = edges.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
+      val newEdges = edges.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      // the day's edges as a 4-file stream (edges are a deterministic
+      // function of the corpus, so the content-generation fixture key
+      // applies unchanged)
+      val splitDir = fixtureDir("ccedges", d, "documents", "edges4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        newEdges.select(col("a").cast("long"), col("b").cast("long"))
+          .repartition(4, col("a"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val table = s"cc_stream_labels_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropManagedTable(s, table)
+      graft.sources.Sinks.writeBucketedTable(
+        Dedup.connectedComponentsStar(oldEdges), table, 8, "id")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cc_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => {
+              // materialize BEFORE the overwrite — the update plan reads
+              // the same table it is about to replace
+              val updated = Dedup.incrementalConnectedComponents(
+                  s.table(table), batch.toDF())
+                .localCheckpoint(true)
+              graft.sources.Sinks.writeBucketedTable(updated, table, 8, "id")
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      docs.select("doc_id")
+        .join(s.table(table)
+            .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "inc_rep"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("inc_rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -956,6 +1013,14 @@ object StreamQueries {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
         |  TRUE AS ivf_recall_ok, TRUE AS index_ok
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // d_incremental_clusters' full-recompute oracle verbatim: four
+    // composed label updates must equal the one-shot day update.
+    "st_incr_cc_parity" ->
+      s"""WITH RECURSIVE ${DedupQueries.ClusterRepBody}
+         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Brute-force rows + pinned-TRUE certificates, like st_ann — the
     // streamed IVF-PQ appends must reproduce the one-shot batch index.
