@@ -476,6 +476,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(incMap(41L) == 40L && incMap(5L) == 1L)
   }
 
+  test("incremental CC updates compose: any batch split of the edges yields the batch answer") {
+    // the property st_incr_cc_parity rests on — each update is the exact
+    // component map of the union-so-far, so folding the day's edges in
+    // through ANY split (including one that delivers the two halves of a
+    // future merge in different batches) ends at the one-shot answer
+    val oldEdges = Seq((2L, 1L), (11L, 10L), (21L, 20L), (31L, 30L)).toDF("a", "b")
+    val labels0 = Dedup.connectedComponentsStar(oldEdges).localCheckpoint(true)
+    val dayEdges = Seq(
+      (10L, 1L),  // merges comps 1 and 10
+      (40L, 41L), // brand-new pair
+      (20L, 11L), // merges comp 20 into the (1,10) union — across splits
+      (42L, 40L), // extends the new pair
+      (30L, 42L)) // chains comp 30 onto the new component
+    val oneShot = Dedup.incrementalConnectedComponents(
+        labels0, dayEdges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+    def fold(splits: Seq[Seq[(Long, Long)]]): Map[Long, Long] = {
+      var l = labels0
+      for (batch <- splits if batch.nonEmpty)
+        l = Dedup.incrementalConnectedComponents(l, batch.toDF("a", "b"))
+          .localCheckpoint(true)
+      l.as[(Long, Long)].collect().toMap
+    }
+    // three very different splits: singletons in order, singletons in
+    // reverse (merge arrives before the component it attaches to), and
+    // an uneven 2/1/2 grouping
+    assert(fold(dayEdges.map(Seq(_))) == oneShot)
+    assert(fold(dayEdges.reverse.map(Seq(_))) == oneShot)
+    assert(fold(Seq(dayEdges.take(2), dayEdges.slice(2, 3), dayEdges.drop(3))) == oneShot)
+    // and the one-shot itself equals CC from scratch
+    val scratch = Dedup.connectedComponentsStar(
+        oldEdges.union(dayEdges.toDF("a", "b")))
+      .as[(Long, Long)].collect().toMap
+    assert(oneShot == scratch)
+  }
+
   test("star CC contracts a 4096-node chain within a logarithmic round budget") {
     // diameter 4095: the min-label loop would need 4095 rounds; the
     // large-star/small-star pair must land the same labels inside a
