@@ -477,6 +477,153 @@ object Dedup {
     } finally cached.unpersist()
   }
 
+  /** Vacuum the minhash index's two bucketed tables (see
+    * [[writeMinhashIndex]] / [[ingestIntoMinhashIndex]]): per-batch
+    * appends fragment `_bands` and `_sigs` one file per bucket per batch;
+    * this rewrites each back to one file per bucket through its own
+    * catalog bucket spec (stage-then-swap — see
+    * [[graft.sources.Sinks.compactTable]]). Row set unchanged, so probe
+    * results are hash-identical and the zero-Exchange probe plan is
+    * preserved (both spec-pinned). Returns per-table (files before,
+    * files after).
+    */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Seq[(Int, Int)] =
+    Seq(s"${tablePrefix}_bands", s"${tablePrefix}_sigs")
+      .map(graft.sources.Sinks.compactTable(spark, _))
+
+  /** Vacuum the gram index (see [[writeGramIndex]] /
+    * [[ingestIntoGramIndex]]): ingest appends per-batch (gram, n_docs)
+    * PARTIALS, so after N batches a hot gram carries N rows and every
+    * bucket N files. Compaction re-aggregates to one row per gram —
+    * summing df partials is exact (each document contributes to exactly
+    * one partial), so presence probes ([[dupSpansAgainstIndex]]) and
+    * df-sum consumers ([[dupSpansAtDayClose]]) return hash-identical
+    * results against the compacted index (spec-pinned) — and rewrites
+    * the bucket layout to one file per bucket. Returns (files before,
+    * files after).
+    */
+  def compactGramIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Int, Int) =
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+      _.groupBy("gram").agg(sum("n_docs").as("n_docs")))
+
+  /** Delete documents from the minhash index (see [[writeMinhashIndex]]):
+    * drops the documents' rows from `_bands` and `_sigs` via an anti-join
+    * rewrite riding the compaction machinery (stage-then-swap, bucket
+    * layout preserved, fragmentation vacuumed in the same pass — a
+    * deletion IS a rewrite, so it doubles as one). Probes after deletion
+    * behave exactly as if the documents had never been indexed
+    * (hash-verified by `d_delete_probe`); cost is one index rewrite per
+    * delete batch, which is why production runs batch take-downs daily
+    * rather than per document. `deletedIds` must expose an `id` column.
+    */
+  def deleteFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      deletedIds: DataFrame): Unit = {
+    val del = deletedIds.select(col("id")).distinct().localCheckpoint(true)
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_bands",
+      _.join(del, Seq("id"), "left_anti"))
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_sigs",
+      _.join(del, Seq("id"), "left_anti"))
+  }
+
+  /** Delete documents from the gram index (see [[writeGramIndex]]): the
+    * index stores per-gram document frequencies, not per-document rows,
+    * so a deletion DECREMENTS — the deleted documents' distinct grams are
+    * recomputed from their text (`deletedDocs` must carry it; the index
+    * deliberately doesn't) and subtracted from the aggregated df, with
+    * grams whose count reaches zero dropped entirely. Runs inside the
+    * compaction rewrite, so partials collapse and the bucket layout is
+    * preserved in the same pass. Each deleted document contributed
+    * exactly 1 to each of its distinct grams' totals (it arrived in
+    * exactly one batch and partials count distinct ids), so subtracting
+    * 1 per (deleted doc, gram) is exact — probes afterwards behave as if
+    * the documents had never been ingested (hash-verified by
+    * `d_delete_spans`).
+    */
+  def deleteFromGramIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      deletedDocs: DataFrame,
+      idCol: String,
+      toks: Column): Unit = {
+    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val delCounts = deletedDocs
+      .select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
+      .groupBy("gram").agg(countDistinct(col("id")).as("n_del"))
+      .localCheckpoint(true)
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+      _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
+        .join(delCounts, Seq("gram"), "left")
+        .select(col("gram"),
+          (col("n_docs") - coalesce(col("n_del"), lit(0L))).as("n_docs"))
+        .filter(col("n_docs") > 0))
+  }
+
+  /** Edge-deletion connected components — the take-down counterpart of
+    * [[incrementalConnectedComponents]]: removing documents removes graph
+    * NODES (and every edge touching them), which can SPLIT components —
+    * the one thing label-level arithmetic cannot do incrementally,
+    * because the label table doesn't remember which edges held a
+    * component together. Hence the contract: the caller persists the
+    * pair EDGES alongside the labels (the `d_minhash_lsh` output it
+    * already materializes), and deletion recomputes connectivity from
+    * the surviving edges — but ONLY inside components that contained a
+    * deleted node:
+    *
+    *  1. affected reps: labels of the deleted ids — one row per touched
+    *     component (semi-join, metadata-scale for daily take-downs);
+    *  2. untouched components pass through byte-identical (anti-join on
+    *     rep — the big label table is filtered, never recomputed;
+    *     spec-pinned);
+    *  3. surviving members of affected components + their surviving
+    *     edges feed [[connectedComponentsStar]] — O(log n) rounds over
+    *     the affected subgraph only; members left edge-less become
+    *     singletons (rep = own id).
+    *
+    * Deleted ids appear in NO output row. The result equals a full CC
+    * recompute over the surviving edge set (hash-verified by
+    * `d_delete_clusters` against the recursive-CTE oracle). At 100 TB:
+    * labels and edges live as catalog tables; the affected-rep and
+    * member sets are daily-take-down-sized, so every join against them
+    * is a broadcast or a small shuffle, and the full edge table is
+    * touched by exactly one semi-join pass.
+    */
+  def edgeDeletionConnectedComponents(
+      labels: DataFrame,
+      edges: DataFrame,
+      deletedIds: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    val del = deletedIds.select(col("id").cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val affectedReps = labels.join(del, Seq("id"), "left_semi")
+      .select(col("rep")).distinct().localCheckpoint(true)
+    val untouched = labels.join(affectedReps, Seq("rep"), "left_anti")
+      .select(col("id"), col("rep"))
+    // surviving members of the touched components
+    val members = labels.join(affectedReps, Seq("rep"), "left_semi")
+      .select(col("id"))
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // edges with BOTH endpoints surviving members of touched components;
+    // edges of untouched components drop out at the first semi-join
+    val survivingEdges = e
+      .join(members.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(members.select(col("id").as("b")), Seq("b"), "left_semi")
+    val recomputed = connectedComponentsStar(survivingEdges, maxIter = maxIter)
+    val singletons = members.join(recomputed.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    untouched.unionByName(recomputed).unionByName(singletons)
+  }
+
   /** 60-bit SimHash per row from a token array.
     *
     * Relational formulation: explode distinct tokens, hash each once, then
@@ -782,18 +929,29 @@ object Dedup {
     *  2. run [[connectedComponentsStar]] on the contracted graph: its
     *     node set is exactly the touched reps + unseen nodes, so the
     *     O(log n) rounds operate on the day's merge events only;
-    *  3. relabel: old labels whose rep merged get the new rep via a
-    *     BROADCAST of the (old rep → new rep) map (metadata-scale: one
-    *     row per component merged today) — rows of untouched components
-    *     pass through the left join unchanged, byte-identical, and the
-    *     big label table never shuffles; unseen nodes union in with their
-    *     contracted-CC label (or themselves).
+    *  3. relabel: old labels whose rep merged get the new rep via the
+    *     (old rep → new rep) map — rows of untouched components pass
+    *     through the left join unchanged, byte-identical; unseen nodes
+    *     union in with their contracted-CC label (or themselves).
+    *
+    * The relabel map is BROADCAST only while it holds at most
+    * `broadcastRelabelLimit` entries (the daily contract: one row per
+    * component merged today — metadata-scale, and the big label table
+    * never shuffles). A pathological batch that touches most components
+    * (a backfill, a mass re-link) would make that broadcast unbounded, so
+    * above the limit the relabel joins via a plain shuffle instead —
+    * correct at any size, at the cost of one reshuffle of the label
+    * table. The default (1M entries ≈ 16 MB of packed longs) is far
+    * under executor broadcast budgets; for genuinely mega-batch updates
+    * prefer a full [[connectedComponentsStar]] recompute, which this
+    * guard's shuffle path approximates in cost anyway.
     *
     * Because old reps are their components' minima, the contracted CC's
     * minimum over {merged reps ∪ new node ids} IS the merged component's
     * global minimum — the result equals a full recompute over the union
     * of all edges (oracle-verified by `d_incremental_clusters`, spec-pinned
-    * in DedupSimilaritySpec).
+    * in DedupSimilaritySpec; the over-limit shuffle path is pinned equal
+    * to the broadcast path there too).
     *
     * At 100 TB: `labels` lives as a catalog table bucketed on `id` (the
     * endpoint-lookup join consumes the bucket layout; the relabel join
@@ -806,7 +964,8 @@ object Dedup {
       newEdges: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      broadcastRelabelLimit: Long = 1000000L): DataFrame = {
     val e = newEdges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true) // consumed by the contraction joins + the new-node scan
     val contracted = contractedEdges(labels, e)
@@ -814,14 +973,18 @@ object Dedup {
     val repMap = connectedComponentsStar(contracted, "ra", "rb")
     // rep actually changed — self-labeled rows are relabel no-ops
     val changed = repMap.filter(col("id") =!= col("rep"))
+    // repMap is already materialized, so the guard count is a cheap local
+    // scan, not a recompute
+    val smallEnough = changed.count() <= broadcastRelabelLimit
+    def hinted(df: DataFrame): DataFrame = if (smallEnough) broadcast(df) else df
     val touched = changed.select(col("id").as("rep"), col("rep").as("new_rep"))
-    val relabeled = labels.join(broadcast(touched), Seq("rep"), "left")
+    val relabeled = labels.join(hinted(touched), Seq("rep"), "left")
       .select(col("id"), coalesce(col("new_rep"), col("rep")).as("rep"))
     val newNodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .distinct()
       .join(labels.select(col("id")), Seq("id"), "left_anti")
     val newLabels = newNodes
-      .join(broadcast(changed.select(col("id"), col("rep").as("new_rep"))), Seq("id"), "left")
+      .join(hinted(changed.select(col("id"), col("rep").as("new_rep"))), Seq("id"), "left")
       .select(col("id"), coalesce(col("new_rep"), col("id")).as("rep"))
     relabeled.unionByName(newLabels)
   }

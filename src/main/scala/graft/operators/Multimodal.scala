@@ -130,6 +130,94 @@ object Multimodal {
         md5(col("frame")).as("frame_fingerprint"),
         length(col("frame")).cast("long").as("frame_bytes"))
 
+  /** Deterministic PCM contract — the shared arithmetic between the WAV
+    * encoder here and the SQL oracle (which recomputes every sample):
+    * clip `id` has `id % 256 + 64` mono samples at 8 kHz, sample i =
+    * `(id·31 + i·7919) mod 65536 − 32768` (full-range signed 16-bit; the
+    * 7919 stride makes the waveform cross zero aperiodically so the
+    * zero-crossing count actually discriminates).
+    */
+  def wavSamples(id: Long): Int = (Math.floorMod(id, 256) + 64).toInt
+  def sampleValue(id: Long, i: Int): Int =
+    Math.floorMod(id * 31 + i.toLong * 7919, 65536).toInt - 32768
+
+  /** Synthesize one REAL WAV (RIFF/PCM16LE mono 8 kHz) per input id via
+    * the JDK's `javax.sound.sampled` encoder inside the partition
+    * iterator — the audio twin of [[synthesizePng]]: a genuine container
+    * format written by a genuine JDK codec, no external jars, no stub.
+    */
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        require(id >= 0, s"synthesizeWav requires non-negative ids, got $id")
+        val n = wavSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = sampleValue(id, i)
+          pcm(2 * i) = (v & 0xff).toByte          // little-endian
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        // width/height carry (sampleRate, sampleBits) — the closest typed
+        // metadata the shared media schema offers an audio clip
+        Row(id, bytes, Row("audio/wav", bytes.length.toLong, 8000, 16))
+      }
+    }(enc)
+  }
+
+  /** Batched REAL audio decode via a partition iterator — the audio twin
+    * of [[decodeImageFeatures]]: `AudioSystem.getAudioInputStream` parses
+    * the RIFF container back to PCM16LE frames, and the features are
+    * genuine waveform statistics emitted as EXACT integers (sample
+    * count, amplitude sum, energy sum, zero crossings) — integer sums
+    * rather than floats so the oracle's arithmetic replay certifies
+    * bit-lossless sample recovery with no rounding escape hatch. A
+    * zero crossing is a sign-bit flip between consecutive samples
+    * (`(a < 0) != (b < 0)`).
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_amp", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_cross", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"asset_id=${r.getLong(0)}: expected PCM16LE mono, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sumAmp = 0L; var sumSq = 0L; var zc = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+          sumAmp += v; sumSq += v * v
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        Row(r.getLong(0), n.toLong, sumAmp, sumSq, zc)
+      }
+    }(enc)
+  }
+
   /** Batched REAL image decode via a partition iterator — the Scala
     * analogue of a Pandas-UDF/`mapInPandas` decode stage: payload bytes
     * stream through per partition, `javax.imageio` decodes each PNG back

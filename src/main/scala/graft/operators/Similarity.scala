@@ -163,6 +163,30 @@ object Similarity {
       .groupBy(rowId).agg(min("dc").as("dc"))
       .select(col(rowId), col("dc.cid").as("cid"))
 
+  /** Multi-assignment variant: each vector is listed under its `nAssign`
+    * nearest centroids (SOAR-style dual assignment at nAssign=2 — the
+    * standard fix for coarse-cell boundary misses: a neighbor that sits
+    * between two cells is findable through EITHER, so a query probing the
+    * "wrong" one of the pair still sees it). Index size grows `nAssign`×;
+    * probe cost per cell is unchanged. Same determinism rules as
+    * [[assignToCentroids]] (array_sort on (d, cid) structs — distance
+    * ties break to the smaller centroid id); nAssign=1 delegates to the
+    * single-assignment plan so existing parity pins hold bit-for-bit.
+    */
+  private[graft] def assignToCentroidsMulti(
+      df: DataFrame, rowId: String, vCol: String, cents: DataFrame, nAssign: Int): DataFrame =
+    if (nAssign <= 1) assignToCentroids(df, rowId, vCol, cents)
+    else
+      df.crossJoin(broadcast(
+          cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+        .select(col(rowId),
+          struct((col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec"))).as("d"),
+            col("cid")).as("dc"))
+        .groupBy(rowId)
+        .agg(slice(array_sort(collect_list(col("dc"))), 1, nAssign).as("dcs"))
+        .select(col(rowId), explode(col("dcs")).as("dc"))
+        .select(col(rowId), col("dc.cid").as("cid"))
+
   /** IVF approximate top-k: corpus vectors are inverted-listed under their
     * nearest centroid; each query probes only its `nprobe` nearest lists
     * and re-ranks candidates by exact cosine. Unlike the LSH path a vector
@@ -180,11 +204,12 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      assign: Int = 1): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, embCol, nlist, iters)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
     val listed = c.join(
-      assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+      assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign), "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val probes = q.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
@@ -194,8 +219,11 @@ object Similarity {
     val probed = probes.withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qe"), col("cid"))
-    val cand = probed.join(listed, "cid")
+    val cand0 = probed.join(listed, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
+    // multi-assigned vectors can surface through two probed cells — dedupe
+    // BEFORE ranking or row_number counts the same neighbor twice
+    val cand = if (assign > 1) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
     val scored = cand.select(
       col("query_id"), col("neighbor_id"),
       round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
@@ -393,21 +421,29 @@ object Similarity {
       tablePrefix: String,
       buckets: Int,
       nlist: Int = 16,
-      iters: Int = 3): Unit = {
+      iters: Int = 3,
+      assign: Int = 1): Unit = {
     val cents = ivfCentroids(corpus, idCol, embCol, nlist, iters)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .localCheckpoint(true) // consumed by assignment AND the listed join
     val listed = c.join(
-        assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+        assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign), "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("ce"))
     graft.sources.Sinks.writeBucketedTable(listed, s"${tablePrefix}_lists", buckets, "cid")
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_cents")
     val meta = corpus.sparkSession.createDataFrame(
-      Seq((nlist, iters, buckets))).toDF("nlist", "iters", "buckets")
+      Seq((nlist, iters, buckets, assign))).toDF("nlist", "iters", "buckets", "assign")
     meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
   }
+
+  /** `_meta` field read by NAME with a default for indexes written before
+    * the field existed — ordinal reads would silently swap fields if the
+    * meta schema ever reordered.
+    */
+  private def metaInt(meta: org.apache.spark.sql.Row, name: String, default: => Int): Int =
+    if (meta.schema.fieldNames.contains(name)) meta.getAs[Int](name) else default
 
   /** Append new vectors to a persisted IVF index (see [[writeIvfIndex]])
     * under the FROZEN quantizer — the standard production maintenance
@@ -427,19 +463,22 @@ object Similarity {
       idCol: String,
       embCol: String): Unit = {
     val spark = newVecs.sparkSession
-    val buckets = spark.table(s"${tablePrefix}_meta").head().getInt(2)
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val buckets = metaInt(meta, "buckets", meta.getInt(2))
+    val assign = metaInt(meta, "assign", 1)
     val cents = spark.table(s"${tablePrefix}_cents")
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .localCheckpoint(true) // consumed by assignment AND the listed join
-    // wrong-width vectors would assign on null-padded distances (cid
-    // tie-break only) instead of failing — refuse loudly; the expected
-    // dimension is whatever the stored quantizer carries
+    // wrong-width OR NULL vectors would assign on null-padded distances
+    // (cid tie-break only) instead of failing — refuse loudly via the
+    // null-safe <=> so a null embedding cannot slip past the guard; the
+    // expected dimension is whatever the stored quantizer carries
     val dim = cents.select(size(col("cvec"))).head().getInt(0)
-    require(c.filter(size(col("ce")) =!= dim).isEmpty,
+    require(c.filter(!(size(col("ce")) <=> lit(dim))).isEmpty,
       s"appendToIvfIndex: batch contains vectors whose dimension != $dim " +
         s"(dimension of index '$tablePrefix' centroids)")
     val listed = c.join(
-        assignToCentroids(c, "neighbor_id", "ce", cents), "neighbor_id")
+        assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign), "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("ce"))
     listed.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
@@ -662,7 +701,9 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val nlist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val nlist = metaInt(meta, "nlist", meta.getInt(0))
+    val assign = metaInt(meta, "assign", 1)
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
     val cents = spark.table(s"${tablePrefix}_cents")
@@ -677,8 +718,11 @@ object Similarity {
     val probed = probes.withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qe"), col("cid"))
-    val cand = probed.join(listed, "cid")
+    val cand0 = probed.join(listed, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
+    // multi-assigned indexes list a vector under `assign` cells; dedupe
+    // before ranking so row_number cannot count a neighbor twice
+    val cand = if (assign > 1) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
     val scored = cand.select(
       col("query_id"), col("neighbor_id"),
       round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
@@ -739,7 +783,8 @@ object Similarity {
       m: Int = 16,
       ks: Int = 16,
       iters: Int = 2,
-      dims: Int = 64): Unit = {
+      dims: Int = 64,
+      assign: Int = 1): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
     val spark = corpus.sparkSession
@@ -748,10 +793,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(embCol).cast("array<double>").as("ce"))
       .localCheckpoint(true) // consumed by codebooks, encode, assignment, _vecs
-    // a wrong-width vector would not fail: slice() pads short subvectors,
-    // dotD null-pads, and the argmin tie-break silently writes code 1 —
-    // a poisoned index. Refuse loudly instead.
-    require(c.filter(size(col("ce")) =!= dims).isEmpty,
+    // a wrong-width OR NULL vector would not fail: slice() pads short
+    // subvectors, dotD null-pads, and the argmin tie-break silently writes
+    // code 1 — a poisoned index. Refuse loudly instead (null-safe <=>:
+    // size(null) is null, which =!= would pass through).
+    require(c.filter(!(size(col("ce")) <=> lit(dims))).isEmpty,
       s"writeIvfPqIndex: corpus contains vectors whose dimension != $dims")
     val cN = c.withColumn("cen", normalizedArr(col("ce")))
     val books = pqCodebooks(cN, "neighbor_id", "cen", m, ks, subDim, iters)
@@ -760,7 +806,7 @@ object Similarity {
       .withColumn("cn2a", pqCn2aCol(books))
       .select(col("neighbor_id"),
         array((0 until m).map(j => col(s"code$j")): _*).as("codes"), col("cn2a"))
-    val assigned = assignToCentroids(c, "neighbor_id", "ce", cents)
+    val assigned = assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign)
     val codesTable = coded.join(assigned, "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("codes"), col("cn2a"))
     graft.sources.Sinks.writeBucketedTable(codesTable, s"${tablePrefix}_codes", buckets, "cid")
@@ -775,8 +821,8 @@ object Similarity {
     spark.createDataFrame(bookRows).toDF("j", "cid", "cvec")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_books")
-    spark.createDataFrame(Seq((nlist, m, ks, subDim, buckets)))
-      .toDF("nlist", "m", "ks", "subDim", "buckets")
+    spark.createDataFrame(Seq((nlist, m, ks, subDim, buckets, assign)))
+      .toDF("nlist", "m", "ks", "subDim", "buckets", "assign")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
   }
@@ -800,9 +846,13 @@ object Similarity {
       idCol: String,
       embCol: String): Unit = {
     val spark = newVecs.sparkSession
+    // meta fields read by NAME: an ordinal read would silently swap
+    // m/ks/subDim if the meta schema ever reordered — poisoned appends
     val meta = spark.table(s"${tablePrefix}_meta").head()
     val (m, ks, subDim, buckets) =
-      (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
+      (metaInt(meta, "m", meta.getInt(1)), metaInt(meta, "ks", meta.getInt(2)),
+        metaInt(meta, "subDim", meta.getInt(3)), metaInt(meta, "buckets", meta.getInt(4)))
+    val assign = metaInt(meta, "assign", 1)
     val books = Array.fill(m, ks)(Array.empty[Double])
     spark.table(s"${tablePrefix}_books").collect().foreach { r =>
       books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
@@ -811,11 +861,12 @@ object Similarity {
     val c = newVecs.select(col(idCol).as("neighbor_id"),
         col(embCol).cast("array<double>").as("ce"))
       .localCheckpoint(true) // consumed by encode, assignment, and _vecs
-    // same refusal as writeIvfPqIndex: a wrong-width batch would encode
-    // to silently-poisoned codes (slice pads, dotD null-pads, argmin
-    // falls back to code 1) — and append is the entry point most likely
-    // to be fed by a DIFFERENT process than the one that built the index
-    require(c.filter(size(col("ce")) =!= m * subDim).isEmpty,
+    // same refusal as writeIvfPqIndex: a wrong-width OR NULL batch vector
+    // would encode to silently-poisoned codes (slice pads, dotD null-pads,
+    // argmin falls back to code 1) — and append is the entry point most
+    // likely to be fed by a DIFFERENT process than the one that built the
+    // index. Null-safe <=>: size(null) is null, which =!= lets through.
+    require(c.filter(!(size(col("ce")) <=> lit(m * subDim))).isEmpty,
       s"appendToIvfPqIndex: batch contains vectors whose dimension != ${m * subDim} " +
         s"(index '$tablePrefix' was built with m=$m, subDim=$subDim)")
     val cN = c.withColumn("cen", normalizedArr(col("ce")))
@@ -823,7 +874,7 @@ object Similarity {
       .withColumn("cn2a", pqCn2aCol(books))
       .select(col("neighbor_id"),
         array((0 until m).map(j => col(s"code$j")): _*).as("codes"), col("cn2a"))
-    val assigned = assignToCentroids(c, "neighbor_id", "ce", cents)
+    val assigned = assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign)
     coded.join(assigned, "neighbor_id")
       .select(col("cid"), col("neighbor_id"), col("codes"), col("cn2a"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -832,6 +883,64 @@ object Similarity {
     c.select(col("neighbor_id"), col("ce"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(s"${tablePrefix}_vecs")
+  }
+
+  /** Vacuum a persisted IVF index (see [[writeIvfIndex]] /
+    * [[appendToIvfIndex]]): per-batch appends fragment `_lists` one file
+    * per bucket per batch; this rewrites it back to one file per bucket
+    * through its own catalog bucket spec (stage-then-swap — see
+    * [[graft.sources.Sinks.compactTable]]). Row set unchanged, so probes
+    * are hash-identical and zero-Exchange is preserved (spec-pinned).
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Int, Int) =
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_lists")
+
+  /** Vacuum a persisted IVF-PQ index (see [[writeIvfPqIndex]] /
+    * [[appendToIvfPqIndex]]): rewrites the bucketed `_codes` back to one
+    * file per bucket, and the non-bucketed `_vecs` side table to
+    * size-targeted files. Returns ((codes before, after),
+    * (vecs before, after)).
+    */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): ((Int, Int), (Int, Int)) =
+    (graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_codes"),
+      graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_vecs"))
+
+  /** Delete vectors from a persisted IVF index (see [[writeIvfIndex]]):
+    * drops their inverted-list rows via an anti-join rewrite riding the
+    * compaction machinery (stage-then-swap, bucket layout preserved,
+    * fragmentation vacuumed in the same pass). Probes afterwards behave
+    * exactly as if the vectors had never been indexed (hash-verified by
+    * `sim_knn_ivf_delete`). `deletedIds` must expose an `id` column.
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      deletedIds: DataFrame): Unit = {
+    val del = deletedIds.select(col("id").as("neighbor_id"))
+      .distinct().localCheckpoint(true)
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_lists",
+      _.join(del, Seq("neighbor_id"), "left_anti"))
+  }
+
+  /** Delete vectors from a persisted IVF-PQ index (see
+    * [[writeIvfPqIndex]]): anti-join rewrite of both the bucketed
+    * `_codes` and the `_vecs` re-rank side table — a deleted vector must
+    * vanish from BOTH, or the shortlist would re-rank ghosts.
+    */
+  def deleteFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      deletedIds: DataFrame): Unit = {
+    val del = deletedIds.select(col("id").as("neighbor_id"))
+      .distinct().localCheckpoint(true)
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_codes",
+      _.join(del, Seq("neighbor_id"), "left_anti"))
+    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_vecs",
+      _.join(del, Seq("neighbor_id"), "left_anti"))
   }
 
   /** Top-k against a persisted IVF-PQ index (see [[writeIvfPqIndex]]):
@@ -852,11 +961,14 @@ object Similarity {
       nprobe: Int = 4,
       shortlist: Int = 128): DataFrame = {
     val spark = queries.sparkSession
+    // by-name meta reads — see appendToIvfPqIndex
     val meta = spark.table(s"${tablePrefix}_meta").head()
-    val (nlist, m, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(3))
+    val (nlist, m, subDim) = (metaInt(meta, "nlist", meta.getInt(0)),
+      metaInt(meta, "m", meta.getInt(1)), metaInt(meta, "subDim", meta.getInt(3)))
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
-    val ks = meta.getInt(2)
+    val ks = metaInt(meta, "ks", meta.getInt(2))
+    val assign = metaInt(meta, "assign", 1)
     val books = Array.fill(m, ks)(Array.empty[Double])
     spark.table(s"${tablePrefix}_books").collect().foreach { r =>
       books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
@@ -898,10 +1010,15 @@ object Similarity {
     // table cannot broadcast — the join then rides the bucket layout
     // with zero Exchange on the index side, which is exactly the path
     // the spec pins by disabling auto-broadcast
-    val scoredApprox = qt.join(codes, "cid")
+    val scoredApprox0 = qt.join(codes, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc / sqrt(col("cn2a")), 7).as("approx"))
+    // multi-assigned codes can surface through two probed cells with the
+    // SAME codes/approx — dedupe before ranking so row_number cannot
+    // count a neighbor twice (deterministic: duplicate rows are identical)
+    val scoredApprox = if (assign > 1)
+      scoredApprox0.dropDuplicates("query_id", "neighbor_id") else scoredApprox0
     val w1 = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
     val short = scoredApprox.withColumn("arank", row_number().over(w1))
       .filter(col("arank") <= shortlist)

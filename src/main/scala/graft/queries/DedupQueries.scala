@@ -102,12 +102,18 @@ object DedupQueries {
     * documents, because both paths claim EXACT equality with the
     * full-corpus marking.
     */
-  private[queries] val GramSpansIndexedBody =
+  private[queries] val GramSpansIndexedBody = gramSpansBody("TRUE")
+
+  /** [[GramSpansIndexedBody]] with a corpus predicate — `d_delete_spans`
+    * restricts the corpus to the docs surviving an index deletion, and
+    * the duplicate marking must be computed over exactly that corpus.
+    */
+  private[queries] def gramSpansBody(corpusPred: String): String =
     s"""$ToksBody,
        |g AS (
        |  SELECT doc_id, i::BIGINT AS pos,
        |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
-       |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+       |  FROM t, unnest(range(1, len(toks) - 3)) u(i) WHERE $corpusPred),
        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
        |r AS (
@@ -392,6 +398,77 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // Index take-down (minhash): the corpus index loses a third of its
+    // documents via deleteFromMinhashIndex — an anti-join rewrite through
+    // the compaction machinery — and the day's probe must behave exactly
+    // as if those documents had never been indexed: the oracle recomputes
+    // the pair set and drops every pair whose index side was deleted.
+    // Deletion correctness IS this equality; a leftover band row would
+    // resurface a deleted doc as a match and hash-mismatch.
+    "d_delete_probe" -> ((s, d) => {
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
+          .localCheckpoint(true)
+      }
+      val prefix = s"mh_del_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Dedup.writeMinhashIndex(
+        sigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
+      Dedup.deleteFromMinhashIndex(s, prefix,
+        sigs.filter(col("id") % 10 =!= 0 && col("id") % 3 === 0).select("id"))
+      Dedup.minhashPairsAgainstIndex(
+          sigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4, threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .orderBy("new_id")
+    }),
+
+    // Index take-down (gram df): the gram index stores per-gram document
+    // frequencies, so deletion DECREMENTS — the deleted docs' distinct
+    // grams are recomputed from their text and subtracted, zero-count
+    // grams dropped. The day's span marking afterwards must equal the
+    // full-corpus marking with the deleted docs absent (the oracle
+    // recomputes exactly that); an off-by-one decrement would leave a
+    // gram's df at 1-instead-of-0 or 2-instead-of-1 and flip span rows.
+    "d_delete_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = s"gram_del_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_grams", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val idxDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeGramIndex(idxDocs, "doc_id", toks, n = 5, prefix, buckets = 8)
+      Dedup.deleteFromGramIndex(s, prefix,
+        idxDocs.filter(col("doc_id") % 4 === 0), "doc_id", toks)
+      Dedup.dupSpansAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", toks, prefix, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "start_pos")
+    }),
+
+    // Index take-down (clusters): removing documents removes graph NODES,
+    // which can SPLIT near-dup clusters — label arithmetic alone cannot
+    // do that, so edgeDeletionConnectedComponents recomputes connectivity
+    // from the persisted pair edges, but only inside components that
+    // contained a deleted doc (untouched components pass through
+    // byte-identical — spec-pinned). The oracle recomputes CC from
+    // scratch over the surviving edge set: equality IS the claim that
+    // the affected-component recompute loses nothing.
+    "d_delete_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = minhashPairEdges(s, d)
+      val labels = Dedup.connectedComponentsStar(edges)
+      val deleted = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"))
+      val relabeled = Dedup.edgeDeletionConnectedComponents(labels, edges, deleted)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "new_rep")
+      docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(relabeled, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: a held-out "eval" split (2% of the
     // corpus by id hash) checked for word-5-gram overlap against the
     // training split — 5-grams because the ~40-word generator vocabulary
@@ -429,9 +506,17 @@ object DedupQueries {
       val prefix = s"gram_index_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_grams", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      // the index corpus (doc_id % 10 != 0) arrives in two installments —
+      // build + append — then a VACUUM cycle rewrites the fragmented
+      // df-partials to one row per gram before the probe, so the oracle
+      // that gates the probe also gates compaction's semantics-preservation
+      val idxDocs = docs.filter(col("doc_id") % 10 =!= 0)
       Dedup.writeGramIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", toks,
+        idxDocs.filter(col("doc_id") % 2 === 1), "doc_id", toks,
         n = 5, prefix, buckets = 8)
+      Dedup.ingestIntoGramIndex(
+        idxDocs.filter(col("doc_id") % 2 === 0), "doc_id", toks, prefix)
+      Dedup.compactGramIndex(s, prefix)
       Dedup.dupSpansAgainstIndex(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", toks, prefix, minRun = 2)
         .withColumnRenamed("id", "doc_id")
@@ -554,6 +639,45 @@ object DedupQueries {
          |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // The pair universe minus pairs whose index side was deleted — the
+    // probe through the post-deletion index must reproduce exactly this.
+    "d_delete_probe" ->
+      s"""WITH $MinhashPairsBody,
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
+         |FROM hits WHERE index_id % 3 <> 0
+         |GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // Full-corpus span marking with the deleted docs absent from the
+    // corpus: day docs (%10=0) marked against surviving index docs
+    // (%10<>0 AND %4<>0) plus intra-day sharing.
+    "d_delete_spans" ->
+      s"""WITH ${gramSpansBody("(doc_id % 10 = 0 OR doc_id % 4 <> 0)")}
+         |SELECT doc_id, start_pos, n_grams, span_words
+         |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
+         |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // CC from scratch over the surviving edges (both endpoints alive) —
+    // the affected-component recompute must equal this, including the
+    // splits: a component held together by a deleted doc falls apart
+    // into separate reps here, and the incremental path must agree.
+    "d_delete_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsBody,
+         |sp AS (SELECT a, b FROM pairs WHERE a % 50 <> 0 AND b % 50 <> 0),
+         |edges AS (SELECT a, b FROM sp UNION SELECT b AS a, a AS b FROM sp),
+         |walk AS (
+         |  SELECT a AS id, b AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+         |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id)
+         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d_decontaminate" ->
       s"""$ToksCte,

@@ -19,13 +19,28 @@ object SimilarityQueries {
   /** Query set: every 50th vector (10 queries at sf0.01). */
   private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 50 === 0)
 
-  /** Corpus-level recall floor certified by `sim_knn_ivf`: measured 0.63 /
-    * 0.63 / 0.59 at sf0.001 / 0.01 / 0.1 with nlist=16, nprobe=4 — stable,
-    * because the quantizer is deterministic. Individual queries can recall
-    * 0 (a query on a quantizer cell boundary probes the wrong lists), so
-    * the certificate is corpus-level, like any ANN benchmark.
+  /** Corpus-level recall floor certified by `sim_knn_ivf`: the serving
+    * configuration is nlist=16, nprobe=6, assign=2 (SOAR-style dual
+    * assignment — every vector listed under its 2 nearest cells, which
+    * kills the coarse-cell boundary misses that dominated the old
+    * nprobe=4/assign=1 recall of 0.59–0.63). Measured recall vs
+    * brute-force top-3 (tools/AnnSweep, 2026-08-14): 0.967 / 0.933 /
+    * 0.892 at sf0.001 / 0.01 / 0.1 (full curve in BASELINE.md) — stable,
+    * because the quantizer is deterministic. Individual queries can
+    * still recall 0, so the certificate is corpus-level, like any ANN
+    * benchmark.
     */
-  val IvfRecallFloor = 0.45
+  val IvfRecallFloor = 0.80
+
+  /** The serving-grade probe setting shared by every IVF-family query:
+    * cells ranked by centroid distance, 6 of 16 probed, index built with
+    * dual assignment. Candidates scanned ≈ 2N·6/16 = 0.75N here (small
+    * nlist — at 100 TB nlist grows ~√N and the scanned fraction shrinks
+    * to nprobe/nlist ≪ 1); recall/latency trade measured in
+    * tools/AnnSweep.
+    */
+  val IvfNprobe = 6
+  val IvfAssign = 2
 
   /** Corpus-level recall floor certified by `sim_knn_pq` (PQ-ADC with
     * m=16 subspaces × 16 codes, shortlist 128, exact re-rank): measured
@@ -36,16 +51,16 @@ object SimilarityQueries {
   val PqRecallFloor = 0.70
 
   /** Corpus-level recall floor certified by `sim_knn_ivfpq` (coarse IVF
-    * pruning × PQ-ADC scoring, nprobe=4/nlist=16, shortlist 128, exact
-    * re-rank): measured 0.633 / 0.633 / 0.592 at sf0.001 / 0.01 / 0.1
-    * (tools/PqScratch) — stable run-to-run because the whole pipeline is
-    * deterministic. IVF candidate pruning dominates the loss (compare
-    * PQ-only at 0.925+, plain IVF at 0.59–0.63 with the same
-    * nprobe/nlist): a query near a cell boundary misses whole lists,
-    * which no shortlist can recover — so the compound recall tracks the
-    * IVF tier's, and shares its 0.45 floor.
+    * pruning × PQ-ADC scoring, nprobe=6/nlist=16/assign=2, shortlist
+    * 128, exact re-rank): measured 0.967 / 0.933 / 0.867 at sf0.001 /
+    * 0.01 / 0.1 (tools/AnnSweep, 2026-08-14) — stable because the whole
+    * pipeline is deterministic. IVF candidate pruning dominates the
+    * loss (PQ-only recalls 0.925+ with the same shortlist), which is
+    * exactly what dual assignment fixes: a boundary vector is listed in
+    * both its nearest cells, so the compound recall now tracks within
+    * ~0.03 of the uncompressed IVF tier instead of collapsing to 0.59.
     */
-  val IvfPqRecallFloor = 0.45
+  val IvfPqRecallFloor = 0.80
 
   /** Oracle fragment: left-to-right double dot product of two list columns
     * over the first `dims` dimensions.
@@ -156,7 +171,7 @@ object SimilarityQueries {
       val e = emb(s, d)
       val q = queriesOf(e)
       val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
-          k = 3, nlist = 16, nprobe = 4)
+          k = 3, nlist = 16, nprobe = IvfNprobe, assign = IvfAssign)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
@@ -185,17 +200,19 @@ object SimilarityQueries {
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3)
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3,
+        assign = IvfAssign)
       Similarity.appendToIvfIndex(e.filter(col("vec_id") % 10 === 0),
         prefix, "vec_id", "embedding")
       val grown = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4)
+          k = 3, nprobe = IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      // one aggregation pass over each side (see sim_knn_ivfpq_ingest)
+      // one aggregation pass over each side (see sim_knn_ivfpq_ingest);
+      // dual assignment lists every vector exactly `assign` times
       val eN = e.count()
       val ls = s.table(s"${prefix}_lists")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val complete = ls.getLong(0) == eN && ls.getLong(1) == eN
+      val complete = ls.getLong(0) == IvfAssign * eN && ls.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(grown, Seq("query_id", "neighbor_id"), "left")
@@ -222,9 +239,9 @@ object SimilarityQueries {
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3)
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
       val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4)
+          k = 3, nprobe = IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
@@ -279,18 +296,26 @@ object SimilarityQueries {
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = IvfAssign)
       Similarity.appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0),
         prefix, "vec_id", "embedding")
+      // vacuum after the append — the production maintenance order (appends
+      // fragment, compaction rewrites one file per bucket through the
+      // catalog bucket spec); the probe below certifying recall over the
+      // COMPACTED index proves the cycle is semantics-preserving under the
+      // same oracle that gates the uncompacted path
+      Similarity.compactIvfPqIndex(s, prefix)
       val grown = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4, shortlist = 128)
+          k = 3, nprobe = IvfNprobe, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       // one aggregation pass over each side: total and distinct ids
-      // together, instead of four separate count jobs
+      // together, instead of four separate count jobs; dual assignment
+      // codes every vector exactly `assign` times
       val eN = e.count()
       val cs = s.table(s"${prefix}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val complete = cs.getLong(0) == eN && cs.getLong(1) == eN
+      val complete = cs.getLong(0) == IvfAssign * eN && cs.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(grown, Seq("query_id", "neighbor_id"), "left")
@@ -299,6 +324,45 @@ object SimilarityQueries {
             / count(lit(1)).over(all)) >= IvfPqRecallFloor)
         .withColumn("index_ok", lit(complete))
         .select("query_id", "rank", "neighbor_id", "cos", "ivfpq_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Index take-down (IVF): every 7th vector is deleted from the
+    // persisted index — an anti-join rewrite of the bucketed lists
+    // through the compaction machinery — and the probe afterwards must
+    // behave as if they were never indexed. The emitted rows are the
+    // brute-force top-3 over the SURVIVING corpus (SQL-expressible, so
+    // the oracle recomputes them exactly); the probe contributes the
+    // recall certificate — a leftover list row would surface a deleted
+    // vector, miss against the survivors-only brute set, and tank the
+    // certified recall. The completeness certificate pins the reopened
+    // lists to exactly assign × survivors rows.
+    "sim_knn_ivf_delete" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val survivors = e.filter(col("vec_id") % 7 =!= 0)
+      val prefix = s"ivf_del_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      Similarity.deleteFromIvfIndex(s, prefix,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id")))
+      val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val sN = survivors.count()
+      val ls = s.table(s"${prefix}_lists")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val complete = ls.getLong(0) == IvfAssign * sN && ls.getLong(1) == sN
+      val brute = Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivf_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok", "index_ok")
         .orderBy("query_id", "rank")
     }),
 
@@ -319,9 +383,10 @@ object SimilarityQueries {
           s"${prefix}_books", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = IvfAssign)
       val ann = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4, shortlist = 128)
+          k = 3, nprobe = IvfNprobe, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
@@ -524,6 +589,23 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force top-3 over the surviving corpus (every 7th vector
+    // deleted) + pinned-TRUE recall and completeness certificates: the
+    // post-deletion probe must rank against survivors only.
+    "sim_knn_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+         |  TRUE AS ivf_recall_ok, TRUE AS index_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Brute-force rows + pinned-TRUE compound-recall certificate (the

@@ -608,7 +608,8 @@ object StreamQueries {
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3)
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3,
+        assign = SimilarityQueries.IvfAssign)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
       try {
         withStreamPartitions(s) {
@@ -625,13 +626,15 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
       val grown = Similarity.ivfTopKAgainstIndex(
           e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4)
+          k = 3, nprobe = SimilarityQueries.IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      // one aggregation pass per side (see sim_knn_ivfpq_ingest)
+      // one aggregation pass per side (see sim_knn_ivfpq_ingest); dual
+      // assignment lists every vector exactly `assign` times
       val eN = e.count()
       val ls = s.table(s"${prefix}_lists")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val complete = ls.getLong(0) == eN && ls.getLong(1) == eN
+      val complete =
+        ls.getLong(0) == SimilarityQueries.IvfAssign * eN && ls.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(
         e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
       val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
@@ -724,7 +727,8 @@ object StreamQueries {
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2)
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = SimilarityQueries.IvfAssign)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ivfpq_")
       try {
         withStreamPartitions(s) {
@@ -741,13 +745,15 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
       val grown = Similarity.ivfPqTopKAgainstIndex(
           e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
-          k = 3, nprobe = 4, shortlist = 128)
+          k = 3, nprobe = SimilarityQueries.IvfNprobe, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      // one aggregation pass per side (see sim_knn_ivfpq_ingest)
+      // one aggregation pass per side (see sim_knn_ivfpq_ingest); dual
+      // assignment codes every vector exactly `assign` times
       val eN = e.count()
       val cs = s.table(s"${prefix}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val complete = cs.getLong(0) == eN && cs.getLong(1) == eN
+      val complete =
+        cs.getLong(0) == SimilarityQueries.IvfAssign * eN && cs.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(
         e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
       val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))

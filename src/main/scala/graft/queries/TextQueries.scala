@@ -372,6 +372,23 @@ object TextQueries {
           round(col("mean_g") + 1e-9, 6).as("mean_g"),
           round(col("mean_b") + 1e-9, 6).as("mean_b"))
         .orderBy("asset_id"))
+  ,
+    // Multimodal REAL audio decode — the WAV twin of mm_features: one
+    // deterministic PCM16 clip per document encoded through the JDK's
+    // javax.sound.sampled WAV writer, decoded back to samples in the
+    // partition iterator, reduced to waveform statistics. The stats are
+    // EXACT integer sums (amplitude, energy, zero crossings) the oracle
+    // recomputes arithmetically — a hash match certifies bit-lossless
+    // sample recovery through the RIFF container, not just byte plumbing;
+    // RMS is derived from the exact energy at presentation time.
+    "mm_audio_features" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+          Multimodal.synthesizeWav(docs(s, d), "doc_id"))
+        .select(col("asset_id"), col("n_samples"), col("sum_amp"), col("sum_sq"),
+          col("zero_cross"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")) + 1e-9, 4)
+            .as("rms"))
+        .orderBy("asset_id"))
   )
 
   /** Generated BPE oracle: `n` hand-unrolled merge rounds. Each round r
@@ -752,6 +769,22 @@ object TextQueries {
           |       round(avg((asset_id * 37 + x * 11 + y * 17 + 29) % 256) + 0.000000001, 6) AS mean_g,
           |       round(avg((asset_id * 37 + x * 11 + y * 17 + 58) % 256) + 0.000000001, 6) AS mean_b
           |FROM v GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
+
+      // Mirrors Multimodal.wavSamples / sampleValue exactly: the waveform
+      // the Spark side encodes into a real WAV and decodes back.
+      "mm_audio_features" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 256 + 64) AS n FROM documents),
+          |ix AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM m),
+          |v AS (SELECT asset_id, n, i,
+          |        ((asset_id * 31 + i * 7919) % 65536 - 32768) AS v FROM ix),
+          |s AS (SELECT asset_id, n, i, v,
+          |        lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS pv FROM v)
+          |SELECT asset_id, max(n)::BIGINT AS n_samples, sum(v)::BIGINT AS sum_amp,
+          |  sum(v * v)::BIGINT AS sum_sq,
+          |  sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+          |      THEN 1 ELSE 0 END)::BIGINT AS zero_cross,
+          |  round(sqrt(sum(v * v)::DOUBLE / max(n)) + 0.000000001, 4) AS rms
+          |FROM s GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),

@@ -201,6 +201,104 @@ object Sinks {
     (inFiles.length, parquetFiles(outDir).length)
   }
 
+  /** In-place compaction (vacuum) of a managed catalog table — the index
+    * lifecycle pass the append-maintained bucketed indexes need: per-batch
+    * appends accumulate one file per bucket per batch FOREVER (a year of
+    * daily ingest = hundreds of small files per bucket and, for the gram
+    * index, N_batches partial rows per gram), so probes degrade into
+    * metadata storms even though the bucket layout itself is intact.
+    *
+    * Semantics-preserving by construction: the rewrite goes through the
+    * table's OWN catalog bucket spec (same bucket count, columns, sort),
+    * so probe plans keep consuming the layout with zero Exchange on the
+    * index side — pinned by spec alongside probe-result hash parity. The
+    * optional `rewrite` hook transforms the row set inside the same
+    * stage-then-swap: semantics-preserving re-aggregations (gram-df
+    * partials re-sum to one row per gram — exact, the measure is
+    * additive) and deliberate row deletions (bucket-aligned anti-join of
+    * taken-down document ids) both ride it.
+    *
+    * Atomicity: stage-then-swap. The compacted data lands in a staging
+    * table, then two catalog renames swap it in (original → `__cold`,
+    * stage → original) and the old data is dropped last — a crash leaves
+    * either the original intact or both tables present, never neither.
+    * Non-bucketed tables (e.g. the IVF-PQ `_vecs` side table) compact
+    * through the same path sized by `targetFileBytes`, like [[compact]].
+    *
+    * Returns (input parquet file count, output parquet file count).
+    */
+  def compactTable(
+      spark: SparkSession,
+      table: String,
+      rewrite: DataFrame => DataFrame = identity,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"compactTable expects an unqualified [A-Za-z0-9_]+ identifier, got '$table'")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val catalog = spark.sessionState.catalog
+    def files(t: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(
+        catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val inFiles = files(table)
+    val before = inFiles.length
+    val spec = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    val stage = s"${table}__cstage"
+    val old = s"${table}__cold"
+    Seq(stage, old).foreach(dropManagedTable(spark, _))
+    spec match {
+      case Some(s) =>
+        // repartition on the bucket columns with the bucket count — the
+        // same hash family as the bucket-id assignment, so each write
+        // task holds exactly one bucket's rows → ONE file per bucket.
+        // Two planner interactions must be pinned for the stage write,
+        // because a V1 file write declares no required distribution:
+        //  - the bucketed scan must stay ENABLED (autoBucketedScan off):
+        //    the planner elides the repartition because the bucketed
+        //    scan satisfies HashPartitioning(bucketCols, n) — correct,
+        //    and it makes compaction shuffle-free (one task per bucket,
+        //    merging that bucket's fragments) — but only if
+        //    DisableUnnecessaryBucketedScan doesn't then ALSO drop the
+        //    bucketed read, which would leave plain file splits writing
+        //    one file per task×bucket (measured: 114 → 31 instead of 4);
+        //  - AQE's local shuffle reader must not rewrite the exchange
+        //    into mapper-local mixed-bucket chunks when the repartition
+        //    DOES survive (a `rewrite` hook that reshuffles).
+        val pinned = Map(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+          "spark.sql.adaptive.localShuffleReader.enabled" -> "false")
+        val prev = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val cols = s.bucketColumnNames.map(col)
+          val w = rewrite(spark.table(table)).repartition(s.numBuckets, cols: _*)
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(s.numBuckets, s.bucketColumnNames.head, s.bucketColumnNames.tail: _*)
+          val ws = if (s.sortColumnNames.nonEmpty)
+            w.sortBy(s.sortColumnNames.head, s.sortColumnNames.tail: _*) else w
+          ws.format("parquet").saveAsTable(stage)
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      case None =>
+        val totalBytes = math.max(1L, inFiles.map(_.getLen).sum)
+        val nOut = math.min(
+          math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
+          Int.MaxValue.toLong).toInt
+        rewrite(spark.table(table)).repartition(nOut)
+          .write.mode(SaveMode.Overwrite)
+          .format("parquet").saveAsTable(stage)
+    }
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    dropManagedTable(spark, old)
+    (before, files(table).length)
+  }
+
   /** Sink-choosing seam: one destination's write + audit pair. The parquet
     * leg is [[parquetAdapter]] (verified end-to-end here); the production
     * BigQuery leg is [[BigQuerySink.adapter]] (structural — no connector

@@ -415,6 +415,148 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spark.table("mh_ingest_spec_bands").count() == 6L * 8)
   }
 
+  test("minhash index compaction: fewer files, identical probe pairs") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+        .localCheckpoint(true)
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "some completely independent sentence about catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    Seq("mh_cmp_spec_bands", "mh_cmp_spec_sigs", "mh_cmp_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeMinhashIndex(sigsOf(seed), "mh_cmp_spec", buckets = 4, k = 16, bands = 8)
+    // three append cycles fragment both tables (one file per bucket per cycle)
+    for (i <- 0 until 3) {
+      val b = Seq((100L + i,
+        s"zebras graze quietly beside river number $i while herons watch"))
+        .toDF("doc_id", "text")
+      Dedup.ingestIntoMinhashIndex(sigsOf(b), "mh_cmp_spec", 0.5)
+    }
+    val probe = Seq(
+      (500L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (501L, "zebras graze quietly beside river number 1 while herons watch")
+    ).toDF("doc_id", "text")
+    val before = Dedup.minhashPairsAgainstIndex(sigsOf(probe), "mh_cmp_spec", 16, 8, 0.5)
+      .select("new_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before.contains((500L, 1L, 1.0)) && before.exists(_._1 == 501L))
+
+    val counts = Dedup.compactMinhashIndex(spark, "mh_cmp_spec")
+    counts.foreach { case (inF, outF) =>
+      assert(outF < inF, s"compaction must reduce files: $inF -> $outF")
+      assert(outF <= 4, s"one file per bucket expected, got $outF")
+    }
+    val after = Dedup.minhashPairsAgainstIndex(sigsOf(probe), "mh_cmp_spec", 16, 8, 0.5)
+      .select("new_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, s"compaction changed probe results: $after vs $before")
+    // row set unchanged — compaction is a layout rewrite for these tables
+    assert(spark.table("mh_cmp_spec_sigs").count() == 5L)
+    assert(spark.table("mh_cmp_spec_bands").count() == 5L * 8)
+  }
+
+  test("gram index compaction: df partials collapse to one row per gram, probes identical") {
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words here")
+    ).toDF("doc_id", "text")
+    Seq("gram_cmp_spec_grams", "gram_cmp_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(seed, "doc_id", toks, 3, "gram_cmp_spec", buckets = 4)
+    // two ingest cycles append df PARTIALS for overlapping grams
+    for (i <- 0 until 2) {
+      val b = Seq((10L + i, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      Dedup.ingestIntoGramIndex(b, "doc_id", toks, "gram_cmp_spec")
+    }
+    val partialRows = spark.table("gram_cmp_spec_grams").count()
+    val dayDocs = Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    def probeAll() = (
+      Dedup.dupSpansAtDayClose(dayDocs, "doc_id", toks, "gram_cmp_spec")
+        .as[(Long, Long, Long, Long)].collect().toSet,
+      Dedup.dupSpansAgainstIndex(dayDocs, "doc_id", toks, "gram_cmp_spec")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    val (closeBefore, probeBefore) = probeAll()
+    assert(closeBefore.nonEmpty)
+
+    val (inF, outF) = Dedup.compactGramIndex(spark, "gram_cmp_spec")
+    assert(outF < inF, s"compaction must reduce files: $inF -> $outF")
+    // partials merged: one row per distinct gram now
+    val compactRows = spark.table("gram_cmp_spec_grams").count()
+    assert(compactRows < partialRows,
+      s"partials must collapse: $partialRows -> $compactRows")
+    assert(spark.table("gram_cmp_spec_grams")
+      .groupBy("gram").count().filter(col("count") > 1).isEmpty,
+      "exactly one row per gram after compaction")
+    // df totals preserved exactly — sum of partials is the true df
+    val (closeAfter, probeAfter) = probeAll()
+    assert(closeAfter == closeBefore, "day-close spans changed under compaction")
+    assert(probeAfter == probeBefore, "presence-probe spans changed under compaction")
+  }
+
+  test("IVF-PQ index compaction: fewer files, identical probe, zero-Exchange preserved") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(16)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    for (t <- Seq("codes", "vecs", "cents", "books", "meta"))
+      graft.sources.Sinks.dropManagedTable(spark, s"ivfpq_cmp_spec_$t")
+    Similarity.writeIvfPqIndex(corpus.filter(col("vec_id") < 50),
+      "vec_id", "embedding", "ivfpq_cmp_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
+    // three append batches fragment _codes and _vecs
+    for (lo <- Seq(50, 60, 70))
+      Similarity.appendToIvfPqIndex(
+        corpus.filter(col("vec_id") >= lo && col("vec_id") < lo + 10),
+        "ivfpq_cmp_spec", "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    def probe() = Similarity.ivfPqTopKAgainstIndex(
+        queries, "ivfpq_cmp_spec", "vec_id", "embedding",
+        k = 3, nprobe = 2, shortlist = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val beforeRows = probe()
+
+    val ((cIn, cOut), (vIn, vOut)) = Similarity.compactIvfPqIndex(spark, "ivfpq_cmp_spec")
+    assert(cOut < cIn, s"codes compaction must reduce files: $cIn -> $cOut")
+    assert(cOut <= 4, s"one file per bucket expected, got $cOut")
+    assert(vOut < vIn, s"vecs compaction must reduce files: $vIn -> $vOut")
+    assert(probe() == beforeRows, "compaction changed probe results")
+    assert(spark.table("ivfpq_cmp_spec_codes").count() == 80L)
+
+    // the compacted table still feeds the probe join with zero Exchange
+    // on the index side (bucket spec survived the stage-then-swap)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val qOnFresh = fresh.createDataFrame(queries.rdd, queries.schema)
+    val lazyPlan = Similarity.ivfPqTopKAgainstIndexPlan(
+      qOnFresh, "ivfpq_cmp_spec", "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 32)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+      p match {
+        case s: FileSourceScanExec => Seq((s, anc))
+        case _ => p.children.flatMap(paths(_, p :: anc))
+      }
+    val codeScans = paths(lazyPlan.queryExecution.executedPlan, Nil).filter {
+      case (s, _) => s.relation.location.rootPaths.mkString.contains("ivfpq_cmp_spec_codes")
+    }
+    assert(codeScans.size == 1)
+    codeScans.foreach { case (_, anc) =>
+      val toJoin = anc.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      assert(anc.exists(_.isInstanceOf[BaseJoinExec]))
+      assert(!toJoin.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between compacted codes scan and its join: $toJoin")
+    }
+  }
+
   test("incremental CC: untouched labels byte-identical, touched equal full recompute") {
     // yesterday: chain {1,2,3}, pair {10,11}, pair {20,21}, pair {50,51}
     val oldEdges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (21L, 20L), (51L, 50L))
@@ -511,6 +653,70 @@ class DedupSimilaritySpec extends SparkSpec {
         oldEdges.union(dayEdges.toDF("a", "b")))
       .as[(Long, Long)].collect().toMap
     assert(oneShot == scratch)
+  }
+
+  test("incremental CC: over-limit relabel takes the shuffle path and equals the broadcast path") {
+    // broadcastRelabelLimit = 0 forces EVERY relabel through the plain
+    // shuffle join — the guard for pathological batches that touch most
+    // components, where an unbounded broadcast would OOM the executors.
+    // Same fixture as the byte-identity test: result must be identical.
+    val oldEdges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (21L, 20L), (51L, 50L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(oldEdges)
+    val newEdges = Seq((20L, 11L), (3L, 2L), (41L, 40L), (5L, 1L)).toDF("a", "b")
+    val viaBroadcast = Dedup.incrementalConnectedComponents(labels, newEdges)
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = Dedup.incrementalConnectedComponents(
+        labels, newEdges, broadcastRelabelLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle == viaBroadcast,
+      s"shuffle relabel diverged: $viaShuffle vs $viaBroadcast")
+    // and both still equal CC from scratch
+    val scratch = Dedup.connectedComponentsStar(oldEdges.union(newEdges))
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle == scratch)
+  }
+
+  test("edge-deletion CC: splits bridged components, untouched labels byte-identical") {
+    // chain 1-2-3-4-5 (bridge node 3), pair {10,11}, triangle {20,21,22},
+    // pair {50,51} untouched by anything
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (50L, 51L)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(edges)
+    // delete the chain's bridge (3) and one triangle corner (22): the
+    // chain SPLITS into {1,2} and {4,5}; the triangle survives as {20,21}
+    // (still connected via its remaining edge); {10,11} and {50,51} are
+    // untouched components
+    val deleted = Seq(3L, 22L).toDF("id")
+    val out = Dedup.edgeDeletionConnectedComponents(labels, edges, deleted)
+    val outMap = out.as[(Long, Long)].collect().toMap
+
+    // deleted ids gone entirely
+    assert(!outMap.contains(3L) && !outMap.contains(22L))
+    // the split: {1,2} keeps rep 1; {4,5} re-reps at its new minimum 4
+    assert(outMap(1L) == 1L && outMap(2L) == 1L)
+    assert(outMap(4L) == 4L && outMap(5L) == 4L)
+    // triangle minus one corner stays connected
+    assert(outMap(20L) == 20L && outMap(21L) == 20L)
+    // untouched components byte-identical to the input labels
+    val oldMap = labels.as[(Long, Long)].collect().toMap
+    for (id <- Seq(10L, 11L, 50L, 51L))
+      assert(outMap(id) == oldMap(id), s"untouched node $id must keep its label")
+    // equals a full recompute over the surviving edge set
+    val surviving = edges.filter(!col("a").isin(3L, 22L) && !col("b").isin(3L, 22L))
+    val scratch = Dedup.connectedComponentsStar(surviving)
+      .as[(Long, Long)].collect().toMap
+    // scratch lacks edge-less survivors; they must appear as singletons
+    assert(outMap == scratch ++ (outMap.keySet -- scratch.keySet).map(k => k -> k).toMap)
+
+    // a member left edge-less becomes a singleton: delete 11 → 10 alone
+    val out2 = Dedup.edgeDeletionConnectedComponents(
+        labels, edges, Seq(11L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(out2(10L) == 10L && !out2.contains(11L))
   }
 
   test("star CC contracts a 4096-node chain within a logarithmic round budget") {
@@ -653,6 +859,28 @@ class DedupSimilaritySpec extends SparkSpec {
     def run() = Similarity.ivfCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     assert(run() == run())
+  }
+
+  test("WAV codec: encode->decode recovers exact samples and waveform stats") {
+    val ids = Seq(0L, 1L, 5L, 300L)
+    val out = Multimodal.decodeAudioFeatures(
+        Multimodal.synthesizeWav(ids.toDF("doc_id"), "doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- ids) {
+      val n = Multimodal.wavSamples(id)
+      val vs = (0 until n).map(Multimodal.sampleValue(id, _))
+      val (_, nn, sa, sq, zc) = out(id)
+      assert(nn == n.toLong, s"clip $id sample count")
+      assert(sa == vs.map(_.toLong).sum, s"clip $id amplitude sum")
+      assert(sq == vs.map(v => v.toLong * v).sum, s"clip $id energy sum")
+      assert(zc == vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)),
+        s"clip $id zero crossings")
+    }
+    // negative ids break the %-vs-floorMod oracle contract — refuse loudly
+    val bad = intercept[org.apache.spark.SparkException] {
+      Multimodal.synthesizeWav(Seq(-3L).toDF("doc_id"), "doc_id").collect()
+    }
+    assert(bad.getMessage != null)
   }
 
   test("multimodal frame sampling: ceil(n/frame) frames, last partial") {
