@@ -70,7 +70,11 @@ object StreamQueries {
     * regenerates the corpus between rounds at the same path, and a
     * fixture split from the old generation must not be silently replayed
     * against oracles computed on the new one. A regeneration simply
-    * orphans the old dir and triggers a fresh build.
+    * orphans the old dir and triggers a fresh build. Known limitation
+    * (accepted): the key is weaker than a content hash — a regeneration
+    * that preserved BOTH byte length and mtime would replay a stale
+    * fixture; if that is ever observed, fold a cheap content
+    * fingerprint (e.g. the parquet footer bytes) into `gen`.
     */
   private def fixtureDir(kind: String, d: String, table: String, leaf: String): java.nio.file.Path = {
     val f = new java.io.File(s"$d/$table.parquet")
@@ -595,6 +599,16 @@ object StreamQueries {
     // is byte-identical to sim_knn_ivf_ingest's one-shot batch append —
     // the probe output matches the SAME oracle exactly, hash-verifying
     // that four streamed appends lose nothing a batch append keeps.
+    //
+    // At-least-once caveat (applies to every index-append foreachBatch
+    // here: IVF, IVF-PQ, gram, incremental-CC): Structured Streaming may
+    // RETRY a failed batch, and a plain append re-run would double-insert
+    // that batch's rows. The bounded local drains in these parity queries
+    // never retry (and the completeness certificate would catch a double
+    // append), so the appends stay simple; lifting this pattern to a real
+    // always-on stream means keying appends by `batchId` (write to a
+    // batchId-stamped partition, or skip when the id is already recorded
+    // in the index meta) — the standard foreachBatch idempotency recipe.
     "st_ann_index_parity" -> ((s, d) => {
       import graft.operators.Similarity
       val e = graft.sources.Tables.load(s, d, "embeddings")

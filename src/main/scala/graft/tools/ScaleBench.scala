@@ -188,6 +188,142 @@ object ScaleBench {
     }
   }
 
+  /** Round-8: the 100× decade for the two flattest families (gram-family
+    * substring dedup; IVF/IVF-PQ probes under the fixed-query serving
+    * regime). The 10× ratios are exponent CEILINGS compressed by fixed
+    * overhead; a second decade (10×→100×, 500k docs / 500k vectors)
+    * turns them into two-point estimates and would expose any
+    * super-linear term hiding under the ~1-second floors. Corpus
+    * synthesis extends the 10× rules to 100 copies: documents rewrite
+    * every 5th token to a copy-unique token (cross-copy gram mass dies
+    * at any copy count); embeddings compose the c·7 dimension rotation
+    * with a sign flip for copies ≥ 64 (64 rotations × 2 signs = 128
+    * distinct isometries ≥ 100 copies), so within-copy cosine structure
+    * is preserved exactly while cross-copy similarity stays at
+    * background — only corpus size grows. Index parameters stay fixed
+    * (nlist=16) for ratio interpretability, as in the 10× batch.
+    */
+  private def synthesizeScale100(spark: SparkSession, src: String, dir: String): Unit = {
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn("c", explode(sequence(lit(0), lit(99))))
+        .select(
+          (col("doc_id") + col("c") * 10000000L).as("doc_id"),
+          col("lang"),
+          array_join(
+            transform(split(col("text"), "\\s+"), (t, i) =>
+              when(pmod(i + col("c"), lit(5)) === 0,
+                format_string("cp%d_%d", col("c"), i)).otherwise(t)),
+            " ").as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"SCALE100 documents written to $dir")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(99))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1)
+              * when(col("c") >= 64, lit(-1.0f)).otherwise(lit(1.0f)))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"SCALE100 embeddings written to $dir")
+    }
+  }
+
+  private def runX100(
+      spark: SparkSession, src: String, scale10: String, scale100: String): Unit = {
+    import graft.operators.Similarity
+    import graft.sources.{Sinks, Tables}
+    synthesizeScale100(spark, src, scale100)
+    // the 10× embeddings normally materialize inside runAnn — ensure here
+    if (!new java.io.File(s"$scale10/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scale10/embeddings.parquet")
+    }
+
+    // gram family across the three scales
+    SubstrFamily.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    def timeSuite(dir: String): Map[String, (Double, Long)] =
+      SubstrFamily.map { n =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        n -> (((System.nanoTime() - t0) / 1e9, rows))
+      }.toMap
+    val g1 = timeSuite(src); val g10 = timeSuite(scale10); val g100 = timeSuite(scale100)
+
+    // ANN: fixed 1× query set, growing corpus; builds separated from probes
+    val q = Tables.load(spark, src, "embeddings")
+      .filter(col("vec_id") % 50 === 0).localCheckpoint(true)
+    def annSuite(dir: String, tag: String): Map[String, (Double, Long)] = {
+      val e = Tables.load(spark, dir, "embeddings")
+      val prefix = s"annx100_$tag"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(Sinks.dropManagedTable(spark, _))
+      val pqPrefix = s"annx100_pq_$tag"
+      Seq(s"${pqPrefix}_codes", s"${pqPrefix}_vecs", s"${pqPrefix}_cents",
+          s"${pqPrefix}_books", s"${pqPrefix}_meta")
+        .foreach(Sinks.dropManagedTable(spark, _))
+      def timeOne(f: => Long): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      Map(
+        "ann_brute" -> timeOne(
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3).count()),
+        "ann_ivf_build" -> timeOne {
+          Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+            buckets = 8, nlist = 16, iters = 3, assign = 2)
+          spark.table(s"${prefix}_lists").count()
+        },
+        "ann_ivf_probe" -> timeOne(
+          Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+            k = 3, nprobe = 6).count()),
+        "ann_ivfpq_build" -> timeOne {
+          Similarity.writeIvfPqIndex(e, "vec_id", "embedding", pqPrefix,
+            buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+            assign = 2)
+          spark.table(s"${pqPrefix}_codes").count()
+        },
+        "ann_ivfpq_probe" -> timeOne(
+          Similarity.ivfPqTopKAgainstIndex(q, pqPrefix, "vec_id", "embedding",
+            k = 3, nprobe = 6, shortlist = 128).count()))
+    }
+    annSuite("/root/testdata/sf0.001", "warm")
+    val a1 = annSuite(src, "x1")
+    val a10 = annSuite(scale10, "x10")
+    val a100 = annSuite(scale100, "x100")
+
+    val all1 = g1 ++ a1; val all10 = g10 ++ a10; val all100 = g100 ++ a100
+    println(f"${"query"}%-18s ${"x1 s"}%7s ${"x10 s"}%7s ${"x100 s"}%7s " +
+      f"${"e(1-10)"}%8s ${"e(10-100)"}%9s ${"x100 rows"}%10s")
+    (SubstrFamily ++ Seq("ann_brute", "ann_ivf_build", "ann_ivf_probe",
+        "ann_ivfpq_build", "ann_ivfpq_probe")).foreach { n =>
+      val (t1, _) = all1(n); val (t10, _) = all10(n); val (t100, r100) = all100(n)
+      println(f"$n%-18s $t1%7.2f $t10%7.2f $t100%7.2f " +
+        f"${math.log10(t10 / t1)}%8.2f ${math.log10(t100 / t10)}%9.2f $r100%10d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -274,6 +410,12 @@ object ScaleBench {
     val which = args.drop(1).headOption.getOrElse("all")
     if (which == "ann") {
       runAnn(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "x100") {
+      val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
+      runX100(spark, src, scaleDir, scale100)
       spark.stop()
       return
     }
