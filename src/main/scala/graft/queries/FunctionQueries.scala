@@ -323,11 +323,18 @@ object FunctionQueries {
     // HLL sketch battery: the mergeable-sketch path for distinct counting
     // at scale — per-partition/per-day sketches union-merged instead of a
     // global shuffle of raw values (the Datasketches HLL built-ins).
-    // Verified by certificate: the exact count plus (a) the estimate
-    // within 5% of exact, (b) the union of daily sketches estimating
-    // IDENTICALLY to the direct sketch — HLL union is register-wise max,
-    // so merge order and partitioning cannot change the answer. The
-    // oracle pins exact + TRUE + TRUE.
+    // Verified by certificate: the exact count plus (a) BOTH the direct
+    // and the merged estimates within 5% of exact, (b) a flat union of
+    // daily sketches estimating IDENTICALLY to a two-level union (days →
+    // day-parity subtotals → total): union state is a function of the
+    // coupon/register multiset, so merge SHAPE and order cannot change
+    // the answer. The earlier form of (b) pinned direct === merged, which
+    // is NOT an invariant — the round-8 full sf0.1 gate caught it: at
+    // ~1500 distinct users vs lgK=12 the direct sketch still sits in
+    // sparse/coupon mode while the union path converts to dense HLL, and
+    // the two estimators legitimately differ by a few counts (sf0.01's
+    // smaller cardinalities kept both sparse, hiding the false pin).
+    // The oracle pins exact + TRUE + TRUE.
     "fn_hll_sketch" -> ((s, d) => {
       val ev = t(s, d, "events")
       val direct = ev.groupBy("event_type").agg(
@@ -336,13 +343,21 @@ object FunctionQueries {
       val daily = ev
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        .localCheckpoint(true) // consumed by both merge shapes
       val merged = daily.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_m"))
-      direct.join(merged, "event_type")
+      val twoLevel = daily
+        .groupBy(col("event_type"), (dayofmonth(col("day")) % 2).as("par"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk2"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk2"), lit(false))).as("est_m2"))
+      direct.join(merged, "event_type").join(twoLevel, "event_type")
         .select(col("event_type"), col("n_users_exact"),
           (abs(col("est_d") - col("n_users_exact"))
+            <= col("n_users_exact") * 0.05
+            && abs(col("est_m") - col("n_users_exact"))
             <= col("n_users_exact") * 0.05).as("hll_ok"),
-          (col("est_d") === col("est_m")).as("merge_ok"))
+          (col("est_m") === col("est_m2")).as("merge_ok"))
         .orderBy("event_type")
     })
   )

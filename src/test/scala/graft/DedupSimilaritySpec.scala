@@ -557,6 +557,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ deletion: probes never surface deleted vectors, both tables scrubbed") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(16)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    for (t <- Seq("codes", "vecs", "cents", "books", "meta"))
+      graft.sources.Sinks.dropManagedTable(spark, s"ivfpq_del_spec_$t")
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", "ivfpq_del_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
+    // delete vec 0's entire direction-cluster cohort except itself — a
+    // wide probe from vec 0 before deletion surfaces them, after it must not
+    val cohort = (4 until 80 by 4).map(_.toLong)
+    val before = Similarity.ivfPqTopKAgainstIndex(
+        corpus.filter(col("vec_id") === 0), "ivfpq_del_spec",
+        "vec_id", "embedding", k = 10, nprobe = 2, shortlist = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(before.exists(cohort.contains), s"pre-delete probe must see the cohort")
+
+    Similarity.deleteFromIvfPqIndex(spark, "ivfpq_del_spec",
+      cohort.toDF("id"))
+    assert(spark.table("ivfpq_del_spec_codes").count() == 80L - cohort.size)
+    assert(spark.table("ivfpq_del_spec_vecs").count() == 80L - cohort.size)
+    val after = Similarity.ivfPqTopKAgainstIndex(
+        corpus.filter(col("vec_id") === 0), "ivfpq_del_spec",
+        "vec_id", "embedding", k = 10, nprobe = 2, shortlist = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(after.intersect(cohort.toSet).isEmpty,
+      s"deleted vectors surfaced in post-delete probe: ${after.intersect(cohort.toSet)}")
+    assert(after.nonEmpty, "survivors must still be probeable")
+  }
+
   test("incremental CC: untouched labels byte-identical, touched equal full recompute") {
     // yesterday: chain {1,2,3}, pair {10,11}, pair {20,21}, pair {50,51}
     val oldEdges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (21L, 20L), (51L, 50L))
