@@ -46,9 +46,12 @@ object SimilarityQueries {
     * m=16 subspaces × 16 codes, shortlist 128, exact re-rank): measured
     * recall vs brute-force top-3 is 1.000 / 1.000 / 0.925 at sf0.001 /
     * 0.01 / 0.1 — stable run-to-run because codebooks, encode, and ADC
-    * are all deterministic.
+    * are all deterministic, so the floor sits 0.075 under the worst
+    * measured point (raised 0.70 → 0.85 in round 8 alongside the IVF
+    * floors: a deterministic pipeline doesn't need slack for variance,
+    * only for SF-dependence, and all three SFs are measured).
     */
-  val PqRecallFloor = 0.70
+  val PqRecallFloor = 0.85
 
   /** Corpus-level recall floor certified by `sim_knn_ivfpq` (coarse IVF
     * pruning × PQ-ADC scoring, nprobe=6/nlist=16/assign=2, shortlist

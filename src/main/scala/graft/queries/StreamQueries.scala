@@ -589,6 +589,69 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streaming index DELETION — the take-down feed as a stream: a
+    // right-to-be-forgotten queue delivers doc ids in FOUR micro-batches,
+    // and each foreachBatch cycle scrubs the batch from the persisted
+    // minhash index via deleteFromMinhashIndex (bucket-aligned anti-join
+    // rewrite through the compaction machinery — each cycle is also a
+    // vacuum). Deletions COMPOSE (sequential anti-joins equal the
+    // anti-join of the union), so the drained index equals the one-shot
+    // batch deletion and the day's probe matches d_delete_probe's oracle
+    // EXACTLY — the streamed-vs-batch claim, hash-verified. Certificate:
+    // the reopened index holds exactly the surviving documents (sigs ==
+    // survivors, bands == survivors × 4), so a lost or doubled deletion
+    // cannot pass. Every index maintenance verb — append AND delete —
+    // now has a streaming twin.
+    "st_index_delete_parity" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val shingles = CrossHash.wordShingles(col("__tk"), 3)
+      val delDir = fixtureDir("mhdel", d, "documents", "del4")
+      if (!fixtureReady(delDir)) buildFixture(delDir) { (out, _) =>
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("id"))
+          .repartition(4, col("id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"mh_stream_del_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val corpusSigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          docs.withColumn("__tk", CrossHash.tokens(col("text"))),
+          "doc_id", shingles, k = 16)
+          .localCheckpoint(true)
+      }
+      Dedup.writeMinhashIndex(
+        corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_mhdel_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(delDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(delDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Dedup.deleteFromMinhashIndex(s, prefix, batch.toDF()))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val survivors = docs
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0).count()
+      val sigsN = s.table(s"${prefix}_sigs").count()
+      val bandsN = s.table(s"${prefix}_bands").count()
+      Dedup.minhashPairsAgainstIndex(
+          corpusSigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4,
+          threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .withColumn("index_ok", lit(sigsN == survivors && bandsN == survivors * 4))
+        .orderBy("new_id")
+    }),
+
     // Streaming ANN-index ingest — st_dedup_index_parity's twin for the
     // similarity tier: the corpus side (vec_id % 10 != 0) seeds the IVF
     // index (centroids train on it once — the frozen-quantizer split),
@@ -1076,6 +1139,20 @@ object StreamQueries {
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
          |  TRUE AS index_ok
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // d_delete_probe's oracle (pairs minus deleted index side) + the
+    // pinned-TRUE survivors-only completeness certificate: the streamed
+    // take-down drain must land exactly where the batch deletion does.
+    "st_index_delete_parity" ->
+      s"""WITH ${DedupQueries.MinhashPairsBody},
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
+         |  TRUE AS index_ok
+         |FROM hits WHERE index_id % 3 <> 0
+         |GROUP BY new_id ORDER BY new_id""".stripMargin,
 
     // The batch d_dup_spans_indexed oracle verbatim (full-corpus marking
     // restricted to the day's documents) + the pinned-TRUE append
