@@ -218,6 +218,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-level audio features — the real-decode analogue of
+    * [[sampleFrames]]'s byte-window fingerprints: the decoded PCM stream
+    * is cut into fixed `frameSamples` windows (last window partial) and
+    * each frame reduces to exact integer statistics (sample count,
+    * energy sum) — the framing step every audio pipeline (VAD, feature
+    * extraction, CTC alignment) runs before modeling. One output row per
+    * frame, emitted from the partition iterator — no driver collection,
+    * and the explode happens AFTER the decode so payload bytes are read
+    * once per clip.
+    */
+  def decodeAudioFrames(media: DataFrame, frameSamples: Int): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples=$frameSamples must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"asset_id=${r.getLong(0)}: expected PCM16LE mono, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val id = r.getLong(0)
+        (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+          val lo = f * frameSamples
+          val hi = math.min(lo + frameSamples, n)
+          var sumSq = 0L
+          var i = lo
+          while (i < hi) {
+            val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+            sumSq += v * v
+            i += 1
+          }
+          Row(id, f.toLong, (hi - lo).toLong, sumSq)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched REAL image decode via a partition iterator — the Scala
     * analogue of a Pandas-UDF/`mapInPandas` decode stage: payload bytes
     * stream through per partition, `javax.imageio` decodes each PNG back

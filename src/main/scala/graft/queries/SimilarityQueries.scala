@@ -369,6 +369,44 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Index take-down through the flagship IVF-PQ index: every 7th vector
+    // scrubbed from BOTH the bucketed codes and the re-rank vectors table
+    // (a leftover in either would resurface a ghost — in the ADC scan or
+    // in the shortlist re-rank). Same certificate shape as
+    // sim_knn_ivf_delete: brute-force-over-survivors rows, post-deletion
+    // recall floor, exactly-assign×survivors completeness.
+    "sim_knn_ivfpq_delete" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val survivors = e.filter(col("vec_id") % 7 =!= 0)
+      val prefix = s"ivfpq_del_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
+          s"${prefix}_books", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = IvfAssign)
+      Similarity.deleteFromIvfPqIndex(s, prefix,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id")))
+      val ann = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = IvfNprobe, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val sN = survivors.count()
+      val cs = s.table(s"${prefix}_codes")
+        .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
+      val vN = s.table(s"${prefix}_vecs").count()
+      val complete = cs.getLong(0) == IvfAssign * sN && cs.getLong(1) == sN && vN == sN
+      val brute = Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("ivfpq_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfPqRecallFloor)
+        .withColumn("index_ok", lit(complete))
+        .select("query_id", "rank", "neighbor_id", "cos", "ivfpq_recall_ok", "index_ok")
+        .orderBy("query_id", "rank")
+    }),
+
     // Persisted IVF-PQ index (FAISS `IVF16,PQ16` shape, by_residual=false):
     // coarse cells prune WHICH lists a query scans (nprobe/nlist), PQ codes
     // shrink WHAT each scanned candidate costs (~32× narrower than float
@@ -609,6 +647,22 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
          |  TRUE AS ivf_recall_ok, TRUE AS index_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force top-3 over the surviving corpus + pinned-TRUE compound
+    // recall and completeness certificates — the IVF-PQ take-down twin.
+    "sim_knn_ivfpq_delete" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+         |  TRUE AS ivfpq_recall_ok, TRUE AS index_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Brute-force rows + pinned-TRUE compound-recall certificate (the

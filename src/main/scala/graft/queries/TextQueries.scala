@@ -389,6 +389,16 @@ object TextQueries {
           round(sqrt(col("sum_sq").cast("double") / col("n_samples")) + 1e-9, 4)
             .as("rms"))
         .orderBy("asset_id"))
+  ,
+    // Frame-level audio energies — the real-decode framing step (VAD /
+    // feature-extraction window shape): decoded PCM cut into 80-sample
+    // frames, one row per frame with exact integer energy. The oracle
+    // replays the same framing arithmetically; a hash match certifies
+    // per-frame sample recovery, not just clip totals.
+    "mm_audio_frames" -> ((s, d) =>
+      Multimodal.decodeAudioFrames(
+          Multimodal.synthesizeWav(docs(s, d), "doc_id"), frameSamples = 80)
+        .orderBy("asset_id", "frame_no"))
   )
 
   /** Generated BPE oracle: `n` hand-unrolled merge rounds. Each round r
@@ -785,6 +795,18 @@ object TextQueries {
           |      THEN 1 ELSE 0 END)::BIGINT AS zero_cross,
           |  round(sqrt(sum(v * v)::DOUBLE / max(n)) + 0.000000001, 4) AS rms
           |FROM s GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+      // Same waveform contract as mm_audio_features, framed into
+      // 80-sample windows (last partial).
+      "mm_audio_frames" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 256 + 64) AS n FROM documents),
+          |ix AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM m),
+          |v AS (SELECT asset_id, n, i, (i // 80) AS frame_no,
+          |        ((asset_id * 31 + i * 7919) % 65536 - 32768) AS v FROM ix)
+          |SELECT asset_id, frame_no::BIGINT AS frame_no,
+          |  count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS sum_sq
+          |FROM v GROUP BY asset_id, frame_no
+          |ORDER BY asset_id, frame_no""".stripMargin,
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),
