@@ -11,6 +11,53 @@ import graft.sources.Tables
   * BASELINE.md. Not part of the library surface.
   */
 object AnnSweep {
+
+  /** The nlist-scaling measurement behind the "production grows nlist
+    * ~√N, making probes sub-linear in corpus size" claim (asserted in
+    * the ScaleBench x100 notes, measured here): at the 500k-vector
+    * x100 corpus, a FIXED nprobe with growing nlist shrinks the scanned
+    * fraction 2·nprobe/nlist while finer cells + dual assignment hold
+    * recall — build cost grows ~nlist (one broadcast-assignment pass per
+    * k-means iter), paid once. Run AFTER ScaleBench x100 has
+    * materialized /tmp/graft_scale100.
+    */
+  private def runNlist(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.Similarity
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_scale100"
+    require(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"run ScaleBench x100 first to materialize $dir")
+    val e = graft.sources.Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+    val q = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .filter(col("vec_id") % 50 === 0).localCheckpoint(true)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .localCheckpoint(true)
+    val total = brute.count()
+    val sweeps = Seq(
+      16 -> Seq(6),
+      64 -> Seq(6, 10, 14, 18),
+      160 -> Seq(6, 15, 25, 35, 45))
+    for ((nlist, nprobes) <- sweeps) {
+      val prefix = s"annnl_$nlist"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+      val t0 = System.nanoTime()
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = nlist, iters = 3, assign = 2)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      for (nprobe <- nprobes) {
+        val t1 = System.nanoTime()
+        val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = nprobe)
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        val hits = brute.join(ivf.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"x100 nlist=$nlist%3d nprobe=$nprobe%2d assign=2  " +
+          f"recall=${hits.toDouble / total}%.3f build=$tBuild%6.1f s probe=$tProbe%6.2f s " +
+          f"frac=${2.0 * nprobe / nlist}%.3f")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,6 +69,11 @@ object AnnSweep {
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_annsweep")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("nlist")) {
+      runNlist(spark)
+      spark.stop()
+      return
+    }
     val sfs = if (args.nonEmpty) args.toSeq else Seq("sf0.01", "sf0.1")
     for (sf <- sfs) {
       val d = s"/root/testdata/$sf"
