@@ -399,6 +399,20 @@ object TextQueries {
       Multimodal.decodeAudioFrames(
           Multimodal.synthesizeWav(docs(s, d), "doc_id"), frameSamples = 80)
         .orderBy("asset_id", "frame_no"))
+  ,
+    // Multimodal REAL resize — decode + nearest-neighbor resample to a
+    // fixed 8x8 thumbnail grid + channel means over the resampled
+    // raster. The sampled source coordinate is integer floor division,
+    // so the oracle replays the exact grid; emitting the decoded source
+    // dims alongside pins the decoder's geometry too.
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeImageFeatures(
+          Multimodal.synthesizePng(docs(s, d), "doc_id"), outW = 8, outH = 8)
+        .select(col("asset_id"), col("src_w"), col("src_h"),
+          round(col("mean_r") + 1e-9, 6).as("mean_r"),
+          round(col("mean_g") + 1e-9, 6).as("mean_g"),
+          round(col("mean_b") + 1e-9, 6).as("mean_b"))
+        .orderBy("asset_id"))
   )
 
   /** Generated BPE oracle: `n` hand-unrolled merge rounds. Each round r
@@ -795,6 +809,21 @@ object TextQueries {
           |      THEN 1 ELSE 0 END)::BIGINT AS zero_cross,
           |  round(sqrt(sum(v * v)::DOUBLE / max(n)) + 0.000000001, 4) AS rms
           |FROM s GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+      // Mirrors resizeImageFeatures' nearest-neighbor grid exactly:
+      // sample source pixel (x'*w // 8, y'*h // 8) of the synthetic
+      // raster, average per channel over the 8x8 thumbnail.
+      "mm_resize" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 13 + 4) AS w, (doc_id % 11 + 4) AS h
+          |           FROM documents),
+          |px AS (SELECT asset_id, w, h, unnest(range(0, 64)) AS p FROM m),
+          |v AS (SELECT asset_id, w, h,
+          |        ((p % 8) * w) // 8 AS x, ((p // 8) * h) // 8 AS y FROM px)
+          |SELECT asset_id, w::INT AS src_w, h::INT AS src_h,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17) % 256) + 0.000000001, 6) AS mean_r,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17 + 29) % 256) + 0.000000001, 6) AS mean_g,
+          |       round(avg((asset_id * 37 + x * 11 + y * 17 + 58) % 256) + 0.000000001, 6) AS mean_b
+          |FROM v GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
 
       // Same waveform contract as mm_audio_features, framed into
       // 80-sample windows (last partial).
