@@ -413,6 +413,29 @@ object TextQueries {
           round(col("mean_g") + 1e-9, 6).as("mean_g"),
           round(col("mean_b") + 1e-9, 6).as("mean_b"))
         .orderBy("asset_id"))
+  ,
+    // Audio resample by integer decimation — the audio twin of mm_resize:
+    // decode, keep every 4th sample, exact integer stats over the
+    // decimated stream; source sample count rides along so a decoder
+    // that dropped samples shifts the kept index set and mismatches.
+    "mm_audio_resample" -> ((s, d) =>
+      Multimodal.decimateAudioFeatures(
+          Multimodal.synthesizeWav(docs(s, d), "doc_id"), factor = 4)
+        .orderBy("asset_id"))
+  ,
+    // Multimodal REAL multi-frame decode — the video-shaped twin of
+    // mm_features: one deterministic animated GIF per document (JDK GIF
+    // sequence writer, explicit 256-gray palette so the codec is exactly
+    // lossless), decoded frame-by-frame in the partition iterator, one
+    // row per frame with exact integer pixel sums. The oracle replays
+    // the raster arithmetic per frame; a hash match certifies every
+    // frame's pixels survived the multi-frame container round-trip —
+    // the per-frame 101 stride means a frame-disposal bug (frame 0
+    // replayed) or a dropped frame cannot pass.
+    "mm_video_frames" -> ((s, d) =>
+      Multimodal.decodeGifFrames(
+          Multimodal.synthesizeGif(docs(s, d), "doc_id"))
+        .orderBy("asset_id", "frame_no"))
   )
 
   /** Generated BPE oracle: `n` hand-unrolled merge rounds. Each round r
@@ -835,6 +858,40 @@ object TextQueries {
           |SELECT asset_id, frame_no::BIGINT AS frame_no,
           |  count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS sum_sq
           |FROM v GROUP BY asset_id, frame_no
+          |ORDER BY asset_id, frame_no""".stripMargin,
+
+      // Same waveform contract as mm_audio_features, decimated to every
+      // 4th sample; zero crossings are over the KEPT samples only.
+      "mm_audio_resample" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 256 + 64) AS n FROM documents),
+          |ix AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM m),
+          |v AS (SELECT asset_id, n, i,
+          |        ((asset_id * 31 + i * 7919) % 65536 - 32768) AS v
+          |      FROM ix WHERE i % 4 = 0),
+          |s AS (SELECT asset_id, n, i, v,
+          |        lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS pv FROM v)
+          |SELECT asset_id, max(n)::BIGINT AS src_samples,
+          |  count(*)::BIGINT AS n_samples, sum(v)::BIGINT AS sum_amp,
+          |  sum(v * v)::BIGINT AS sum_sq,
+          |  sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+          |      THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+          |FROM s GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+      // Mirrors Multimodal.gifFrames / gifWidth / gifHeight / gifPixel
+      // exactly: the per-frame gray raster the Spark side encodes into a
+      // real animated GIF and decodes back.
+      "mm_video_frames" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 5 + 2) AS nf,
+          |                  (doc_id % 9 + 4) AS w, (doc_id % 7 + 4) AS h
+          |           FROM documents),
+          |fr AS (SELECT asset_id, w, h, unnest(range(0, nf)) AS f FROM m),
+          |px AS (SELECT asset_id, f, w, h, unnest(range(0, w * h)) AS p FROM fr),
+          |v AS (SELECT asset_id, f, w, h,
+          |        (asset_id * 37 + f * 101 + (p % w) * 11 + (p // w) * 17) % 256 AS v
+          |      FROM px)
+          |SELECT asset_id, f::BIGINT AS frame_no, w::INT AS width, h::INT AS height,
+          |       sum(v)::BIGINT AS sum_px, sum(v * v)::BIGINT AS sum_sq
+          |FROM v GROUP BY asset_id, f, w, h
           |ORDER BY asset_id, frame_no""".stripMargin,
 
       "mm_frames" ->
