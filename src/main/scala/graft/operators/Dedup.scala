@@ -477,6 +477,57 @@ object Dedup {
     } finally cached.unpersist()
   }
 
+  /** Exactly-once wrapper around [[ingestIntoMinhashIndex]] — the
+    * batchId-keyed write-ahead-ledger recipe
+    * ([[graft.sources.Sinks.exactlyOnceBatch]]) with
+    * [[deleteFromMinhashIndex]] as the crash-recovery scrub: a batch
+    * redelivered after success skips (None), a retry after a mid-append
+    * crash scrubs the partial residue and re-applies. Returns
+    * Some(pairs) when the batch was applied.
+    */
+  def exactlyOnceIngestIntoMinhashIndex(
+      newSigs: DataFrame,
+      tablePrefix: String,
+      batchId: Long,
+      threshold: Double = 0.7): Option[DataFrame] = {
+    val spark = newSigs.sparkSession
+    graft.sources.Sinks.exactlyOnceBatch(
+        spark, s"${tablePrefix}_applied", batchId) {
+      deleteFromMinhashIndex(spark, tablePrefix, newSigs.select("id"))
+    } {
+      ingestIntoMinhashIndex(newSigs, tablePrefix, threshold)
+    }
+  }
+
+  /** Exactly-once wrapper around [[ingestIntoGramIndex]] (same ledger
+    * recipe — see [[graft.sources.Sinks.exactlyOnceBatch]]). The gram
+    * table stores df PARTIALS, not per-document rows, so the anti-join
+    * scrub the other indexes use doesn't apply — and the decrementing
+    * [[deleteFromGramIndex]] would OVER-subtract after a partial append
+    * (it assumes the batch landed fully). Instead every ingest stamps
+    * its partial rows with `batchId`, and the crash scrub excises
+    * exactly the stamped residue — correct for any partial state.
+    * Requires batchId ≥ 0 (−1 is the merged-generation sentinel that
+    * compaction/deletion rewrites collapse committed batches into).
+    */
+  def exactlyOnceIngestIntoGramIndex(
+      batch: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      batchId: Long): Option[Unit] = {
+    require(batchId >= 0,
+      s"batchId=$batchId must be >= 0 (-1 is the merged-generation sentinel)")
+    val spark = batch.sparkSession
+    graft.sources.Sinks.exactlyOnceBatch(
+        spark, s"${tablePrefix}_applied", batchId) {
+      graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+        _.filter(col("batch_id") =!= batchId)): Unit
+    } {
+      ingestIntoGramIndex(batch, idCol, toks, tablePrefix, batchId)
+    }
+  }
+
   /** Vacuum the minhash index's two bucketed tables (see
     * [[writeMinhashIndex]] / [[ingestIntoMinhashIndex]]): per-batch
     * appends fragment `_bands` and `_sigs` one file per bucket per batch;
@@ -508,7 +559,10 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Int, Int) =
     graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
-      _.groupBy("gram").agg(sum("n_docs").as("n_docs")))
+      _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
+        // partials collapse into the merged generation (see
+        // writeGramIndex); compact only with no ingest in flight
+        .withColumn("batch_id", lit(-1L)))
 
   /** Delete documents from the minhash index (see [[writeMinhashIndex]]):
     * drops the documents' rows from `_bands` and `_sigs` via an anti-join
@@ -562,7 +616,10 @@ object Dedup {
         .join(delCounts, Seq("gram"), "left")
         .select(col("gram"),
           (col("n_docs") - coalesce(col("n_del"), lit(0L))).as("n_docs"))
-        .filter(col("n_docs") > 0))
+        .filter(col("n_docs") > 0)
+        // partials collapse into the merged generation (see
+        // writeGramIndex); run deletions only with no ingest in flight
+        .withColumn("batch_id", lit(-1L)))
   }
 
   /** Edge-deletion connected components — the take-down counterpart of
@@ -1219,10 +1276,16 @@ object Dedup {
       tablePrefix: String,
       buckets: Int): Unit = {
     require(n >= 1, s"n=$n must be >= 1")
+    // batch_id = -1 marks the merged/base generation; per-batch ingest
+    // stamps its own id so the exactly-once crash scrub can excise a
+    // partial append exactly (see exactlyOnceIngestIntoGramIndex) —
+    // anti-join scrubs don't work here because the table stores df
+    // PARTIALS, not per-document rows
     val counts = df
       .select(col(idCol).as("id"), toks.as("tk"))
       .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
       .groupBy("gram").agg(countDistinct(col("id")).as("n_docs"))
+      .withColumn("batch_id", lit(-1L))
     graft.sources.Sinks.writeBucketedTable(counts, s"${tablePrefix}_grams", buckets, "gram")
     val meta = df.sparkSession.createDataFrame(Seq((n, buckets))).toDF("n", "buckets")
     meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1293,7 +1356,8 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       toks: Column,
-      tablePrefix: String): Unit = {
+      tablePrefix: String,
+      batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val m = spark.table(s"${tablePrefix}_meta").head()
     val (n, buckets) = (m.getInt(0), m.getInt(1))
@@ -1301,6 +1365,7 @@ object Dedup {
       .select(col(idCol).as("id"), toks.as("tk"))
       .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
       .groupBy("gram").agg(countDistinct(col("id")).as("n_docs"))
+      .withColumn("batch_id", lit(batchId))
     graft.sources.Sinks.writeBucketedTable(
       counts, s"${tablePrefix}_grams", buckets, "gram",
       org.apache.spark.sql.SaveMode.Append)

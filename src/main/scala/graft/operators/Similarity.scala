@@ -943,6 +943,49 @@ object Similarity {
       _.join(del, Seq("neighbor_id"), "left_anti"))
   }
 
+  /** Exactly-once wrapper around [[appendToIvfIndex]] — the batchId-keyed
+    * write-ahead-ledger recipe ([[graft.sources.Sinks.exactlyOnceBatch]])
+    * with [[deleteFromIvfIndex]] as the crash-recovery scrub (anti-join
+    * on the batch's ids: exact for any partial state, since `_lists`
+    * rows are per-vector). Redelivery of a committed batch skips
+    * (None); a retry after a mid-append crash scrubs and re-applies.
+    */
+  def exactlyOnceAppendToIvfIndex(
+      newVecs: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      batchId: Long): Option[Unit] = {
+    val spark = newVecs.sparkSession
+    graft.sources.Sinks.exactlyOnceBatch(
+        spark, s"${tablePrefix}_applied", batchId) {
+      deleteFromIvfIndex(spark, tablePrefix, newVecs.select(col(idCol).as("id")))
+    } {
+      appendToIvfIndex(newVecs, tablePrefix, idCol, embCol)
+    }
+  }
+
+  /** Exactly-once wrapper around [[appendToIvfPqIndex]] (same recipe as
+    * [[exactlyOnceAppendToIvfIndex]]); the scrub is
+    * [[deleteFromIvfPqIndex]], which anti-joins the batch's ids out of
+    * BOTH `_codes` and `_vecs`, so a crash between the two table
+    * appends also recovers exactly.
+    */
+  def exactlyOnceAppendToIvfPqIndex(
+      newVecs: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      batchId: Long): Option[Unit] = {
+    val spark = newVecs.sparkSession
+    graft.sources.Sinks.exactlyOnceBatch(
+        spark, s"${tablePrefix}_applied", batchId) {
+      deleteFromIvfPqIndex(spark, tablePrefix, newVecs.select(col(idCol).as("id")))
+    } {
+      appendToIvfPqIndex(newVecs, tablePrefix, idCol, embCol)
+    }
+  }
+
   /** Top-k against a persisted IVF-PQ index (see [[writeIvfPqIndex]]):
     * coarse-probe `nprobe` cells against the reopened `_cents`, ADC-score
     * ONLY those cells' PQ codes from the bucketed `_codes` scan (zero

@@ -398,6 +398,59 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // Exactly-once index ingest under at-least-once delivery: the corpus
+    // index is grown through exactlyOnceIngestIntoMinhashIndex with BOTH
+    // failure modes staged against it — a crash mid-append (batch 1's
+    // intent recorded and half its rows already in, no commit) and a
+    // checkpoint-lag redelivery (batch 1 delivered again after success).
+    // The write-ahead ledger must scrub the partial residue before
+    // re-appending and skip the redelivery outright, so the final index
+    // is EXACTLY the clean one-shot build: the day's probe runs against
+    // it and must match d_incremental_indexed's oracle verbatim. A
+    // leaked duplicate row would double n_matches or resurface as an
+    // extra band hit and hash-mismatch; the certificate column
+    // additionally pins exact sig/band counts and the three verb
+    // outcomes (applied, recovered, skipped).
+    "d_exactly_once_ingest" -> ((s, d) => {
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
+          .localCheckpoint(true)
+      }
+      val prefix = s"mh_eo_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
+          s"${prefix}_applied")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val idx = sigs.filter(col("id") % 10 =!= 0)
+      Dedup.writeMinhashIndex(
+        idx.filter(col("id") % 3 === 0), prefix, buckets = 8, k = 16, bands = 4)
+      val batch0 = idx.filter(col("id") % 3 === 1)
+      val batch1 = idx.filter(col("id") % 3 === 2)
+      val applied0 =
+        Dedup.exactlyOnceIngestIntoMinhashIndex(batch0, prefix, batchId = 0)
+      // stage the mid-append crash: intent recorded, half the rows in,
+      // no commit — exactly the state a died executor leaves behind
+      graft.sources.Sinks.recordLedger(s, s"${prefix}_applied", 1L, "intent")
+      Dedup.ingestIntoMinhashIndex(batch1.filter(col("id") % 2 === 0), prefix)
+      val recovered =
+        Dedup.exactlyOnceIngestIntoMinhashIndex(batch1, prefix, batchId = 1)
+      // checkpoint-lag redelivery of the now-committed batch — must skip
+      val skipped =
+        Dedup.exactlyOnceIngestIntoMinhashIndex(batch1, prefix, batchId = 1)
+      val idxN = idx.count()
+      val sigsN = s.table(s"${prefix}_sigs").count()
+      val bandsN = s.table(s"${prefix}_bands").count()
+      val ok = sigsN == idxN && bandsN == idxN * 4 &&
+        applied0.isDefined && recovered.isDefined && skipped.isEmpty
+      Dedup.minhashPairsAgainstIndex(
+          sigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4,
+          threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .withColumn("exactly_once_ok", lit(ok))
+        .orderBy("new_id")
+    }),
+
     // Index take-down (minhash): the corpus index loses a third of its
     // documents via deleteFromMinhashIndex — an anti-join rewrite through
     // the compaction machinery — and the day's probe must behave exactly
@@ -638,6 +691,20 @@ object DedupQueries {
          |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
          |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // The exactly-once drain must land the index in the clean one-shot
+    // state, so the probe's oracle is d_incremental_indexed's verbatim;
+    // the certificate column is pinned TRUE (ledger outcomes + exact
+    // post-drain index counts).
+    "d_exactly_once_ingest" ->
+      s"""WITH $MinhashPairsBody,
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
+         |       TRUE AS exactly_once_ok
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
 
     // The pair universe minus pairs whose index side was deleted — the

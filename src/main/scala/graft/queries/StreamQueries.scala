@@ -66,22 +66,47 @@ object StreamQueries {
     }
 
   /** Once-per-corpus fixture directory, keyed by the SOURCE table's path
-    * AND content generation (length ^ rotated mtime): the driver
-    * regenerates the corpus between rounds at the same path, and a
-    * fixture split from the old generation must not be silently replayed
-    * against oracles computed on the new one. A regeneration simply
-    * orphans the old dir and triggers a fresh build. Known limitation
-    * (accepted): the key is weaker than a content hash — a regeneration
-    * that preserved BOTH byte length and mtime would replay a stale
-    * fixture; if that is ever observed, fold a cheap content
-    * fingerprint (e.g. the parquet footer bytes) into `gen`.
+    * AND content generation: the driver regenerates the corpus between
+    * rounds at the same path, and a fixture split from the old
+    * generation must not be silently replayed against oracles computed
+    * on the new one. A regeneration simply orphans the old dir and
+    * triggers a fresh build. The key folds length, mtime AND a
+    * fingerprint of the parquet FOOTER TAIL (the last 4 KiB — row-group
+    * offsets, statistics, schema all live there, so two different
+    * corpora sharing it is astronomically unlikely): a regeneration
+    * that happened to preserve byte length and coarse mtime can no
+    * longer replay a stale fixture.
     */
   private def fixtureDir(kind: String, d: String, table: String, leaf: String): java.nio.file.Path = {
     val f = new java.io.File(s"$d/$table.parquet")
     val gen = java.lang.Long.toHexString(
-      f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21))
+      f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
+        ^ footerFingerprint(f))
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_${kind}_${ScratchKeys.forPath(d)}_$gen", leaf)
+  }
+
+  /** FNV-1a over the last 4 KiB of the file — the parquet footer (and
+    * for tiny files the whole file). Content-sensitive and O(1) in file
+    * size; a missing file keys as 0 (length 0) and fails later at the
+    * parquet read with a real error, not here.
+    */
+  private def footerFingerprint(f: java.io.File): Long = {
+    val n = f.length
+    if (n <= 0) 0L
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val take = math.min(n, 4096L).toInt
+        raf.seek(n - take)
+        val buf = new Array[Byte](take)
+        raf.readFully(buf)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < take) { h = (h ^ (buf(i) & 0xff)) * 0x100000001b3L; i += 1 }
+        h
+      } finally raf.close()
+    }
   }
 
   /** True iff `dir` holds at least one parquet file. An EMPTY directory —
@@ -543,7 +568,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"mh_stream_index_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
+          s"${prefix}_applied")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       // seed from the suite-shared signature memo (the same frame
       // d_incremental/d_incremental_indexed split) — the seed is
@@ -566,12 +592,16 @@ object StreamQueries {
             .writeStream
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) => {
+                bid: Long) => {
               val sigs = Dedup.minhashSignatures(
                 batch.toDF().withColumn("__tk", CrossHash.tokens(col("text"))),
                 "doc_id", shingles, k = 16)
-              Dedup.ingestIntoMinhashIndex(sigs, prefix, threshold = 0.7)
-                .write.mode("append").parquet(pairsDir)
+              // the production ingest body: batchId-keyed exactly-once
+              // (write-ahead ledger; a retried batch would skip or
+              // scrub-and-reapply instead of double-appending)
+              Dedup.exactlyOnceIngestIntoMinhashIndex(
+                  sigs, prefix, bid, threshold = 0.7)
+                .foreach(_.write.mode("append").parquet(pairsDir))
             })
             .start()
           try q.processAllAvailable() finally q.stop()
@@ -663,15 +693,17 @@ object StreamQueries {
     // the probe output matches the SAME oracle exactly, hash-verifying
     // that four streamed appends lose nothing a batch append keeps.
     //
-    // At-least-once caveat (applies to every index-append foreachBatch
-    // here: IVF, IVF-PQ, gram, incremental-CC): Structured Streaming may
-    // RETRY a failed batch, and a plain append re-run would double-insert
-    // that batch's rows. The bounded local drains in these parity queries
-    // never retry (and the completeness certificate would catch a double
-    // append), so the appends stay simple; lifting this pattern to a real
-    // always-on stream means keying appends by `batchId` (write to a
-    // batchId-stamped partition, or skip when the id is already recorded
-    // in the index meta) — the standard foreachBatch idempotency recipe.
+    // At-least-once handling: Structured Streaming may RETRY a failed
+    // batch, and a plain append re-run would double-insert that batch's
+    // rows. All four index-ingest foreachBatch bodies here (minhash,
+    // gram, IVF, IVF-PQ) therefore run the exactly-once variants —
+    // batchId-keyed write-ahead ledger (Sinks.exactlyOnceBatch): a
+    // committed redelivery skips, a crash-retry scrubs the partial
+    // residue via the family's deletion verb before re-applying (the
+    // retry paths themselves are pinned by the three exactly-once specs
+    // in DedupSimilaritySpec). Only the incremental-CC overwrite keeps
+    // the plain body: a full-table overwrite is naturally idempotent
+    // for the relabel it performs.
     "st_ann_index_parity" -> ((s, d) => {
       import graft.operators.Similarity
       val e = graft.sources.Tables.load(s, d, "embeddings")
@@ -682,7 +714,8 @@ object StreamQueries {
           .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"ivf_stream_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta",
+          s"${prefix}_applied")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", prefix, buckets = 8, nlist = 16, iters = 3,
@@ -695,8 +728,10 @@ object StreamQueries {
             .writeStream
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              Similarity.appendToIvfIndex(batch.toDF(), prefix, "vec_id", "embedding"))
+                bid: Long) =>
+              // production append body: batchId-keyed exactly-once
+              Similarity.exactlyOnceAppendToIvfIndex(
+                batch.toDF(), prefix, "vec_id", "embedding", bid): Unit)
             .start()
           try q.processAllAvailable() finally q.stop()
         }
@@ -800,7 +835,7 @@ object StreamQueries {
       }
       val prefix = s"ivfpq_stream_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
-          s"${prefix}_books", s"${prefix}_meta")
+          s"${prefix}_books", s"${prefix}_meta", s"${prefix}_applied")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", prefix,
@@ -814,8 +849,10 @@ object StreamQueries {
             .writeStream
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              Similarity.appendToIvfPqIndex(batch.toDF(), prefix, "vec_id", "embedding"))
+                bid: Long) =>
+              // production append body: batchId-keyed exactly-once
+              Similarity.exactlyOnceAppendToIvfPqIndex(
+                batch.toDF(), prefix, "vec_id", "embedding", bid): Unit)
             .start()
           try q.processAllAvailable() finally q.stop()
         }
@@ -871,7 +908,7 @@ object StreamQueries {
           .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"gram_stream_index_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_grams", s"${prefix}_meta")
+      Seq(s"${prefix}_grams", s"${prefix}_meta", s"${prefix}_applied")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Dedup.writeGramIndex(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
@@ -884,9 +921,10 @@ object StreamQueries {
             .writeStream
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              Dedup.ingestIntoGramIndex(batch.toDF(), "doc_id",
-                CrossHash.tokens(col("text")), prefix))
+                bid: Long) =>
+              // production ingest body: batchId-keyed exactly-once
+              Dedup.exactlyOnceIngestIntoGramIndex(batch.toDF(), "doc_id",
+                CrossHash.tokens(col("text")), prefix, bid): Unit)
             .start()
           try q.processAllAvailable() finally q.stop()
         }
@@ -908,6 +946,35 @@ object StreamQueries {
     // Streaming dedup (dropDuplicatesWithinWatermark on event_id) drained
     // to a sink, then audited: per-type row and distinct-id counts must
     // equal the batch table's (event ids are unique, so dedup is an
+    // Streaming multimodal codec — the codec tier's streaming twin: the
+    // document ids arrive as four micro-batches and the REAL
+    // synthesize→decode pipeline (javax.imageio PNG encode + decode in
+    // the partition iterator) runs INSIDE the streaming micro-batch
+    // execution as a stateless transform (mapPartitions composes with
+    // streaming plans — no foreachBatch escape hatch). The drained
+    // features must hash-match mm_features' arithmetic oracle verbatim:
+    // the codec's lossless-recovery certificate holds under streaming
+    // execution, batch splits lose no clips and duplicate none.
+    "st_mm_features_parity" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = fixtureDir("mmids", d, "documents", "ids4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.select("doc_id").repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(splitDir.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+      val feats = Multimodal.decodeImageFeatures(
+          Multimodal.synthesizePng(stream, "doc_id"))
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("mean_r") + 1e-9, 6).as("mean_r"),
+          round(col("mean_g") + 1e-9, 6).as("mean_g"),
+          round(col("mean_b") + 1e-9, 6).as("mean_b"))
+      drain(feats, "st_mm_features", "append").orderBy("asset_id")
+    }),
+
     // identity pass — the assertion is that streaming state dropped
     // nothing and duplicated nothing).
     "st_dedup_parity" -> ((s, d) => {
@@ -1130,6 +1197,19 @@ object StreamQueries {
     // The batch d_incremental answer (new×index minhash pairs, grouped)
     // plus the pinned-TRUE append certificate — a dropped or double
     // appended batch flips index_ok or changes the pair set.
+    // mm_features' arithmetic raster oracle verbatim — streaming
+    // execution must not change what the codec recovers.
+    "st_mm_features_parity" ->
+      """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 13 + 4) AS w, (doc_id % 11 + 4) AS h
+        |           FROM documents),
+        |px AS (SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM m),
+        |v AS (SELECT asset_id, w, h, p % w AS x, p // w AS y FROM px)
+        |SELECT asset_id, w::INT AS width, h::INT AS height,
+        |       round(avg((asset_id * 37 + x * 11 + y * 17) % 256) + 0.000000001, 6) AS mean_r,
+        |       round(avg((asset_id * 37 + x * 11 + y * 17 + 29) % 256) + 0.000000001, 6) AS mean_g,
+        |       round(avg((asset_id * 37 + x * 11 + y * 17 + 58) % 256) + 0.000000001, 6) AS mean_b
+        |FROM v GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
+
     "st_dedup_index_parity" ->
       s"""WITH ${DedupQueries.MinhashPairsBody},
          |hits AS (

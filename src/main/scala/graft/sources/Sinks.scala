@@ -201,6 +201,62 @@ object Sinks {
     (inFiles.length, parquetFiles(outDir).length)
   }
 
+  /** Append one write-ahead ledger row for [[exactlyOnceBatch]]. Plain
+    * (non-bucketed) parquet catalog table; duplicate rows are harmless
+    * (the reader asks "does a commit row exist", not "how many").
+    */
+  private[graft] def recordLedger(
+      spark: SparkSession,
+      ledgerTable: String,
+      batchId: Long,
+      phase: String): Unit =
+    spark.createDataFrame(Seq((batchId, phase))).toDF("batch_id", "phase")
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(ledgerTable)
+
+  /** The batchId-keyed write-ahead ledger that turns Structured
+    * Streaming's at-least-once `foreachBatch` retries into exactly-once
+    * index STATE — shared by the exactly-once variants of all four
+    * persisted-index ingest verbs. A plain append is retry-unsafe two
+    * ways: a batch redelivered after a successful append double-inserts,
+    * and a crash mid-append leaves a partial batch a blind re-run
+    * duplicates. Both close against the ledger (batch_id, phase):
+    *
+    *  1. a `commit` row for this batchId ⇒ the batch is fully applied —
+    *     skip (returns None; checkpoint-lag redelivery, the common case);
+    *  2. an `intent` row without `commit` ⇒ a prior attempt may have
+    *     died mid-append — run `scrub` (the index family's exact
+    *     deletion verb over the batch's ids; a no-op scrub pays one
+    *     compaction pass) and fall through;
+    *  3. record `intent`, run `apply` (the plain ingest), record
+    *     `commit`, return Some(result).
+    *
+    * Correct because Structured Streaming replays a failed batch with
+    * the SAME batchId and — for deterministic sources — the same rows,
+    * so the scrub removes exactly the partial residue. The happy path
+    * costs two one-row ledger appends; the O(index) deletion rewrite is
+    * paid only on actual crash recovery. Downstream OUTPUT of a skipped
+    * redelivery needs its own idempotency, which is Spark's standard
+    * contract for foreachBatch sinks.
+    */
+  private[graft] def exactlyOnceBatch[T](
+      spark: SparkSession,
+      ledgerTable: String,
+      batchId: Long)(scrub: => Unit)(apply: => T): Option[T] = {
+    val phases: Set[String] =
+      if (spark.catalog.tableExists(ledgerTable))
+        spark.table(ledgerTable).filter(col("batch_id") === batchId)
+          .select("phase").distinct().collect().map(_.getString(0)).toSet
+      else Set.empty
+    if (phases.contains("commit")) None
+    else {
+      if (phases.contains("intent")) scrub
+      recordLedger(spark, ledgerTable, batchId, "intent")
+      val result = apply
+      recordLedger(spark, ledgerTable, batchId, "commit")
+      Some(result)
+    }
+  }
+
   /** In-place compaction (vacuum) of a managed catalog table — the index
     * lifecycle pass the append-maintained bucketed indexes need: per-batch
     * appends accumulate one file per bucket per batch FOREVER (a year of
@@ -246,6 +302,14 @@ object Sinks {
     val before = inFiles.length
     val spec = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    // a rewrite hook must preserve the column SET (it writes back into
+    // the same table), but Spark's USING joins put join keys first — so
+    // an anti-join deletion rewrite would silently reorder a long-lived
+    // index table's schema on every take-down. Re-pin the table's own
+    // column order; a rewrite that dropped or renamed a column fails
+    // loudly here instead of corrupting the table.
+    val origCols = spark.table(table).columns.toSeq
+    def ordered(df: DataFrame): DataFrame = df.select(origCols.map(col): _*)
     val stage = s"${table}__cstage"
     val old = s"${table}__cold"
     Seq(stage, old).foreach(dropManagedTable(spark, _))
@@ -274,7 +338,7 @@ object Sinks {
         pinned.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val cols = s.bucketColumnNames.map(col)
-          val w = rewrite(spark.table(table)).repartition(s.numBuckets, cols: _*)
+          val w = ordered(rewrite(spark.table(table))).repartition(s.numBuckets, cols: _*)
             .write.mode(SaveMode.Overwrite)
             .bucketBy(s.numBuckets, s.bucketColumnNames.head, s.bucketColumnNames.tail: _*)
           val ws = if (s.sortColumnNames.nonEmpty)
@@ -289,7 +353,7 @@ object Sinks {
         val nOut = math.min(
           math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
           Int.MaxValue.toLong).toInt
-        rewrite(spark.table(table)).repartition(nOut)
+        ordered(rewrite(spark.table(table))).repartition(nOut)
           .write.mode(SaveMode.Overwrite)
           .format("parquet").saveAsTable(stage)
     }

@@ -351,6 +351,97 @@ class DedupSimilaritySpec extends SparkSpec {
       s"probe must surface appended vectors as candidates, got $hits")
   }
 
+  test("exactly-once IVF append: redelivery skips, crash-retry scrubs to the clean state") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val seed = corpus.filter(col("vec_id") < 40)
+    val batchA = corpus.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val batchB = corpus.filter(col("vec_id") >= 60)
+    Seq("ivf_eo_spec_lists", "ivf_eo_spec_cents", "ivf_eo_spec_meta",
+        "ivf_eo_spec_applied")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding", "ivf_eo_spec",
+      buckets = 4, nlist = 4, iters = 2)
+    def lists() = spark.table("ivf_eo_spec_lists")
+      .select("cid", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    assert(Similarity.exactlyOnceAppendToIvfIndex(
+      batchA, "ivf_eo_spec", "vec_id", "embedding", 0L).isDefined)
+    val clean = lists()
+    // committed redelivery: skip, listing untouched
+    assert(Similarity.exactlyOnceAppendToIvfIndex(
+      batchA, "ivf_eo_spec", "vec_id", "embedding", 0L).isEmpty)
+    assert(lists() == clean)
+
+    // crash mid-append of batch B: intent in, HALF the rows listed
+    graft.sources.Sinks.recordLedger(spark, "ivf_eo_spec_applied", 1L, "intent")
+    Similarity.appendToIvfIndex(
+      batchB.filter(col("vec_id") % 2 === 0), "ivf_eo_spec", "vec_id", "embedding")
+    assert(Similarity.exactlyOnceAppendToIvfIndex(
+      batchB, "ivf_eo_spec", "vec_id", "embedding", 1L).isDefined)
+    // one row per corpus vector, assignment equal to one-shot listing
+    // under the frozen centroids — no residual duplicates, none missing
+    val expected = Similarity.assignToCentroids(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id", "ce", spark.table("ivf_eo_spec_cents"))
+      .select(col("cid"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    assert(lists() == expected,
+      "crash-retry must land the listing in the clean one-shot state")
+    assert(spark.table("ivf_eo_spec_lists").count() == 80L)
+  }
+
+  test("exactly-once gram ingest: stamped scrub excises a partial append exactly") {
+    val mkDocs = (r: Range, tag: String) => r.map(i =>
+      (i.toLong, s"alpha beta gamma doc$tag$i shared tail words here")).toDF("doc_id", "text")
+    val seed = mkDocs(0 until 4, "s")
+    val batchA = mkDocs(10 until 14, "a")
+    val batchB = mkDocs(20 until 26, "b")
+    Seq("gram_eo_spec_grams", "gram_eo_spec_meta", "gram_eo_spec_applied")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(seed, "doc_id", toks, 3, "gram_eo_spec", buckets = 4)
+    def dfTotals() = spark.table("gram_eo_spec_grams")
+      .groupBy("gram").agg(sum("n_docs").as("df"))
+      .as[(String, Long)].collect().toMap
+
+    assert(Dedup.exactlyOnceIngestIntoGramIndex(
+      batchA, "doc_id", toks, "gram_eo_spec", 0L).isDefined)
+    val clean = dfTotals()
+    assert(Dedup.exactlyOnceIngestIntoGramIndex(
+      batchA, "doc_id", toks, "gram_eo_spec", 0L).isEmpty)
+    assert(dfTotals() == clean, "committed redelivery must not change df totals")
+
+    // crash mid-append of batch B: intent recorded, only HALF the
+    // batch's partial rows landed (stamped batch_id = 1)
+    graft.sources.Sinks.recordLedger(spark, "gram_eo_spec_applied", 1L, "intent")
+    Dedup.ingestIntoGramIndex(
+      mkDocs(20 until 23, "b"), "doc_id", toks, "gram_eo_spec", batchId = 1L)
+    assert(Dedup.exactlyOnceIngestIntoGramIndex(
+      batchB, "doc_id", toks, "gram_eo_spec", 1L).isDefined)
+    // reference: seed + A + B ingested cleanly from scratch
+    Seq("gram_eo2_spec_grams", "gram_eo2_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(seed, "doc_id", toks, 3, "gram_eo2_spec", buckets = 4)
+    Dedup.ingestIntoGramIndex(batchA, "doc_id", toks, "gram_eo2_spec")
+    Dedup.ingestIntoGramIndex(batchB, "doc_id", toks, "gram_eo2_spec")
+    val oneShot = spark.table("gram_eo2_spec_grams")
+      .groupBy("gram").agg(sum("n_docs").as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(dfTotals() == oneShot,
+      "crash-retry must land df totals in the clean one-shot state " +
+        "(a decrement-based scrub would have over-subtracted here)")
+    // -1 sentinel refused: scrubbing it would nuke merged generations
+    intercept[IllegalArgumentException] {
+      Dedup.exactlyOnceIngestIntoGramIndex(
+        batchB, "doc_id", toks, "gram_eo_spec", -1L)
+    }
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close") {
     val sims = Dedup.simhash(docs, "doc_id", CrossHash.wordShingles(toks, 3))
       .as[(Long, Long)].collect().toMap
@@ -413,6 +504,59 @@ class DedupSimilaritySpec extends SparkSpec {
     // appends are cumulative and bucket-aligned: 3 seed + 2 + 1 docs
     assert(spark.table("mh_ingest_spec_sigs").count() == 6L)
     assert(spark.table("mh_ingest_spec_bands").count() == 6L * 8)
+  }
+
+  test("exactly-once minhash ingest: redelivery skips, crash-retry scrubs to the clean state") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
+        .localCheckpoint(true)
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "zebras graze quietly beside the river while herons watch the current"),
+      (11L, "training corpora need dedup before the tokenizer ever sees them"))
+      .toDF("doc_id", "text")
+    def tableState() = Seq("mh_eo_spec_sigs", "mh_eo_spec_bands").map { t =>
+      spark.table(t).collect().map(_.toString).sorted.toSeq
+    }
+    Seq("mh_eo_spec_bands", "mh_eo_spec_sigs", "mh_eo_spec_meta", "mh_eo_spec_applied")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeMinhashIndex(sigsOf(seed), "mh_eo_spec", buckets = 4, k = 16, bands = 8)
+
+    // first delivery applies
+    assert(Dedup.exactlyOnceIngestIntoMinhashIndex(sigsOf(batch), "mh_eo_spec", 7L).isDefined)
+    val clean = tableState()
+    // checkpoint-lag redelivery: committed -> skip, tables byte-identical
+    assert(Dedup.exactlyOnceIngestIntoMinhashIndex(sigsOf(batch), "mh_eo_spec", 7L).isEmpty)
+    assert(tableState() == clean, "redelivery of a committed batch must not touch the index")
+
+    // crash mid-append of batch 8: intent recorded, HALF the rows in, no
+    // commit — the retry must scrub the residue and land exactly the
+    // clean one-shot state
+    val batch8 = Seq(
+      (20L, "some completely independent sentence about catalyst optimizer rules"),
+      (21L, "herons on the riverbank consider the zebra question at length"))
+      .toDF("doc_id", "text")
+    graft.sources.Sinks.recordLedger(spark, "mh_eo_spec_applied", 8L, "intent")
+    Dedup.ingestIntoMinhashIndex(
+      sigsOf(batch8.filter($"doc_id" === 20L)), "mh_eo_spec", 0.5)
+    assert(Dedup.exactlyOnceIngestIntoMinhashIndex(sigsOf(batch8), "mh_eo_spec", 8L).isDefined)
+    val recovered = tableState()
+    // reference: the same batches applied cleanly into a fresh index
+    Seq("mh_eo2_spec_bands", "mh_eo2_spec_sigs", "mh_eo2_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeMinhashIndex(sigsOf(seed), "mh_eo2_spec", buckets = 4, k = 16, bands = 8)
+    Dedup.ingestIntoMinhashIndex(sigsOf(batch), "mh_eo2_spec")
+    Dedup.ingestIntoMinhashIndex(sigsOf(batch8), "mh_eo2_spec")
+    val oneShot = Seq("mh_eo2_spec_sigs", "mh_eo2_spec_bands").map { t =>
+      spark.table(t).collect().map(_.toString).sorted.toSeq
+    }
+    assert(recovered == oneShot,
+      "crash-retry must land the index in the clean one-shot state")
+    // sanity: the scrubbed half did not double-insert
+    assert(spark.table("mh_eo_spec_sigs").count() == 5L)
+    assert(spark.table("mh_eo_spec_bands").count() == 5L * 8)
   }
 
   test("minhash index compaction: fewer files, identical probe pairs") {
@@ -914,6 +1058,66 @@ class DedupSimilaritySpec extends SparkSpec {
     // negative ids break the %-vs-floorMod oracle contract — refuse loudly
     val bad = intercept[org.apache.spark.SparkException] {
       Multimodal.synthesizeWav(Seq(-3L).toDF("doc_id"), "doc_id").collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
+  test("audio decimation: keeps every k-th sample with exact stats over the kept stream") {
+    val ids = Seq(0L, 5L, 300L)
+    val out = Multimodal.decimateAudioFeatures(
+        Multimodal.synthesizeWav(ids.toDF("doc_id"), "doc_id"), factor = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- ids) {
+      val n = Multimodal.wavSamples(id)
+      val vs = (0 until n by 4).map(Multimodal.sampleValue(id, _))
+      val (_, src, kept, sa, sq, zc) = out(id)
+      assert(src == n.toLong, s"clip $id source count")
+      assert(kept == vs.size.toLong, s"clip $id kept count")
+      assert(sa == vs.map(_.toLong).sum && sq == vs.map(v => v.toLong * v).sum,
+        s"clip $id decimated sums")
+      assert(zc == vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)),
+        s"clip $id decimated zero crossings")
+    }
+    // factor 1 degenerates to the plain feature decode
+    val full = Multimodal.decimateAudioFeatures(
+        Multimodal.synthesizeWav(Seq(5L).toDF("doc_id"), "doc_id"), factor = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val base = Multimodal.decodeAudioFeatures(
+        Multimodal.synthesizeWav(Seq(5L).toDF("doc_id"), "doc_id"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert((full._3, full._4, full._5, full._6) == (base._2, base._3, base._4, base._5))
+  }
+
+  test("GIF codec: animated encode->decode recovers every frame's exact pixels") {
+    // ids chosen to vary frame count (id%5+2: 2..6) and geometry
+    val ids = Seq(0L, 3L, 7L, 41L, 258L)
+    val rows = Multimodal.decodeGifFrames(
+        Multimodal.synthesizeGif(ids.toDF("doc_id"), "doc_id"))
+      .as[(Long, Long, Int, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for (id <- ids) {
+      val nf = Multimodal.gifFrames(id)
+      val w = Multimodal.gifWidth(id); val h = Multimodal.gifHeight(id)
+      val got = rows(id)
+      assert(got.size == nf, s"clip $id frame count")
+      for (f <- 0 until nf) {
+        val px = for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.gifPixel(id, f, x, y).toLong
+        val (_, fno, gw, gh, sum, sumSq) = got(f)
+        assert(fno == f.toLong && gw == w && gh == h, s"clip $id frame $f geometry")
+        assert(sum == px.sum, s"clip $id frame $f pixel sum")
+        assert(sumSq == px.map(v => v * v).sum, s"clip $id frame $f energy")
+      }
+    }
+    // consecutive frames must actually differ (the disposal-bug canary
+    // the per-frame 101 stride exists for) — assert the spec's own
+    // premise so a contract edit can't silently weaken the query
+    val perFrame = rows(41L).map(_._5)
+    assert(perFrame.distinct.size == perFrame.size,
+      "frame pixel sums must be pairwise distinct")
+    // negative ids break the %-vs-floorMod oracle contract — refuse loudly
+    val bad = intercept[org.apache.spark.SparkException] {
+      Multimodal.synthesizeGif(Seq(-2L).toDF("doc_id"), "doc_id").collect()
     }
     assert(bad.getMessage != null)
   }
