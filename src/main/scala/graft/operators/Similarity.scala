@@ -699,7 +699,8 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      candidateFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.table(s"${tablePrefix}_meta").head()
     val nlist = metaInt(meta, "nlist", meta.getInt(0))
@@ -707,7 +708,19 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
     val cents = spark.table(s"${tablePrefix}_cents")
-    val listed = spark.table(s"${tablePrefix}_lists")
+    // filtered search: the predicate lands on the LISTS SCAN, i.e. this
+    // is PRE-filtering — ineligible vectors never become candidates, so
+    // top-k is taken among eligible vectors only (post-filtering a
+    // truncated top-k would return < k rows and lose eligible
+    // neighbors). A sargable predicate (comparison/equality/IN on a
+    // column) pushes into the bucketed parquet scan — PushedFilters,
+    // row-group skipping, zero extra shuffle (spec-pinned); computed
+    // predicates still evaluate codegen'd on the scan output BEFORE the
+    // probe join. Production filtered stores denormalize the filterable
+    // attributes into the lists table for exactly this reason. A thinner
+    // eligible density per probed cell costs recall at fixed nprobe —
+    // scale nprobe with selectivity (measured: tools/AnnSweep filtered).
+    val listed = spark.table(s"${tablePrefix}_lists").filter(candidateFilter)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val probes = q.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"),
@@ -742,8 +755,10 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int,
-      nprobe: Int = 4): DataFrame =
-    ivfTopKAgainstIndexPlan(queries, tablePrefix, idCol, embCol, k, nprobe)
+      nprobe: Int = 4,
+      candidateFilter: Column = lit(true)): DataFrame =
+    ivfTopKAgainstIndexPlan(
+        queries, tablePrefix, idCol, embCol, k, nprobe, candidateFilter)
       .localCheckpoint(true)
 
   /** Persisted IVF-PQ index — the production vector-store shape (FAISS

@@ -42,6 +42,22 @@ object SimilarityQueries {
   val IvfNprobe = 6
   val IvfAssign = 2
 
+  /** Filtered-search serving config + recall floor, certified by
+    * `sim_knn_ivf_filtered` (PRE-filtered: the predicate lands on the
+    * lists scan, so top-k is taken among eligible vectors only). A
+    * filter thins the eligible density of every probed cell, so the
+    * probe budget scales up with selectivity — the standard filtered-ANN
+    * practice: at the base nprobe=6 the measured recall vs
+    * brute-force-over-the-filtered-corpus top-3 (selectivity 1/3,
+    * `neighbor_id % 3 = 0`; tools/AnnSweep filtered, 2026-08-14) is
+    * 1.000 / 0.900 / 0.825 at sf0.001 / 0.01 / 0.1; at nprobe=8 it is
+    * 1.000 / 0.933 / 0.925 — matching the unfiltered certificate's
+    * grade at 1/3 the scanned eligible candidates. Floor 0.075 under
+    * the worst measured point, same policy as the sibling floors.
+    */
+  val IvfFilteredNprobe = 8
+  val IvfFilteredRecallFloor = 0.85
+
   /** Corpus-level recall floor certified by `sim_knn_pq` (PQ-ADC with
     * m=16 subspaces × 16 codes, shortlist 128, exact re-rank): measured
     * recall vs brute-force top-3 is 1.000 / 1.000 / 0.925 at sf0.001 /
@@ -253,6 +269,42 @@ object SimilarityQueries {
           (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
             / count(lit(1)).over(all)) >= IvfRecallFloor)
         .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok")
+        .orderBy("query_id", "rank")
+    }),
+
+    // FILTERED vector search — the serving feature real stores need
+    // (top-k among vectors satisfying a metadata predicate): the
+    // predicate PRE-filters the lists scan, so ineligible vectors never
+    // become candidates and the top-k is taken among eligibles only
+    // (this modulo predicate evaluates codegen'd on the scan output
+    // before the probe join; a sargable one additionally pushes into
+    // the parquet read — spec-pinned). Post-filtering a truncated
+    // top-k would lose eligible neighbors — this query's oracle (brute
+    // force over the FILTERED corpus) catches exactly that bug: a
+    // post-filter implementation returns fewer/different rows and
+    // hash-mismatches. Probe budget scales with selectivity (nprobe
+    // 6→8, see IvfFilteredNprobe). Emitted rows are the exact filtered
+    // brute-force top-3; the probe contributes the recall certificate.
+    "sim_knn_ivf_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivf_filt_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = IvfFilteredNprobe,
+          candidateFilter = col("neighbor_id") % 3 === 0)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(
+        q, e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("filtered_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfFilteredRecallFloor)
+        .select("query_id", "rank", "neighbor_id", "cos", "filtered_recall_ok")
         .orderBy("query_id", "rank")
     }),
 
@@ -630,6 +682,22 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute force over the FILTERED corpus — pre-filter semantics: the
+    // exact top-3 among eligible (vec_id % 3 = 0) vectors per query.
+    "sim_knn_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |f AS (SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN f ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS filtered_recall_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Brute-force top-3 over the surviving corpus (every 7th vector

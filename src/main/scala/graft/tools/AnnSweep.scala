@@ -74,6 +74,36 @@ object AnnSweep {
       spark.stop()
       return
     }
+    if (args.headOption.contains("filtered")) {
+      // recall of PRE-filtered search vs brute force over the filtered
+      // corpus, per SF at the serving config — the numbers behind
+      // SimilarityQueries.IvfFilteredRecallFloor
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val d = s"/root/testdata/$sf"
+        val e = Tables.load(spark, d, "embeddings").localCheckpoint(true)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val brute = Similarity.bruteForceTopK(
+            q, e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 3)
+          .localCheckpoint(true)
+        val total = brute.count()
+        val p = "annsweep_filt"
+        Seq(s"${p}_lists", s"${p}_cents", s"${p}_meta")
+          .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", p,
+          buckets = 8, nlist = 16, iters = 3, assign = 2)
+        for (nprobe <- Seq(6, 8, 10)) {
+          val ivf = Similarity.ivfTopKAgainstIndex(q, p, "vec_id", "embedding",
+            k = 3, nprobe = nprobe,
+            candidateFilter = col("neighbor_id") % 3 === 0)
+          val hits = brute.join(ivf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi").count()
+          println(f"FILTERED sf=$sf nprobe=$nprobe%2d " +
+            f"recall=${hits.toDouble / total}%.3f ($hits/$total)")
+        }
+      }
+      spark.stop()
+      return
+    }
     val sfs = if (args.nonEmpty) args.toSeq else Seq("sf0.01", "sf0.1")
     for (sf <- sfs) {
       val d = s"/root/testdata/$sf"

@@ -351,6 +351,43 @@ class DedupSimilaritySpec extends SparkSpec {
       s"probe must surface appended vectors as candidates, got $hits")
   }
 
+  test("filtered IVF probe: pre-filter semantics exact under exhaustive probing, sargable push") {
+    val corpus = (0 until 60).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    Seq("ivf_flt_spec_lists", "ivf_flt_spec_cents", "ivf_flt_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", "ivf_flt_spec",
+      buckets = 4, nlist = 4, iters = 2)
+    val q = corpus.filter(col("vec_id") < 3)
+    // nprobe = nlist probes every cell, so the filtered result must be
+    // EXACTLY brute force over the filtered corpus — pre-filter
+    // semantics with no approximation left to hide behind
+    val got = Similarity.ivfTopKAgainstIndex(q, "ivf_flt_spec",
+        "vec_id", "embedding", k = 3, nprobe = 4,
+        candidateFilter = col("neighbor_id") % 3 === 0)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(
+        q, corpus.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "exhaustive filtered probe must equal filtered brute force")
+    assert(got.forall(_._3 % 3 == 0), "no ineligible neighbor may surface")
+    // a SARGABLE predicate must reach the lists parquet scan
+    val p = Similarity.ivfTopKAgainstIndexPlan(q, "ivf_flt_spec",
+        "vec_id", "embedding", k = 3, nprobe = 4,
+        candidateFilter = col("neighbor_id") <= 40)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThanOrEqual(neighbor_id,40)"),
+      s"sargable candidate filter not pushed into the lists scan:\n$p")
+  }
+
   test("exactly-once IVF append: redelivery skips, crash-retry scrubs to the clean state") {
     val corpus = (0 until 80).map { i =>
       val base = i % 4
