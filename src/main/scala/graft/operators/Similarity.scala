@@ -1017,7 +1017,8 @@ object Similarity {
       embCol: String,
       k: Int,
       nprobe: Int = 4,
-      shortlist: Int = 128): DataFrame = {
+      shortlist: Int = 128,
+      candidateFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     // by-name meta reads — see appendToIvfPqIndex
     val meta = spark.table(s"${tablePrefix}_meta").head()
@@ -1032,7 +1033,12 @@ object Similarity {
       books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
     }
     val cents = spark.table(s"${tablePrefix}_cents")
-    val codes = spark.table(s"${tablePrefix}_codes")
+    // filtered search: the predicate PRE-filters the codes scan — same
+    // semantics and rationale as ivfTopKAgainstIndexPlan. Ineligible
+    // vectors never enter the ADC scoring, the shortlist holds eligible
+    // candidates only, and the re-rank join on `_vecs` can only ever
+    // see eligible ids (it joins back the shortlist).
+    val codes = spark.table(s"${tablePrefix}_codes").filter(candidateFilter)
     val vecs = spark.table(s"${tablePrefix}_vecs")
 
     val q0 = queries.select(col(idCol).as("query_id"),
@@ -1102,7 +1108,9 @@ object Similarity {
       embCol: String,
       k: Int,
       nprobe: Int = 4,
-      shortlist: Int = 128): DataFrame =
-    ivfPqTopKAgainstIndexPlan(queries, tablePrefix, idCol, embCol, k, nprobe, shortlist)
+      shortlist: Int = 128,
+      candidateFilter: Column = lit(true)): DataFrame =
+    ivfPqTopKAgainstIndexPlan(
+        queries, tablePrefix, idCol, embCol, k, nprobe, shortlist, candidateFilter)
       .localCheckpoint(true)
 }

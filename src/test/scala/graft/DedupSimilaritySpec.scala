@@ -388,6 +388,37 @@ class DedupSimilaritySpec extends SparkSpec {
       s"sargable candidate filter not pushed into the lists scan:\n$p")
   }
 
+  test("filtered IVF-PQ probe: exhaustive probe + full shortlist equals filtered brute force") {
+    val corpus = (0 until 60).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    Seq("ivfpq_flt_spec_codes", "ivfpq_flt_spec_vecs", "ivfpq_flt_spec_cents",
+        "ivfpq_flt_spec_books", "ivfpq_flt_spec_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", "ivfpq_flt_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 8)
+    val q = corpus.filter(col("vec_id") < 3)
+    // nprobe = nlist and shortlist >= |eligible| leave no approximation:
+    // the exact re-rank must reproduce filtered brute force verbatim
+    val got = Similarity.ivfPqTopKAgainstIndex(q, "ivfpq_flt_spec",
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 60,
+        candidateFilter = col("neighbor_id") % 3 === 0)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(
+        q, corpus.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      "exhaustive filtered IVF-PQ probe must equal filtered brute force")
+    assert(got.forall(_._3 % 3 == 0), "no ineligible neighbor may surface")
+  }
+
   test("exactly-once IVF append: redelivery skips, crash-retry scrubs to the clean state") {
     val corpus = (0 until 80).map { i =>
       val base = i % 4
