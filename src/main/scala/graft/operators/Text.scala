@@ -335,6 +335,50 @@ object Text {
           / sum("tf")) + 1e-9, 4).as("nll"))
   }
 
+  /** Per-document bigram language-model NLL with add-one smoothing —
+    * the next step up from [[unigramNll]] on the KenLM ladder and the
+    * stronger fluency/perplexity signal quality pipelines gate on (word
+    * salad scores near the unigram NLL but far above the bigram one;
+    * boilerplate scores far below both):
+    *
+    *   P(b | a) = (c(a,b) + 1) / (c(a) + V)
+    *
+    * where c(a,b) are corpus bigram counts, c(a) = Σ_b c(a,b) is the
+    * PREDECESSOR count (self-consistent with the bigram table — doc-final
+    * tokens don't condition anything), and V is the distinct-unigram
+    * vocabulary (the add-one denominator mass). Per doc: mean −ln P over
+    * its bigrams; documents with < 2 tokens have no bigrams and emit no
+    * row (nothing to score).
+    *
+    * Shape: one bigram explode (index-zip, no self-join) → per-doc tf →
+    * corpus counts by re-aggregation (never a second corpus scan) →
+    * joins on (a, b)/(a) → decimal-summed fold, same cross-engine
+    * determinism recipe as [[unigramNll]]. V and nothing else
+    * broadcasts; all joins key on bigram/unigram terms — plain hash
+    * shuffles at any corpus size.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), toks.as("tk"))
+    val bi = t.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+          element_at(col("tk"), i + 2).as("b")))).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bi.groupBy("id", "a", "b").agg(count(lit(1)).as("tf"))
+    val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val v = t.select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
+    tf.join(cab, Seq("a", "b")).join(ca, Seq("a")).crossJoin(broadcast(v))
+      .withColumn("contrib",
+        col("tf").cast("double")
+          * -log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
+          / sum("tf")) + 1e-9, 4).as("nll"))
+  }
+
   /** Boilerplate-gram coverage — the df-ranked blocklist form of CCNet/
     * RefinedWeb boilerplate removal, adapted to corpora without line
     * structure: the `topK` word-n-grams by document frequency (ties broken

@@ -211,6 +211,14 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Bigram LM NLL (add-one smoothing): P(b|a) = (c(a,b)+1)/(c(a)+V),
+    // mean -ln P per document — the fluency signal one step up the
+    // KenLM ladder from tx_unigram_nll.
+    "tx_bigram_nll" -> ((s, d) =>
+      Text.bigramNll(docs(s, d), "doc_id", toks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -732,6 +740,28 @@ object TextQueries {
            |    tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
            |  FROM tf JOIN cf USING (term) CROSS JOIN tot)
            |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Mirrors Text.bigramNll: c(a) is the PREDECESSOR sum over the
+      // bigram table, V the distinct-unigram vocabulary; docs with < 2
+      // tokens emit no row.
+      "tx_bigram_nll" ->
+        s"""$toksCte,
+           |bi AS (
+           |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+           |  FROM t, unnest(range(1, len(toks))) AS u(i)
+           |  WHERE len(toks) >= 2),
+           |tf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+           |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM tf GROUP BY a, b),
+           |ca AS (SELECT a, sum(cab)::BIGINT AS ca FROM cab GROUP BY a),
+           |v AS (SELECT count(DISTINCT term)::BIGINT AS v
+           |      FROM (SELECT unnest(toks) AS term FROM t)),
+           |c AS (
+           |  SELECT doc_id, tf,
+           |    tf::DOUBLE * -ln((cab + 1)::DOUBLE / (ca + v)::DOUBLE) AS contrib
+           |  FROM tf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
            |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -324,6 +324,42 @@ object ScaleBench {
     }
   }
 
+  /** Second scale decade for the minhash/CC family — the round-8 x100
+    * batch covered the gram family and ANN; this one turns the
+    * dedup-family 10× exponent ceilings (≤0.43) into two-point
+    * estimates for signing+banding (`d_minhash_lsh`) and star-CC over
+    * the banded pairs (`d_clusters_star`, which reuses the suite's
+    * shared pair-edge memo so its number is the CC increment). The
+    * x100 corpus rewrites every 5th token copy-unique, so cross-copy
+    * Jaccard sits far below the 0.7 threshold and the planted pair
+    * mass scales linearly with the corpus — band-bucket structure, not
+    * pair structure, is what's being stressed.
+    */
+  private def runX100Mh(
+      spark: SparkSession, src: String, scale10: String, scale100: String): Unit = {
+    synthesizeScale100(spark, src, scale100)
+    val fam = Seq("d_minhash_lsh", "d_clusters_star")
+    fam.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    def timeSuite(dir: String): Map[String, (Double, Long)] =
+      fam.map { n =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        n -> (((System.nanoTime() - t0) / 1e9, rows))
+      }.toMap
+    val m1 = timeSuite(src); val m10 = timeSuite(scale10); val m100 = timeSuite(scale100)
+    println(f"${"query"}%-18s ${"x1 s"}%7s ${"x10 s"}%7s ${"x100 s"}%7s " +
+      f"${"e(1-10)"}%8s ${"e(10-100)"}%9s ${"x100 rows"}%10s")
+    fam.foreach { n =>
+      val (t1, _) = m1(n); val (t10, _) = m10(n); val (t100, r100) = m100(n)
+      println(f"$n%-18s $t1%7.2f $t10%7.2f $t100%7.2f " +
+        f"${math.log10(t10 / t1)}%8.2f ${math.log10(t100 / t10)}%9.2f $r100%10d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -416,6 +452,12 @@ object ScaleBench {
     if (which == "x100") {
       val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
       runX100(spark, src, scaleDir, scale100)
+      spark.stop()
+      return
+    }
+    if (which == "x100mh") {
+      val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
+      runX100Mh(spark, src, scaleDir, scale100)
       spark.stop()
       return
     }

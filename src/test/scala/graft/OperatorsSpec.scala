@@ -235,6 +235,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.2629)))
   }
 
+  test("Text.bigramNll: hand-computed add-one bigram LM; sub-2-token docs emit no row") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    // bigrams: doc1 = (a,b)x2 + (b,a); doc2 = (a,b)  =>  c(a,b)=3, c(b,a)=1
+    // predecessor counts: c(a)=3, c(b)=1; vocab V = {a,b,x} = 3
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(1+3) = 1/2
+    val out = Text.bigramNll(docs, "doc_id", CrossHash.tokens(col("text")))
+      .select("id", "n_bigrams", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val d1 = (2 * -math.log(2.0 / 3) + -math.log(0.5)) / 3
+    assert(out(1L) == ((3L, BigDecimal(d1 + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == ((1L, BigDecimal(-math.log(2.0 / 3) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!out.contains(3L), "a one-token doc has no bigrams and no row")
+  }
+
   test("Text.boilerplateCoverage: top-K df blocklist with lexicographic ties") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
