@@ -445,6 +445,77 @@ object Similarity {
   private def metaInt(meta: org.apache.spark.sql.Row, name: String, default: => Int): Int =
     if (meta.schema.fieldNames.contains(name)) meta.getAs[Int](name) else default
 
+  /** Resolve the ACTIVE generation of a rebuildable IVF index (see
+    * [[rebuildIvfIndex]]): a `<prefix>_current` pointer table names the
+    * live generation (`<prefix>_g<N>`); without one, fall back to the
+    * newest COMPLETE generation (`_meta` is written last in
+    * [[writeIvfIndex]], so its presence marks completeness — a
+    * mid-build generation never resolves), else the bare prefix (every
+    * index built before rebuilds existed). Every family verb resolves
+    * through here, so probes/appends/deletes/compaction all follow a
+    * cutover without call-site changes.
+    */
+  private def activeIvfPrefix(
+      spark: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    if (spark.catalog.tableExists(s"${prefix}_current"))
+      s"${prefix}_g${spark.table(s"${prefix}_current").head().getLong(0)}"
+    else if (spark.catalog.tableExists(s"${prefix}_meta"))
+      prefix // never-rebuilt index: two cheap existence checks, no listing
+    else {
+      // crash-window recovery only (pointer lost mid-flip): newest
+      // complete generation by catalog listing
+      val pat = (java.util.regex.Pattern.quote(prefix.toLowerCase) + "_g(\\d+)_meta").r
+      val gens = spark.sessionState.catalog.listTables("default")
+        .map(_.table.toLowerCase).collect { case pat(g) => g.toLong }
+      if (gens.isEmpty) prefix else s"${prefix}_g${gens.max}"
+    }
+  }
+
+  /** Retrain-and-cutover (blue/green rebuild) of a persisted IVF index —
+    * the lifecycle verb for quantizer drift: appends keep the frozen
+    * quantizer ([[appendToIvfIndex]]), and when drift warrants, the
+    * index REBUILDS from the current corpus with fresh centroids (and
+    * possibly new nlist — production grows it ~√N) WITHOUT a serving
+    * gap. The new generation builds alongside the live one under
+    * `<prefix>_g<N+1>`; the cutover is one small-table overwrite of the
+    * `<prefix>_current` pointer, after which every verb resolves to the
+    * new generation ([[activeIvfPrefix]]); the retired generation drops
+    * last. Crash windows: before the pointer flip probes serve the OLD
+    * index untouched (bare `_meta` wins the resolve when no pointer
+    * exists); a mid-build crash leaves a metaless generation nothing
+    * resolves to; a pointer lost mid-overwrite recovers to the newest
+    * COMPLETE generation via the catalog-listing fallback; a crash
+    * after the flip leaves the retired generation's tables orphaned —
+    * garbage, never served. Returns the new generation number.
+    */
+  def rebuildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      nlist: Int = 16,
+      iters: Int = 3,
+      assign: Int = 1): Long = {
+    val spark = corpus.sparkSession
+    val cur =
+      if (spark.catalog.tableExists(s"${tablePrefix}_current"))
+        spark.table(s"${tablePrefix}_current").head().getLong(0)
+      else 0L
+    val next = cur + 1
+    val g = s"${tablePrefix}_g$next"
+    Seq("_lists", "_cents", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$g$sfx"))
+    writeIvfIndex(corpus, idCol, embCol, g, buckets, nlist, iters, assign)
+    spark.createDataFrame(Seq(Tuple1(next))).toDF("gen")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_current")
+    val oldPrefix = if (cur == 0) tablePrefix else s"${tablePrefix}_g$cur"
+    Seq("_lists", "_cents", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$oldPrefix$sfx"))
+    next
+  }
+
   /** Append new vectors to a persisted IVF index (see [[writeIvfIndex]])
     * under the FROZEN quantizer — the standard production maintenance
     * split: inverted lists grow online per ingest batch, centroids
@@ -463,10 +534,11 @@ object Similarity {
       idCol: String,
       embCol: String): Unit = {
     val spark = newVecs.sparkSession
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val tp = activeIvfPrefix(spark, tablePrefix)
+    val meta = spark.table(s"${tp}_meta").head()
     val buckets = metaInt(meta, "buckets", meta.getInt(2))
     val assign = metaInt(meta, "assign", 1)
-    val cents = spark.table(s"${tablePrefix}_cents")
+    val cents = spark.table(s"${tp}_cents")
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .localCheckpoint(true) // consumed by assignment AND the listed join
     // wrong-width OR NULL vectors would assign on null-padded distances
@@ -482,7 +554,7 @@ object Similarity {
       .select(col("cid"), col("neighbor_id"), col("ce"))
     listed.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").saveAsTable(s"${tablePrefix}_lists")
+      .format("parquet").saveAsTable(s"${tp}_lists")
   }
 
   /** Product-quantization codebooks: the embedding is split into `m`
@@ -702,12 +774,13 @@ object Similarity {
       nprobe: Int = 4,
       candidateFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val tp = activeIvfPrefix(spark, tablePrefix)
+    val meta = spark.table(s"${tp}_meta").head()
     val nlist = metaInt(meta, "nlist", meta.getInt(0))
     val assign = metaInt(meta, "assign", 1)
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe=$nprobe outside [1, nlist=$nlist] of index '$tablePrefix'")
-    val cents = spark.table(s"${tablePrefix}_cents")
+    val cents = spark.table(s"${tp}_cents")
     // filtered search: the predicate lands on the LISTS SCAN, i.e. this
     // is PRE-filtering — ineligible vectors never become candidates, so
     // top-k is taken among eligible vectors only (post-filtering a
@@ -720,7 +793,7 @@ object Similarity {
     // attributes into the lists table for exactly this reason. A thinner
     // eligible density per probed cell costs recall at fixed nprobe —
     // scale nprobe with selectivity (measured: tools/AnnSweep filtered).
-    val listed = spark.table(s"${tablePrefix}_lists").filter(candidateFilter)
+    val listed = spark.table(s"${tp}_lists").filter(candidateFilter)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val probes = q.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"),
@@ -910,7 +983,8 @@ object Similarity {
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Int, Int) =
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_lists")
+    graft.sources.Sinks.compactTable(spark,
+      s"${activeIvfPrefix(spark, tablePrefix)}_lists")
 
   /** Vacuum a persisted IVF-PQ index (see [[writeIvfPqIndex]] /
     * [[appendToIvfPqIndex]]): rewrites the bucketed `_codes` back to one
@@ -937,7 +1011,8 @@ object Similarity {
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id").as("neighbor_id"))
       .distinct().localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_lists",
+    graft.sources.Sinks.compactTable(spark,
+      s"${activeIvfPrefix(spark, tablePrefix)}_lists",
       _.join(del, Seq("neighbor_id"), "left_anti"))
   }
 

@@ -272,6 +272,43 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrain-and-cutover (blue/green rebuild): the index first serves a
+    // STALE generation (60% of the corpus, coarse nlist=8), then
+    // rebuildIvfIndex retrains on the full corpus at the serving config
+    // and flips the <prefix>_current pointer — one small-table overwrite,
+    // no serving gap. The post-cutover probe must certify serving-grade
+    // recall against the FULL corpus (impossible through the stale
+    // generation: 40% of brute-force neighbors don't exist in it), and
+    // the certificate additionally pins gen=1 + the retired generation's
+    // tables dropped. Emitted rows are brute-force top-3 over the full
+    // corpus — the same oracle as sim_knn_ivf_indexed.
+    "sim_knn_ivf_rebuild" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivf_rb_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta",
+          s"${prefix}_current",
+          s"${prefix}_g1_lists", s"${prefix}_g1_cents", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 8, iters = 2)
+      val gen = Similarity.rebuildIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      val retired = !s.catalog.tableExists(s"${prefix}_lists")
+      val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rebuild_ok",
+          ((sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfRecallFloor)
+            && lit(gen == 1L && retired))
+        .select("query_id", "rank", "neighbor_id", "cos", "rebuild_ok")
+        .orderBy("query_id", "rank")
+    }),
+
     // FILTERED vector search — the serving feature real stores need
     // (top-k among vectors satisfying a metadata predicate): the
     // predicate PRE-filters the lists scan, so ineligible vectors never
@@ -682,6 +719,21 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // The full-corpus brute force — the post-cutover index must reach
+    // serving recall against it, which the stale 60% generation cannot.
+    "sim_knn_ivf_rebuild" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS rebuild_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Brute force over the FILTERED corpus — pre-filter semantics: the

@@ -351,6 +351,62 @@ class DedupSimilaritySpec extends SparkSpec {
       s"probe must surface appended vectors as candidates, got $hits")
   }
 
+  test("IVF rebuild cutover: probes follow the pointer; pre-flip windows serve the old index") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val q = corpus.filter(col("vec_id") < 3)
+    def probe() = Similarity.ivfTopKAgainstIndex(q, "ivf_rb_spec",
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val allTables = Seq("ivf_rb_spec_lists", "ivf_rb_spec_cents", "ivf_rb_spec_meta",
+      "ivf_rb_spec_current",
+      "ivf_rb_spec_g1_lists", "ivf_rb_spec_g1_cents", "ivf_rb_spec_g1_meta",
+      "ivf_rb_spec_g2_lists", "ivf_rb_spec_g2_cents", "ivf_rb_spec_g2_meta")
+    allTables.foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfIndex(corpus.filter(col("vec_id") < 60),
+      "vec_id", "embedding", "ivf_rb_spec", buckets = 4, nlist = 4, iters = 2)
+    val before = probe()
+
+    // pre-flip window: a COMPLETE but unflipped new generation must not
+    // serve while the bare index exists — simulate by building g1
+    // directly without touching the pointer
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", "ivf_rb_spec_g1",
+      buckets = 4, nlist = 8, iters = 2)
+    assert(probe() == before,
+      "probes must keep serving the old index until the pointer flips")
+    Seq("ivf_rb_spec_g1_lists", "ivf_rb_spec_g1_cents", "ivf_rb_spec_g1_meta")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+
+    // real rebuild: full corpus, more cells — probes follow, bare is gone
+    val gen = Similarity.rebuildIvfIndex(corpus, "vec_id", "embedding",
+      "ivf_rb_spec", buckets = 4, nlist = 8, iters = 2)
+    assert(gen == 1L)
+    assert(!spark.catalog.tableExists("ivf_rb_spec_lists"),
+      "the retired bare generation must be dropped")
+    val after = probe()
+    // the rebuilt index holds the FULL corpus: ids >= 60 are reachable
+    val wide = Similarity.ivfTopKAgainstIndex(q, "ivf_rb_spec",
+        "vec_id", "embedding", k = 30, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(wide.exists(_ >= 60L), "rebuilt index must serve the refreshed corpus")
+    // appends and deletes resolve through the pointer too
+    Similarity.deleteFromIvfIndex(spark, "ivf_rb_spec",
+      corpus.filter(col("vec_id") >= 60).select(col("vec_id").as("id")))
+    assert(spark.table("ivf_rb_spec_g1_lists").count() == 60L)
+    // second rebuild increments the generation and retires g1
+    assert(Similarity.rebuildIvfIndex(corpus, "vec_id", "embedding",
+      "ivf_rb_spec", buckets = 4, nlist = 4, iters = 2) == 2L)
+    assert(!spark.catalog.tableExists("ivf_rb_spec_g1_lists"))
+    assert(probe().nonEmpty && after.nonEmpty)
+  }
+
   test("filtered IVF probe: pre-filter semantics exact under exhaustive probing, sargable push") {
     val corpus = (0 until 60).map { i =>
       val base = i % 4
