@@ -445,15 +445,16 @@ object Similarity {
   private def metaInt(meta: org.apache.spark.sql.Row, name: String, default: => Int): Int =
     if (meta.schema.fieldNames.contains(name)) meta.getAs[Int](name) else default
 
-  /** Resolve the ACTIVE generation of a rebuildable IVF index (see
-    * [[rebuildIvfIndex]]): a `<prefix>_current` pointer table names the
-    * live generation (`<prefix>_g<N>`); without one, fall back to the
-    * newest COMPLETE generation (`_meta` is written last in
-    * [[writeIvfIndex]], so its presence marks completeness — a
-    * mid-build generation never resolves), else the bare prefix (every
-    * index built before rebuilds existed). Every family verb resolves
-    * through here, so probes/appends/deletes/compaction all follow a
-    * cutover without call-site changes.
+  /** Resolve the ACTIVE generation of a rebuildable index (see
+    * [[rebuildIvfIndex]] / [[rebuildIvfPqIndex]]): a `<prefix>_current`
+    * pointer table names the live generation (`<prefix>_g<N>`); without
+    * one, fall back to the bare prefix when its `_meta` exists (every
+    * index built before rebuilds existed — two cheap existence checks,
+    * the common case), else the newest COMPLETE generation (`_meta` is
+    * written LAST by both builders, so its presence marks completeness —
+    * a mid-build generation never resolves; crash-recovery only). Every
+    * family verb resolves through here, so probes/appends/deletes/
+    * compaction all follow a cutover without call-site changes.
     */
   private def activeIvfPrefix(
       spark: org.apache.spark.sql.SparkSession, prefix: String): String = {
@@ -496,23 +497,58 @@ object Similarity {
       buckets: Int,
       nlist: Int = 16,
       iters: Int = 3,
-      assign: Int = 1): Long = {
-    val spark = corpus.sparkSession
+      assign: Int = 1): Long =
+    rebuildCutover(corpus.sparkSession, tablePrefix,
+      Seq("_lists", "_cents", "_meta")) { g =>
+      writeIvfIndex(corpus, idCol, embCol, g, buckets, nlist, iters, assign)
+    }
+
+  /** Retrain-and-cutover for the persisted IVF-PQ index — identical
+    * blue/green contract to [[rebuildIvfIndex]] (same pointer, same
+    * resolve, same crash windows), retraining BOTH quantizer tiers
+    * (coarse centroids and PQ codebooks) and re-coding the corpus in
+    * the staged generation. Returns the new generation number.
+    */
+  def rebuildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      nlist: Int = 16,
+      nlistIters: Int = 3,
+      m: Int = 16,
+      ks: Int = 16,
+      iters: Int = 2,
+      dims: Int = 64,
+      assign: Int = 1): Long =
+    rebuildCutover(corpus.sparkSession, tablePrefix,
+      Seq("_codes", "_vecs", "_cents", "_books", "_meta")) { g =>
+      writeIvfPqIndex(corpus, idCol, embCol, g, buckets, nlist, nlistIters,
+        m, ks, iters, dims, assign)
+    }
+
+  /** The shared stage → pointer-flip → retire flow behind both rebuild
+    * verbs; `build` writes a complete index under the staged generation
+    * prefix it is given (its `_meta` last).
+    */
+  private def rebuildCutover(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      suffixes: Seq[String])(build: String => Unit): Long = {
     val cur =
       if (spark.catalog.tableExists(s"${tablePrefix}_current"))
         spark.table(s"${tablePrefix}_current").head().getLong(0)
       else 0L
     val next = cur + 1
     val g = s"${tablePrefix}_g$next"
-    Seq("_lists", "_cents", "_meta")
-      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$g$sfx"))
-    writeIvfIndex(corpus, idCol, embCol, g, buckets, nlist, iters, assign)
+    suffixes.foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$g$sfx"))
+    build(g)
     spark.createDataFrame(Seq(Tuple1(next))).toDF("gen")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tablePrefix}_current")
     val oldPrefix = if (cur == 0) tablePrefix else s"${tablePrefix}_g$cur"
-    Seq("_lists", "_cents", "_meta")
-      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$oldPrefix$sfx"))
+    suffixes.foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$oldPrefix$sfx"))
     next
   }
 
@@ -934,18 +970,19 @@ object Similarity {
       idCol: String,
       embCol: String): Unit = {
     val spark = newVecs.sparkSession
+    val tp = activeIvfPrefix(spark, tablePrefix)
     // meta fields read by NAME: an ordinal read would silently swap
     // m/ks/subDim if the meta schema ever reordered — poisoned appends
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = spark.table(s"${tp}_meta").head()
     val (m, ks, subDim, buckets) =
       (metaInt(meta, "m", meta.getInt(1)), metaInt(meta, "ks", meta.getInt(2)),
         metaInt(meta, "subDim", meta.getInt(3)), metaInt(meta, "buckets", meta.getInt(4)))
     val assign = metaInt(meta, "assign", 1)
     val books = Array.fill(m, ks)(Array.empty[Double])
-    spark.table(s"${tablePrefix}_books").collect().foreach { r =>
+    spark.table(s"${tp}_books").collect().foreach { r =>
       books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
     }
-    val cents = spark.table(s"${tablePrefix}_cents")
+    val cents = spark.table(s"${tp}_cents")
     val c = newVecs.select(col(idCol).as("neighbor_id"),
         col(embCol).cast("array<double>").as("ce"))
       .localCheckpoint(true) // consumed by encode, assignment, and _vecs
@@ -967,10 +1004,10 @@ object Similarity {
       .select(col("cid"), col("neighbor_id"), col("codes"), col("cn2a"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").saveAsTable(s"${tablePrefix}_codes")
+      .format("parquet").saveAsTable(s"${tp}_codes")
     c.select(col("neighbor_id"), col("ce"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(s"${tablePrefix}_vecs")
+      .format("parquet").saveAsTable(s"${tp}_vecs")
   }
 
   /** Vacuum a persisted IVF index (see [[writeIvfIndex]] /
@@ -995,8 +1032,11 @@ object Similarity {
   def compactIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): ((Int, Int), (Int, Int)) =
-    (graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_codes"),
-      graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_vecs"))
+    {
+    val tp = activeIvfPrefix(spark, tablePrefix)
+    (graft.sources.Sinks.compactTable(spark, s"${tp}_codes"),
+      graft.sources.Sinks.compactTable(spark, s"${tp}_vecs"))
+  }
 
   /** Delete vectors from a persisted IVF index (see [[writeIvfIndex]]):
     * drops their inverted-list rows via an anti-join rewrite riding the
@@ -1027,9 +1067,10 @@ object Similarity {
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id").as("neighbor_id"))
       .distinct().localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_codes",
+    val tp = activeIvfPrefix(spark, tablePrefix)
+    graft.sources.Sinks.compactTable(spark, s"${tp}_codes",
       _.join(del, Seq("neighbor_id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_vecs",
+    graft.sources.Sinks.compactTable(spark, s"${tp}_vecs",
       _.join(del, Seq("neighbor_id"), "left_anti"))
   }
 
@@ -1095,8 +1136,9 @@ object Similarity {
       shortlist: Int = 128,
       candidateFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
+    val tp = activeIvfPrefix(spark, tablePrefix)
     // by-name meta reads — see appendToIvfPqIndex
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = spark.table(s"${tp}_meta").head()
     val (nlist, m, subDim) = (metaInt(meta, "nlist", meta.getInt(0)),
       metaInt(meta, "m", meta.getInt(1)), metaInt(meta, "subDim", meta.getInt(3)))
     require(nprobe >= 1 && nprobe <= nlist,
@@ -1104,17 +1146,17 @@ object Similarity {
     val ks = metaInt(meta, "ks", meta.getInt(2))
     val assign = metaInt(meta, "assign", 1)
     val books = Array.fill(m, ks)(Array.empty[Double])
-    spark.table(s"${tablePrefix}_books").collect().foreach { r =>
+    spark.table(s"${tp}_books").collect().foreach { r =>
       books(r.getInt(0))(r.getLong(1).toInt - 1) = r.getSeq[Double](2).toArray
     }
-    val cents = spark.table(s"${tablePrefix}_cents")
+    val cents = spark.table(s"${tp}_cents")
     // filtered search: the predicate PRE-filters the codes scan — same
     // semantics and rationale as ivfTopKAgainstIndexPlan. Ineligible
     // vectors never enter the ADC scoring, the shortlist holds eligible
     // candidates only, and the re-rank join on `_vecs` can only ever
     // see eligible ids (it joins back the shortlist).
-    val codes = spark.table(s"${tablePrefix}_codes").filter(candidateFilter)
-    val vecs = spark.table(s"${tablePrefix}_vecs")
+    val codes = spark.table(s"${tp}_codes").filter(candidateFilter)
+    val vecs = spark.table(s"${tp}_vecs")
 
     val q0 = queries.select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("qe"))

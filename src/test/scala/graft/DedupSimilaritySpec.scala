@@ -407,6 +407,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe().nonEmpty && after.nonEmpty)
   }
 
+  test("IVF-PQ rebuild cutover: probes follow the pointer, retired generation dropped") {
+    val corpus = (0 until 80).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == base) 9.0f else 0.2f) + (i * 5 % 11) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val sfx = Seq("_codes", "_vecs", "_cents", "_books", "_meta")
+    (sfx.map("ivfpq_rb_spec" + _) ++ Seq("ivfpq_rb_spec_current")
+      ++ sfx.map("ivfpq_rb_spec_g1" + _))
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Similarity.writeIvfPqIndex(corpus.filter(col("vec_id") < 60),
+      "vec_id", "embedding", "ivfpq_rb_spec",
+      buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 8)
+    assert(Similarity.rebuildIvfPqIndex(corpus, "vec_id", "embedding",
+      "ivfpq_rb_spec", buckets = 4, nlist = 4, nlistIters = 2,
+      m = 4, ks = 8, iters = 2, dims = 8) == 1L)
+    assert(!spark.catalog.tableExists("ivfpq_rb_spec_codes"),
+      "the retired bare generation must be dropped")
+    // probe resolves through the pointer and reaches the refreshed corpus
+    val wide = Similarity.ivfPqTopKAgainstIndex(
+        corpus.filter(col("vec_id") === 0), "ivfpq_rb_spec",
+        "vec_id", "embedding", k = 30, nprobe = 4, shortlist = 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(wide.exists(_ >= 60L), "rebuilt index must serve the refreshed corpus")
+    // appends resolve too: the grown generation holds 80 + 2 codes
+    Similarity.appendToIvfPqIndex(
+      corpus.limit(0).union(Seq(
+        (100L, Array.tabulate(8)(_ * 0.1f).toSeq),
+        (101L, Array.tabulate(8)(d => 1.0f - d * 0.1f).toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))),
+      "ivfpq_rb_spec", "vec_id", "embedding")
+    assert(spark.table("ivfpq_rb_spec_g1_codes").count() == 82L)
+  }
+
   test("filtered IVF probe: pre-filter semantics exact under exhaustive probing, sargable push") {
     val corpus = (0 until 60).map { i =>
       val base = i % 4
