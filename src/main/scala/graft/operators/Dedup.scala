@@ -400,18 +400,19 @@ object Dedup {
       s"k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
     val spark = newSigs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     // fail loudly on a parameter mismatch: folded band keys are
     // (k, bands)-dependent strings, so querying a k=16/bands=8 index with
     // the bands=4 defaults would return ZERO pairs silently — the
     // worst possible failure for a dedup gate
-    val m = spark.table(s"${tablePrefix}_meta").head()
+    val m = spark.table(s"${tp}_meta").head()
     val (ik, ib) = (m.getInt(0), m.getInt(1))
     require(ik == k && ib == bands,
       s"index '$tablePrefix' was written with k=$ik bands=$ib but queried " +
         s"with k=$k bands=$bands")
-    val xb = spark.table(s"${tablePrefix}_bands")
+    val xb = spark.table(s"${tp}_bands")
       .select(col("bkey"), col("id").as("index_id"))
-    val xs = spark.table(s"${tablePrefix}_sigs")
+    val xs = spark.table(s"${tp}_sigs")
     val nb = newSigs.select(col("id").as("new_id"),
       explode(foldedBandKeys(col("sig"), bands, rows)).as("bkey"))
     val cand = nb.join(xb, Seq("bkey"))
@@ -457,7 +458,8 @@ object Dedup {
       tablePrefix: String,
       threshold: Double = 0.7): DataFrame = {
     val spark = newSigs.sparkSession
-    val m = spark.table(s"${tablePrefix}_meta").head()
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
     val (k, bands, buckets) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val cached = newSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -469,10 +471,10 @@ object Dedup {
         .select(col("bkey"), col("id"))
       banded.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "bkey").sortBy("bkey")
-        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+        .format("parquet").saveAsTable(s"${tp}_bands")
       cached.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "id").sortBy("id")
-        .format("parquet").saveAsTable(s"${tablePrefix}_sigs")
+        .format("parquet").saveAsTable(s"${tp}_sigs")
       pairs
     } finally cached.unpersist()
   }
@@ -521,12 +523,31 @@ object Dedup {
     val spark = batch.sparkSession
     graft.sources.Sinks.exactlyOnceBatch(
         spark, s"${tablePrefix}_applied", batchId) {
-      graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+      graft.sources.Sinks.compactTable(spark,
+        s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}_grams",
         _.filter(col("batch_id") =!= batchId)): Unit
     } {
       ingestIntoGramIndex(batch, idCol, toks, tablePrefix, batchId)
     }
   }
+
+  /** Rebuild-and-cutover (blue/green) of the persisted minhash index —
+    * the lifecycle verb for PARAMETER changes: k/bands retuning or a
+    * bucket-count change requires a full re-sign, and this runs it with
+    * no serving gap (same pointer/resolve contract as the ANN rebuilds —
+    * [[graft.sources.Sinks.rebuildCutover]]; every minhash verb resolves
+    * the active generation). Returns the new generation number.
+    */
+  def rebuildMinhashIndex(
+      sigs: DataFrame,
+      tablePrefix: String,
+      buckets: Int,
+      k: Int = 16,
+      bands: Int = 4): Long =
+    graft.sources.Sinks.rebuildCutover(sigs.sparkSession, tablePrefix,
+      Seq("_bands", "_sigs", "_meta")) { g =>
+      writeMinhashIndex(sigs, g, buckets, k, bands)
+    }
 
   /** Vacuum the minhash index's two bucketed tables (see
     * [[writeMinhashIndex]] / [[ingestIntoMinhashIndex]]): per-batch
@@ -541,8 +562,9 @@ object Dedup {
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): Seq[(Int, Int)] =
-    Seq(s"${tablePrefix}_bands", s"${tablePrefix}_sigs")
-      .map(graft.sources.Sinks.compactTable(spark, _))
+    Seq("_bands", "_sigs")
+      .map(sfx => graft.sources.Sinks.compactTable(spark,
+        s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}$sfx"))
 
   /** Vacuum the gram index (see [[writeGramIndex]] /
     * [[ingestIntoGramIndex]]): ingest appends per-batch (gram, n_docs)
@@ -558,7 +580,8 @@ object Dedup {
   def compactGramIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Int, Int) =
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+    graft.sources.Sinks.compactTable(spark,
+      s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}_grams",
       _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
         // partials collapse into the merged generation (see
         // writeGramIndex); compact only with no ingest in flight
@@ -579,9 +602,10 @@ object Dedup {
       tablePrefix: String,
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id")).distinct().localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_bands",
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    graft.sources.Sinks.compactTable(spark, s"${tp}_bands",
       _.join(del, Seq("id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_sigs",
+    graft.sources.Sinks.compactTable(spark, s"${tp}_sigs",
       _.join(del, Seq("id"), "left_anti"))
   }
 
@@ -605,13 +629,14 @@ object Dedup {
       deletedDocs: DataFrame,
       idCol: String,
       toks: Column): Unit = {
-    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val n = spark.table(s"${tp}_meta").head().getInt(0)
     val delCounts = deletedDocs
       .select(col(idCol).as("id"), toks.as("tk"))
       .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
       .groupBy("gram").agg(countDistinct(col("id")).as("n_del"))
       .localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tablePrefix}_grams",
+    graft.sources.Sinks.compactTable(spark, s"${tp}_grams",
       _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
         .join(delCounts, Seq("gram"), "left")
         .select(col("gram"),
@@ -1292,6 +1317,23 @@ object Dedup {
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
   }
 
+  /** Rebuild-and-cutover (blue/green) of the persisted gram index —
+    * for gram-width (`n`) or bucket-count changes, which invalidate
+    * every stored df row; same pointer/resolve contract as
+    * [[rebuildMinhashIndex]]. Returns the new generation number.
+    */
+  def rebuildGramIndex(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      n: Int,
+      tablePrefix: String,
+      buckets: Int): Long =
+    graft.sources.Sinks.rebuildCutover(df.sparkSession, tablePrefix,
+      Seq("_grams", "_meta")) { g =>
+      writeGramIndex(df, idCol, toks, n, g, buckets)
+    }
+
   /** Incremental duplicate spans for a NEW batch against the PERSISTED
     * gram index ([[writeGramIndex]]): a new document's gram position is
     * cross-document-duplicated iff the gram exists in the index (≥ 1
@@ -1314,7 +1356,8 @@ object Dedup {
       minRun: Int = 2): DataFrame = {
     require(minRun >= 1, s"minRun=$minRun must be >= 1")
     val spark = newDocs.sparkSession
-    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val n = spark.table(s"${tp}_meta").head().getInt(0)
     val grams = newDocs
       .select(col(idCol).as("id"), toks.as("tk"))
       .select(col("id"), posexplode(wordShingles(col("tk"), n)))
@@ -1323,7 +1366,7 @@ object Dedup {
     try {
       // distinct-per-gram on the appended index: presence is what the
       // probe needs, and the aggregation rides the bucket partitioning
-      val idxDup = spark.table(s"${tablePrefix}_grams")
+      val idxDup = spark.table(s"${tp}_grams")
         .select(col("gram")).distinct()
         .withColumn("in_index", lit(1L))
       val newDup = grams.groupBy("gram")
@@ -1359,7 +1402,8 @@ object Dedup {
       tablePrefix: String,
       batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
-    val m = spark.table(s"${tablePrefix}_meta").head()
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
     val (n, buckets) = (m.getInt(0), m.getInt(1))
     val counts = batch
       .select(col(idCol).as("id"), toks.as("tk"))
@@ -1367,7 +1411,7 @@ object Dedup {
       .groupBy("gram").agg(countDistinct(col("id")).as("n_docs"))
       .withColumn("batch_id", lit(batchId))
     graft.sources.Sinks.writeBucketedTable(
-      counts, s"${tablePrefix}_grams", buckets, "gram",
+      counts, s"${tp}_grams", buckets, "gram",
       org.apache.spark.sql.SaveMode.Append)
   }
 
@@ -1391,8 +1435,9 @@ object Dedup {
       minRun: Int = 2): DataFrame = {
     require(minRun >= 1, s"minRun=$minRun must be >= 1")
     val spark = dayDocs.sparkSession
-    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
-    val dupGrams = spark.table(s"${tablePrefix}_grams")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val n = spark.table(s"${tp}_meta").head().getInt(0)
+    val dupGrams = spark.table(s"${tp}_grams")
       .groupBy("gram").agg(sum("n_docs").as("df"))
       .filter(col("df") >= 2)
       .select("gram")

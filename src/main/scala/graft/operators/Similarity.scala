@@ -457,20 +457,8 @@ object Similarity {
     * compaction all follow a cutover without call-site changes.
     */
   private def activeIvfPrefix(
-      spark: org.apache.spark.sql.SparkSession, prefix: String): String = {
-    if (spark.catalog.tableExists(s"${prefix}_current"))
-      s"${prefix}_g${spark.table(s"${prefix}_current").head().getLong(0)}"
-    else if (spark.catalog.tableExists(s"${prefix}_meta"))
-      prefix // never-rebuilt index: two cheap existence checks, no listing
-    else {
-      // crash-window recovery only (pointer lost mid-flip): newest
-      // complete generation by catalog listing
-      val pat = (java.util.regex.Pattern.quote(prefix.toLowerCase) + "_g(\\d+)_meta").r
-      val gens = spark.sessionState.catalog.listTables("default")
-        .map(_.table.toLowerCase).collect { case pat(g) => g.toLong }
-      if (gens.isEmpty) prefix else s"${prefix}_g${gens.max}"
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, prefix: String): String =
+    graft.sources.Sinks.activeTablePrefix(spark, prefix)
 
   /** Retrain-and-cutover (blue/green rebuild) of a persisted IVF index —
     * the lifecycle verb for quantizer drift: appends keep the frozen
@@ -528,29 +516,11 @@ object Similarity {
         m, ks, iters, dims, assign)
     }
 
-  /** The shared stage → pointer-flip → retire flow behind both rebuild
-    * verbs; `build` writes a complete index under the staged generation
-    * prefix it is given (its `_meta` last).
-    */
   private def rebuildCutover(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String,
-      suffixes: Seq[String])(build: String => Unit): Long = {
-    val cur =
-      if (spark.catalog.tableExists(s"${tablePrefix}_current"))
-        spark.table(s"${tablePrefix}_current").head().getLong(0)
-      else 0L
-    val next = cur + 1
-    val g = s"${tablePrefix}_g$next"
-    suffixes.foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$g$sfx"))
-    build(g)
-    spark.createDataFrame(Seq(Tuple1(next))).toDF("gen")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${tablePrefix}_current")
-    val oldPrefix = if (cur == 0) tablePrefix else s"${tablePrefix}_g$cur"
-    suffixes.foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$oldPrefix$sfx"))
-    next
-  }
+      suffixes: Seq[String])(build: String => Unit): Long =
+    graft.sources.Sinks.rebuildCutover(spark, tablePrefix, suffixes)(build)
 
   /** Append new vectors to a persisted IVF index (see [[writeIvfIndex]])
     * under the FROZEN quantizer — the standard production maintenance

@@ -201,6 +201,58 @@ object Sinks {
     (inFiles.length, parquetFiles(outDir).length)
   }
 
+  /** Resolve the ACTIVE generation of a rebuildable persisted index: a
+    * `<prefix>_current` pointer table names the live generation
+    * (`<prefix>_g<N>`); without one, the bare prefix wins when its
+    * `_meta` exists (every index built before rebuilds existed — two
+    * cheap existence checks, the common case); else fall back to the
+    * newest COMPLETE generation (every index builder writes `_meta`
+    * LAST, so its presence marks completeness — a mid-build generation
+    * never resolves; crash-recovery only). Family verbs resolve through
+    * here, so probes/appends/deletes/compaction follow a cutover with
+    * no call-site changes.
+    */
+  private[graft] def activeTablePrefix(spark: SparkSession, prefix: String): String = {
+    if (spark.catalog.tableExists(s"${prefix}_current"))
+      s"${prefix}_g${spark.table(s"${prefix}_current").head().getLong(0)}"
+    else if (spark.catalog.tableExists(s"${prefix}_meta"))
+      prefix
+    else {
+      val pat = (java.util.regex.Pattern.quote(prefix.toLowerCase) + "_g(\\d+)_meta").r
+      val gens = spark.sessionState.catalog.listTables("default")
+        .map(_.table.toLowerCase).collect { case pat(g) => g.toLong }
+      if (gens.isEmpty) prefix else s"${prefix}_g${gens.max}"
+    }
+  }
+
+  /** The shared stage → pointer-flip → retire flow behind every index
+    * family's rebuild verb: `build` writes a complete index under the
+    * staged generation prefix it is given (its `_meta` last), the
+    * cutover is one small-table overwrite of `<prefix>_current`, and
+    * the retired generation drops last. Crash windows each leave a
+    * serveable state — see [[activeTablePrefix]]. Returns the new
+    * generation number.
+    */
+  private[graft] def rebuildCutover(
+      spark: SparkSession,
+      tablePrefix: String,
+      suffixes: Seq[String])(build: String => Unit): Long = {
+    val cur =
+      if (spark.catalog.tableExists(s"${tablePrefix}_current"))
+        spark.table(s"${tablePrefix}_current").head().getLong(0)
+      else 0L
+    val next = cur + 1
+    val g = s"${tablePrefix}_g$next"
+    suffixes.foreach(sfx => dropManagedTable(spark, s"$g$sfx"))
+    build(g)
+    spark.createDataFrame(Seq(Tuple1(next))).toDF("gen")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_current")
+    val oldPrefix = if (cur == 0) tablePrefix else s"${tablePrefix}_g$cur"
+    suffixes.foreach(sfx => dropManagedTable(spark, s"$oldPrefix$sfx"))
+    next
+  }
+
   /** Append one write-ahead ledger row for [[exactlyOnceBatch]]. Plain
     * (non-bucketed) parquet catalog table; duplicate rows are harmless
     * (the reader asks "does a commit row exist", not "how many").

@@ -721,6 +721,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spark.table("mh_eo_spec_bands").count() == 5L * 8)
   }
 
+  test("minhash/gram rebuild cutover: parameter change re-signs with no serving gap") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Dedup.minhashSignatures(df, "doc_id", CrossHash.wordShingles(toks, 3), k = k)
+        .localCheckpoint(true)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "some completely independent sentence about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    (Seq("_bands", "_sigs", "_meta").flatMap(sfx =>
+      Seq(s"mh_rb_spec$sfx", s"mh_rb_spec_g1$sfx")) :+ "mh_rb_spec_current")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeMinhashIndex(sigsOf(docs, 16), "mh_rb_spec", buckets = 4, k = 16, bands = 4)
+    // retune bands 4 -> 8: a full re-sign behind a pointer flip; probes
+    // with the NEW parameters must work immediately after the cutover
+    // (they'd throw the parameter-mismatch refusal against the old one)
+    assert(Dedup.rebuildMinhashIndex(
+      sigsOf(docs, 16), "mh_rb_spec", buckets = 4, k = 16, bands = 8) == 1L)
+    assert(!spark.catalog.tableExists("mh_rb_spec_bands"))
+    val probe = Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainstIndex(
+        sigsOf(probe, 16), "mh_rb_spec", k = 16, bands = 8, threshold = 0.5)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), s"post-cutover probe must find the dup, got $pairs")
+
+    // gram twin: width change 3 -> 5 behind the same pointer contract
+    (Seq("_grams", "_meta").flatMap(sfx =>
+      Seq(s"gram_rb_spec$sfx", s"gram_rb_spec_g1$sfx")) :+ "gram_rb_spec_current")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    Dedup.writeGramIndex(docs, "doc_id", toks, 3, "gram_rb_spec", buckets = 4)
+    assert(Dedup.rebuildGramIndex(docs, "doc_id", toks, 5, "gram_rb_spec", buckets = 4) == 1L)
+    assert(!spark.catalog.tableExists("gram_rb_spec_grams"))
+    assert(spark.table("gram_rb_spec_current").head().getLong(0) == 1L)
+    // the resolved index now answers with width-5 grams
+    val spans = Dedup.dupSpansAgainstIndex(probe, "doc_id", toks, "gram_rb_spec")
+    assert(spans.count() > 0, "post-cutover width-5 probe must mark the duplicated span")
+  }
+
   test("minhash index compaction: fewer files, identical probe pairs") {
     def sigsOf(df: org.apache.spark.sql.DataFrame) =
       Dedup.minhashSignatures(df, "doc_id", CrossHash.wordShingles(toks, 3), k = 16)
