@@ -156,7 +156,8 @@ object Dedup {
       k: Int,
       bands: Int,
       rows: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      candPred: (Column, Column) => Column = (a, b) => a < b): DataFrame = {
     // the only question is "≤ cap or not" — the limit stops the probe from
     // materializing an unbounded distinct count on huge-vocab corpora, and
     // the same distinct frame feeds the bitset dictionary below.
@@ -212,7 +213,7 @@ object Dedup {
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
+          candPred(col("x.id"), col("y.id")))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     val joined = cand
@@ -783,6 +784,79 @@ object Dedup {
       n: Int = 4,
       threshold: Double = 0.6): DataFrame =
     minhashPairs(df, idCol, charGrams(textCol, n), k = 24, bands = 4, threshold = threshold)
+
+  /** Two-table fuzzy join (record linkage / entity resolution): pairs
+    * (left_id, right_id, jaccard) whose shingle-set Jaccard meets
+    * `threshold`, candidates blocked by the SAME MinHash band family on
+    * both sides — the cross-table sibling of [[minhashPairs]] (which is a
+    * self-join dedup). The canonical use is matching two corpora that
+    * describe the same entities with textual noise: two crawls of the same
+    * sites, a vendor feed vs a master catalog, near-identical documents
+    * split across acquisition batches.
+    *
+    * Implementation rides [[minhashPairsBody]] verbatim — one shared hashed
+    * frame (vocabulary probe, signature aggregation, adaptive bitset/array
+    * verify all identical, so the two paths cannot drift) with the side
+    * encoded in the id's low bit (left = 2·id, right = 2·id+1; an id
+    * outside [0, 2^62) raises loudly row-local rather than silently
+    * wrapping). The candidate predicate becomes "x is left ∧ y is right"
+    * instead of "x.id < y.id", so candidates are CROSS-side only: two
+    * left rows sharing a band never pair (they are the left table's own
+    * duplicates — the caller runs [[minhashPairs]] per side for that).
+    *
+    * 100 TB shape: identical to the self-join path — both sides shuffle
+    * once on (band, key), candidates are O(Σ bucket_left × bucket_right)
+    * per colliding bucket, never |L|×|R|; band width r tunes the collision
+    * rate against the measured background Jaccard exactly as in
+    * [[ngramJaccardPairs]], and a skewed band key (boilerplate shingles)
+    * is the same AQE-skew / band-retune case as the self-join. Because
+    * the id encoding is the only difference, an even/odd split of one
+    * table through this method returns exactly the cross-side subset of
+    * [[minhashPairs]] on the union (spec-pinned).
+    */
+  def fuzzyJoinPairs(
+      left: DataFrame,
+      leftId: String,
+      leftShingles: Column,
+      right: DataFrame,
+      rightId: String,
+      rightShingles: Column,
+      k: Int = 24,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      assumeUnboundedVocab: Boolean = false): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands — otherwise signature " +
+        "values are silently dropped (or every band key degenerates to \"\" " +
+        "and the join becomes an O(n²) cross product)")
+    val rows = k / bands
+    def sideHashed(df: DataFrame, idCol: String, shingles: Column, side: Int): DataFrame = {
+      // side-encode in the low bit; refuse loudly (row-local, codegen'd)
+      // instead of wrapping into a colliding encoded id.
+      val enc = when(col(idCol).cast("long").between(0L, (Long.MaxValue / 2) - 1),
+        col(idCol).cast("long") * 2 + side)
+        .otherwise(raise_error(concat(
+          lit("fuzzyJoinPairs: id outside [0, 2^62), cannot side-encode: "),
+          col(idCol).cast("string"))))
+      hashedShingles(df.select(enc.as("__fj_id"), shingles.as("__fj_sh")),
+        "__fj_id", col("__fj_sh"))
+    }
+    val hashedPlan = sideHashed(left, leftId, leftShingles, 0)
+      .unionByName(sideHashed(right, rightId, rightShingles, 1))
+    val hashed =
+      if (assumeUnboundedVocab) hashedPlan
+      else hashedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = minhashPairsBody(hashed, assumeUnboundedVocab, k, bands, rows, threshold,
+        candPred = (a, b) => (a % 2 === 0) && (b % 2 === 1))
+      // decode via shiftright (integer halving) — a double division would
+      // lose bits above 2^53 for large encoded ids.
+      pairs.select(
+        call_function("shiftright", col("a"), lit(1)).as("left_id"),
+        call_function("shiftright", col("b"), lit(1)).as("right_id"),
+        col("jaccard"))
+    } finally hashed.unpersist()
+  }
 
   /** Connected components over an undirected pair-edge set — the
     * "pairs → clusters" step of corpus dedup. Returns (id, rep) where `rep`

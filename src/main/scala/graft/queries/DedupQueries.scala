@@ -205,6 +205,20 @@ object DedupQueries {
           t(s, d, "documents"), "doc_id", col("text"), n = 4, threshold = 0.6)
         .orderBy("a", "b")),
 
+    // Two-table fuzzy join (record linkage): even-doc_id documents matched
+    // against odd-doc_id documents on char-4-gram Jaccard — the cross-table
+    // sibling of d_ngram_jaccard (same band family, candidates cross-side
+    // only, so a planted near-dup pair is found iff its ends land on
+    // opposite sides of the split — the two-crawl linkage shape).
+    "d_fuzzy_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.fuzzyJoinPairs(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", CrossHash.charGrams(col("text"), 4),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", CrossHash.charGrams(col("text"), 4),
+          k = 24, bands = 4, threshold = 0.6)
+        .orderBy("left_id", "right_id")
+    }),
+
     // Pairs -> clusters: connected components over the MinHash pair edges,
     // every document labeled with its cluster representative (min doc_id;
     // singletons represent themselves).
@@ -971,6 +985,39 @@ object DedupQueries {
         |      / len(list_distinct(ga.hs || gb.hs)) + 0.000000001, 4) AS jaccard
         |  FROM cand JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    // Identical signature/band chain to d_ngram_jaccard; candidates are
+    // cross-side only (even doc_id = left table, odd = right table) and the
+    // pair keeps table-of-origin orientation instead of a < b.
+    "d_fuzzy_join" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 2),
+        |           i -> substr(text, i, 4))) AS g
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, g, list_transform(g, s ->
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM g),
+        |sig AS (
+        |  SELECT doc_id, hs, list_transform(range(0, 24), i ->
+        |    list_min(list_transform(hs, h ->
+        |      (h * (2 * i + 1) + 97 + 31 * i) % 2147483647))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(
+        |    list_transform(list_slice(sig, b * 6 + 1, b * 6 + 6), x -> x::VARCHAR), ',') AS key
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+        |    AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+        |j AS (
+        |  SELECT left_id, right_id, round(len(list_intersect(ga.hs, gb.hs))::DOUBLE
+        |      / len(list_distinct(ga.hs || gb.hs)) + 0.000000001, 4) AS jaccard
+        |  FROM cand JOIN sig ga ON cand.left_id = ga.doc_id
+        |            JOIN sig gb ON cand.right_id = gb.doc_id)
+        |SELECT left_id, right_id, jaccard FROM j WHERE jaccard >= 0.6
+        |ORDER BY left_id, right_id""".stripMargin,
 
     "d_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

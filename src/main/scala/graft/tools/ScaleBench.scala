@@ -84,6 +84,25 @@ object ScaleBench {
     */
   private val SubstrFamily = Seq("d_dup_spans", "d_dup_coverage")
 
+  /** Round-8: the text-battery family over the 10× documents corpus —
+    * the tokenizer/statistics tier that had per-query bench numbers but
+    * no measured decade. tx_bpe_merges aggregates the 10× pair counts
+    * into the SAME 40-merge budget (per-round shuffles grow with the
+    * distinct-word vocabulary, which the copy-unique rewritten tokens
+    * grow ~linearly); tx_bpe_encode replays the merge table row-local
+    * over 10× words; tx_bigram_nll's bigram table and predecessor sums
+    * grow with the vocabulary while V stays broadcast-sized; tx_tfidf /
+    * tx_bm25 are df-agg + per-doc join shapes (term-keyed hash shuffles);
+    * tx_zipf is one corpus agg + window over the distinct vocabulary.
+    * d_fuzzy_join rides along: the cross-side banded join's candidate
+    * count is governed by the same planted-pair density as the self-join
+    * (copies plant pairs within themselves, never across), so ~linear is
+    * the claimed regime.
+    */
+  private val TextFamily = Seq(
+    "tx_bpe_merges", "tx_bpe_encode", "tx_bigram_nll",
+    "tx_tfidf", "tx_bm25", "tx_zipf", "d_fuzzy_join")
+
   /** Round-7: the two non-equi join shapes whose scaling exponent the
     * equi-join skew batch can't see. q_asof_join linearizes a union of
     * both sides through one per-key window (events × orders on offset-
@@ -469,6 +488,7 @@ object ScaleBench {
       case "cc" => Seq("d_minhash_lsh", "d_clusters", "d_clusters_star")
       case "rangejoin" => RangeJoinFamily
       case "substr" => SubstrFamily
+      case "text" => TextFamily
       // k-core over 10 disjoint strong-graph copies: rounds are governed
       // by the deepest per-copy cascade (identical in every copy), so the
       // ratio isolates the per-round cost growth

@@ -42,6 +42,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
   }
 
+  test("fuzzyJoinPairs: cross-side pairs equal the self-join restricted to cross-side") {
+    // Even/odd split of one corpus through the two-table API must return
+    // exactly the cross-side subset of minhashPairs on the union — the
+    // signatures and band keys are computed by the same body, so the only
+    // difference is the candidate predicate.
+    val params = (16, 8, 0.5)
+    val (k, bands, thr) = params
+    val self = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
+        k = k, bands = bands, threshold = thr)
+      .select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val crossOfSelf = self.collect {
+      case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (a, b, j)
+      case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (b, a, j)
+    }
+    val fj = Dedup.fuzzyJoinPairs(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", CrossHash.wordShingles(toks, 3),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", CrossHash.wordShingles(toks, 3),
+        k = k, bands = bands, threshold = thr)
+      .select("left_id", "right_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fj == crossOfSelf)
+    assert(fj.exists { case (l, r, _) => l == 4L && r == 1L }) // exact dup straddles the split (j = 1)
+    // two left rows sharing every band (1 and... none here) never pair:
+    // every returned pair is (even, odd) by construction.
+    assert(fj.forall { case (l, r, _) => l % 2 == 0 && r % 2 == 1 })
+  }
+
+  test("fuzzyJoinPairs refuses ids outside [0, 2^62) loudly") {
+    val bad = Seq((-1L, "negative id document text here")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.fuzzyJoinPairs(
+        bad, "doc_id", CrossHash.wordShingles(CrossHash.tokens(col("text")), 3),
+        docs, "doc_id", CrossHash.wordShingles(toks, 3)).collect()
+    }
+    assert(ex.getMessage.contains("cannot side-encode") ||
+      Option(ex.getCause).exists(_.getMessage.contains("cannot side-encode")))
+  }
+
   test("persisted minhash index: zero Exchange under index scans, inline pair parity") {
     // corpus where the new batch (id % 10 == 0) contains an exact dup and a
     // near-dup of index-side docs, plus an unrelated doc that must not pair
