@@ -309,6 +309,44 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Blue/green rebuild through the FLAGSHIP tier: the IVF-PQ index
+    // retrains BOTH quantizer tiers (coarse centroids + the 16 joint PQ
+    // codebooks) and re-codes the whole corpus in the staged generation,
+    // then flips the pointer — the quadruple-table cutover (codes, vecs,
+    // cents, books) that a real vector store performs on quantizer drift.
+    // Stale generation = 60% corpus at nlist=8/assign=1; post-cutover
+    // probe must certify serving-grade recall vs FULL-corpus brute force
+    // (impossible through the stale generation) + gen/retired pins.
+    "sim_knn_ivfpq_rebuild" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val prefix = s"ivfpq_rb_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
+          s"${prefix}_books", s"${prefix}_meta", s"${prefix}_current",
+          s"${prefix}_g1_codes", s"${prefix}_g1_vecs", s"${prefix}_g1_cents",
+          s"${prefix}_g1_books", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 8, nlistIters = 2, m = 16, ks = 16, iters = 2)
+      val gen = Similarity.rebuildIvfPqIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = IvfAssign)
+      val retired = !s.catalog.tableExists(s"${prefix}_codes")
+      val ann = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = IvfNprobe, shortlist = 128)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rebuild_ok",
+          ((sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= IvfPqRecallFloor)
+            && lit(gen == 1L && retired))
+        .select("query_id", "rank", "neighbor_id", "cos", "rebuild_ok")
+        .orderBy("query_id", "rank")
+    }),
+
     // FILTERED vector search — the serving feature real stores need
     // (top-k among vectors satisfying a metadata predicate): the
     // predicate PRE-filters the lists scan, so ineligible vectors never
@@ -724,6 +762,23 @@ object SimilarityQueries {
     // The full-corpus brute force — the post-cutover index must reach
     // serving recall against it, which the stale 60% generation cannot.
     "sim_knn_ivf_rebuild" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS rebuild_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Same brute-force rows + pinned-TRUE certificate as
+    // sim_knn_ivf_rebuild — neither quantizer retrain has a SQL twin, so
+    // the oracle pins the post-cutover probe's recall/gen/retired
+    // certificate through the emitted rows.
+    "sim_knn_ivfpq_rebuild" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
          |s AS (
