@@ -682,6 +682,105 @@ object StreamQueries {
         .orderBy("new_id")
     }),
 
+    // Streaming blue/green rebuild — serving continuity under cutover,
+    // completing the lifecycle streaming-twin matrix (append ✓ delete ✓
+    // rebuild ✓): a serving workload re-probes the SAME query set in
+    // four micro-batches while the IVF index is retrained and
+    // pointer-flipped underneath after the second drain. Identical query
+    // waves make the certificates order-independent (whichever file a
+    // trigger picks, every drain probes the full set). Pre-flip drains
+    // resolve the bare (stale, 80%-corpus) generation: they must serve
+    // ALL queries (continuity) and physically CANNOT return a held-out
+    // vec_id % 5 == 0 neighbor — a binary staleness certificate. The
+    // flip is ONE small-table pointer overwrite, so post-flip drains
+    // resolve g1 and must certify serving-grade recall vs FULL-corpus
+    // brute force (impossible through the stale generation). Lifecycle
+    // pins: exactly 2 pre + 2 post drains, gen = 1, retired bare tables
+    // dropped. Emitted rows are the full-corpus brute-force top-3.
+    "st_rebuild_cutover_parity" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+      val waveDir = fixtureDir("annrb", d, "embeddings", "qwaves4")
+      if (!fixtureReady(waveDir)) buildFixture(waveDir) { (out, _) =>
+        (0 until 4).foreach { w =>
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id"), col("embedding"), lit(w).as("wave"))
+            .coalesce(1)
+            .write.mode("append").parquet(out.toString)
+        }
+      }
+      val prefix = s"ivf_stream_rb_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta",
+          s"${prefix}_current",
+          s"${prefix}_g1_lists", s"${prefix}_g1_cents", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", prefix, buckets = 8, nlist = 8, iters = 2)
+      val preDrains = new java.util.concurrent.atomic.AtomicInteger(0)
+      val genSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_annrb_")
+      val probeDir = s"$scratch/probes"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(waveDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(waveDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) => {
+              val flipped = s.catalog.tableExists(s"${prefix}_current")
+              Similarity.ivfTopKAgainstIndex(
+                  batch.toDF().select("vec_id", "embedding"), prefix,
+                  "vec_id", "embedding", k = 3,
+                  nprobe = SimilarityQueries.IvfNprobe)
+                .select(col("query_id"), col("neighbor_id"),
+                  lit(flipped).as("flipped"), lit(bid).as("bid"))
+                .write.mode("append").parquet(probeDir)
+              if (!flipped && preDrains.incrementAndGet() == 2)
+                genSeen.set(Similarity.rebuildIvfIndex(e, "vec_id", "embedding",
+                  prefix, buckets = 8, nlist = 16, iters = 3,
+                  assign = SimilarityQueries.IvfAssign))
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val nQ = e.filter(col("vec_id") % 50 === 0).count()
+        val probes = s.read.parquet(probeDir)
+          .select("query_id", "neighbor_id", "flipped", "bid").distinct()
+          .localCheckpoint(true)
+        val pre = probes.filter(!col("flipped"))
+        val post = probes.filter(col("flipped"))
+        // continuity: each pre drain served the full query set
+        val preServedOk = pre.groupBy("bid")
+          .agg(countDistinct("query_id").as("nq"))
+          .agg(min("nq")).head().getLong(0) == nQ
+        // staleness: a held-out vector cannot appear pre-flip
+        val preStaleOk = pre.filter(col("neighbor_id") % 5 === 0).isEmpty
+        val drains = probes.select("bid", "flipped").distinct()
+          .groupBy("flipped").agg(countDistinct("bid").as("n"))
+          .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        val lifecycleOk = drains.get(false).contains(2L) &&
+          drains.get(true).contains(2L) &&
+          genSeen.get() == 1L && !s.catalog.tableExists(s"${prefix}_lists")
+        val brute = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
+        val hits = post.select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+          .distinct()
+        val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        brute.join(hits, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("post_recall_ok",
+            (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+              / count(lit(1)).over(all)) >= SimilarityQueries.IvfRecallFloor)
+          .withColumn("pre_served_ok", lit(preServedOk))
+          .withColumn("pre_stale_ok", lit(preStaleOk))
+          .withColumn("lifecycle_ok", lit(lifecycleOk))
+          .select("query_id", "rank", "neighbor_id", "cos",
+            "post_recall_ok", "pre_served_ok", "pre_stale_ok", "lifecycle_ok")
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streaming ANN-index ingest — st_dedup_index_parity's twin for the
     // similarity tier: the corpus side (vec_id % 10 != 0) seeds the IVF
     // index (centroids train on it once — the frozen-quantizer split),
@@ -1144,6 +1243,32 @@ object StreamQueries {
     // Identical to sim_knn_ivf_ingest's oracle: four streamed appends
     // must yield the same probe rows as the one-shot batch append (brute
     // rows + pinned recall/completeness certificates).
+    // Full-corpus brute-force rows + four pinned-TRUE certificates: the
+    // quantizer retrain has no SQL twin, so the oracle pins continuity
+    // (pre drains served all queries), staleness (no held-out neighbor
+    // pre-flip), post-cutover serving recall, and the 2+2-drain/gen/
+    // retired lifecycle through the emitted rows.
+    "st_rebuild_cutover_parity" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |        i -> qe[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 7) AS cos
+        |  FROM q JOIN e ON vec_id <> qid),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+        |  TRUE AS post_recall_ok, TRUE AS pre_served_ok,
+        |  TRUE AS pre_stale_ok, TRUE AS lifecycle_ok
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "st_ann_index_parity" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
