@@ -70,6 +70,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fj.forall { case (l, r, _) => l % 2 == 0 && r % 2 == 1 })
   }
 
+  test("fuzzyJoinPairs == cross-side of minhashPairs on seeded random corpora") {
+    // The parity claim from the fixed fixture, re-pinned on random corpora
+    // (seeded — the scalacheck-per-case pipeline cost would be prohibitive;
+    // same pattern as the star-CC random-graph pins).
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(18)(i => s"w${i}x")
+      val corpus = (0L until 24L).map { id =>
+        // half the docs are perturbed copies of a shared template, so
+        // near-dup pairs exist across the even/odd boundary
+        val base = Vector.tabulate(10)(i => vocab((i * 7 + seed) % vocab.size))
+        val toksV =
+          if (id % 3 == 0) Vector.fill(10)(vocab(rnd.nextInt(vocab.size)))
+          else base.updated(rnd.nextInt(10), vocab(rnd.nextInt(vocab.size)))
+        (id, toksV.mkString(" "))
+      }.toDF("doc_id", "text")
+      val self = Dedup.minhashPairs(corpus, "doc_id", CrossHash.wordShingles(toks, 2),
+          k = 16, bands = 8, threshold = 0.4)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val crossOfSelf = self.collect {
+        case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (a, b, j)
+        case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (b, a, j)
+      }
+      val fj = Dedup.fuzzyJoinPairs(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", CrossHash.wordShingles(toks, 2),
+          corpus.filter(col("doc_id") % 2 === 1), "doc_id", CrossHash.wordShingles(toks, 2),
+          k = 16, bands = 8, threshold = 0.4)
+        .select("left_id", "right_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fj == crossOfSelf, s"seed=$seed")
+      assert(crossOfSelf.nonEmpty, s"seed=$seed planted no cross-side pair — fixture too weak")
+    }
+  }
+
   test("fuzzyJoinPairs refuses ids outside [0, 2^62) loudly") {
     val bad = Seq((-1L, "negative id document text here")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
