@@ -32,6 +32,30 @@ object ProfileScratch {
     val df = Tables.load(spark, d, "documents")
     df.count() // footer/page-cache warm
 
+    if (args.headOption.contains("nll")) {
+      // isolate tx_bigram_nll's 100×-decade super-linearity (x100text
+      // batch measured e(10-100) = 1.11): time the operator alone on the
+      // scaled corpora, then its stages.
+      val dir = args.lift(1).getOrElse("/tmp/graft_scale100")
+      val big = spark.read.parquet(s"$dir/documents.parquet")
+      big.count()
+      val toksCol = tokens(col("text"))
+      val t = big.select(col("doc_id").as("id"), toksCol.as("tk"))
+      val bi = t.filter(size(col("tk")) >= 2)
+        .select(col("id"), explode(transform(
+          sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("a"),
+            element_at(col("tk"), i + 2).as("b")))).as("bg"))
+        .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val tf = bi.groupBy("id", "a", "b").agg(count(lit(1)).as("tf"))
+      time("tf agg alone")(tf.count())
+      val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
+      time("cab from tf")(cab.count())
+      time("full bigramNll")(
+        graft.operators.Text.bigramNll(big, "doc_id", toksCol).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("spans")) {
       val toksCol = tokens(col("text"))
       val g = df.select(col("doc_id").as("id"), posexplode(wordShingles(toksCol, 5)))
