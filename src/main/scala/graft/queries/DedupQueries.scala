@@ -412,6 +412,40 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // Blue/green rebuild for the DEDUP tier (the sim_knn_ivf_rebuild
+    // pattern on the minhash index): the index first serves a stale
+    // PARAMETER generation — same k but bands=2 (rows=8), whose band
+    // keys are strictly STRICTER than the serving bands=4 keys, so the
+    // stale index candidates are a proper subset and most planted pairs
+    // are invisible through it — then rebuildMinhashIndex re-signs the
+    // corpus at the serving banding and flips the pointer (one
+    // small-table overwrite, retired generation dropped last). The
+    // post-cutover day probe resolves through the pointer and must match
+    // d_incremental_indexed's oracle verbatim (impossible through the
+    // stale banding); the certificate pins gen=1 + bare tables retired.
+    "d_rebuild_probe" -> ((s, d) => {
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
+          .localCheckpoint(true)
+      }
+      val prefix = s"mh_rb_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
+          s"${prefix}_current",
+          s"${prefix}_g1_bands", s"${prefix}_g1_sigs", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val corpus = sigs.filter(col("id") % 10 =!= 0)
+      Dedup.writeMinhashIndex(corpus, prefix, buckets = 8, k = 16, bands = 2)
+      val gen = Dedup.rebuildMinhashIndex(corpus, prefix, buckets = 8, k = 16, bands = 4)
+      val retired = !s.catalog.tableExists(s"${prefix}_bands")
+      Dedup.minhashPairsAgainstIndex(
+          sigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4, threshold = 0.7)
+        .groupBy("new_id")
+        .agg(min("index_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .withColumn("rebuild_ok", lit(gen == 1L && retired))
+        .orderBy("new_id")
+    }),
+
     // Exactly-once index ingest under at-least-once delivery: the corpus
     // index is grown through exactlyOnceIngestIntoMinhashIndex with BOTH
     // failure modes staged against it — a crash mid-append (batch 1's
@@ -590,6 +624,31 @@ object DedupQueries {
         .orderBy("doc_id", "start_pos")
     }),
 
+    // Blue/green rebuild for the GRAM index — the parameter change that
+    // invalidates every stored row (gram WIDTH): the stale generation
+    // indexes the corpus at n=4, the rebuild re-extracts at the serving
+    // n=5 and flips the pointer. dupSpansAgainstIndex reads n from the
+    // resolved generation's meta, so a probe through the stale index
+    // would mark 4-gram runs — a completely different span report that
+    // cannot hash-match the n=5 oracle. Probe result must equal
+    // d_dup_spans_indexed's full-corpus marking verbatim + gen/retired.
+    "d_rebuild_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = s"gram_rb_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_grams", s"${prefix}_meta", s"${prefix}_current",
+          s"${prefix}_g1_grams", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val idxDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeGramIndex(idxDocs, "doc_id", toks, n = 4, prefix, buckets = 8)
+      val gen = Dedup.rebuildGramIndex(idxDocs, "doc_id", toks, n = 5, prefix, buckets = 8)
+      val retired = !s.catalog.tableExists(s"${prefix}_grams")
+      Dedup.dupSpansAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", toks, prefix, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("rebuild_ok", lit(gen == 1L && retired))
+        .orderBy("doc_id", "start_pos")
+    }),
+
     // The OUTPUT step of substring dedup — duplicated spans EXCISED from
     // the text (Lee et al. 2022 removes the duplicated substring from the
     // training corpus; the span report alone is not the product): every
@@ -707,6 +766,19 @@ object DedupQueries {
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
 
+    // The post-cutover probe must behave exactly as a fresh serving-band
+    // index — d_incremental_indexed's oracle verbatim, plus the pinned
+    // rebuild certificate (gen/retired).
+    "d_rebuild_probe" ->
+      s"""WITH $MinhashPairsBody,
+         |hits AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS new_id,
+         |         CASE WHEN a % 10 = 0 THEN b ELSE a END AS index_id
+         |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches,
+         |       TRUE AS rebuild_ok
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
     // The exactly-once drain must land the index in the clean one-shot
     // state, so the probe's oracle is d_incremental_indexed's verbatim;
     // the certificate column is pinned TRUE (ledger outcomes + exact
@@ -797,6 +869,15 @@ object DedupQueries {
     "d_dup_spans_indexed" ->
       s"""WITH $GramSpansIndexedBody
          |SELECT doc_id, start_pos, n_grams, span_words
+         |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
+         |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // d_dup_spans_indexed's oracle verbatim + the pinned rebuild
+    // certificate — the probe through the rebuilt n=5 generation must
+    // reproduce the serving-width marking exactly.
+    "d_rebuild_spans" ->
+      s"""WITH $GramSpansIndexedBody
+         |SELECT doc_id, start_pos, n_grams, span_words, TRUE AS rebuild_ok
          |FROM s WHERE n_grams >= 2 AND doc_id % 10 = 0
          |ORDER BY doc_id, start_pos""".stripMargin,
 
