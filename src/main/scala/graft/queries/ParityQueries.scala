@@ -297,6 +297,28 @@ object ParityQueries {
         .orderBy("day")
     }),
 
+    // K-extension: partition-granular retention sweep (TTL) — the
+    // lifecycle verb every day-partitioned 100 TB sink runs nightly:
+    // partitions older than the window are dropped as whole-directory
+    // metadata deletes (O(expired partitions), no rewrite of surviving
+    // data). Cutoff = min day + 3 (data-derived, deterministic); the
+    // oracle recomputes the surviving window from the raw table, so a
+    // sweep that deletes too much or too little hash-mismatches.
+    "k17_retention_sweep" -> ((s, d) => {
+      val out = scratch(d, "events_retention")
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(out)
+      val cutoff = java.sql.Date.valueOf(
+        ev.agg(min("day")).head.getDate(0).toLocalDate.plusDays(3))
+      Sinks.retentionSweep(s, out, "day", cutoff.toString)
+      s.read.parquet(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("day")
+    }),
+
     // K-extension: zstd-compressed parquet — the storage-efficiency codec
     // switch a 100 TB lake actually flips (zstd trades a little CPU for a
     // materially smaller footprint vs the snappy default). Write under
@@ -484,6 +506,13 @@ object ParityQueries {
         |  round(sum(value * CASE WHEN ts::DATE = (SELECT min(ts::DATE) FROM events)
         |                         THEN 2 ELSE 1 END), 2) AS sum_value
         |FROM events GROUP BY ts::DATE ORDER BY day""".stripMargin,
+
+    "k17_retention_sweep" ->
+      """SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(1) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE ts::DATE >= (SELECT min(ts::DATE) + 3 FROM events)
+        |GROUP BY ts::DATE ORDER BY day""".stripMargin,
 
     "k13_zstd_roundtrip" ->
       s"""SELECT event_type, count(1) AS n, count(DISTINCT event_id) AS n_ids,

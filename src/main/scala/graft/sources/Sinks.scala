@@ -201,6 +201,37 @@ object Sinks {
     (inFiles.length, parquetFiles(outDir).length)
   }
 
+  /** Partition-granular retention sweep (TTL) over a `partCol=`-
+    * partitioned directory sink: drops every partition directory whose
+    * value sorts strictly BELOW `cutoffInclusive` and keeps the rest —
+    * ISO dates compare correctly as strings, which is why the DAY sink
+    * writes `yyyy-MM-dd`. This is the honest 100 TB retention shape:
+    * whole-partition metadata deletes (one filesystem call per expired
+    * day), never a row-filter rewrite of surviving data — cost is
+    * O(expired partitions), independent of table size. Resolves the
+    * path's own FileSystem (hdfs:// / s3a:// safe, like [[compact]]);
+    * a non-partition file or an unrelated directory under the root is
+    * left untouched, so a sweep pointed at a non-partitioned directory
+    * deletes nothing rather than everything. Returns
+    * (partitions dropped, partitions kept).
+    */
+  def retentionSweep(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      cutoffInclusive: String): (Int, Int) = {
+    require(cutoffInclusive.nonEmpty, "empty cutoff would drop nothing meaningfully")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partCol + "="
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val (drop, keep) = parts.partition(
+      _.getPath.getName.stripPrefix(prefix) < cutoffInclusive)
+    drop.foreach(s => fs.delete(s.getPath, true))
+    (drop.length, keep.length)
+  }
+
   /** Resolve the ACTIVE generation of a rebuildable persisted index: a
     * `<prefix>_current` pointer table names the live generation
     * (`<prefix>_g<N>`); without one, the bare prefix wins when its

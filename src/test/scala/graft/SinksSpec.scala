@@ -62,6 +62,28 @@ class SinksSpec extends SparkSpec {
     assert(written.contains((2L, true, Some("d"))))
   }
 
+  test("retention sweep drops only expired day= partitions, leaves foreign entries") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-05", 3))
+      .toDF("day", "v")
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    // foreign entries a sweep must never touch: an unrelated directory
+    // and a loose file at the root
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "not_a_partition"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "loose.txt"), "x".getBytes)
+    val (dropped, kept) = Sinks.retentionSweep(spark, out, "day", "2024-01-02")
+    assert(dropped == 1 && kept == 2) // only 2024-01-01 expires
+    val left = spark.read.option("basePath", out)
+      .parquet(s"$out/day=*").select("day").distinct()
+      .as[String].collect().toSet
+    assert(left == Set("2024-01-02", "2024-01-05"))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out, "not_a_partition")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "loose.txt")))
+    // idempotent: nothing else expires on a re-run with the same cutoff
+    assert(Sinks.retentionSweep(spark, out, "day", "2024-01-02") == ((0, 2)))
+  }
+
   test("bucketed tables join with no Exchange in the physical plan") {
     val orders = (1L to 200L).map(i => (i % 40, i)).toDF("custkey", "orderkey")
     val cust = (0L until 40L).map(i => (i, s"c$i")).toDF("custkey", "name")
