@@ -785,6 +785,30 @@ object Dedup {
       threshold: Double = 0.6): DataFrame =
     minhashPairs(df, idCol, charGrams(textCol, n), k = 24, bands = 4, threshold = threshold)
 
+  /** LSH band-bucket audit — the hot-bucket guard's evidence surface as
+    * an operator: per band, how many buckets the corpus hashes into, the
+    * widest bucket, and the exact candidate-pair volume Σ C(w,2) the band
+    * self-join will emit. This is the number an operator reads BEFORE
+    * running a petabyte self-join: a skewed band key (degenerate
+    * shingles, boilerplate) shows up as max_width ≫ p50 and an
+    * n_cand_pairs blow-up, and the fix (retune r, hot-cap, salt) is
+    * chosen from this report — not discovered mid-shuffle. One explode +
+    * two aggregations over the signature frame; never touches documents.
+    */
+  def bandBucketStats(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(
+      posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    banded.groupBy("band", "key").agg(count(lit(1)).as("w"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("w").as("max_width"),
+        sum(when(col("w") >= 2, col("w") * (col("w") - 1) / 2)
+          .otherwise(0L)).cast("long").as("n_cand_pairs"))
+      .select(col("band").cast("long").as("band"),
+        col("n_buckets"), col("max_width"), col("n_cand_pairs"))
+      .orderBy("band")
+  }
+
   /** Two-table fuzzy join (record linkage / entity resolution): pairs
     * (left_id, right_id, jaccard) whose shingle-set Jaccard meets
     * `threshold`, candidates blocked by the SAME MinHash band family on

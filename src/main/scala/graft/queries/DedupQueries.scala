@@ -412,6 +412,20 @@ object DedupQueries {
         .orderBy("new_id")
     }),
 
+    // LSH band-bucket audit over the shared signature frame — the
+    // pre-shuffle skew report (buckets, widest bucket, exact candidate
+    // volume Σ C(w,2) per band) an operator reads before running the
+    // petabyte band self-join. Fully SQL-replayable, so the oracle pins
+    // the audit's numbers exactly.
+    "d_band_stats" -> ((s, d) => {
+      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+        Dedup.minhashSignatures(
+          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
+          .localCheckpoint(true)
+      }
+      Dedup.bandBucketStats(sigs, bands = 4, rows = 4)
+    }),
+
     // Blue/green rebuild for the DEDUP tier (the sim_knn_ivf_rebuild
     // pattern on the minhash index): the index first serves a stale
     // PARAMETER generation — same k but bands=2 (rows=8), whose band
@@ -765,6 +779,16 @@ object DedupQueries {
          |  FROM pairs WHERE (a % 10 = 0) <> (b % 10 = 0))
          |SELECT new_id, min(index_id) AS dup_of, count(*) AS n_matches
          |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // The band replay's bucket-width distribution, re-aggregated — the
+    // audit numbers must match the engine's exactly.
+    "d_band_stats" ->
+      s"""WITH $MinhashPairsBody,
+         |w AS (SELECT b, key, count(*)::BIGINT AS w FROM bands GROUP BY b, key)
+         |SELECT b AS band, count(*)::BIGINT AS n_buckets, max(w) AS max_width,
+         |       sum(CASE WHEN w >= 2 THEN w * (w - 1) // 2 ELSE 0 END)::BIGINT
+         |         AS n_cand_pairs
+         |FROM w GROUP BY b ORDER BY band""".stripMargin,
 
     // The post-cutover probe must behave exactly as a fresh serving-band
     // index — d_incremental_indexed's oracle verbatim, plus the pinned
