@@ -47,8 +47,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // exactly the cross-side subset of minhashPairs on the union — the
     // signatures and band keys are computed by the same body, so the only
     // difference is the candidate predicate.
-    val params = (16, 8, 0.5)
-    val (k, bands, thr) = params
+    val (k, bands, thr) = (16, 8, 0.5)
     val self = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
         k = k, bands = bands, threshold = thr)
       .select("a", "b", "jaccard")
