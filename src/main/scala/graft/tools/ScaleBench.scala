@@ -521,6 +521,12 @@ object ScaleBench {
       case "rangejoin" => RangeJoinFamily
       case "substr" => SubstrFamily
       case "text" => TextFamily
+      // round-8: blue/green rebuild cost at scale — both dedup-tier
+      // rebuild queries build a stale generation AND retrain/cut over
+      // in-query, so the timing is (build + rebuild + probe); expected
+      // ~linear (each generation is one corpus pass through the same
+      // write path the build batches measure)
+      case "rebuild" => Seq("d_rebuild_probe", "d_rebuild_spans")
       // k-core over 10 disjoint strong-graph copies: rounds are governed
       // by the deepest per-copy cascade (identical in every copy), so the
       // ratio isolates the per-round cost growth
