@@ -796,13 +796,31 @@ object Dedup {
     * two aggregations over the signature frame; never touches documents.
     */
   def bandBucketStats(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands > 0 && rows > 0, s"bands=$bands and rows=$rows must be positive")
+    // the audit must not itself be degenerate: a signature shorter than
+    // bands·rows would slice short/empty band keys and silently report
+    // healthy-looking stats for a banding that drops signature values —
+    // refuse row-local (codegen'd), same discipline as minhashPairs'
+    // k % bands == 0 require.
+    val sig = when(size(col("sig")) >= bands * rows, col("sig"))
+      .otherwise(raise_error(concat(
+        lit(s"bandBucketStats: signature shorter than bands*rows = ${bands * rows}: "),
+        size(col("sig")).cast("string"))))
     val banded = sigs.select(
-      posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      posexplode(bandKeys(sig, bands, rows)).as(Seq("band", "key")))
+    // integer arithmetic throughout: halve the even factor BEFORE the
+    // multiply so C(w,2) stays exact past 2^53 (double division would
+    // round) and the product overflows only if the true pair count itself
+    // exceeds Long range — this audit exists precisely for the degenerate
+    // hot buckets where w is astronomical.
+    val cw2 = when(col("w") % 2 === 0,
+        call_function("shiftright", col("w"), lit(1)) * (col("w") - lit(1L)))
+      .otherwise(col("w") * call_function("shiftright", col("w") - lit(1L), lit(1)))
     banded.groupBy("band", "key").agg(count(lit(1)).as("w"))
       .groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
         max("w").as("max_width"),
-        sum(when(col("w") >= 2, col("w") * (col("w") - 1) / 2)
+        sum(when(col("w") >= 2, cw2)
           .otherwise(0L)).cast("long").as("n_cand_pairs"))
       .select(col("band").cast("long").as("band"),
         col("n_buckets"), col("max_width"), col("n_cand_pairs"))
@@ -857,7 +875,9 @@ object Dedup {
     def sideHashed(df: DataFrame, idCol: String, shingles: Column, side: Int): DataFrame = {
       // side-encode in the low bit; refuse loudly (row-local, codegen'd)
       // instead of wrapping into a colliding encoded id.
-      val enc = when(col(idCol).cast("long").between(0L, (Long.MaxValue / 2) - 1),
+      // accept the full [0, 2^62) contract: id = 2^62-1 encodes to
+      // 2·id+1 = Long.MaxValue without wrapping, so the guard admits it
+      val enc = when(col(idCol).cast("long").between(0L, Long.MaxValue / 2),
         col(idCol).cast("long") * 2 + side)
         .otherwise(raise_error(concat(
           lit("fuzzyJoinPairs: id outside [0, 2^62), cannot side-encode: "),
@@ -1637,26 +1657,108 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_grams") + 1e-9, 4))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ `threshold` within a blocking key
-    * (here a precomputed cluster/label; at 100 TB the block key would come
-    * from LSH — see [[Similarity.hyperplaneSignature]] — keeping the
-    * self-join O(n · block_width)).
+  /** Embedding near-dup pairs: cosine ≥ `threshold` restricted to pairs
+    * sharing `sameCol` (a precomputed cluster/label — part of the query's
+    * SEMANTICS, applied as a filter on verified pairs, never as the join
+    * key). At the low thresholds this operator serves (τ well below the
+    * true near-dup regime), NO lossless geometric blocking exists — on
+    * this corpus every IVF multi-assign config with zero misses at τ=0.38
+    * costs at least brute force (measured, dated table in BASELINE.md;
+    * the collision probability per hyperplane at τ=0.38 is ≈0.62, so
+    * OR-amplified LSH needs table counts whose candidate volume exceeds
+    * n²). Exact low-τ similarity join is therefore run as an exact
+    * CHUNKED BLOCK-MATRIX self-join: ids hash into ⌈n/chunkRows⌉ chunks,
+    * each unordered chunk pair (ca ≤ cb) is one equi-join task on the
+    * composite key — the classic O(n·√P) triangular replication scheme.
+    * Total compute stays Θ(n²) (information-theoretically required for
+    * exact low-τ on near-isotropic vectors) but no task ever holds more
+    * than ~chunkRows² candidates: a bounded label vocabulary can no
+    * longer concentrate an entire label's O(block²) pairs on one reducer,
+    * and parallelism is ⌈n/chunkRows⌉² /2 tasks regardless of skew in
+    * `sameCol`. For the true near-dup regime use [[embeddingPairsGeo]].
+    *
+    * Norms are precomputed per vector (O(n)), so the O(pairs) verify
+    * evaluates only the dot product — measured 3× over per-pair norm
+    * recompute. The row count (one metadata-cheap count job) sizes the
+    * chunk grid.
     */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
-      blockCol: String,
-      threshold: Double): DataFrame = {
-    // norms precomputed per vector (O(n)), so the O(pairs) join evaluates
-    // only the dot product — measured 3× over per-pair norm recompute.
-    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(embCol).as("e"))
+      sameCol: String,
+      threshold: Double,
+      chunkRows: Int = 4096): DataFrame = {
+    require(chunkRows > 0, s"chunkRows=$chunkRows must be positive")
+    val spark = df.sparkSession
+    val n = df.count()
+    val nchunks = math.max(1L, (n + chunkRows - 1) / chunkRows)
+    val v = df.select(col(sameCol).as("grp"), col(idCol).as("id"), col(embCol).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
-    v.as("x").join(v.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("c", pmod(xxhash64(col("id")), lit(nchunks)))
+    val chunks = spark.range(nchunks)
+    // triangular replication: each row rides along to every chunk pair it
+    // participates in — x carries its own chunk as ca (joined to all
+    // cb ≥ ca), y symmetrically as cb — so the join is a plain equi-join
+    // on (ca, cb) whose tasks are exactly the bounded chunk-pair tiles.
+    val xr = v.withColumnRenamed("c", "ca")
+      .crossJoin(broadcast(chunks.select(col("id").as("cb"))))
+      .filter(col("ca") <= col("cb"))
+    val yr = v.withColumnRenamed("c", "cb")
+      .crossJoin(broadcast(chunks.select(col("id").as("ca"))))
+      .filter(col("ca") <= col("cb"))
+    xr.as("x").join(yr.as("y"),
+        col("x.ca") === col("y.ca") && col("x.cb") === col("y.cb") &&
+          (col("x.ca") < col("x.cb") || col("x.id") < col("y.id")))
       .select(
-        col("x.blk").as("block"), col("x.id").as("a"), col("y.id").as("b"),
+        col("x.grp").as("block"), col("y.grp").as("grp_y"),
+        least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
+        round(dotD(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold && col("block") === col("grp_y"))
+      .select(col("block"), col("a"), col("b"), col("cos"))
+  }
+
+  /** Geometry-blocked embedding near-dup pairs — the sub-quadratic path
+    * for the TRUE near-dup regime (high thresholds): candidates are pairs
+    * sharing at least one of each vector's `assign` nearest IVF cells
+    * (SOAR-style multi-assignment, [[Similarity.assignToCentroidsMulti]]
+    * — a pair straddling a cell boundary is co-listed through either
+    * side's secondary cell), verified by exact cosine. Candidate volume is
+    * Σ_cells C(w,2) ≈ assign²/nlist · n²/2 — with nlist grown ~√n in
+    * production the pair join is O(n^1.5 · assign²), never all-pairs —
+    * and the blocking key is pure geometry: no metadata column shapes the
+    * join.
+    *
+    * Approximate by construction: a pair whose assignment sets are
+    * disjoint is missed. The regime boundary on this corpus is measured
+    * (BASELINE.md): at τ=0.38 zero-miss configs cost ≥ brute force —
+    * use [[embeddingPairs]] — while at τ=0.5 nlist=16/assign=3 is
+    * empirically lossless at both test SFs; the all-pairs DuckDB oracle
+    * on `d_embedding_cos_geo` is that losslessness certificate, re-proven
+    * every round.
+    */
+  def embeddingPairsGeo(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      assign: Int = 3,
+      iters: Int = 3): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+    val cents = Similarity.ivfCentroids(df, idCol, embCol, nlist, iters)
+    val listed = v.join(
+      Similarity.assignToCentroidsMulti(v, "id", "e", cents, assign), "id")
+    listed.as("x").join(listed.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
         round(dotD(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+      // multi-assigned pairs can collide through up to `assign` shared
+      // cells — the dot product is order-deterministic per pair, so the
+      // duplicates are exact and distinct() removes them
+      .distinct()
   }
 }

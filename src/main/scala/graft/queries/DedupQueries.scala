@@ -31,12 +31,27 @@ object DedupQueries {
 
   private def tkShingles(w: Int) = CrossHash.wordShingles(col("__tk"), w)
 
+  /** Shared word-3-shingle MinHash signature frame (k=16): the
+    * incremental/indexed/rebuild/band-stats family and StreamQueries'
+    * index seeds all consume the SAME per-document signatures — one
+    * corpus-wide frame per (session, dir), materialized once
+    * ([[FrameMemo]]); registered in [[SharedFrames]] so the bench charges
+    * its build to the dedicated shared-frame entry, not to whichever
+    * consumer runs first.
+    */
+  private[queries] def minhashSigsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
+      Dedup.minhashSignatures(
+        docsTk(s, d), "doc_id", tkShingles(3), k = 16)
+        .localCheckpoint(true)
+    }
+
   /** Shared duplicate-span frame (word-5-grams, minDocs=2, minRun=2):
     * `d_dup_spans` reports it and `d_dup_spans_removed` excises it — the
     * pipeline shape where the span report is materialized once and feeds
     * both the audit and the rewrite.
     */
-  private def dupSpansFrame(s: SparkSession, d: String): DataFrame =
+  private[queries] def dupSpansFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"dup_spans_w5:$d") {
       Dedup.dupSpans(docsTk(s, d), "doc_id", col("__tk"),
           n = 5, minDocs = 2, minRun = 2)
@@ -67,22 +82,28 @@ object DedupQueries {
     * (session, data dir), materialize (tiny: one long per document), let
     * both consumers reuse.
     */
-  private def simhashFrame(s: SparkSession, d: String): DataFrame =
+  private[queries] def simhashFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"simhash_w3:$d") {
       Dedup.simhash(docsTk(s, d), "doc_id", tkShingles(3))
         .localCheckpoint(true)
     }
 
-  /** Shared embedding near-dup pair frame (cosine ≥ 0.38 within the
-    * precomputed label block): `d_embedding_cos` reports it and
+  /** Shared embedding near-dup pair frame (cosine ≥ 0.38 between vectors
+    * sharing the precomputed label — a semantic filter on verified pairs;
+    * candidate generation is the label-free chunked block-matrix join,
+    * so a bounded label vocabulary can't concentrate a label's O(block²)
+    * pairs on one task): `d_embedding_cos` reports it and
     * `d_semantic_keep` resolves it to survivors — same
     * materialize-once-read-twice shape as the MinHash edges (the frame is
-    * tiny: one row per near-dup vector pair).
+    * tiny: one row per near-dup vector pair). chunkRows=256 exercises a
+    * real multi-chunk grid (≥2 chunks at sf0.01, 8 at sf0.1) rather than
+    * degenerating to one tile at test scale.
     */
-  private def embeddingPairEdges(s: SparkSession, d: String): DataFrame =
+  private[queries] def embeddingPairEdges(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"emb_pairs:$d") {
       Dedup.embeddingPairs(
-          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38)
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.38,
+          chunkRows = 256)
         .localCheckpoint(true)
     }
 
@@ -335,9 +356,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Embedding cosine near-dups within the precomputed cluster label.
+    // Embedding cosine near-dups within the precomputed cluster label
+    // (label applied as a pair filter; candidates are label-free chunked
+    // block-matrix tiles — see Dedup.embeddingPairs).
     "d_embedding_cos" -> ((s, d) =>
       embeddingPairEdges(s, d).orderBy("block", "a", "b")),
+
+    // Geometry-blocked near-dup pairs in the true near-dup regime: IVF
+    // multi-assign cells (nlist=16, assign=3) are the blocking key — no
+    // metadata column shapes the join — and the ALL-PAIRS oracle at
+    // τ=0.5 is the empirical losslessness certificate for this corpus
+    // (at τ=0.38 no lossless geometric blocking exists — measured,
+    // BASELINE.md).
+    "d_embedding_cos_geo" -> ((s, d) =>
+      Dedup.embeddingPairsGeo(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.5)
+        .orderBy("a", "b")),
 
     // SemDeDup-style semantic dedup: the embedding near-dup pairs resolved
     // to clusters (same connected-components machinery as the MinHash
@@ -373,11 +407,7 @@ object DedupQueries {
     // after an id split (`Dedup.minhashSignatures` doc). Emits each
     // flagged new doc with its canonical match.
     "d_incremental" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       Dedup.minhashPairsFromSignatures(
           sigs.filter(col("id") % 10 === 0),
           sigs.filter(col("id") % 10 =!= 0),
@@ -395,11 +425,7 @@ object DedupQueries {
     // join → verify chain is itself hash-verified end-to-end, not only
     // spec-verified.
     "d_incremental_indexed" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       val prefix = s"mh_index_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
@@ -418,11 +444,7 @@ object DedupQueries {
     // petabyte band self-join. Fully SQL-replayable, so the oracle pins
     // the audit's numbers exactly.
     "d_band_stats" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       Dedup.bandBucketStats(sigs, bands = 4, rows = 4)
     }),
 
@@ -438,11 +460,7 @@ object DedupQueries {
     // d_incremental_indexed's oracle verbatim (impossible through the
     // stale banding); the certificate pins gen=1 + bare tables retired.
     "d_rebuild_probe" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       val prefix = s"mh_rb_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
           s"${prefix}_current",
@@ -474,11 +492,7 @@ object DedupQueries {
     // additionally pins exact sig/band counts and the three verb
     // outcomes (applied, recovered, skipped).
     "d_exactly_once_ingest" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       val prefix = s"mh_eo_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
           s"${prefix}_applied")
@@ -521,11 +535,7 @@ object DedupQueries {
     // Deletion correctness IS this equality; a leftover band row would
     // resurface a deleted doc as a match and hash-mismatch.
     "d_delete_probe" -> ((s, d) => {
-      val sigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docsTk(s, d), "doc_id", tkShingles(3), k = 16)
-          .localCheckpoint(true)
-      }
+      val sigs = minhashSigsFrame(s, d)
       val prefix = s"mh_del_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
@@ -1173,6 +1183,22 @@ object DedupQueries {
     "d_embedding_cos" ->
       s"""WITH $EmbPairsBody
          |SELECT block, a, b, cos FROM pairs ORDER BY block, a, b""".stripMargin,
+
+    // exact all-pairs at τ=0.5, NO label restriction and NO blocking —
+    // green iff the IVF multi-assign blocking missed nothing
+    "d_embedding_cos_geo" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))), 4) AS cos
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cos FROM p WHERE cos >= 0.5 ORDER BY a, b""".stripMargin,
 
     "d_semantic_keep" ->
       s"""WITH RECURSIVE $EmbPairsBody,

@@ -226,8 +226,25 @@ object Sinks {
     val prefix = partCol + "="
     val parts = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val values = parts.map(_.getPath.getName.stripPrefix(prefix))
+    // the comparison is lexicographic, which is only a date comparison for
+    // zero-padded ISO values — if the sink's partitions all look like
+    // dates, a non-ISO cutoff ("2024-1-2") would silently keep/drop the
+    // wrong set, so refuse it loudly instead
+    val iso = "\\d{4}-\\d{2}-\\d{2}".r
+    if (values.nonEmpty && values.forall(iso.matches(_)))
+      require(iso.matches(cutoffInclusive),
+        s"cutoff '$cutoffInclusive' is not in the sink's zero-padded " +
+          s"yyyy-MM-dd partition format — lexicographic comparison against " +
+          s"ISO partition values would be wrong")
     val (drop, keep) = parts.partition(
       _.getPath.getName.stripPrefix(prefix) < cutoffInclusive)
+    // a sweep that expires EVERY partition leaves an unreadable sink
+    // (parquet schema inference fails on the empty root) — that is a
+    // retention-config bug, not a TTL, so fail before the first delete
+    require(keep.nonEmpty || parts.isEmpty,
+      s"cutoff '$cutoffInclusive' would drop all ${parts.length} partitions " +
+        s"and leave $dir unreadable — widen the cutoff or drop the sink itself")
     drop.foreach(s => fs.delete(s.getPath, true))
     (drop.length, keep.length)
   }

@@ -82,6 +82,17 @@ class SinksSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "loose.txt")))
     // idempotent: nothing else expires on a re-run with the same cutoff
     assert(Sinks.retentionSweep(spark, out, "day", "2024-01-02") == ((0, 2)))
+    // a non-ISO cutoff against ISO partitions compares lexicographically
+    // wrong — refused loudly, nothing deleted
+    intercept[IllegalArgumentException] {
+      Sinks.retentionSweep(spark, out, "day", "2024-1-2")
+    }
+    // a cutoff expiring EVERY partition would leave the sink unreadable —
+    // refused before the first delete, both survivors still present
+    intercept[IllegalArgumentException] {
+      Sinks.retentionSweep(spark, out, "day", "2030-01-01")
+    }
+    assert(Sinks.retentionSweep(spark, out, "day", "2024-01-02") == ((0, 2)))
   }
 
   test("bucketed tables join with no Exchange in the physical plan") {
