@@ -60,7 +60,20 @@ object Bench {
     val passes = 3
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       val sess = spark.newSession()
-      selected.map { case (name, fn) =>
+      // Dedicated timed entry for the suite-shared memoized frames
+      // (SharedFrames): built FIRST each pass so their cost never lands on
+      // whichever consumer query happens to run (or re-run, after a soft
+      // ref / block eviction) first — the round-8 rep-variance finding.
+      // Skipped under a name filter: a focused run times only its queries.
+      val shared: Option[(String, Double)] =
+        if (only.isDefined) None
+        else Some {
+          val t0 = System.nanoTime()
+          val ok = try { graft.queries.SharedFrames.prewarm(sess, sfDir); true }
+            catch { case _: Throwable => false }
+          "shared_frame_builds" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+      shared.toSeq ++ selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(sess, sfDir).count(); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -70,7 +83,9 @@ object Bench {
       perPass.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     // any throwing rep poisons the query to -1 (a median would hide a
     // flaky failure behind two passing reps)
-    val results = selected.map { case (name, _) =>
+    // pass order (pseudo-entry first, then alphabetical queries) — taken
+    // from the first pass so shared_frame_builds is graded like any query
+    val results = perPass.head.map(_._1).map { name =>
       val reps = byName(name)
       name -> (if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(passes / 2))
     }
@@ -89,7 +104,7 @@ object Bench {
     println(detail)
     // durable per-rep detail: median is what the driver grades, but the
     // raw reps are what adjudicate "noise vs regression" without re-runs
-    val repsJson = selected.map { case (name, _) =>
+    val repsJson = perPass.head.map(_._1).map { name =>
       s"\"" + name + "\":[" + byName(name).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // The harness keeps only a bounded tail of stdout; once the suite grew

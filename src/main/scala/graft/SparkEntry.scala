@@ -44,4 +44,35 @@ object SparkEntry {
     * (reserved for genuinely non-SQL-expressible ops).
     */
   val oracleSql: Map[String, String] = registries.map(_._2).reduce(_ ++ _)
+
+  /** The SCALE-SENSITIVE certificate subset: queries whose green row
+    * asserts a property that can silently flip with corpus size — sketch
+    * accuracy pins (HLL/KLL/quantile windows), ANN recall floors and
+    * index-lifecycle certificates, exactly-once/rebuild pins, and every
+    * streaming↔batch watermark parity. The per-round sf0.01 gate runs
+    * everything; THIS subset is additionally re-proven at sf0.1 each
+    * round (the round-7 false HLL merge-equality pin was only caught by
+    * a one-time sf0.1 run — this makes that check standing):
+    *
+    *   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/certs01 certs"
+    *   python3 tools/selfcheck.py /root/testdata/sf0.1 /tmp/certs01
+    *
+    * (`certs` is expanded by Verify to this set; results go in the
+    * round's BASELINE.md note.) Membership: every query emitting a
+    * `*_ok` certificate column, the approx-sketch queries, and all
+    * `st_*` parities — asserted non-drifting in SparkEntrySpec.
+    */
+  val certificateQueries: Set[String] =
+    Set(
+      "d_rebuild_probe", "d_exactly_once_ingest", "d_rebuild_spans",
+      "q_incr_quantiles", "q_incr_quantiles_kll",
+      "q_approx_distinct", "q_approx_percentile",
+      "fn_hll_sketch",
+      "sim_quantize_i8",
+      "sim_knn_ivf", "sim_knn_ivf_ingest", "sim_knn_ivf_indexed",
+      "sim_knn_ivf_rebuild", "sim_knn_ivf_sqrtn", "sim_knn_ivf_filtered",
+      "sim_knn_ivf_delete",
+      "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_ivfpq_ingest",
+      "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete") ++
+      queries.keySet.filter(_.startsWith("st_"))
 }

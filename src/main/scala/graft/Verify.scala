@@ -7,9 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query-name filter] — the
     // driver passes two; the filter is for local iteration on a subset.
+    // The literal filter `certs` expands to SparkEntry.certificateQueries
+    // (the scale-sensitive subset re-proven at sf0.1 each round).
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        if (args(2) == "certs") Some(SparkEntry.certificateQueries)
+        else Some(args(2).split(",").toSet)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -128,7 +128,8 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.7,
-      assumeUnboundedVocab: Boolean = false): DataFrame = {
+      assumeUnboundedVocab: Boolean = false,
+      hotBucketCap: Int = 0): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands — otherwise signature " +
         "values are silently dropped (or every band key degenerates to \"\" " +
@@ -146,10 +147,28 @@ object Dedup {
       // consumed twice (vocabulary measurement + signature aggregation):
       // persisting keeps the shingle explode+md5 pass single-execution.
       else hashedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try minhashPairsBody(hashed, knownUnbounded, k, bands, rows, threshold)
+    try minhashPairsBody(hashed, knownUnbounded, k, bands, rows, threshold,
+      hotBucketCap = hotBucketCap)
     finally hashed.unpersist()
   }
 
+  /** @param hotBucketCap when > 0, band buckets wider than this are
+    *        excluded from candidate generation (left-anti on the measured
+    *        widths — the acting arm of [[bandBucketStats]]' audit, same
+    *        idiom as [[cdcContainmentJoin]]'s boilerplate-fingerprint
+    *        guard). A degenerate bucket (boilerplate shingles hashing a
+    *        huge fraction of a petabyte corpus to one band key) would
+    *        otherwise emit C(w,2) candidates from that single reducer;
+    *        the cap bounds every bucket's contribution at C(cap,2).
+    *        MISSED-PAIR BOUND: capping band i loses a true pair ONLY if
+    *        every band the pair collides in is over-cap — a pair with
+    *        jaccard j collides per band with prob j^rows, so a genuine
+    *        near-dup pair (j ≥ threshold, e.g. 0.7^4 ≈ 0.24/band) has
+    *        multiple independent escape routes unless it lives inside
+    *        boilerplate in EVERY band, which is the boilerplate the cap
+    *        exists to drop. `d_minhash_lsh_capped` emits the realized
+    *        loss (`n_lost`) as an oracle-verified column. 0 = off.
+    */
   private def minhashPairsBody(
       hashed: DataFrame,
       knownUnbounded: Boolean,
@@ -157,7 +176,8 @@ object Dedup {
       bands: Int,
       rows: Int,
       threshold: Double,
-      candPred: (Column, Column) => Column = (a, b) => a < b): DataFrame = {
+      candPred: (Column, Column) => Column = (a, b) => a < b,
+      hotBucketCap: Int = 0): DataFrame = {
     // the only question is "≤ cap or not" — the limit stops the probe from
     // materializing an unbounded distinct count on huge-vocab corpora, and
     // the same distinct frame feeds the bitset dictionary below.
@@ -208,8 +228,17 @@ object Dedup {
       }
 
     try {
-    val banded = sigd.select(
+    val banded0 = sigd.select(
       col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    // hot-bucket cap: drop over-cap buckets BEFORE the self-join, so the
+    // quadratic candidate blow-up never materializes (see param doc)
+    val banded =
+      if (hotBucketCap > 0)
+        banded0.join(
+          banded0.groupBy("band", "key").agg(count(lit(1)).as("w"))
+            .filter(col("w") > hotBucketCap).select("band", "key"),
+          Seq("band", "key"), "left_anti")
+      else banded0
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

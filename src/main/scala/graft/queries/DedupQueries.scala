@@ -206,6 +206,22 @@ object DedupQueries {
     "d_minhash_lsh" -> ((s, d) =>
       minhashPairEdges(s, d).orderBy("a", "b")),
 
+    // The acting arm of the d_band_stats audit: same MinHash+LSH pair
+    // join with band buckets wider than 3 excluded before the self-join
+    // (at sf0.01 this genuinely drops band-0's width-4/5 buckets, so the
+    // cap path is exercised, not idle). `n_lost` = pairs the cap cost vs
+    // the uncapped edge set (capped candidates are a subset, verify is
+    // identical) — oracle-recomputed, so the missed-pair behavior is
+    // hash-pinned, not asserted.
+    "d_minhash_lsh_capped" -> ((s, d) => {
+      val capped = Dedup.minhashPairs(
+        docsTk(s, d), "doc_id", tkShingles(3),
+        k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true,
+        hotBucketCap = 3)
+      val nLost = minhashPairEdges(s, d).count() - capped.count()
+      capped.withColumn("n_lost", lit(nLost)).orderBy("a", "b")
+    }),
+
     // SimHash signatures (60-bit, relational bit-vote formulation) over
     // word-3-shingles — shingles, not raw tokens: the corpus vocabulary is
     // small, so token-level simhash barely discriminates.
@@ -281,11 +297,20 @@ object DedupQueries {
       val edges = minhashPairEdges(s, d)
       val oldEdges = edges.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
       val newEdges = edges.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
-      val table = s"cc_labels_${ScratchKeys.forPath(d)}"
-      graft.sources.Sinks.dropManagedTable(s, table)
-      graft.sources.Sinks.writeBucketedTable(
-        Dedup.connectedComponentsStar(oldEdges), table, 8, "id")
-      val inc = Dedup.incrementalConnectedComponents(s.table(table), newEdges)
+      // pointer-protected label state (Sinks.updateLabelTable): same
+      // blue/green generation discipline as the streaming twin — the
+      // "yesterday" table is a complete pointer-resolved generation, and
+      // the day's update would stage the next one
+      val prefix = s"cc_labels_${ScratchKeys.forPath(d)}"
+      val genPat = java.util.regex.Pattern.quote(prefix) + "_g\\d+_(labels|meta)"
+      val stale = s.sessionState.catalog.listTables("default")
+        .map(_.table).filter(_.toLowerCase.matches(genPat))
+      (stale ++ Seq(s"${prefix}_current", s"${prefix}_labels", s"${prefix}_meta"))
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      graft.sources.Sinks.updateLabelTable(
+        s, prefix, Dedup.connectedComponentsStar(oldEdges), 8)
+      val inc = Dedup.incrementalConnectedComponents(
+        graft.sources.Sinks.readLabelTable(s, prefix), newEdges)
         .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "inc_rep")
       docs.select("doc_id").join(inc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("inc_rep"), col("doc_id")).as("cluster_rep"))
@@ -1010,6 +1035,30 @@ object DedupQueries {
     "d_minhash_lsh" ->
       s"""WITH $MinhashPairsBody
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
+
+    // capped replay: over-cap (w > 3) band buckets excluded before the
+    // candidate join, verify identical; n_lost recomputed as the capped
+    // set's deficit vs the uncapped pair set (a strict subset by
+    // construction, so a count difference IS the loss)
+    "d_minhash_lsh_capped" ->
+      s"""WITH $MinhashPairsBody,
+         |bw AS (SELECT b, key, count(*) AS w FROM bands GROUP BY b, key),
+         |cooled AS (
+         |  SELECT bands.doc_id, bands.b, bands.key
+         |  FROM bands JOIN bw USING (b, key) WHERE bw.w <= 3),
+         |ccand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM cooled x JOIN cooled y
+         |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cj AS (
+         |  SELECT a, b, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |      / len(list_distinct(sa.hs || sb.hs)) + 0.000000001, 4) AS jaccard
+         |  FROM ccand JOIN sig sa ON ccand.a = sa.doc_id
+         |             JOIN sig sb ON ccand.b = sb.doc_id),
+         |cpairs AS (SELECT a, b, jaccard FROM cj WHERE jaccard >= 0.7)
+         |SELECT a, b, jaccard,
+         |  ((SELECT count(*) FROM pairs) - (SELECT count(*) FROM cpairs))::BIGINT AS n_lost
+         |FROM cpairs ORDER BY a, b""".stripMargin,
 
     "d_clusters" ->
       s"""WITH RECURSIVE $ClusterRepBody

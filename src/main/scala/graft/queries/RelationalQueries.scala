@@ -527,6 +527,62 @@ object RelationalQueries {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // TPC-H Q21 shape: multi-EXISTS + NOT-EXISTS, BOTH correlated against
+    // the same fact table as the outer scan (the decorrelation surface Q4
+    // doesn't cover — two independent subqueries over lineitem must
+    // become two joins of the one fact side, not per-row subplans; the
+    // NOT EXISTS additionally correlates on a column of a JOINED outer
+    // table, o_orderdate). "Late" adapts Q21's receipt/commit lag to this
+    // schema: shipped > 25 days after the order date. PlanSpec pins the
+    // semi + anti join shape.
+    "q_multi_exists" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql(
+        """SELECT s.s_name, count(*) AS numwait
+          |FROM v_supplier s
+          |JOIN v_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          |JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 25 DAYS
+          |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 25 DAYS)
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s.s_name""".stripMargin)
+    }),
+
+    // TPC-H Q22 shape: anti join gated by an UNCORRELATED scalar-avg
+    // subquery — above-average-balance customers with NO high-value
+    // order (this corpus's order generator gives every customer ~10
+    // orders, so Q22's literal "no orders at all" is empty; "no order
+    // above 400k" keeps the identical anti-join-vs-scalar-avg plan shape
+    // with a non-degenerate answer at every SF). The scalar must compile
+    // to one one-row aggregate evaluated once and fed into the filter,
+    // the NOT EXISTS to one anti join; nation stands in for Q22's
+    // phone-prefix country code.
+    "q_anti_scalar" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "nation").createOrReplaceTempView("v_nation")
+      s.sql(
+        """SELECT n.n_name, count(*) AS numcust,
+          |       round(sum(c.c_acctbal), 2) AS totacctbal
+          |FROM v_customer c JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
+          |                     WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM v_orders
+          |                  WHERE o_custkey = c.c_custkey
+          |                    AND o_totalprice > 400000.0)
+          |GROUP BY n.n_name
+          |ORDER BY n.n_name""".stripMargin)
+    }),
+
     // Approximate tier — the 100 TB defaults, where exact countDistinct
     // means a full shuffle of every key and exact percentiles a full sort.
     // The sketch values themselves can't cross-engine match (each engine's
@@ -906,6 +962,35 @@ object RelationalQueries {
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_multi_exists" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 25 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 25 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q_anti_scalar" ->
+      """SELECT n.n_name, count(*) AS numcust,
+        |       round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_totalprice > 400000.0)
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

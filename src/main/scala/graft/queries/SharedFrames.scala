@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The suite's shared memoized frames ([[FrameMemo]]), enumerated in one
+  * place so the bench can build them in a DEDICATED timed step before
+  * per-query timing. Without this, a shared frame's build cost lands on
+  * whichever consumer runs first in a pass — and when memory pressure
+  * clears a soft reference or evicts checkpoint blocks mid-pass, on a
+  * DIFFERENT query in the next pass, which is exactly the rep-variance
+  * that made round 8's cluster-family numbers unreadable (reps spanning
+  * 3.9× within one run). With the pre-build, per-query times measure the
+  * query's own work and the shared-frame cost is one explicit,
+  * round-comparable entry.
+  *
+  * Order is fixed and dependency-respecting (basket_pairs consumes
+  * basket_items); every builder is idempotent (memo hit) and
+  * materializes eagerly, so prewarm cost is the true build cost.
+  */
+private[graft] object SharedFrames {
+
+  val builders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "minhash_sigs_w3" -> (DedupQueries.minhashSigsFrame _),
+    "minhash_pairs" -> (DedupQueries.minhashPairEdges _),
+    "dup_spans_w5" -> (DedupQueries.dupSpansFrame _),
+    "simhash_w3" -> (DedupQueries.simhashFrame _),
+    "emb_pairs" -> (DedupQueries.embeddingPairEdges _),
+    "bpe_merges6" -> (TextQueries.bpeMerges6 _),
+    "basket_items" -> (WarehouseQueries.basketItems _),
+    "basket_pairs" -> (WarehouseQueries.basketPairCounts _))
+
+  /** Build (or touch, on memo hit) every shared frame for (session, dir).
+    * `count()` forces any builder that returns a lazily-wrapped
+    * materialized frame without retaining extra state.
+    */
+  def prewarm(s: SparkSession, d: String): Unit =
+    builders.foreach { case (_, b) => b(s, d).count() }
+}

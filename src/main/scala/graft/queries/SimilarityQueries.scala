@@ -58,6 +58,19 @@ object SimilarityQueries {
   val IvfFilteredNprobe = 8
   val IvfFilteredRecallFloor = 0.85
 
+  /** Production-shaped serving certificate: `sim_knn_ivf_sqrtn` rebuilds
+    * the index at nlist = ⌈√N⌉ — the config the "nlist grows ~√N at
+    * 100 TB" claim actually asserts — and probes at nprobe = ⌈3·nlist/8⌉
+    * (scanned fraction 2·nprobe/nlist ≈ 0.72, at FINER cells than the
+    * nlist=16 serving config). Measured recall vs brute-force top-3
+    * (tools/AnnSweep sqrtn, 2026-08-14): 0.967 / 1.000 / 0.958 at
+    * sf0.001 (nlist=23) / sf0.01 (nlist=23) / sf0.1 (nlist=45); the
+    * 500k-vector frontier at nlist ∈ {64, 160, 256, 707} is in
+    * BASELINE.md. Floor ~0.1 under the worst measured point, same
+    * policy as the sibling floors.
+    */
+  val SqrtNRecallFloor = 0.85
+
   /** Corpus-level recall floor certified by `sim_knn_pq` (PQ-ADC with
     * m=16 subspaces × 16 codes, shortlist 128, exact re-rank): measured
     * recall vs brute-force top-3 is 1.000 / 1.000 / 0.925 at sf0.001 /
@@ -306,6 +319,42 @@ object SimilarityQueries {
             / count(lit(1)).over(all)) >= IvfRecallFloor)
             && lit(gen == 1L && retired))
         .select("query_id", "rank", "neighbor_id", "cos", "rebuild_ok")
+        .orderBy("query_id", "rank")
+    }),
+
+    // The >16-nlist serving certificate: rebuild the serving nlist=16
+    // index at the production shape nlist = ⌈√N⌉ (finer cells, same
+    // ~0.72 scanned fraction via nprobe = ⌈3·nlist/8⌉) and certify
+    // serving recall through the pointer-resolved rebuilt generation —
+    // the round-8 verdict's "recall floors survive a production-shaped
+    // nlist" gap, closed as an every-round oracle row rather than a
+    // one-time measurement.
+    "sim_knn_ivf_sqrtn" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queriesOf(e)
+      val n = e.count()
+      val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+      val nprobe = math.ceil(nlist * 3.0 / 8.0).toInt
+      val prefix = s"ivf_sqrtn_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta",
+          s"${prefix}_current",
+          s"${prefix}_g1_lists", s"${prefix}_g1_cents", s"${prefix}_g1_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      val gen = Similarity.rebuildIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = nlist, iters = 3, assign = IvfAssign)
+      val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
+          k = 3, nprobe = nprobe)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val all = Window.partitionBy(lit(1))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("sqrtn_ok",
+          ((sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= SqrtNRecallFloor)
+            && lit(gen == 1L))
+        .select("query_id", "rank", "neighbor_id", "cos", "sqrtn_ok")
         .orderBy("query_id", "rank")
     }),
 
@@ -757,6 +806,22 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS ivf_recall_ok
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Brute-force rows + pinned-TRUE certificate: recall through the
+    // rebuilt nlist=ceil(sqrt(N)) generation must clear the 0.85 floor —
+    // the production-shaped-nlist serving certificate.
+    "sim_knn_ivf_sqrtn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos, TRUE AS sqrtn_ok
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // The full-corpus brute force — the post-cutover index must reach

@@ -575,12 +575,7 @@ object StreamQueries {
       // d_incremental/d_incremental_indexed split) — the seed is
       // "yesterday's corpus", already signed in production; only the
       // streamed batches sign fresh, inside their foreachBatch cycles
-      val corpusSigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docs.withColumn("__tk", CrossHash.tokens(col("text"))),
-          "doc_id", shingles, k = 16)
-          .localCheckpoint(true)
-      }
+      val corpusSigs = DedupQueries.minhashSigsFrame(s, d)
       Dedup.writeMinhashIndex(
         corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
@@ -647,12 +642,7 @@ object StreamQueries {
       val prefix = s"mh_stream_del_${ScratchKeys.forPath(d)}"
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      val corpusSigs = FrameMemo.getOrCompute(s, s"minhash_sigs_w3:$d") {
-        Dedup.minhashSignatures(
-          docs.withColumn("__tk", CrossHash.tokens(col("text"))),
-          "doc_id", shingles, k = 16)
-          .localCheckpoint(true)
-      }
+      val corpusSigs = DedupQueries.minhashSigsFrame(s, d)
       Dedup.writeMinhashIndex(
         corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_mhdel_")
@@ -883,10 +873,22 @@ object StreamQueries {
           .repartition(4, col("a"))
           .write.mode("overwrite").parquet(out.toString)
       }
-      val table = s"cc_stream_labels_${ScratchKeys.forPath(d)}"
-      graft.sources.Sinks.dropManagedTable(s, table)
-      graft.sources.Sinks.writeBucketedTable(
-        Dedup.connectedComponentsStar(oldEdges), table, 8, "id")
+      // pointer-protected blue/green label state (Sinks.updateLabelTable):
+      // each batch stages a fresh generation and flips <prefix>_current —
+      // a crash in any window leaves a complete serving generation, the
+      // same discipline as the four persisted index families (and the
+      // update plan reads the OLD generation while writing the NEW one,
+      // so no materialize-before-overwrite hack is needed)
+      val prefix = s"cc_stream_labels_${ScratchKeys.forPath(d)}"
+      // enumerate generations for cleanup — the generation counter grows
+      // monotonically across suite runs, so a fixed drop list would leak
+      val genPat = java.util.regex.Pattern.quote(prefix) + "_g\\d+_(labels|meta)"
+      val stale = s.sessionState.catalog.listTables("default")
+        .map(_.table).filter(_.toLowerCase.matches(genPat))
+      (stale ++ Seq(s"${prefix}_current", s"${prefix}_labels", s"${prefix}_meta"))
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      graft.sources.Sinks.updateLabelTable(
+        s, prefix, Dedup.connectedComponentsStar(oldEdges), 8)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cc_")
       try {
         withStreamPartitions(s) {
@@ -896,19 +898,17 @@ object StreamQueries {
             .option("checkpointLocation", s"$scratch/chk")
             .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                 _: Long) => {
-              // materialize BEFORE the overwrite — the update plan reads
-              // the same table it is about to replace
               val updated = Dedup.incrementalConnectedComponents(
-                  s.table(table), batch.toDF())
-                .localCheckpoint(true)
-              graft.sources.Sinks.writeBucketedTable(updated, table, 8, "id")
+                graft.sources.Sinks.readLabelTable(s, prefix), batch.toDF())
+              graft.sources.Sinks.updateLabelTable(s, prefix, updated, 8)
+              ()
             })
             .start()
           try q.processAllAvailable() finally q.stop()
         }
       } finally deleteRecursively(scratch)
       docs.select("doc_id")
-        .join(s.table(table)
+        .join(graft.sources.Sinks.readLabelTable(s, prefix)
             .withColumnRenamed("id", "doc_id").withColumnRenamed("rep", "inc_rep"),
           Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("inc_rep"), col("doc_id")).as("cluster_rep"))

@@ -23,7 +23,7 @@ object TextQueries {
     * key, and every per-round frame inside bpeMerges is already
     * localCheckpointed.
     */
-  private def bpeMerges6(s: SparkSession, d: String): DataFrame =
+  private[queries] def bpeMerges6(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"bpe_merges6:$d") {
       Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
     }

@@ -52,7 +52,7 @@ object WarehouseQueries {
     * memoized per (session, dir) — q_assoc_rules and q_triangles both
     * consume it (and its pair counts).
     */
-  private def basketItems(s: SparkSession, d: String): DataFrame =
+  private[queries] def basketItems(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"basket_items:$d") {
       t(s, d, "lineitem")
         .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
@@ -61,7 +61,7 @@ object WarehouseQueries {
     }
 
   /** Co-occurrence pair counts (a < b, count of shared baskets), memoized. */
-  private def basketPairCounts(s: SparkSession, d: String): DataFrame =
+  private[queries] def basketPairCounts(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"basket_pairs:$d") {
       val items = basketItems(s, d)
       items.as("x")

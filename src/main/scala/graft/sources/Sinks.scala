@@ -301,6 +301,43 @@ object Sinks {
     next
   }
 
+  /** Blue/green persisted LABEL table (id → rep — the connected-components
+    * state [[graft.operators.Dedup.incrementalConnectedComponents]]
+    * maintains): each update stages the full new label set as a fresh
+    * generation — bucketed on `id`, `_meta` written LAST as the
+    * completeness marker, exactly the four index families' discipline —
+    * then flips `<prefix>_current` (one small-table overwrite) and
+    * retires the old generation. Before this verb the streaming CC path
+    * overwrote its bucketed label table in place per batch: a crash
+    * mid-overwrite lost the labels, the one persisted state without the
+    * [[rebuildCutover]] protection (round-8 verdict). Every crash window
+    * now leaves a complete serving generation: die before the pointer
+    * flip and the old generation still serves (the update re-runs); die
+    * after it and the new one serves (a leaked retired generation is
+    * storage, not correctness). As a bonus the update plan reads the OLD
+    * generation while writing the NEW table, so read-while-overwrite
+    * materialization hacks are unnecessary. Returns the new generation.
+    */
+  def updateLabelTable(
+      spark: SparkSession,
+      tablePrefix: String,
+      labels: org.apache.spark.sql.DataFrame,
+      buckets: Int = 8): Long =
+    rebuildCutover(spark, tablePrefix, Seq("_labels", "_meta")) { g =>
+      writeBucketedTable(labels, s"${g}_labels", buckets, "id")
+      spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${g}_meta")
+    }
+
+  /** The serving generation of a [[updateLabelTable]] label table,
+    * resolved through the same pointer/completeness chain as every index
+    * probe ([[activeTablePrefix]] — `_meta` presence marks a complete
+    * generation, so a mid-build crash never resolves to a torn table).
+    */
+  def readLabelTable(spark: SparkSession, tablePrefix: String): org.apache.spark.sql.DataFrame =
+    spark.table(s"${activeTablePrefix(spark, tablePrefix)}_labels")
+
   /** Append one write-ahead ledger row for [[exactlyOnceBatch]]. Plain
     * (non-bucketed) parquet catalog table; duplicate rows are harmless
     * (the reader asks "does a commit row exist", not "how many").

@@ -405,6 +405,60 @@ object ScaleBench {
     }
   }
 
+  /** Round-9: the hot-bucket cap's skew point (the acting arm of the
+    * d_band_stats audit, verdict task 4). A corpus where 10% of documents
+    * are near-pure boilerplate — one fixed 60-token banner plus a
+    * doc-unique tail token — drives every boilerplate document's four
+    * band keys into the SAME bucket per band (the banner's 59 shared
+    * shingles dominate every MinHash family minimum), which is exactly
+    * the degenerate C(w,2) regime bandBucketStats warns about. Measures
+    * the uncapped band join (candidates quadratic in the clique width)
+    * vs hotBucketCap=64 at 1× and 10×, and pins that the cap's loss is
+    * CONFINED to the boilerplate clique: clean-pair recall (uncapped
+    * pairs with no boilerplate endpoint) must be 100% — a clique member
+    * is findable by d_exact-style fingerprint dedup for a fraction of
+    * the cost, which is where a production pipeline catches it.
+    */
+  private def runHotCap(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.CrossHash
+    val banner = (1 to 60).map(i => s"bp$i").mkString(" ")
+    def skewed(dir: String) =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7,
+            concat(lit(banner), lit(" tail"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("__tk", CrossHash.tokens(col("text")))
+        .localCheckpoint(true)
+    for ((tag, dir) <- Seq("x1" -> src, "x10" -> scaleDir)) {
+      val docs = skewed(dir)
+      val sh = CrossHash.wordShingles(col("__tk"), 3)
+      def run(cap: Int): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val p = Dedup.minhashPairs(docs, "doc_id", sh,
+          k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true,
+          hotBucketCap = cap)
+        val n = p.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tU, nU) = run(0)
+      val (tC, nC) = run(64)
+      // clean pairs: no boilerplate endpoint — the cap must lose none
+      val unc = Dedup.minhashPairs(docs, "doc_id", sh,
+        k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true)
+      val cap = Dedup.minhashPairs(docs, "doc_id", sh,
+        k = 16, bands = 4, threshold = 0.7, assumeUnboundedVocab = true,
+        hotBucketCap = 64)
+      val clean = unc.filter(col("a") % 10 =!= 7 && col("b") % 10 =!= 7)
+      val cleanN = clean.count()
+      val cleanFound = clean.join(cap, Seq("a", "b"), "left_semi").count()
+      println(f"HOTCAP $tag uncapped: $tU%7.1f s, $nU%9d pairs | capped(64): " +
+        f"$tC%7.1f s, $nC%9d pairs | clean recall $cleanFound/$cleanN")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -491,6 +545,11 @@ object ScaleBench {
     val which = args.drop(1).headOption.getOrElse("all")
     if (which == "ann") {
       runAnn(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "hotcap") {
+      runHotCap(spark, src, scaleDir)
       spark.stop()
       return
     }

@@ -31,6 +31,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"expected the decorrelated join in:\n$p")
   }
 
+  test("Q21 shape: multi-EXISTS + NOT-EXISTS decorrelate to one semi and one anti join") {
+    val p = plan("q_multi_exists")
+    assert(p.contains("LeftSemi"), s"expected a semi join (EXISTS) in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join (NOT EXISTS) in:\n$p")
+    // both subqueries must become joins of the fact table — a surviving
+    // per-row subplan would re-scan lineitem once per outer row
+    assert(!p.contains("InSubqueryExec"), s"subquery survived decorrelation:\n$p")
+    assert(!p.contains("ScalarSubquery"), s"unexpected scalar subplan:\n$p")
+  }
+
+  test("Q22 shape: anti join + one-row scalar aggregate, no per-row subplan") {
+    val p = plan("q_anti_scalar")
+    assert(p.contains("LeftAnti"), s"expected the no-orders anti join in:\n$p")
+    // the uncorrelated scalar avg is legitimately a ONE-TIME subquery
+    // (one row, evaluated once, broadcast into the filter) — what must
+    // NOT appear is a correlated per-row form (InSubqueryExec) or a
+    // re-aggregation joined per row
+    assert(!p.contains("InSubqueryExec"), s"per-row subquery in:\n$p")
+    val semiCount = "LeftSemi".r.findAllIn(p).length
+    assert(semiCount == 0, s"unexpected semi joins in:\n$p")
+  }
+
   test("star join broadcasts the dimension side") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")

@@ -95,6 +95,37 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.retentionSweep(spark, out, "day", "2024-01-02") == ((0, 2)))
   }
 
+  test("blue/green label table: every crash window leaves a complete serving generation") {
+    val p = "bg_labels_spec"
+    val genPat = java.util.regex.Pattern.quote(p) + "_g\\d+_(labels|meta)"
+    (spark.sessionState.catalog.listTables("default")
+      .map(_.table).filter(_.toLowerCase.matches(genPat)) ++
+      Seq(s"${p}_current", s"${p}_labels", s"${p}_meta"))
+      .foreach(Sinks.dropManagedTable(spark, _))
+    def serving(): Set[(Long, Long)] =
+      Sinks.readLabelTable(spark, p).as[(Long, Long)].collect().toSet
+    val l1 = Set(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    val l2 = Set(1L -> 1L, 2L -> 1L, 5L -> 1L)
+    assert(Sinks.updateLabelTable(spark, p, l1.toSeq.toDF("id", "rep")) == 1L)
+    assert(serving() == l1)
+    // crash window 1: the next update died MID-STAGE — generation tables
+    // written but no _meta. The resolver must never see the torn state.
+    Sinks.writeBucketedTable(l2.toSeq.toDF("id", "rep"), s"${p}_g2_labels", 8, "id")
+    assert(serving() == l1, "torn staged generation must not serve")
+    // crash window 2: stage COMPLETE (meta in) but died before the
+    // pointer flip — the pointer still wins, old generation serves.
+    Seq(Tuple1(8)).toDF("buckets").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${p}_g2_meta")
+    assert(serving() == l1, "pre-flip crash must keep the old generation serving")
+    // the retried update pre-drops the staged leftovers and lands cleanly
+    assert(Sinks.updateLabelTable(spark, p, l2.toSeq.toDF("id", "rep")) == 2L)
+    assert(serving() == l2)
+    // retired generation is gone; the new one is the only label table
+    assert(!spark.catalog.tableExists(s"${p}_g1_labels"),
+      "retired generation must be dropped")
+    assert(spark.table(s"${p}_current").head().getLong(0) == 2L)
+  }
+
   test("bucketed tables join with no Exchange in the physical plan") {
     val orders = (1L to 200L).map(i => (i % 40, i)).toDF("custkey", "orderkey")
     val cust = (0L until 40L).map(i => (i, s"c$i")).toDF("custkey", "name")

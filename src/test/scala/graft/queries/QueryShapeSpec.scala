@@ -12,6 +12,20 @@ class QueryShapeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("certificateQueries: the sf0.1 re-proof subset names real queries") {
+    val certs = graft.SparkEntry.certificateQueries
+    val all = graft.SparkEntry.queries.keySet
+    val ghosts = certs.diff(all)
+    assert(ghosts.isEmpty, s"certificate set names unknown queries: $ghosts")
+    // every streaming parity is scale-sensitive by construction
+    assert(all.filter(_.startsWith("st_")).subsetOf(certs))
+    // sentinels for the three certificate families the subset exists for:
+    // sketches, ANN floors, index lifecycle
+    Seq("fn_hll_sketch", "q_approx_percentile", "sim_knn_ivf",
+        "sim_knn_ivf_sqrtn", "d_exactly_once_ingest")
+      .foreach(s => assert(certs.contains(s), s"missing sentinel $s"))
+  }
+
   test("tx_chunk_overlap: chunks tile every document with stride-24 starts") {
     import spark.implicits._
     val chunks = TextQueries.queries("tx_chunk_overlap")(spark, sf)
