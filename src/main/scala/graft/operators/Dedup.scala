@@ -1765,7 +1765,14 @@ object Dedup {
     * use [[embeddingPairs]] — while at τ=0.5 nlist=16/assign=3 is
     * empirically lossless at both test SFs; the all-pairs DuckDB oracle
     * on `d_embedding_cos_geo` is that losslessness certificate, re-proven
-    * every round.
+    * every round. The certificate is corpus- AND config-specific, not a
+    * property of the operator: the ScaleBench `embpairs` decade measures
+    * recall decaying to 0.870 at 10× (and 0.502 with nlist grown ~√n at
+    * fixed assign) on this near-isotropic corpus, because τ=0.5 is still
+    * a ~60° angle there. This operator is the opt-in for genuinely
+    * clustered high-τ corpora (SemDeDup at cos≥0.9 on real embeddings);
+    * [[embeddingPairs]] is the safe default — always check the recall
+    * certificate on the target corpus rather than assuming it.
     */
   def embeddingPairsGeo(
       df: DataFrame,

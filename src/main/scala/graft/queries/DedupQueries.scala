@@ -317,6 +317,30 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The curation pipeline's LAST step as an oracle-gated artifact:
+    // documents land as 8 deterministic shards (salted-hash membership +
+    // salted-hash internal order — the reproducible global interleave a
+    // training run reads), and the emitted rows are the MANIFEST computed
+    // from the WRITTEN files (count, token mass, XOR membership
+    // fingerprint per shard). The oracle recomputes all three from the
+    // raw table, so a dropped/duplicated/misrouted document anywhere in
+    // the write path hash-mismatches. Internal order + one-file-per-shard
+    // are spec-pinned (SinksSpec).
+    "d_shard_manifest" -> ((s, d) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+      try {
+        graft.sources.Sinks.writeTrainingShards(
+          t(s, d, "documents").select("doc_id", "lang", "text"),
+          "doc_id", scratch, nShards = 8, salt = "shards_v1")
+        graft.sources.Sinks.shardManifest(
+            s, scratch, "doc_id", size(split(col("text"), "\\s+")).cast("long"),
+            salt = "shards_v1")
+          .orderBy("shard")
+          // materialize before the scratch dir disappears
+          .localCheckpoint(true)
+      } finally StreamQueries.deleteRecursively(java.nio.file.Paths.get(scratch))
+    }),
+
     // Clusters -> survivors: the deduplicated corpus, keeping the smallest
     // doc_id per near-dup cluster (the actual "dedup the corpus"
     // deliverable; left_anti of the losers out of documents).
@@ -1065,6 +1089,21 @@ object DedupQueries {
          |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
          |FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // manifest replayed from the raw table: same salted h60 shard
+    // assignment, token counts, and XOR membership fingerprint — any
+    // document the written artifact dropped, duplicated, or misrouted
+    // changes a count or flips a fingerprint
+    "d_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_toks,
+        |    ('0x' || substr(md5('shards_v1:shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('shards_v1:fp:' || doc_id::VARCHAR), 1, 15))::BIGINT AS fph
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |       bit_xor(fph) AS id_fp
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
 
     "d_clusters_star" ->
       s"""WITH RECURSIVE $ClusterRepBody

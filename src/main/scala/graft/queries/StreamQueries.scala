@@ -331,7 +331,7 @@ object StreamQueries {
     spark.table(name)
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[queries] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)

@@ -338,6 +338,73 @@ object Sinks {
   def readLabelTable(spark: SparkSession, tablePrefix: String): org.apache.spark.sql.DataFrame =
     spark.table(s"${activeTablePrefix(spark, tablePrefix)}_labels")
 
+  /** Deterministic training-shard writer — the curation pipeline's LAST
+    * step: the curated corpus lands as `nShards` reproducible shard
+    * files whose membership AND internal order are pure functions of
+    * (salt, id), so a re-run on re-ordered, re-partitioned, or
+    * incrementally-rebuilt upstream data writes byte-identical shards.
+    * Shard assignment is the salted h60 used by every sampling operator
+    * (`h60(salt:shard:id) mod nShards` — uniform in expectation, no
+    * counting pass); within-shard order is an independent salted hash
+    * (`__ord`, ties broken by id), which deterministically interleaves
+    * documents so each shard reads as an unbiased sample stream rather
+    * than upstream's correlated order (the usual "shuffle the training
+    * data once, reproducibly" requirement). One `repartition(nShards,
+    * shard)` puts each shard wholly in one task → exactly one file per
+    * `shard=` directory; `__ord` is persisted so readers (and the spec)
+    * can verify the order without recomputing hashes.
+    *
+    * At 100 TB: the repartition is the one shuffle and it is the
+    * unavoidable one (a global deterministic interleave IS a shuffle);
+    * shard count is chosen as corpus_bytes / desired_file_size, and the
+    * per-shard sort is an external sort within one task's partition —
+    * the same cost profile as any partitioned sorted write.
+    */
+  def writeTrainingShards(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      dir: String,
+      nShards: Int,
+      salt: String): Unit = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    df.withColumn("shard",
+        pmod(graft.functions.CrossHash.h60(
+          concat(lit(s"$salt:shard:"), col(idCol).cast("string"))), lit(nShards.toLong)))
+      .withColumn("__ord",
+        graft.functions.CrossHash.h60(
+          concat(lit(s"$salt:ord:"), col(idCol).cast("string"))))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(dir)
+  }
+
+  /** Manifest of a [[writeTrainingShards]] artifact, computed from the
+    * WRITTEN files (so a green oracle certifies the artifact, not the
+    * plan that produced it): per shard, document count, token mass, and
+    * an order-invariant membership fingerprint (`bit_xor` of a third
+    * independent salted id hash — XOR is overflow-free and
+    * order-invariant, so the fingerprint is stable however the files
+    * are scanned, and any added/dropped/substituted document flips it).
+    */
+  def shardManifest(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      nTokens: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).cast("long").as("n_tokens"),
+        call_function("bit_xor",
+          graft.functions.CrossHash.h60(
+            concat(lit(s"$salt:fp:"), col(idCol).cast("string")))).as("id_fp"))
+      .select(col("shard").cast("long").as("shard"),
+        col("n_docs"), col("n_tokens"), col("id_fp"))
+
   /** Append one write-ahead ledger row for [[exactlyOnceBatch]]. Plain
     * (non-bucketed) parquet catalog table; duplicate rows are harmless
     * (the reader asks "does a commit row exist", not "how many").

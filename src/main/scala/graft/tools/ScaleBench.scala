@@ -459,6 +459,67 @@ object ScaleBench {
     }
   }
 
+  /** Round-9: the embedding pair-join decade (verdict task 2's cost
+    * point). x10 corpus = the runAnn rotation-isometry synthesis (within-
+    * copy cosine structure exact, cross-copy collapses to background), so
+    * the true pair set grows ~linearly while candidate spaces grow 100×.
+    * Times three shapes at 1×/10×:
+    *  - exact chunked block-matrix join at τ=0.38 (label filter) — the
+    *    d_embedding_cos plan. Expected ~quadratic TIME (exactness at low
+    *    τ costs Θ(n²) compute by the embblock measurement), but bounded
+    *    TASKS: the point is the per-reducer blow-up is gone, the compute
+    *    spreads over ⌈n/chunkRows⌉²/2 uniform tiles.
+    *  - geometry blocking at τ=0.5 with FIXED nlist=16 — what naive
+    *    reuse of the test config would do at scale.
+    *  - geometry blocking at τ=0.5 with nlist grown ~√n (the production
+    *    rule) — candidate fraction assign²/nlist falls with n, so the
+    *    pair join is sub-quadratic.
+    */
+  private def runEmbPairs(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    if (!new java.io.File(s"$scaleDir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      println(s"SCALE embeddings written to $scaleDir")
+    }
+    def timeOne(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    for ((tag, dir) <- Seq("x1" -> src, "x10" -> scaleDir)) {
+      val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+      val n = e.count()
+      val sqrtNlist = math.ceil(math.sqrt(n.toDouble)).toInt
+      val (tExact, nExact) = timeOne(
+        Dedup.embeddingPairs(e, "vec_id", "embedding", "label",
+          threshold = 0.38, chunkRows = 256).count())
+      // exact all-pairs at τ=0.5 — the recall denominator for both geo configs
+      val nTrue50 = Dedup.embeddingPairs(e.withColumn("one", lit(1)),
+        "vec_id", "embedding", "one", threshold = 0.5, chunkRows = 256).count()
+      val (tGeoFix, nGeoFix) = timeOne(
+        Dedup.embeddingPairsGeo(e, "vec_id", "embedding", threshold = 0.5,
+          nlist = 16, assign = 3).count())
+      val (tGeoSqrt, nGeoSqrt) = timeOne(
+        Dedup.embeddingPairsGeo(e, "vec_id", "embedding", threshold = 0.5,
+          nlist = sqrtNlist, assign = 3).count())
+      println(f"EMBPAIRS $tag n=$n%7d  exact@.38 $tExact%7.1f s ($nExact%7d pairs)  " +
+        f"geo16@.50 $tGeoFix%6.1f s recall=${nGeoFix.toDouble / nTrue50}%.3f  " +
+        f"geo_sqrtn=$sqrtNlist%3d@.50 $tGeoSqrt%6.1f s recall=${nGeoSqrt.toDouble / nTrue50}%.3f " +
+        f"(true50=$nTrue50)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -550,6 +611,11 @@ object ScaleBench {
     }
     if (which == "hotcap") {
       runHotCap(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "embpairs") {
+      runEmbPairs(spark, src, scaleDir)
       spark.stop()
       return
     }
