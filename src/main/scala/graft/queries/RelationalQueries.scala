@@ -583,6 +583,29 @@ object RelationalQueries {
           |ORDER BY n.n_name""".stripMargin)
     }),
 
+    // Z-TILED layout round trip: events written into 64 Morton-tile
+    // directories over (value, user_id), then a 2-d box read back through
+    // readZTiled — the tile list is a PARTITION filter (planning-time
+    // directory pruning on BOTH columns; 4/64 tiles for this box,
+    // spec-pinned in SinksSpec), the residual predicate is exact. The
+    // oracle filters the raw table directly, so any tile mis-assignment,
+    // boundary slip, or over-pruning loses/admits a row and
+    // hash-mismatches.
+    "q_ztile_box" -> ((s, d) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ztile_").toString
+      try {
+        graft.sources.Sinks.writeZTiled(
+          t(s, d, "events").select("event_id", "user_id", "value"),
+          scratch, "value", "user_id", bitsPerDim = 8, tileBits = 6)
+        graft.sources.Sinks.readZTiled(s, scratch, 50.0, 150.0, 30.0, 90.0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("user_id")
+          .localCheckpoint(true) // materialize before the scratch dir goes
+      } finally graft.queries.StreamQueries.deleteRecursively(
+        java.nio.file.Paths.get(scratch))
+    }),
+
     // Approximate tier — the 100 TB defaults, where exact countDistinct
     // means a full shuffle of every key and exact percentiles a full sort.
     // The sketch values themselves can't cross-engine match (each engine's
@@ -991,6 +1014,13 @@ object RelationalQueries {
         |                    AND o_totalprice > 400000.0)
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+
+    // the raw-table filter the z-tiled round trip must reproduce exactly
+    "q_ztile_box" ->
+      """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE value BETWEEN 50.0 AND 150.0 AND user_id BETWEEN 30 AND 90
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -135,6 +135,31 @@ object WarehouseQueries {
       Hierarchy.flatten(edges).orderBy("node")
     }),
 
+    // The same hierarchy closure through Spark 4's NATIVE recursive CTE
+    // (WITH RECURSIVE → UnionLoop execution) — the declarative twin of
+    // Hierarchy.flatten's pointer-doubling. Both run against the same
+    // recursive-CTE oracle, so the two formulations cross-verify every
+    // round. Trade at scale: the recursive CTE iterates once per LEVEL
+    // (O(depth) joins, each touching only the frontier — the natural
+    // shape for shallow-but-wide taxonomies and the standard SQL users
+    // port in), while flatten's doubling pays O(log depth) rounds over
+    // the whole node set — the escalation for pathological depth.
+    "q_recursive_cte" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("v_part")
+      s.sql(
+        """WITH RECURSIVE e AS (
+          |  SELECT p_partkey AS node,
+          |         CASE WHEN p_partkey <= 10 THEN CAST(NULL AS BIGINT)
+          |              ELSE p_partkey DIV (2 + p_partkey % 3) END AS parent
+          |  FROM v_part),
+          |walk(node, root, depth) AS (
+          |  SELECT node, node, CAST(0 AS BIGINT) FROM e WHERE parent IS NULL
+          |  UNION ALL
+          |  SELECT e.node, w.root, w.depth + 1
+          |  FROM e JOIN walk w ON e.parent = w.node)
+          |SELECT node, root, depth FROM walk ORDER BY node""".stripMargin)
+    }),
+
     // Per-column profile of orders: row/null/distinct counts plus native
     // min/max rendered to strings. One single-column aggregation per
     // profiled column, unioned — on columnar parquet each branch scans
@@ -691,6 +716,19 @@ object WarehouseQueries {
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS node,
+        |         CASE WHEN p_partkey <= 10 THEN NULL
+        |              ELSE p_partkey // (2 + p_partkey % 3) END AS parent
+        |  FROM part),
+        |walk(node, root, depth) AS (
+        |  SELECT node, node, 0 FROM e WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.node, w.root, w.depth + 1 FROM e JOIN walk w ON e.parent = w.node)
+        |SELECT node, root, depth::BIGINT AS depth FROM walk ORDER BY node""".stripMargin,
+
+    // identical closure, replayed for the native-recursion twin
+    "q_recursive_cte" ->
       """WITH RECURSIVE e AS (
         |  SELECT p_partkey AS node,
         |         CASE WHEN p_partkey <= 10 THEN NULL

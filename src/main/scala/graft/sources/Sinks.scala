@@ -405,6 +405,131 @@ object Sinks {
       .select(col("shard").cast("long").as("shard"),
         col("n_docs"), col("n_tokens"), col("id_fp"))
 
+  /** Z-order TILE-PARTITIONED write: rows land in 2^tileBits tile
+    * DIRECTORIES keyed by the interleaved-bit (Morton) key of two
+    * equal-width bin indexes. Complementary to [[writeZOrdered]] (one
+    * z-sorted file set whose pruning relies on reader-side footer
+    * min/max — which plain Spark parquet scans do per ROW GROUP, not
+    * per file, at execution time): here the tile id is a PARTITION
+    * column, so [[readZTiled]] prunes whole directories at PLANNING
+    * time — the Spark-native form of the lakehouse OPTIMIZE
+    * ZORDER: a box predicate on EITHER column (or both) maps to a small
+    * set of z-tiles, and [[readZTiled]] turns that set into a
+    * partition filter, so pruning works for BOTH columns where a plain
+    * sort layout prunes only its leading column. Everything is
+    * deterministic and engine-replayable: bins are `width_bucket` over
+    * the column's own [min, max] (two tiny aggregations), the Morton
+    * interleave is a 2·bitsPerDim-term bit fold, and the tile is the
+    * key's top `tileBits` bits — no range-partitioner sampling anywhere,
+    * so the same data always writes the same tiles (`d_?`/oracle-safe).
+    * Bin parameters land in `_zmeta` (underscore-prefixed: invisible to
+    * data scans of the directory).
+    *
+    * At 100 TB: one repartition on the tile id is the only shuffle;
+    * tiles are equal z-VOLUME, so heavily skewed columns want
+    * quantile-binned edges instead of equal-width (the `width_bucket`
+    * call is the seam — swap in percentile_approx edges); tileBits
+    * sizes directories at corpus_bytes / 2^tileBits.
+    */
+  def writeZTiled(
+      df: DataFrame,
+      dir: String,
+      colA: String,
+      colB: String,
+      bitsPerDim: Int = 8,
+      tileBits: Int = 6): Unit = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 16, s"bitsPerDim=$bitsPerDim")
+    require(tileBits >= 1 && tileBits <= 2 * bitsPerDim, s"tileBits=$tileBits")
+    val spark = df.sparkSession
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val n = (1 << bitsPerDim).toLong
+    def bin(c: String, lo: Double, hi: Double) =
+      least(greatest(
+        call_function("width_bucket", col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1L,
+        lit(0L)), lit(n - 1))
+    val zkey = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", col("__bin_a"), lit(i)).bitwiseAND(lit(1L)),
+          lit(2 * i + 1)))
+        .bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", col("__bin_b"), lit(i)).bitwiseAND(lit(1L)),
+          lit(2 * i)))
+    }
+    df.withColumn("__bin_a", bin(colA, loA, hiA))
+      .withColumn("__bin_b", bin(colB, loB, hiB))
+      .withColumn("__zkey", zkey)
+      .withColumn("zfile",
+        call_function("shiftright", col("__zkey"), lit(2 * bitsPerDim - tileBits)))
+      .drop("__bin_a", "__bin_b")
+      .repartition(1 << tileBits, col("zfile"))
+      .sortWithinPartitions("zfile", "__zkey")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("zfile")
+      .parquet(dir)
+    spark.createDataFrame(Seq((colA, loA, hiA, colB, loB, hiB, bitsPerDim, tileBits)))
+      .toDF("col_a", "lo_a", "hi_a", "col_b", "lo_b", "hi_b", "bits", "tile_bits")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zmeta")
+  }
+
+  /** Box-predicate reader over a [[writeZTiled]] layout: the query box
+    * [loA, hiA] × [loB, hiB] is mapped to bin ranges, the (tiny, ≤
+    * 2^tileBits) tile list is enumerated driver-side — a tile's top
+    * bits fix the high bits of BOTH bin indexes, so tile-box ∩ query-box
+    * is integer interval arithmetic — and the scan carries `zfile IN
+    * (tiles)` as a genuine PARTITION filter (directory pruning; pinned
+    * in SinksSpec via the scan's partition-filter count) plus the exact
+    * residual predicate. Pruning power: a box covering fraction f of
+    * each dimension touches ~f·2^(tileBits/2) of the tile grid per
+    * dimension — both columns prune, which no single-column sort gives.
+    */
+  def readZTiled(
+      spark: SparkSession,
+      dir: String,
+      loA: Double, hiA: Double,
+      loB: Double, hiB: Double): DataFrame = {
+    val m = spark.read.parquet(s"$dir/_zmeta").head()
+    val (cA, mLoA, mHiA) = (m.getString(0), m.getDouble(1), m.getDouble(2))
+    val (cB, mLoB, mHiB) = (m.getString(3), m.getDouble(4), m.getDouble(5))
+    val bits = m.getInt(6); val tileBits = m.getInt(7)
+    val n = 1L << bits
+    def binOf(v: Double, lo: Double, hi: Double): Long =
+      if (hi <= lo) 0L
+      else math.min(n - 1, math.max(0L,
+        math.floor((v - lo) / (hi - lo) * n).toLong))
+    // ±1 bin slack: the writer binned rows with Spark's width_bucket and
+    // this is an independent floor reimplementation — a last-ulp rounding
+    // difference at an exact bucket edge must never prune a tile that
+    // holds a matching row (costs a sliver of pruning, never correctness)
+    val (qa0, qa1) = (binOf(loA, mLoA, mHiA) - 1, binOf(hiA, mLoA, mHiA) + 1)
+    val (qb0, qb1) = (binOf(loB, mLoB, mHiB) - 1, binOf(hiB, mLoB, mHiB) + 1)
+    // tile's top bits fix the top ceil(tileBits/2) a-bits (odd positions)
+    // and floor(tileBits/2) b-bits (even positions)
+    val aTop = (tileBits + 1) / 2
+    val bTop = tileBits / 2
+    val tiles = (0 until (1 << tileBits)).filter { t =>
+      var aHigh = 0L; var bHigh = 0L
+      (0 until tileBits).foreach { j =>
+        // bit j of the tile (from the top) is zkey bit 2*bits-1-j:
+        // odd global position → an a-bit, even → a b-bit
+        val globalPos = 2 * bits - 1 - j
+        val bitVal = (t >> (tileBits - 1 - j)) & 1
+        if (globalPos % 2 == 1) aHigh = (aHigh << 1) | bitVal
+        else bHigh = (bHigh << 1) | bitVal
+      }
+      val aLo = aHigh << (bits - aTop); val aHi = ((aHigh + 1) << (bits - aTop)) - 1
+      val bLo = bHigh << (bits - bTop); val bHi = ((bHigh + 1) << (bits - bTop)) - 1
+      aHi >= qa0 && aLo <= qa1 && bHi >= qb0 && bLo <= qb1
+    }
+    spark.read.parquet(dir)
+      .filter(col("zfile").isin(tiles: _*))
+      .filter(col(cA).cast("double").between(loA, hiA) &&
+        col(cB).cast("double").between(loB, hiB))
+  }
+
   /** Append one write-ahead ledger row for [[exactlyOnceBatch]]. Plain
     * (non-bucketed) parquet catalog table; duplicate rows are harmless
     * (the reader asks "does a commit row exist", not "how many").

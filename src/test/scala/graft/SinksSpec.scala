@@ -172,6 +172,55 @@ class SinksSpec extends SparkSpec {
       "shard content/order must be independent of upstream order/partitioning")
   }
 
+  test("z-order layout: box reads are exact and BOTH columns prune partitions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // deterministic 2-d point cloud covering the grid
+    val pts = spark.range(20000).select(
+      col("id"),
+      (col("id") * 7919L % 1000L).cast("double").as("x"),
+      (col("id") * 104729L % 1000L).cast("double").as("y"))
+    Sinks.writeZTiled(pts, out, "x", "y", bitsPerDim = 8, tileBits = 6)
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case o => o
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS dataframe's own plan — count()/foreach() both derive
+      // a NEW query execution whose metrics are separate; toRdd is the
+      // executedPlan's own RDD
+      df.queryExecution.toRdd.count()
+      unwrap(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    }
+    val total = filesRead(spark.read.parquet(out))
+    assert(total >= 60, s"expected ~64 tile files, got $total")
+    // exactness: box read == direct filter on the source
+    val box = Sinks.readZTiled(spark, out, 100, 200, 300, 400)
+    val expected = pts.filter(col("x").between(100, 200) && col("y").between(300, 400))
+    assert(box.select("id").as[Long].collect().sorted
+      .sameElements(expected.select("id").as[Long].collect().sorted))
+    // both dimensions prune: a narrow box on x (full y) and on y (full x)
+    // must each touch well under the full tile set — the property a
+    // single-column sort gives only to its leading column
+    val xOnly = filesRead(Sinks.readZTiled(spark, out, 100, 200, 0, 1000))
+    val yOnly = filesRead(Sinks.readZTiled(spark, out, 0, 1000, 300, 400))
+    val both = filesRead(Sinks.readZTiled(spark, out, 100, 200, 300, 400))
+    assert(xOnly < total / 2, s"x-box read $xOnly of $total files")
+    assert(yOnly < total / 2, s"y-box read $yOnly of $total files")
+    assert(both < xOnly && both < yOnly,
+      s"2-d box must prune harder than either 1-d box ($both vs $xOnly/$yOnly)")
+    // the tile restriction is a genuine PARTITION filter (directory
+    // pruning at planning time), not a row filter
+    val planned = Sinks.readZTiled(spark, out, 100, 200, 300, 400)
+    val scans = unwrap(planned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "zfile IN (...) must plan as a partition filter")
+  }
+
   test("bucketed tables join with no Exchange in the physical plan") {
     val orders = (1L to 200L).map(i => (i % 40, i)).toDF("custkey", "orderkey")
     val cust = (0L until 40L).map(i => (i, s"c$i")).toDF("custkey", "name")
