@@ -201,6 +201,36 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("chunked block-matrix embeddingPairs == naive same-group join") =
+    forAll(
+      Gen.listOfN(24, Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0))),
+      Gen.chooseNum(1, 7)) { (vecs, chunkRows) =>
+      vecs.isEmpty || {
+        val df = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray, (i % 3).toString) }
+          .toDF("vec_id", "embedding", "grp")
+        // tiny chunkRows forces a real multi-tile grid (up to 24 chunks)
+        val got = operators.Dedup
+          .embeddingPairs(df, "vec_id", "embedding", "grp",
+            threshold = 0.2, chunkRows = chunkRows)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        // naive reference uses the SAME column expressions (dotD/l2Norm/
+        // round), so arithmetic cancels and the property isolates the
+        // tiling: every unordered same-group pair exactly once, none
+        // lost at tile borders, none duplicated across tiles
+        val v = df.select(col("grp"), col("vec_id").as("id"), col("embedding").as("e"))
+          .withColumn("nrm", CrossHash.l2Norm(col("e")))
+        val want = v.as("x").join(v.as("y"),
+            col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            round(CrossHash.dotD(col("x.e"), col("y.e"))
+              / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+          .filter(col("cos") >= 0.2)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        got == want
+      }
+    }
+
   // NOTE: star-CC vs min-label-CC equivalence lives in
   // DedupSimilaritySpec over SEEDED random graphs, not here as a
   // scalacheck property: both algorithms are iterative multi-action
