@@ -444,7 +444,15 @@ object Sinks {
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"writeZTiled: no non-null ($colA, $colB) rows to bin — an empty " +
+        "layout would be unreadable")
+    val (loA, loB) = (b.getDouble(0), b.getDouble(2))
+    // a constant column degenerates width_bucket's range — widen it so
+    // every row lands in bin 0 and the layout stays well-defined (all
+    // pruning then comes from the other dimension)
+    val hiA = if (b.getDouble(1) > loA) b.getDouble(1) else loA + 1.0
+    val hiB = if (b.getDouble(3) > loB) b.getDouble(3) else loB + 1.0
     val n = (1 << bitsPerDim).toLong
     def bin(c: String, lo: Double, hi: Double) =
       least(greatest(
