@@ -1335,6 +1335,54 @@ object Dedup {
         count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[decontaminate]] for the regime where the benchmark gram table is
+    * too large to broadcast EXACTLY (a full eval-suite union easily runs
+    * to 10^8 grams — gigabytes as (gram, bench_id) rows, but ~120 MB as
+    * a 1%-fpp Bloom filter): a Bloom filter over the distinct benchmark
+    * grams (Spark's own `stat.bloomFilter` sketch) is broadcast and
+    * pre-prunes the training-side gram stream BEFORE the verify join, so
+    * only true hits plus the fpp sliver of false positives reach the
+    * shuffle. The verify join then runs WITHOUT a broadcast hint — in
+    * this regime it is a shuffle join by assumption, and the bloom
+    * pre-prune is exactly what makes that shuffle tiny (|hits| +
+    * fpp·|train grams| rows instead of every training gram). False
+    * positives cannot reach the output — the exact join discards them —
+    * so the result is row-identical to [[decontaminate]]
+    * (`d_decontaminate_bloom` pins that with the SAME oracle). The probe
+    * is a scalar UDF over the broadcast sketch: no Catalyst expression
+    * exposes BloomFilter.mightContain, and the per-row work is two
+    * hashes — not a codegen-relevant loss on a stream the filter is
+    * about to shrink ~100×.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      idCol: String,
+      grams: Column,
+      isBench: Column,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    val g = corpus.select(col(idCol).as("id"), isBench.as("is_bench"),
+      explode(array_distinct(grams)).as("gram"))
+    val bench = g.filter(col("is_bench"))
+      .select(col("gram"), col("id").as("bench_id"))
+    val distinctBench = bench.select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(1L, distinctBench.count())
+      val bloom = distinctBench.stat.bloomFilter("gram", n, fpp)
+      val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+      g.filter(!col("is_bench"))
+        .filter(mightContain(col("gram")))
+        .join(bench, "gram") // shuffle join of the PRUNED stream — no broadcast
+        .groupBy("id")
+        .agg(
+          countDistinct("bench_id").as("n_bench_docs"),
+          min("bench_id").as("first_bench_id"),
+          count(lit(1)).as("n_shared_grams"))
+    } finally distinctBench.unpersist()
+  }
+
   /** Positions of word n-grams that also occur in at least `minDocs − 1`
     * OTHER documents: (id, pos, gram) → the cross-document duplicated
     * subset. Shared first stage of [[dupSpans]] and [[dupGramCoverage]].

@@ -656,6 +656,19 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Same contract through the Bloom-pruned path — the regime where the
+    // benchmark gram table can't broadcast exactly: a 1%-fpp sketch
+    // pre-prunes the training gram stream before an UN-hinted (shuffle)
+    // verify join. False positives die in the exact join, so the rows
+    // are identical to d_decontaminate — the shared oracle pins that
+    // every round.
+    "d_decontaminate_bloom" -> ((s, d) =>
+      Dedup.decontaminateBloom(
+          docsTk(s, d), "doc_id",
+          tkShingles(5), col("doc_id") % 50 === 7)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Substring-level duplicate spans (the exact-substring dedup modality):
     // maximal runs of consecutive word-5-grams each shared with at least
     // one OTHER document — duplicated passages doc-level Jaccard misses
@@ -916,6 +929,20 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "d_decontaminate" ->
+      s"""$ToksCte,
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+         |  FROM t),
+         |b AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 50 = 7),
+         |tr AS (SELECT gram, doc_id FROM g WHERE doc_id % 50 <> 7)
+         |SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+         |       min(bench_id) AS first_bench_id, count(*) AS n_shared_grams
+         |FROM tr JOIN b USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // row-identical to d_decontaminate by construction — same oracle
+    "d_decontaminate_bloom" ->
       s"""$ToksCte,
          |g AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),

@@ -1237,6 +1237,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 3L, 1L)))
   }
 
+  test("bloom-pruned decontaminate == exact even when false positives flood the prefilter") {
+    // fpp = 0.5 pushes roughly half the CLEAN training grams through the
+    // bloom prefilter — every one must die in the exact verify join, so
+    // the output is row-identical to the exact path on a corpus large
+    // enough that false positives certainly occur
+    val corpus = (1L to 200L).map { i =>
+      val words =
+        if (i == 7) (0 until 8).map(j => s"bench$j")           // the bench doc
+        else if (i == 50) (0 until 8).map(j => s"bench$j")     // contaminated twin
+        else (0 until 8).map(j => s"w${i}_$j")                 // unique vocabulary
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame) =
+      f(corpus, "doc_id", CrossHash.wordShingles(toks, 5), col("doc_id") === 7)
+        .select("id", "n_bench_docs", "first_bench_id", "n_shared_grams")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = run(Dedup.decontaminate)
+    val bloom = run(Dedup.decontaminateBloom(_, _, _, _, fpp = 0.5))
+    assert(exact == Set((50L, 1L, 7L, 4L)))
+    assert(bloom == exact,
+      "bloom false positives must be discarded by the exact verify join")
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
