@@ -476,6 +476,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** Keyframe (scene-change) detection over a REAL multi-frame decode —
+    * the selection step a video-training pipeline runs after frame
+    * extraction: per frame, the exact integer L1 pixel delta against the
+    * PREVIOUS decoded frame; a frame is a keyframe iff it opens the clip
+    * or its mean per-pixel change clears `perPixelThreshold` (scene cut
+    * vs continuous motion). Decode state is one previous-frame raster
+    * per clip inside the partition iterator — frames stream through
+    * once, no per-clip frame matrix is materialized. All-integer delta
+    * arithmetic, so the oracle replays it exactly from the synthetic
+    * pixel function; on real footage the same operator runs unchanged
+    * (the threshold is the only tunable).
+    */
+  def decodeGifKeyframes(media: DataFrame, perPixelThreshold: Double = 128.0): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("delta_l1", LongType, nullable = false),
+      StructField("is_key", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val reader = ImageIO.getImageReadersBySuffix("gif").next()
+        reader.setInput(ImageIO.createImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
+        try {
+          val nf = reader.getNumImages(true)
+          var prev: Array[Int] = null
+          (0 until nf).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            val cur = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                cur(y * w + x) = img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            var delta = 0L
+            if (prev != null) {
+              var i = 0
+              while (i < cur.length) {
+                delta += math.abs(cur(i) - prev(i)); i += 1
+              }
+            }
+            prev = cur
+            // frame 0 opens the clip: keyframe by definition, delta 0
+            val isKey = f == 0 || delta >= perPixelThreshold * w * h
+            Row(id, f.toLong, delta, isKey)
+          }
+        } finally reader.dispose()
+      }
+    }(enc)
+  }
+
   /** Batched REAL image decode via a partition iterator — the Scala
     * analogue of a Pandas-UDF/`mapInPandas` decode stage: payload bytes
     * stream through per partition, `javax.imageio` decodes each PNG back

@@ -443,6 +443,18 @@ object TextQueries {
     "mm_video_frames" -> ((s, d) =>
       Multimodal.decodeGifFrames(
           Multimodal.synthesizeGif(docs(s, d), "doc_id"))
+        .orderBy("asset_id", "frame_no")),
+
+    // Keyframe selection over the decoded clip: exact integer L1 delta
+    // vs the previous frame, keyframe iff the clip opens or the mean
+    // per-pixel change clears 128 (scene cut). The ±101-stride synthetic
+    // frames give per-frame deltas that mix 101- and 155-valued pixel
+    // changes, so the threshold genuinely splits frames per asset — and
+    // the oracle replays every pixel's |v_f − v_{f−1}| from the
+    // generator arithmetic, certifying the detector saw the true frames.
+    "mm_keyframes" -> ((s, d) =>
+      Multimodal.decodeGifKeyframes(
+          Multimodal.synthesizeGif(docs(s, d), "doc_id"))
         .orderBy("asset_id", "frame_no"))
   )
 
@@ -923,6 +935,27 @@ object TextQueries {
           |       sum(v)::BIGINT AS sum_px, sum(v * v)::BIGINT AS sum_sq
           |FROM v GROUP BY asset_id, f, w, h
           |ORDER BY asset_id, frame_no""".stripMargin,
+
+      // per-pixel |v_f − v_{f−1}| replay of the generator arithmetic;
+      // frame 0 is a keyframe by definition with delta 0
+      "mm_keyframes" ->
+        """WITH m AS (SELECT doc_id AS asset_id, (doc_id % 5 + 2) AS nf,
+          |                  (doc_id % 9 + 4) AS w, (doc_id % 7 + 4) AS h
+          |           FROM documents),
+          |fr AS (SELECT asset_id, w, h, unnest(range(0, nf)) AS f FROM m),
+          |px AS (SELECT asset_id, f, w, h, unnest(range(0, w * h)) AS p FROM fr),
+          |v AS (SELECT asset_id, f, w, h,
+          |        (asset_id * 37 + f * 101 + (p % w) * 11 + (p // w) * 17) % 256 AS v,
+          |        CASE WHEN f > 0 THEN
+          |          (asset_id * 37 + (f - 1) * 101 + (p % w) * 11 + (p // w) * 17) % 256
+          |        END AS pv
+          |      FROM px),
+          |d AS (SELECT asset_id, f, w, h,
+          |        sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS delta
+          |      FROM v GROUP BY asset_id, f, w, h)
+          |SELECT asset_id, f::BIGINT AS frame_no, delta::BIGINT AS delta_l1,
+          |       (f = 0 OR delta >= 128.0 * w * h) AS is_key
+          |FROM d ORDER BY asset_id, frame_no""".stripMargin,
 
       "mm_frames" ->
         """WITH m AS (SELECT doc_id AS asset_id, text, length(text) AS nb FROM documents),
