@@ -517,8 +517,12 @@ object Multimodal {
               }
               y += 1
             }
+            // a mid-clip geometry change (legal in GIF) IS a scene cut:
+            // no pixel correspondence exists, so delta stays 0 and the
+            // frame is a keyframe by definition (same as the clip opener)
+            val geomChange = prev != null && prev.length != cur.length
             var delta = 0L
-            if (prev != null) {
+            if (prev != null && !geomChange) {
               var i = 0
               while (i < cur.length) {
                 delta += math.abs(cur(i) - prev(i)); i += 1
@@ -526,7 +530,7 @@ object Multimodal {
             }
             prev = cur
             // frame 0 opens the clip: keyframe by definition, delta 0
-            val isKey = f == 0 || delta >= perPixelThreshold * w * h
+            val isKey = f == 0 || geomChange || delta >= perPixelThreshold * w * h
             Row(id, f.toLong, delta, isKey)
           }
         } finally reader.dispose()

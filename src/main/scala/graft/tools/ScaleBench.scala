@@ -49,6 +49,10 @@ object ScaleBench {
     // explode and df agg grow. tx_unigram_nll grows the vocabulary with
     // the copy-unique tokens (the broadcastable-vocab claim under 10×).
     "d_decontaminate", "tx_boilerplate", "tx_unigram_nll",
+    // round-9: the bloom-pruned twin rides the same corpus — its decade
+    // exponent should track d_decontaminate's (the sketch build is one
+    // extra pass over the bench grams, the join input strictly shrinks)
+    "d_decontaminate_bloom",
     // data-derived keep-rates: one tiny agg + broadcast regardless of
     // corpus size — the 10× run checks the rates join stays broadcast
     "d_lang_balance",
@@ -520,6 +524,39 @@ object ScaleBench {
     }
   }
 
+  /** Round-9: the layout-verb decade — training-shard writer and z-tile
+    * writer/reader at 1× (sf0.1 events, 100k rows) and 10×. Shard and
+    * tile COUNTS are held fixed so the ratio isolates per-row cost (at
+    * production you grow both with corpus bytes, keeping per-file size
+    * constant — the cost model is rows × log(rows/shards) for the
+    * within-shard sort, ~linear here). The z-tile box read's pruning
+    * fraction must be SCALE-STABLE: tiles are equal z-volume, so the
+    * same box touches the same tile set regardless of corpus size.
+    */
+  private def runLayout(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.sources.{Sinks, Tables}
+    def timeOne[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    for ((tag, dir) <- Seq("x1" -> src, "x10" -> scaleDir)) {
+      val ev = Tables.load(spark, dir, "events")
+        .select("event_id", "user_id", "value").localCheckpoint(true)
+      val n = ev.count()
+      val shardDir = java.nio.file.Files.createTempDirectory("graft_lb_shards").toString
+      val (tShard, _) = timeOne(
+        Sinks.writeTrainingShards(ev, "event_id", shardDir, nShards = 32, salt = "lb_v1"))
+      val zDir = java.nio.file.Files.createTempDirectory("graft_lb_ztile").toString
+      val (tZw, _) = timeOne(
+        Sinks.writeZTiled(ev, zDir, "value", "user_id", bitsPerDim = 8, tileBits = 6))
+      val (tZr, nHit) = timeOne(
+        Sinks.readZTiled(spark, zDir, 50.0, 150.0, 30.0, 90.0).count())
+      println(f"LAYOUT $tag n=$n%8d  shards(32) $tShard%6.1f s  " +
+        f"ztile_write $tZw%6.1f s  ztile_box_read $tZr%5.2f s ($nHit rows)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -619,6 +656,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (which == "layout") {
+      runLayout(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
     if (which == "x100") {
       val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
       runX100(spark, src, scaleDir, scale100)
@@ -656,6 +698,8 @@ object ScaleBench {
       // by the deepest per-copy cascade (identical in every copy), so the
       // ratio isolates the per-round cost growth
       case "kcore" => Seq("q_kcore")
+      // round-9: exact vs bloom-pruned decontamination head-to-head
+      case "decon" => Seq("d_decontaminate", "d_decontaminate_bloom")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
