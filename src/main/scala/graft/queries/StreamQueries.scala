@@ -915,6 +915,73 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming QUERY serving — the dual of every other st_*ann* query
+    // (those stream the INDEX side; production also streams the QUERY
+    // side: requests arrive continuously and probe a fixed serving
+    // index). The query set drains in four micro-batches, each probing
+    // the persisted full-corpus IVF index inside foreachBatch and
+    // appending (batch-stamped) results to a sink. Per-query top-k is
+    // independent of what else is in the batch and the quantizer is
+    // deterministic, so the drained union must equal the one-shot batch
+    // probe EXACTLY (serve_ok pins row parity + all 4 batches served);
+    // recall vs brute force certifies the served answers at the same
+    // floor as the batch path.
+    "st_knn_serving_parity" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+      val splitDir = fixtureDir("annq", d, "embeddings", "query4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        e.filter(col("vec_id") % 50 === 0)
+          .repartition(4, col("vec_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"ivf_serve_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = SimilarityQueries.IvfAssign)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_serve_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              Similarity.ivfTopKAgainstIndex(batch.toDF(), prefix,
+                  "vec_id", "embedding",
+                  k = 3, nprobe = SimilarityQueries.IvfNprobe)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        val oneShot = Similarity.ivfTopKAgainstIndex(
+          e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
+          k = 3, nprobe = SimilarityQueries.IvfNprobe)
+        val served = streamed.drop("batch_id")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        val brute = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
+        val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        brute.join(
+            streamed.select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+              .distinct(),
+            Seq("query_id", "neighbor_id"), "left")
+          .withColumn("ivf_recall_ok",
+            (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+              / count(lit(1)).over(all)) >= SimilarityQueries.IvfRecallFloor)
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select("query_id", "rank", "neighbor_id", "cos", "ivf_recall_ok", "serve_ok")
+          .orderBy("query_id", "rank")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -1267,6 +1334,29 @@ object StreamQueries {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
         |  TRUE AS post_recall_ok, TRUE AS pre_served_ok,
         |  TRUE AS pre_stale_ok, TRUE AS lifecycle_ok
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // brute-force rows + pinned-TRUE recall/serving certificates: the
+    // streamed query drain must reproduce the one-shot probe exactly
+    // and clear the serving recall floor
+    "st_knn_serving_parity" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |        i -> qe[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 7) AS cos
+        |  FROM q JOIN e ON vec_id <> qid),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+        |  TRUE AS ivf_recall_ok, TRUE AS serve_ok
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "st_ann_index_parity" ->
