@@ -53,6 +53,22 @@ class PlanSpec extends SparkSpec {
     assert(semiCount == 0, s"unexpected semi joins in:\n$p")
   }
 
+  test("chunked embedding pair join plans as an equi join on the tile key, never cartesian") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = graft.operators.Dedup.embeddingPairs(
+        e, "vec_id", "embedding", "label", threshold = 0.38, chunkRows = 64)
+      .queryExecution.executedPlan.toString
+    // the tile grid must drive a hash/sort-merge equi join on (ca, cb);
+    // if Catalyst ever folded those keys away the plan would degrade to
+    // the O(n²)-per-task cartesian the chunking exists to prevent
+    assert(!p.contains("CartesianProduct"),
+      s"chunk join degraded to a cartesian product:\n$p")
+    // the two broadcast chunk-id replications are fine; the x-y verify
+    // join itself must be keyed
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findFirstIn(p).isDefined, s"expected an equi join in:\n$p")
+  }
+
   test("star join broadcasts the dimension side") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
