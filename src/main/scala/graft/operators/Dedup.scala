@@ -627,6 +627,22 @@ object Dedup {
     * delete batch, which is why production runs batch take-downs daily
     * rather than per document. `deletedIds` must expose an `id` column.
     */
+  /** Fork (snapshot) a persisted minhash index — the dedup tier's
+    * staging-copy verb, same contract as
+    * [[graft.operators.Similarity.snapshotIvfIndex]]: the ACTIVE
+    * generation of `fromPrefix` lands as an independent bare index at
+    * `toPrefix` with the bucket layout preserved, so a trial take-down
+    * ([[deleteFromMinhashIndex]]) or re-banding runs against the fork
+    * while the source keeps serving untouched. Cost: two bounded
+    * bucketed rewrites — no corpus re-signing.
+    */
+  def snapshotMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      fromPrefix: String,
+      toPrefix: String): Unit =
+    graft.sources.Sinks.snapshotTablePrefix(spark, fromPrefix, toPrefix,
+      Seq("_bands", "_sigs", "_meta"))
+
   def deleteFromMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String,

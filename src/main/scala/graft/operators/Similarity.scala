@@ -149,6 +149,83 @@ object Similarity {
     cents
   }
 
+  /** Deterministic distributed k-means CLUSTERING — the curation-facing
+    * sibling of [[ivfCentroids]] (SemDeDup-style semantic bucketing,
+    * topic grouping, per-cluster sampling all start from "assign every
+    * document to one of k centroids"). Same determinism rules as the
+    * coarse quantizer (smallest-id init, ties to the smaller cid, empty
+    * clusters keep their previous centroid) but with arithmetic chosen
+    * so a SQL engine can replay EVERY step bit-for-bit, which upgrades
+    * the oracle from a recall certificate to exact assignment parity:
+    *  - centroid means are exact-DECIMAL sums cast to double, divided by
+    *    the count in double (the [[graft.queries.SimilarityQueries]]
+    *    `sim_label_centroids` formula) — shuffle order cannot perturb a
+    *    bit, and the replay is `CAST(SUM(DECIMAL) AS DOUBLE)/COUNT(*)`;
+    *  - assignment distances (|c|² − 2·v·c; the |v|² term is constant
+    *    per vector) are ROUNDED to 7 decimals before the argmin, the
+    *    [[bruteForceTopK]] rule that keeps cross-engine double noise
+    *    from flipping a near-tie.
+    *
+    * `iters` (assign → recompute) rounds refine the smallest-id seeds;
+    * the returned frame is the assignment against the FINAL centroids:
+    * (id, cid, dist) with dist rounded to 4 decimals for emission. Scale
+    * shape: centroids always broadcast (k rows), each round is one
+    * broadcast nested-loop product plus one narrow aggregation — linear
+    * in the corpus per round, no all-pairs anywhere.
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k and iters=$iters must be positive")
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
+        col(embCol).cast("array<double>").as("v"))
+      .localCheckpoint(true) // re-read every round
+    var cents = vecs.orderBy("vid").limit(k)
+      .select(row_number().over(Window.orderBy("vid")).cast("long").as("cid"),
+        col("v").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroidsRounded(vecs, "vid", "v", cents)
+      val means = assigned.join(vecs, "vid")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cvec"))
+      cents = cents.select(col("cid"), col("cvec").as("prev"))
+        .join(means.withColumnRenamed("cvec", "next"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    assignToCentroidsRounded(vecs, "vid", "v", cents, keepDist = true)
+      .select(col("vid").as(idCol), col("cid"),
+        round(col("d") + 1e-9, 4).as("dist"))
+  }
+
+  /** [[assignToCentroids]] with the distance rounded to 7 decimals BEFORE
+    * the argmin — the oracle-replayable variant [[kmeansAssign]] rides
+    * (the IVF quantizer keeps the unrounded original: its probes are
+    * certified by recall, not replayed bit-for-bit by SQL).
+    */
+  private def assignToCentroidsRounded(
+      df: DataFrame, rowId: String, vCol: String, cents: DataFrame,
+      keepDist: Boolean = false): DataFrame = {
+    val picked = df.crossJoin(broadcast(
+        cents.select(col("cid"), col("cvec"),
+          (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
+      .select(col(rowId),
+        struct(round(col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec")), 7).as("d"),
+          col("cid")).as("dc"))
+      .groupBy(rowId).agg(min("dc").as("dc"))
+    if (keepDist) picked.select(col(rowId), col("dc.cid").as("cid"), col("dc.d").as("d"))
+    else picked.select(col(rowId), col("dc.cid").as("cid"))
+  }
+
   /** Nearest-centroid assignment: broadcast the centroid table, score
     * -2·v·c + |c|² (the |v|² term is constant per vector so argmin ignores
     * it), take the lexicographic min of (dist, cid). Returns (rowId, cid).
@@ -1043,6 +1120,35 @@ object Similarity {
     graft.sources.Sinks.compactTable(spark, s"${tp}_vecs",
       _.join(del, Seq("neighbor_id"), "left_anti"))
   }
+
+  /** Fork (snapshot) a persisted IVF index: the ACTIVE generation of
+    * `fromPrefix` — pointer-resolved, so forking a rebuilt index copies
+    * the serving generation — lands as an independent bare index at
+    * `toPrefix`, bucket layout preserved (the fork probes zero-Exchange
+    * like the source). Mutating verbs on the fork (delete/append/
+    * rebuild) never touch the source — the staging-copy workflow a
+    * production store uses to trial a take-down or re-quantization
+    * before applying it to serving. Cost: one bounded rewrite per table;
+    * no k-means, no re-listing.
+    */
+  def snapshotIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      fromPrefix: String,
+      toPrefix: String): Unit =
+    graft.sources.Sinks.snapshotTablePrefix(spark, fromPrefix, toPrefix,
+      Seq("_lists", "_cents", "_meta"))
+
+  /** Fork (snapshot) a persisted IVF-PQ index — same contract as
+    * [[snapshotIvfIndex]] across the quadruple table family (codes,
+    * re-rank vectors, coarse centroids, codebooks): no quantizer
+    * retrains, no corpus re-encode, just bounded per-table rewrites.
+    */
+  def snapshotIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      fromPrefix: String,
+      toPrefix: String): Unit =
+    graft.sources.Sinks.snapshotTablePrefix(spark, fromPrefix, toPrefix,
+      Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
 
   /** Exactly-once wrapper around [[appendToIvfIndex]] — the batchId-keyed
     * write-ahead-ledger recipe ([[graft.sources.Sinks.exactlyOnceBatch]])

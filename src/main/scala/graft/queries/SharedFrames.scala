@@ -25,6 +25,9 @@ private[graft] object SharedFrames {
     "dup_spans_w5" -> (DedupQueries.dupSpansFrame _),
     "simhash_w3" -> (DedupQueries.simhashFrame _),
     "emb_pairs" -> (DedupQueries.embeddingPairEdges _),
+    "mh_base" -> (DedupQueries.minhashBaseFrame _),
+    "ivf_base" -> (SimilarityQueries.ivfBaseFrame _),
+    "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
     "bpe_merges6" -> (TextQueries.bpeMerges6 _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))

@@ -19,6 +19,54 @@ object SimilarityQueries {
   /** Query set: every 50th vector (10 queries at sf0.01). */
   private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 50 === 0)
 
+  /** Shared read-only BASE indexes at the serving config (full corpus,
+    * buckets=8, nlist=16, iters=3, assign=[[IvfAssign]]): several suite
+    * queries used to each rebuild this byte-identical index under a
+    * private prefix — duplicate quantizer training the suite paid 4–6×
+    * per pass. Built once per (session, corpus) here (memoized like the
+    * shared frames; [[SharedFrames]] pre-builds them in Bench so the
+    * cost lands in the `shared_frame_builds` entry), probed read-only by
+    * the probe-shaped queries, and FORKED ([[Similarity.snapshotIvfIndex]])
+    * by the mutating ones — the production build-once / fork-to-stage
+    * discipline, and the deterministic quantizer makes every consumer's
+    * rows identical to a private rebuild. Mutating a fork leaves the
+    * base intact; the delete queries fold that into their completeness
+    * certificates.
+    */
+  private[queries] def ensureIvfBase(s: SparkSession, d: String): String = {
+    val prefix = s"ivf_base_${ScratchKeys.forPath(d)}"
+    FrameMemo.getOrCompute(s, s"ivf_base:$d") {
+      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      s.table(s"${prefix}_meta").localCheckpoint(true)
+    }
+    prefix
+  }
+
+  private[queries] def ensureIvfPqBase(s: SparkSession, d: String): String = {
+    val prefix = s"ivfpq_base_${ScratchKeys.forPath(d)}"
+    FrameMemo.getOrCompute(s, s"ivfpq_base:$d") {
+      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
+          s"${prefix}_books", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeIvfPqIndex(emb(s, d), "vec_id", "embedding", prefix,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = IvfAssign)
+      s.table(s"${prefix}_meta").localCheckpoint(true)
+    }
+    prefix
+  }
+
+  /** [[SharedFrames]] adapters: ensure the base index exists and hand back
+    * its (1-row) meta frame as the registrable DataFrame.
+    */
+  private[queries] def ivfBaseFrame(s: SparkSession, d: String): DataFrame =
+    s.table(s"${ensureIvfBase(s, d)}_meta")
+  private[queries] def ivfPqBaseFrame(s: SparkSession, d: String): DataFrame =
+    s.table(s"${ensureIvfPqBase(s, d)}_meta")
+
   /** Corpus-level recall floor certified by `sim_knn_ivf`: the serving
     * configuration is nlist=16, nprobe=6, assign=2 (SOAR-style dual
     * assignment — every vector listed under its 2 nearest cells, which
@@ -139,6 +187,24 @@ object SimilarityQueries {
             + 1e-9, 6).as("mean"))
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("mean"))
         .orderBy("label", "dim")),
+
+    // Distributed k-means clustering as a first-class curation operator
+    // (the SemDeDup/topic-bucketing step: "group the corpus into k
+    // semantic clusters, then sample/prune per cluster"). Unlike the IVF
+    // quantizer — which is certified by probe recall because its decimal
+    // AVG has no bit-exact SQL twin — kmeansAssign's arithmetic is chosen
+    // to be replayable (exact-decimal SUM / double divide, distances
+    // rounded to 7 decimals before argmin), so the oracle re-runs BOTH
+    // Lloyd rounds and the final assignment in SQL and the compare is
+    // exact assignment parity, not a recall floor.
+    "sim_kmeans_clusters" -> ((s, d) => {
+      val a = Similarity.kmeansAssign(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+      val w = Window.partitionBy("cid")
+      a.withColumn("cluster_n", count(lit(1)).over(w))
+        .select(col("vec_id"), col("cid"), col("dist"), col("cluster_n"))
+        .orderBy("vec_id")
+    }),
 
     // IVF ANN with an in-query recall certificate (the oracle-verified
     // approx-tier pattern, same as q_approx_distinct): iterative k-means
@@ -263,15 +329,12 @@ object SimilarityQueries {
     // lists scan (pinned in DedupSimilaritySpec). The deterministic
     // quantizer makes the probe EXACTLY equal inline ivfTopK, so the
     // identical recall oracle hash-verifies the whole write → reopen →
-    // probe chain end-to-end.
+    // probe chain end-to-end. Probes the shared serving-config BASE
+    // index (ensureIvfBase — built once per suite, not per query).
     "sim_knn_ivf_indexed" -> ((s, d) => {
       val e = emb(s, d)
       val q = queriesOf(e)
-      val prefix = s"ivf_index_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      val prefix = ensureIvfBase(s, d)
       val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
@@ -336,12 +399,12 @@ object SimilarityQueries {
       val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
       val nprobe = math.ceil(nlist * 3.0 / 8.0).toInt
       val prefix = s"ivf_sqrtn_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta",
-          s"${prefix}_current",
-          s"${prefix}_g1_lists", s"${prefix}_g1_cents", s"${prefix}_g1_meta")
+      Seq(s"${prefix}_g1_lists", s"${prefix}_g1_cents", s"${prefix}_g1_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      // the serving nlist=16 index being replaced arrives as a FORK of the
+      // shared base (snapshot, no retrain) — the staging-copy workflow,
+      // and the rebuild below must still retrain + cut over from it
+      Similarity.snapshotIvfIndex(s, ensureIvfBase(s, d), prefix)
       val gen = Similarity.rebuildIvfIndex(e, "vec_id", "embedding", prefix,
         buckets = 8, nlist = nlist, iters = 3, assign = IvfAssign)
       val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
@@ -412,11 +475,7 @@ object SimilarityQueries {
     "sim_knn_ivf_filtered" -> ((s, d) => {
       val e = emb(s, d)
       val q = queriesOf(e)
-      val prefix = s"ivf_filt_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      val prefix = ensureIvfBase(s, d) // read-only probe of the shared base
       val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = IvfFilteredNprobe,
           candidateFilter = col("neighbor_id") % 3 === 0)
@@ -520,20 +579,24 @@ object SimilarityQueries {
       val e = emb(s, d)
       val q = queriesOf(e)
       val survivors = e.filter(col("vec_id") % 7 =!= 0)
+      val base = ensureIvfBase(s, d)
       val prefix = s"ivf_del_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
+      // the take-down is trialed on a FORK of the serving base (snapshot,
+      // no retrain) — copy-on-write: index_ok additionally pins that the
+      // base still lists the FULL corpus after the fork's deletion
+      Similarity.snapshotIvfIndex(s, base, prefix)
       Similarity.deleteFromIvfIndex(s, prefix,
         e.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id")))
       val ivf = Similarity.ivfTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = IvfNprobe)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val sN = survivors.count()
+      val eN = e.count()
       val ls = s.table(s"${prefix}_lists")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val complete = ls.getLong(0) == IvfAssign * sN && ls.getLong(1) == sN
+      val baseIntact = s.table(s"${base}_lists").count() == IvfAssign * eN
+      val complete = ls.getLong(0) == IvfAssign * sN && ls.getLong(1) == sN &&
+        baseIntact
       val brute = Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
@@ -555,23 +618,26 @@ object SimilarityQueries {
       val e = emb(s, d)
       val q = queriesOf(e)
       val survivors = e.filter(col("vec_id") % 7 =!= 0)
+      val base = ensureIvfPqBase(s, d)
       val prefix = s"ivfpq_del_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
-          s"${prefix}_books", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
-        assign = IvfAssign)
+      // fork-then-delete (see sim_knn_ivf_delete): the flagship index's
+      // take-down trials on a snapshot; index_ok additionally pins the
+      // base's codes AND re-rank vectors untouched by the fork's scrub
+      Similarity.snapshotIvfPqIndex(s, base, prefix)
       Similarity.deleteFromIvfPqIndex(s, prefix,
         e.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id")))
       val ann = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = IvfNprobe, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val sN = survivors.count()
+      val eN = e.count()
       val cs = s.table(s"${prefix}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
       val vN = s.table(s"${prefix}_vecs").count()
-      val complete = cs.getLong(0) == IvfAssign * sN && cs.getLong(1) == sN && vN == sN
+      val baseIntact = s.table(s"${base}_codes").count() == IvfAssign * eN &&
+        s.table(s"${base}_vecs").count() == eN
+      val complete = cs.getLong(0) == IvfAssign * sN && cs.getLong(1) == sN &&
+        vN == sN && baseIntact
       val brute = Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", k = 3)
       val all = Window.partitionBy(lit(1))
       brute.join(ann, Seq("query_id", "neighbor_id"), "left")
@@ -595,13 +661,7 @@ object SimilarityQueries {
     "sim_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
       val q = queriesOf(e)
-      val prefix = s"ivfpq_index_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
-          s"${prefix}_books", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
-        assign = IvfAssign)
+      val prefix = ensureIvfPqBase(s, d) // read-only probe of the shared base
       val ann = Similarity.ivfPqTopKAgainstIndex(q, prefix, "vec_id", "embedding",
           k = 3, nprobe = IvfNprobe, shortlist = 128)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
@@ -742,6 +802,45 @@ object SimilarityQueries {
         |    + 0.000000001, 6) AS mean
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
+    // Full Lloyd replay: seeds = 8 smallest ids; each round assigns on
+    // round(|c|² − 2·v·c, 7) with ties to the smaller cid, recomputes
+    // centroids as exact-decimal sums / double counts (empty clusters
+    // carry forward); final assignment against the round-2 centroids.
+    "sim_kmeans_clusters" -> {
+      def assignFrom(c: String) =
+        s"""SELECT vec_id, cid, d FROM (
+           |  SELECT vec_id, cid, d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |  FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      round(sqrt(${dotSql("c.cvec", "c.cvec")}) * sqrt(${dotSql("c.cvec", "c.cvec")})
+           |        - 2 * ${dotSql("v.ve", "c.cvec")}, 7) AS d
+           |    FROM v CROSS JOIN $c c)) WHERE rn = 1""".stripMargin
+      def updateFrom(a: String, prev: String) =
+        s"""SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+           |FROM $prev p LEFT JOIN (
+           |  SELECT cid, list(m ORDER BY dim) AS cvec FROM (
+           |    SELECT a.cid, r.dim AS dim,
+           |      sum((v.ve[r.dim])::DECIMAL(28,14))::DOUBLE / count(1) AS m
+           |    FROM $a a JOIN v USING (vec_id), range(1, 65) r(dim)
+           |    GROUP BY a.cid, r.dim)
+           |  GROUP BY cid) n USING (cid)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, ve AS cvec
+         |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
+         |a1 AS (${assignFrom("c0")}),
+         |c1 AS (${updateFrom("a1", "c0")}),
+         |a2 AS (${assignFrom("c1")}),
+         |c2 AS (${updateFrom("a2", "c1")}),
+         |af AS (${assignFrom("c2")})
+         |SELECT vec_id, cid, round(d + 0.000000001, 4) AS dist,
+         |  count(1) OVER (PARTITION BY cid) AS cluster_n
+         |FROM af ORDER BY vec_id""".stripMargin
+    },
 
     // The rows are the exact brute-force top-3 (recomputed here); the IVF
     // recall certificate is pinned TRUE — below-floor recall hash-mismatches.

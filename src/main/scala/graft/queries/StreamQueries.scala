@@ -935,11 +935,9 @@ object StreamQueries {
           .repartition(4, col("vec_id"))
           .write.mode("overwrite").parquet(out.toString)
       }
-      val prefix = s"ivf_serve_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
-        buckets = 8, nlist = 16, iters = 3, assign = SimilarityQueries.IvfAssign)
+      // the fixed serving index IS the suite's shared serving-config base
+      // (full corpus, nlist=16, assign=2) — probed read-only per batch
+      val prefix = SimilarityQueries.ensureIvfBase(s, d)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_serve_")
       val resultsDir = s"$scratch/results"
       try {

@@ -301,6 +301,51 @@ object Sinks {
     next
   }
 
+  /** Snapshot (fork) a persisted table family — the index lifecycle verb
+    * a vector/dedup store exposes as "restore into a staging copy": the
+    * ACTIVE generation of `fromPrefix` (pointer-resolved, same chain as
+    * every probe) is copied into a bare `toPrefix`, table by table, each
+    * copy re-written through the source table's own bucket spec so the
+    * fork serves with the identical zero-Exchange probe layout. `_meta`
+    * copies LAST — the same completeness-marker discipline as the
+    * builders, so a crash mid-fork leaves a metaless target nothing
+    * resolves to. The fork is then a fully independent index: mutating
+    * verbs (delete/append/rebuild) on it never touch the source — the
+    * copy-on-write discipline `SinksSpec` pins. Cost is one bounded
+    * rewrite per table (no quantizer retrains, no re-encode), which is
+    * what makes forking cheap relative to rebuilding.
+    */
+  def snapshotTablePrefix(
+      spark: SparkSession,
+      fromPrefix: String,
+      toPrefix: String,
+      suffixes: Seq[String]): Unit = {
+    require(fromPrefix != toPrefix,
+      s"snapshotTablePrefix: fork target must differ from source '$fromPrefix'")
+    require(suffixes.contains("_meta"),
+      "snapshotTablePrefix: family must include _meta (the completeness marker)")
+    val from = activeTablePrefix(spark, fromPrefix)
+    // bare target: stale tables or a stale generation pointer at the
+    // target prefix must not leak into (or mis-resolve) the fresh fork
+    (suffixes :+ "_current").foreach(sfx => dropManagedTable(spark, s"$toPrefix$sfx"))
+    val (meta, data) = suffixes.partition(_ == "_meta")
+    (data ++ meta).foreach { sfx =>
+      val src = s"$from$sfx"
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(src)).bucketSpec
+      spec match {
+        case Some(b) =>
+          require(b.bucketColumnNames.size == 1,
+            s"snapshotTablePrefix: multi-column bucket spec on $src unsupported")
+          writeBucketedTable(spark.table(src), s"$toPrefix$sfx",
+            b.numBuckets, b.bucketColumnNames.head)
+        case None =>
+          spark.table(src).write.mode(SaveMode.Overwrite)
+            .format("parquet").saveAsTable(s"$toPrefix$sfx")
+      }
+    }
+  }
+
   /** Blue/green persisted LABEL table (id → rep — the connected-components
     * state [[graft.operators.Dedup.incrementalConnectedComponents]]
     * maintains): each update stages the full new label set as a fresh

@@ -248,6 +248,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("IVF index fork: probe parity, copy-on-write, active-generation source, bucket spec kept") {
+    val corpus = (0 until 60).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == base) 10.0f else 0.1f) + (i * 7 % 13) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    for (p <- Seq("ivf_snap_src", "ivf_snap_src_g1", "ivf_snap_fork");
+         sfx <- Seq("_lists", "_cents", "_meta", "_current"))
+      graft.sources.Sinks.dropManagedTable(spark, s"$p$sfx")
+
+    // source index rebuilt once, so its ACTIVE generation is _g1 and the
+    // bare tables are gone — the fork must resolve the serving generation
+    // through the pointer, not assume bare tables exist
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", "ivf_snap_src",
+      buckets = 4, nlist = 4, iters = 2)
+    Similarity.rebuildIvfIndex(corpus, "vec_id", "embedding", "ivf_snap_src",
+      buckets = 4, nlist = 4, iters = 2)
+    Similarity.snapshotIvfIndex(spark, "ivf_snap_src", "ivf_snap_fork")
+
+    def probe(prefix: String) = Similarity.ivfTopKAgainstIndex(
+        queries, prefix, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaSrc = probe("ivf_snap_src")
+    assert(viaSrc.nonEmpty)
+    assert(probe("ivf_snap_fork") == viaSrc,
+      "fork must serve byte-identical answers to its source generation")
+
+    // the copy preserved the bucket layout (zero-Exchange probes on the
+    // fork ride the same spec the source was written with)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ivf_snap_fork_lists")).bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 && b.bucketColumnNames == Seq("cid")),
+      s"fork lists lost the source bucket spec: $spec")
+
+    // copy-on-write: scrubbing the fork never touches the source
+    Similarity.deleteFromIvfIndex(spark, "ivf_snap_fork",
+      corpus.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("id")))
+    assert(spark.table("ivf_snap_fork_lists").count() == 30)
+    assert(spark.table("ivf_snap_src_g1_lists").count() == 60,
+      "deleting from the fork must leave the source lists intact")
+    assert(probe("ivf_snap_src") == viaSrc,
+      "source probe changed after a fork-side deletion")
+  }
+
   test("persisted IVF-PQ index: zero Exchange on codes scan, no vectors in the wide join, recall") {
     // 3 well-separated direction clusters, 16-dim (m=4 × subDim=4)
     val corpus = (0 until 60).map { i =>
