@@ -56,13 +56,12 @@ object DedupQueries {
     */
   private[queries] def ensureMinhashBase(s: SparkSession, d: String): String = {
     val prefix = s"mh_base_${ScratchKeys.forPath(d)}"
-    FrameMemo.getOrCompute(s, s"mh_base:$d") {
+    IndexMemo.ensure(s, s"mh_base:$d") {
       Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Dedup.writeMinhashIndex(
         minhashSigsFrame(s, d).filter(col("id") % 10 =!= 0), prefix,
         buckets = 8, k = 16, bands = 4)
-      s.table(s"${prefix}_meta").localCheckpoint(true)
     }
     prefix
   }

@@ -28,6 +28,7 @@ private[graft] object SharedFrames {
     "mh_base" -> (DedupQueries.minhashBaseFrame _),
     "ivf_base" -> (SimilarityQueries.ivfBaseFrame _),
     "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
+    "kmeans_k8_i2" -> (SimilarityQueries.kmeansAssignFrame _),
     "bpe_merges6" -> (TextQueries.bpeMerges6 _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))

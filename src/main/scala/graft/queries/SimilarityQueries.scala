@@ -35,29 +35,38 @@ object SimilarityQueries {
     */
   private[queries] def ensureIvfBase(s: SparkSession, d: String): String = {
     val prefix = s"ivf_base_${ScratchKeys.forPath(d)}"
-    FrameMemo.getOrCompute(s, s"ivf_base:$d") {
+    IndexMemo.ensure(s, s"ivf_base:$d") {
       Seq(s"${prefix}_lists", s"${prefix}_cents", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", prefix,
         buckets = 8, nlist = 16, iters = 3, assign = IvfAssign)
-      s.table(s"${prefix}_meta").localCheckpoint(true)
     }
     prefix
   }
 
   private[queries] def ensureIvfPqBase(s: SparkSession, d: String): String = {
     val prefix = s"ivfpq_base_${ScratchKeys.forPath(d)}"
-    FrameMemo.getOrCompute(s, s"ivfpq_base:$d") {
+    IndexMemo.ensure(s, s"ivfpq_base:$d") {
       Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
           s"${prefix}_books", s"${prefix}_meta")
         .foreach(graft.sources.Sinks.dropManagedTable(s, _))
       Similarity.writeIvfPqIndex(emb(s, d), "vec_id", "embedding", prefix,
         buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
         assign = IvfAssign)
-      s.table(s"${prefix}_meta").localCheckpoint(true)
     }
     prefix
   }
+
+  /** Shared k-means assignment frame (k=8, iters=2, the serving
+    * clustering config): `sim_kmeans_clusters` reports it and
+    * `sim_semantic_sample` samples by it — memoized like every other
+    * suite-shared frame and pre-built by Bench via [[SharedFrames]].
+    */
+  private[queries] def kmeansAssignFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"kmeans_k8_i2:$d") {
+      Similarity.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 2)
+        .localCheckpoint(true)
+    }
 
   /** [[SharedFrames]] adapters: ensure the base index exists and hand back
     * its (1-row) meta frame as the registrable DataFrame.
@@ -151,6 +160,46 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 7)"
 
+  /** Oracle CTE chain replaying [[Similarity.kmeansAssign]] (k=8,
+    * iters=2) over the embeddings table: v (double vectors), c0 (seed
+    * centroids = 8 smallest ids), a1/c1/a2/c2 (two Lloyd rounds), af
+    * (final assignment, with the rounded distance d). Shared by
+    * `sim_kmeans_clusters` and every downstream query that consumes the
+    * cluster assignment (`sim_semantic_sample`).
+    */
+  private def kmAssignSql(c: String) =
+    s"""SELECT vec_id, cid, d FROM (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      round(sqrt(${dotSql("c.cvec", "c.cvec")}) * sqrt(${dotSql("c.cvec", "c.cvec")})
+       |        - 2 * ${dotSql("v.ve", "c.cvec")}, 7) AS d
+       |    FROM v CROSS JOIN $c c)) WHERE rn = 1""".stripMargin
+
+  private def kmUpdateSql(a: String, prev: String) =
+    s"""SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+       |FROM $prev p LEFT JOIN (
+       |  SELECT cid, list(m ORDER BY dim) AS cvec FROM (
+       |    SELECT a.cid, r.dim AS dim,
+       |      sum((v.ve[r.dim])::DECIMAL(28,14))::DOUBLE / count(1) AS m
+       |    FROM $a a JOIN v USING (vec_id), range(1, 65) r(dim)
+       |    GROUP BY a.cid, r.dim)
+       |  GROUP BY cid) n USING (cid)""".stripMargin
+
+  private def kmeansCtes: String =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, ve AS cvec
+       |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmUpdateSql("a1", "c0")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmUpdateSql("a2", "c1")}),
+       |af AS (${kmAssignSql("c2")})""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-5 neighbors per query vector (cosine, broadcast queries).
@@ -198,13 +247,26 @@ object SimilarityQueries {
     // Lloyd rounds and the final assignment in SQL and the compare is
     // exact assignment parity, not a recall floor.
     "sim_kmeans_clusters" -> ((s, d) => {
-      val a = Similarity.kmeansAssign(emb(s, d), "vec_id", "embedding",
-        k = 8, iters = 2)
+      val a = kmeansAssignFrame(s, d)
       val w = Window.partitionBy("cid")
       a.withColumn("cluster_n", count(lit(1)).over(w))
         .select(col("vec_id"), col("cid"), col("dist"), col("cluster_n"))
         .orderBy("vec_id")
     }),
+
+    // Clustering feeding curation: the k-means assignment becomes the
+    // GROUP of a √-balanced sample — "rebalance the corpus by semantic
+    // cluster" instead of by a metadata column (the d_lang_balance rule
+    // with a data-derived group). Dominant clusters keep √(n_min/n)
+    // of their documents, the smallest keeps everything; membership is
+    // the salted-hash rule, so the oracle replays clustering AND
+    // sampling end-to-end.
+    "sim_semantic_sample" -> ((s, d) =>
+      graft.operators.Sampling.sqrtBalancedSample(
+          kmeansAssignFrame(s, d), col("cid"), col("vec_id").cast("string"),
+          salt = "semsample_v1")
+        .select("vec_id", "cid", "n_group", "rate_permille")
+        .orderBy("vec_id")),
 
     // IVF ANN with an in-query recall certificate (the oracle-verified
     // approx-tier pattern, same as q_approx_distinct): iterative k-means
@@ -807,40 +869,29 @@ object SimilarityQueries {
     // round(|c|² − 2·v·c, 7) with ties to the smaller cid, recomputes
     // centroids as exact-decimal sums / double counts (empty clusters
     // carry forward); final assignment against the round-2 centroids.
-    "sim_kmeans_clusters" -> {
-      def assignFrom(c: String) =
-        s"""SELECT vec_id, cid, d FROM (
-           |  SELECT vec_id, cid, d,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-           |  FROM (
-           |    SELECT v.vec_id, c.cid,
-           |      round(sqrt(${dotSql("c.cvec", "c.cvec")}) * sqrt(${dotSql("c.cvec", "c.cvec")})
-           |        - 2 * ${dotSql("v.ve", "c.cvec")}, 7) AS d
-           |    FROM v CROSS JOIN $c c)) WHERE rn = 1""".stripMargin
-      def updateFrom(a: String, prev: String) =
-        s"""SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
-           |FROM $prev p LEFT JOIN (
-           |  SELECT cid, list(m ORDER BY dim) AS cvec FROM (
-           |    SELECT a.cid, r.dim AS dim,
-           |      sum((v.ve[r.dim])::DECIMAL(28,14))::DOUBLE / count(1) AS m
-           |    FROM $a a JOIN v USING (vec_id), range(1, 65) r(dim)
-           |    GROUP BY a.cid, r.dim)
-           |  GROUP BY cid) n USING (cid)""".stripMargin
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, ve AS cvec
-         |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
-         |a1 AS (${assignFrom("c0")}),
-         |c1 AS (${updateFrom("a1", "c0")}),
-         |a2 AS (${assignFrom("c1")}),
-         |c2 AS (${updateFrom("a2", "c1")}),
-         |af AS (${assignFrom("c2")})
+    "sim_kmeans_clusters" ->
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cid, round(d + 0.000000001, 4) AS dist,
          |  count(1) OVER (PARTITION BY cid) AS cluster_n
-         |FROM af ORDER BY vec_id""".stripMargin
-    },
+         |FROM af ORDER BY vec_id""".stripMargin,
+
+    // kmeans replay (af) composed with the √-balance membership rule —
+    // the same keep-rate/salted-hash arithmetic as d_lang_balance, with
+    // the data-derived semantic cluster as the group.
+    "sim_semantic_sample" ->
+      s"""WITH $kmeansCtes,
+         |c AS (SELECT cid, count(*)::BIGINT AS n_group FROM af GROUP BY cid),
+         |m AS (SELECT min(n_group) AS nmin FROM c),
+         |r AS (
+         |  SELECT cid, n_group,
+         |    floor(1000 * sqrt(nmin::DOUBLE / n_group) + 0.000000001)::INT
+         |      AS rate_permille
+         |  FROM c CROSS JOIN m)
+         |SELECT af.vec_id, af.cid, r.n_group, r.rate_permille
+         |FROM af JOIN r USING (cid)
+         |WHERE (('0x' || substr(md5('semsample_v1:' || af.vec_id::VARCHAR), 1, 15))::BIGINT
+         |       % 1000) < r.rate_permille
+         |ORDER BY af.vec_id""".stripMargin,
 
     // The rows are the exact brute-force top-3 (recomputed here); the IVF
     // recall certificate is pinned TRUE — below-floor recall hash-mismatches.
