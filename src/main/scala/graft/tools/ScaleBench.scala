@@ -220,6 +220,60 @@ object ScaleBench {
     }
   }
 
+  /** Round-9: fork (snapshot) vs rebuild across the decade — the cost
+    * claim behind the staging-copy verb: a rebuild re-trains the
+    * quantizers and re-encodes the corpus (pays the training passes
+    * again), a fork is bounded per-table rewrites of the finished
+    * index. Both are ~linear in corpus size, but the fork's constant
+    * excludes ALL training work, so the absolute gap (which is what a
+    * production cutover trial pays) widens with corpus size. Measured
+    * at x1/x10 for both the IVF and the flagship IVF-PQ family.
+    */
+  private def runFork(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Similarity
+    import graft.sources.{Sinks, Tables}
+    if (!new java.io.File(s"$scaleDir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      println(s"SCALE embeddings written to $scaleDir")
+    }
+    def timeOne(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // JIT warmup (untimed) at the smallest SF
+    for ((tag, dir) <- Seq("warm" -> "/root/testdata/sf0.001",
+        "x1" -> src, "x10" -> scaleDir)) {
+      val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+      val n = e.count()
+      val b = s"forkb_$tag"; val fk = s"forkc_$tag"
+      val pb = s"forkpqb_$tag"; val pf = s"forkpqc_$tag"
+      for (p <- Seq(b, fk); sfx <- Seq("_lists", "_cents", "_meta"))
+        Sinks.dropManagedTable(spark, s"$p$sfx")
+      for (p <- Seq(pb, pf); sfx <- Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
+        Sinks.dropManagedTable(spark, s"$p$sfx")
+      val tBuild = timeOne(Similarity.writeIvfIndex(
+        e, "vec_id", "embedding", b, buckets = 8, nlist = 16, iters = 3, assign = 2))
+      val tFork = timeOne(Similarity.snapshotIvfIndex(spark, b, fk))
+      val tPqBuild = timeOne(Similarity.writeIvfPqIndex(
+        e, "vec_id", "embedding", pb,
+        buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
+        assign = 2))
+      val tPqFork = timeOne(Similarity.snapshotIvfPqIndex(spark, pb, pf))
+      if (tag != "warm")
+        println(f"FORK $tag%-4s n=$n%8d  ivf_build $tBuild%6.2f s  " +
+          f"ivf_fork $tFork%6.2f s  ivfpq_build $tPqBuild%6.2f s  " +
+          f"ivfpq_fork $tPqFork%6.2f s")
+    }
+  }
+
   /** Round-8: the 100× decade for the two flattest families (gram-family
     * substring dedup; IVF/IVF-PQ probes under the fixed-query serving
     * regime). The 10× ratios are exponent CEILINGS compressed by fixed
@@ -653,6 +707,11 @@ object ScaleBench {
     }
     if (which == "embpairs") {
       runEmbPairs(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "fork") {
+      runFork(spark, src, scaleDir)
       spark.stop()
       return
     }
