@@ -179,10 +179,19 @@ object Similarity {
       embCol: String,
       k: Int,
       iters: Int = 2): DataFrame = {
+    val vecs = kmeansVecs(corpus, idCol, embCol)
+    assignAgainstCentroids(vecs, kmeansCentroids(vecs, k, iters))
+      .withColumnRenamed("vid", idCol)
+  }
+
+  /** The trained centroid frame behind [[kmeansAssign]] — exposed so the
+    * MODEL can persist separately from the assignment (see
+    * [[writeKmeansModel]]): train offline/once, assign online/per batch,
+    * the same split every ML-adjacent pipeline runs. Returns
+    * (cid, cvec).
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, s"k=$k and iters=$iters must be positive")
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
-        col(embCol).cast("array<double>").as("v"))
-      .localCheckpoint(true) // re-read every round
     var cents = vecs.orderBy("vid").limit(k)
       .select(row_number().over(Window.orderBy("vid")).cast("long").as("cid"),
         col("v").as("cvec"))
@@ -202,9 +211,104 @@ object Similarity {
         .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
         .localCheckpoint(true)
     }
+    cents
+  }
+
+  /** Normalized (vid, v) input frame with the ragged/NULL-vector refusal
+    * shared by the train and serve paths — a ragged OR NULL vector would
+    * not fail: dotD null-pads and the argmin falls back to the cid
+    * tie-break, silently poisoning clusters. Null-safe <=>: size(null)
+    * is null, which =!= would let through (same guard as the index
+    * builders).
+    */
+  private def kmeansVecs(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
+        col(embCol).cast("array<double>").as("v"))
+      .localCheckpoint(true) // re-read every round
+    val dimsRow = vecs.select(max(size(col("v")))).head()
+    require(!dimsRow.isNullAt(0),
+      "kmeansAssign: corpus is empty or every vector is NULL")
+    val dims = dimsRow.getInt(0)
+    require(vecs.filter(!(size(col("v")) <=> lit(dims))).isEmpty,
+      s"kmeansAssign: corpus contains NULL vectors or vectors whose dimension != $dims")
+    vecs
+  }
+
+  private def assignAgainstCentroids(vecs: DataFrame, cents: DataFrame): DataFrame =
     assignToCentroidsRounded(vecs, "vid", "v", cents, keepDist = true)
-      .select(col("vid").as(idCol), col("cid"),
-        round(col("d") + 1e-9, 4).as("dist"))
+      .select(col("vid"), col("cid"), round(col("d") + 1e-9, 4).as("dist"))
+
+  /** Persist a trained k-means model as catalog tables — the clustering
+    * tier's train/serve split: `<prefix>_cents` (cid, cvec — k rows) and
+    * `<prefix>_meta` (k, iters, written LAST, the suite-wide
+    * completeness-marker discipline). The model is metadata-scale and
+    * broadcast at assignment, so serving never re-trains; retraining is
+    * [[rebuildKmeansModel]], the same blue/green pointer cutover every
+    * persisted family uses.
+    */
+  def writeKmeansModel(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      k: Int,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroids(kmeansVecs(corpus, idCol, embCol), k, iters)
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_cents")
+    spark.createDataFrame(Seq((k, iters))).toDF("k", "iters")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Retrain-and-cutover for a persisted k-means model — identical
+    * blue/green contract to [[rebuildIvfIndex]] (stage `_g<N+1>`, flip
+    * `<prefix>_current`, retire). Returns the new generation number.
+    */
+  def rebuildKmeansModel(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tablePrefix: String,
+      k: Int,
+      iters: Int = 2): Long =
+    rebuildCutover(corpus.sparkSession, tablePrefix, Seq("_cents", "_meta")) { g =>
+      writeKmeansModel(corpus, idCol, embCol, g, k, iters)
+    }
+
+  /** Assign a batch against a PERSISTED k-means model (see
+    * [[writeKmeansModel]]) — the online half of the train/serve split:
+    * generation-resolved, broadcast centroids, per-row argmin; a batch
+    * assigned through the stored model is byte-identical to having been
+    * in [[kmeansAssign]]'s final assignment over the same centroids
+    * (the streaming serving-parity query pins exactly that). Same
+    * ragged/NULL refusal as training — serving is the entry point most
+    * likely fed by a different process than the trainer.
+    */
+  def assignAgainstKmeansModel(
+      batch: DataFrame,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val tp = activeIvfPrefix(spark, tablePrefix)
+    val cents = spark.table(s"${tp}_cents")
+    val vecs = batch.select(col(idCol).cast("long").as("vid"),
+        col(embCol).cast("array<double>").as("v"))
+      .localCheckpoint(true) // consumed by the guard AND the assignment
+    // the dimension contract comes from the STORED model, not from batch
+    // self-consistency: a uniformly-wrong-width batch would null-pad in
+    // dotD and assign on the cid tie-break — refuse loudly instead
+    // (null-safe <=> also rejects NULL vectors). An EMPTY batch passes
+    // and returns empty — streams deliver those, and dying on one would
+    // kill the serving query.
+    val dim = cents.select(size(col("cvec"))).head().getInt(0)
+    require(vecs.filter(!(size(col("v")) <=> lit(dim))).isEmpty,
+      s"assignAgainstKmeansModel: batch contains NULL vectors or vectors whose " +
+        s"dimension != $dim (dimension of model '$tablePrefix' centroids)")
+    assignAgainstCentroids(vecs, cents)
+      .withColumnRenamed("vid", idCol)
   }
 
   /** [[assignToCentroids]] with the distance rounded to 7 decimals BEFORE

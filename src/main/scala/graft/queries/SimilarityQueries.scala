@@ -187,7 +187,7 @@ object SimilarityQueries {
        |    GROUP BY a.cid, r.dim)
        |  GROUP BY cid) n USING (cid)""".stripMargin
 
-  private def kmeansCtes: String =
+  private[queries] def kmeansCtes: String =
     s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
        |  FROM embeddings),
@@ -252,6 +252,30 @@ object SimilarityQueries {
       a.withColumn("cluster_n", count(lit(1)).over(w))
         .select(col("vec_id"), col("cid"), col("dist"), col("cluster_n"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup proper (Abbas et al. 2023): cluster the corpus with
+    // k-means, then prune near-duplicates WITHIN each cluster — the
+    // pairwise pass is O(Σ n_c²), bounded because production grows k
+    // with the corpus so cluster sizes stay ~constant (the paper's own
+    // scaling argument; here k=8 over the suite corpus). A vector is
+    // dropped iff a smaller-id vector in ITS cluster has cosine ≥ 0.5
+    // (deterministic keep-smallest rule, one shuffle on cid). The
+    // whole chain — both Lloyd rounds, the within-cluster pair set,
+    // the anti-join — replays in the oracle, so this is exact-parity
+    // verified, unlike blocking schemes whose miss rate needs a
+    // certificate.
+    "sim_semdedup_keep" -> ((s, d) => {
+      val x = kmeansAssignFrame(s, d).select(col("vec_id"), col("cid"))
+        .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      val l = x.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = x.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val drops = l.join(r, Seq("cid")).filter(col("a") < col("b"))
+        .filter(round(graft.functions.CrossHash.cosine(
+          col("ea").cast("array<double>"), col("eb").cast("array<double>")), 7) >= 0.5)
+        .select(col("b").as("vec_id")).distinct()
+      x.join(drops, Seq("vec_id"), "left_anti")
+        .select("vec_id", "cid").orderBy("vec_id")
     }),
 
     // Clustering feeding curation: the k-means assignment becomes the
@@ -874,6 +898,18 @@ object SimilarityQueries {
          |SELECT vec_id, cid, round(d + 0.000000001, 4) AS dist,
          |  count(1) OVER (PARTITION BY cid) AS cluster_n
          |FROM af ORDER BY vec_id""".stripMargin,
+
+    // kmeans replay (af) + within-cluster pair pass + keep-smallest
+    // anti-join — the full SemDeDup chain replayed.
+    "sim_semdedup_keep" ->
+      s"""WITH $kmeansCtes,
+         |x AS (SELECT af.vec_id, af.cid, v.ve FROM af JOIN v USING (vec_id)),
+         |p AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.ve", "r.ve")} AS cos
+         |  FROM x l JOIN x r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+         |drops AS (SELECT DISTINCT b AS vec_id FROM p WHERE cos >= 0.5)
+         |SELECT x.vec_id, x.cid FROM x LEFT JOIN drops USING (vec_id)
+         |WHERE drops.vec_id IS NULL ORDER BY x.vec_id""".stripMargin,
 
     // kmeans replay (af) composed with the √-balance membership rule —
     // the same keep-rate/salted-hash arithmetic as d_lang_balance, with

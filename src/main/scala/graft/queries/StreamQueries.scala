@@ -980,6 +980,63 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streaming CLUSTER-ID tagging — the clustering tier's serving dual
+    // (what st_knn_serving_parity is to the ANN tier): the k-means model
+    // is trained once and PERSISTED (writeKmeansModel — cents + meta,
+    // the train/serve split), then the corpus streams in four
+    // micro-batches, each assigned against the stored centroids in
+    // foreachBatch and appended batch-stamped. Assignment is per-row and
+    // the model frozen, so the drained union must equal the one-shot
+    // assignment EXACTLY (serve_ok pins row parity + 4 batches), and the
+    // emitted rows are the one-shot assignment — which the oracle
+    // replays in FULL (training included), so a stored model that
+    // diverged from the trained centroids hash-mismatches.
+    "st_kmeans_serving_parity" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+      val splitDir = fixtureDir("kmserve", d, "embeddings", "corpus4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        e.repartition(4, col("vec_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"km_serve_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_cents", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      Similarity.writeKmeansModel(e, "vec_id", "embedding", prefix,
+        k = 8, iters = 2)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_km_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              Similarity.assignAgainstKmeansModel(batch.toDF(), prefix,
+                  "vec_id", "embedding")
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        // one-shot side = the suite-shared assignment frame (same k/iters
+        // — trains in-session; the oracle's full replay pins that the
+        // PERSISTED model matches it)
+        val oneShot = SimilarityQueries.kmeansAssignFrame(s, d)
+        val served = streamed.drop("batch_id")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select("vec_id", "cid", "dist", "serve_ok")
+          .orderBy("vec_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -1356,6 +1413,14 @@ object StreamQueries {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
         |  TRUE AS ivf_recall_ok, TRUE AS serve_ok
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // the one-shot k-means assignment replayed in FULL (training
+    // included) — a persisted model diverging from the trained
+    // centroids, a lost batch, or a double-served row hash-mismatches
+    "st_kmeans_serving_parity" ->
+      s"""WITH ${SimilarityQueries.kmeansCtes}
+         |SELECT vec_id, cid, round(d + 0.000000001, 4) AS dist, TRUE AS serve_ok
+         |FROM af ORDER BY vec_id""".stripMargin,
 
     "st_ann_index_parity" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

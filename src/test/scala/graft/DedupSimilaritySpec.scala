@@ -296,6 +296,48 @@ class DedupSimilaritySpec extends SparkSpec {
       "source probe changed after a fork-side deletion")
   }
 
+  test("k-means model: persisted-assign parity, blue/green rebuild resolve, ragged refusal") {
+    val corpus = (0 until 60).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == base) 10.0f else 0.1f) + (i * 7 % 13) * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    for (p <- Seq("km_spec", "km_spec_g1"); sfx <- Seq("_cents", "_meta", "_current"))
+      graft.sources.Sinks.dropManagedTable(spark, s"$p$sfx")
+
+    Similarity.writeKmeansModel(corpus, "vec_id", "embedding", "km_spec",
+      k = 4, iters = 2)
+    def viaModel = Similarity.assignAgainstKmeansModel(
+        corpus, "km_spec", "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Similarity.kmeansAssign(corpus, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaModel == inline,
+      "assignment through the persisted model must equal the inline train+assign")
+    assert(inline.map(_._2).size > 1)
+
+    // retrain at a different k through the pointer cutover: assignment
+    // must resolve the NEW generation without call-site changes
+    val gen = Similarity.rebuildKmeansModel(corpus, "vec_id", "embedding",
+      "km_spec", k = 2, iters = 1)
+    assert(gen == 1L)
+    assert(!spark.catalog.tableExists("km_spec_cents"), "bare generation retired")
+    assert(viaModel.map(_._2).max <= 2L,
+      "post-cutover assignment must use the k=2 generation's centroids")
+
+    // serving is fed by other processes: ragged batches refuse loudly
+    val ragged = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.assignAgainstKmeansModel(ragged, "km_spec", "vec_id", "embedding")
+        .collect()
+    }
+    assert(err.getMessage.contains("dimension"))
+  }
+
   test("persisted IVF-PQ index: zero Exchange on codes scan, no vectors in the wide join, recall") {
     // 3 well-separated direction clusters, 16-dim (m=4 × subDim=4)
     val corpus = (0 until 60).map { i =>
