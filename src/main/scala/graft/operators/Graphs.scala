@@ -114,6 +114,63 @@ object Graphs {
     } finally ee0.unpersist()
   }
 
+  /** Synchronous label-propagation community detection over an UNDIRECTED
+    * edge list (a, b) — the lightweight community algorithm (Raghavan et
+    * al. 2007) in its deterministic synchronous form: every node starts
+    * labeled with itself; each round EVERY node simultaneously adopts
+    * the most frequent label among its neighbors, ties to the SMALLEST
+    * label (asynchronous/randomized variants converge faster but are
+    * irreproducible — a non-starter for an oracle-gated pipeline).
+    * Fixed `iters`, no convergence test, so the oracle replays every
+    * round exactly: all-integer arithmetic (counts and ids), so there
+    * is not even a rounding rule to share.
+    *
+    * Per round: one hash join (labels onto edge targets), one count
+    * aggregation on (node, label), one row_number window on node —
+    * the Pregel message-pass shape, linear in edges per round. Each
+    * round references the previous labels exactly once, so the loop
+    * composes into one linear-depth lazy plan (the pageRank
+    * discipline); the final checkpoint runs it once. Complements the
+    * component tier: connectedComponents finds REACHABILITY classes,
+    * LPA finds DENSITY classes — two near-cliques joined by one bridge
+    * edge are one component but two communities.
+    *
+    * Returns (node, label) — every node of the edge list, labeled by
+    * its community representative.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val parent = edges.sparkSession
+    val sym0 = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .union(edges.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = sym0.count()
+      if (m == 0) {
+        return parent.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("label", lit(0L)).limit(0)
+      }
+      val child = loopSession(parent, measuredParts(parent, m))
+      val sym = bridge(child, sym0).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var labels = sym.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        var iter = 0
+        while (iter < iters) {
+          val counts = sym.join(labels, sym("v") === labels("node"))
+            .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("u").orderBy(col("c").desc, col("label"))
+          labels = counts.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("u").as("node"), col("label"))
+          iter += 1
+        }
+        bridge(parent, labels.localCheckpoint(true))
+      } finally sym.unpersist()
+    } finally sym0.unpersist()
+  }
+
   /** k-core decomposition of an UNDIRECTED edge list (a, b): iteratively
     * peel nodes of degree < k until the remaining subgraph's minimum
     * degree is ≥ k (the standard cohesion measure — the k-core is the

@@ -276,6 +276,21 @@ object WarehouseQueries {
         .limit(20)
     }),
 
+    // Label-propagation communities (4 synchronous rounds, ties to the
+    // smallest label) over the strong co-purchase graph — the DENSITY
+    // counterpart of the component queries: two near-cliques joined by
+    // one bridge edge are one connected component but two communities.
+    // All-integer and fully deterministic, so the oracle replays every
+    // round — exact assignment parity, like the CC family.
+    "q_communities" -> ((s, d) => {
+      val edges = basketPairCounts(s, d).filter(col("n_ab") >= 2).select("a", "b")
+      val lp = graft.operators.Graphs.labelPropagation(edges, iters = 4)
+      val w = Window.partitionBy("label")
+      lp.select(col("node"), col("label").as("community"),
+          count(lit(1)).over(w).as("community_n"))
+        .orderBy("node")
+    }),
+
     // BFS depths (≤ 6 hops) from the lowest-id node of the strong
     // co-purchase graph — reachability rings around a product. Fixed round
     // count; the oracle dedups per level with a UNION recursive CTE, so
@@ -825,6 +840,34 @@ object WarehouseQueries {
          |$steps
          |SELECT src AS node, count(*) AS core_deg
          |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+    },
+
+    // every LPA round replayed: count neighbor labels, argmax with ties
+    // to the smallest label — all-integer, so parity is exact
+    "q_communities" -> {
+      def step(prev: String) =
+        s"""SELECT node, label FROM (
+           |  SELECT c.node, c.label,
+           |    row_number() OVER (PARTITION BY c.node ORDER BY c.c DESC, c.label) AS rn
+           |  FROM (SELECT s.u AS node, l.label, count(1) AS c
+           |        FROM sym s JOIN $prev l ON s.v = l.node
+           |        GROUP BY s.u, l.label) c)
+           |WHERE rn = 1""".stripMargin
+      s"""WITH
+         |i AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+         |p AS (
+         |  SELECT x.item AS a, y.item AS b
+         |  FROM i x JOIN i y ON x.oid = y.oid AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING count(1) >= 2),
+         |sym AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |l1 AS (${step("l0")}),
+         |l2 AS (${step("l1")}),
+         |l3 AS (${step("l2")}),
+         |l4 AS (${step("l3")})
+         |SELECT node, label AS community,
+         |  count(1) OVER (PARTITION BY label) AS community_n
+         |FROM l4 ORDER BY node""".stripMargin
     },
 
     "q_pagerank" ->

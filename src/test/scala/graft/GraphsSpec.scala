@@ -19,6 +19,28 @@ class GraphsSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("labelPropagation: bridged cliques are one component but two communities") {
+    // two 4-cliques {1..4} and {11..14} joined by the single bridge 4–11:
+    // reachability (CC) sees ONE class; density (LPA) must keep TWO —
+    // inside a clique the min label wins round 1 and unanimity holds it,
+    // while the bridge endpoints each see only one foreign vote.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))
+      :+ ((4L, 11L))).toDF("a", "b")
+    val labels = Graphs.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(labels).toSet.size == 1,
+      s"left clique fragmented: $labels")
+    assert(Seq(11L, 12L, 13L, 14L).map(labels).toSet.size == 1,
+      s"right clique fragmented: $labels")
+    assert(labels(1L) != labels(11L),
+      s"bridge edge merged the two communities: $labels")
+    // determinism: a second run is byte-identical (ties break on label id)
+    assert(Graphs.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap == labels)
+  }
+
   test("iterative loops never touch the caller session's shuffle width") {
     // The loops size their shuffle width in a CHILD session; a concurrent
     // planner on the caller's session must never observe a mutated width.
