@@ -82,7 +82,13 @@ object Multimodal {
           y += 1
         }
         val bos = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", bos)
+        // memory-cache stream: the default ImageIO path spools every
+        // encode through a DISK cache temp file — pure overhead for an
+        // in-memory payload, and at 10× corpus volume the per-task file
+        // churn exhausts handles ("Can't create cache file")
+        val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        ImageIO.write(img, "png", mos)
+        mos.close()
         val bytes = bos.toByteArray
         Row(id, bytes, Row("image/png", bytes.length.toLong, w, h))
       }
@@ -246,7 +252,11 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("asset_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        // memory-cache stream: ImageIO.read(InputStream) spools through a
+        // disk cache temp file per image (closed, but pure churn for
+        // in-memory payloads); read(ImageInputStream) closes the stream
+        val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
         require(img != null, s"undecodable payload for asset_id=${r.getLong(0)}")
         val w = img.getWidth; val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -392,7 +402,9 @@ object Multimodal {
         require(id >= 0, s"synthesizeGif requires non-negative ids, got $id")
         val nf = gifFrames(id); val w = gifWidth(id); val h = gifHeight(id)
         val bos = new ByteArrayOutputStream()
-        val ios = ImageIO.createImageOutputStream(bos)
+        // memory-cache stream, not createImageOutputStream: the default
+        // spools through a disk cache temp file per clip (see synthesizePng)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         val writer = ImageIO.getImageWritersBySuffix("gif").next()
         writer.setOutput(ios)
         // GIF "progressive" = interlaced, and the JDK writer's default
@@ -451,8 +463,13 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val reader = ImageIO.getImageReadersBySuffix("gif").next()
-        reader.setInput(ImageIO.createImageInputStream(
-          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
+        // memory-cache stream, and CLOSED below: createImageInputStream's
+        // default disk-cache temp file was never closed here — each clip
+        // leaked one until GC, which at 10× corpus volume exhausts file
+        // handles in a long-lived executor ("Can't create cache file")
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        reader.setInput(in)
         try {
           val nf = reader.getNumImages(true)
           (0 until nf).map { f =>
@@ -471,7 +488,7 @@ object Multimodal {
             }
             Row(id, f.toLong, w, h, sum, sumSq)
           }
-        } finally reader.dispose()
+        } finally { reader.dispose(); in.close() }
       }
     }(enc)
   }
@@ -499,8 +516,10 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val reader = ImageIO.getImageReadersBySuffix("gif").next()
-        reader.setInput(ImageIO.createImageInputStream(
-          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
+        // memory-cache stream + close (see decodeGifFrames)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        reader.setInput(in)
         try {
           val nf = reader.getNumImages(true)
           var prev: Array[Int] = null
@@ -533,7 +552,7 @@ object Multimodal {
             val isKey = f == 0 || geomChange || delta >= perPixelThreshold * w * h
             Row(id, f.toLong, delta, isKey)
           }
-        } finally reader.dispose()
+        } finally { reader.dispose(); in.close() }
       }
     }(enc)
   }
@@ -556,7 +575,11 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("asset_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        // memory-cache stream: ImageIO.read(InputStream) spools through a
+        // disk cache temp file per image (closed, but pure churn for
+        // in-memory payloads); read(ImageInputStream) closes the stream
+        val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
         require(img != null, s"undecodable payload for asset_id=${r.getLong(0)}")
         val w = img.getWidth; val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L

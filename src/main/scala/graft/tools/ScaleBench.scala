@@ -759,6 +759,13 @@ object ScaleBench {
       case "kcore" => Seq("q_kcore")
       // round-9: exact vs bloom-pruned decontamination head-to-head
       case "decon" => Seq("d_decontaminate", "d_decontaminate_bloom")
+      // round-9: the multimodal decade — real JDK codec encode+decode per
+      // document (PNG / WAV / GIF), embarrassingly parallel partition
+      // iterators with no shuffle on the decode path, so the expected
+      // exponent is ~1.0 with a flat per-asset cost; the measurement
+      // pins that no accidental shuffle/skew crept into the codec tier
+      case "mm" => Seq("mm_features", "mm_resize", "mm_audio_features",
+        "mm_video_frames", "mm_keyframes")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
