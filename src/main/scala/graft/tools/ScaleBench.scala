@@ -766,6 +766,14 @@ object ScaleBench {
       // pins that no accidental shuffle/skew crept into the codec tier
       case "mm" => Seq("mm_features", "mm_resize", "mm_audio_features",
         "mm_video_frames", "mm_keyframes")
+      // round-9: the clustering-tier decade. kmeans = broadcast
+      // nested-loop assignment × rounds (expected ~linear); LPA = one
+      // join + agg + window per round over edges (~linear); SemDeDup at
+      // FIXED k=8 grows within-cluster pairs as Σ n_c² — this point
+      // measures the quadratic that the "grow k with the corpus"
+      // doctrine exists to avoid, on purpose, as the honest contrast
+      case "cluster" => Seq("sim_kmeans_clusters", "q_communities",
+        "sim_semdedup_keep")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
