@@ -21,21 +21,29 @@ private[queries] object IndexMemo {
   private val built =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, Boolean]]())
+        scala.collection.concurrent.TrieMap[String, AnyRef]]())
 
-  /** Run `build` the first time (session, key) is seen; no-op after. */
+  /** Run `build` the first time (session, key) is seen; no-op after.
+    * The build runs under a per-(session, key) lock: a bare
+    * check-then-act would let two callers (e.g. a foreachBatch thread
+    * racing the main thread) drop-and-rebuild the same catalog tables
+    * concurrently — two writers on one table directory.
+    */
   def ensure(s: SparkSession, key: String)(build: => Unit): Unit = {
     val perSession = built.synchronized {
       var m = built.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+        m = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
         built.put(s, m)
       }
       m
     }
-    if (!perSession.contains(key)) {
-      build
-      perSession.put(key, true)
+    val lock = perSession.getOrElseUpdate(key, new Object)
+    lock.synchronized {
+      if (!perSession.contains(s"$key#done")) {
+        build
+        perSession.put(s"$key#done", java.lang.Boolean.TRUE)
+      }
     }
   }
 }

@@ -68,6 +68,35 @@ object SimilarityQueries {
         .localCheckpoint(true)
     }
 
+  /** Oracle tail for both SemDeDup variants: the within-cluster pair
+    * pass + keep-smallest anti-join over the `af`/`v` CTEs.
+    */
+  private def semDedupTailSql: String =
+    s"""x AS (SELECT af.vec_id, af.cid, v.ve FROM af JOIN v USING (vec_id)),
+       |p AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.ve", "r.ve")} AS cos
+       |  FROM x l JOIN x r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+       |drops AS (SELECT DISTINCT b AS vec_id FROM p WHERE cos >= 0.5)
+       |SELECT x.vec_id, x.cid FROM x LEFT JOIN drops USING (vec_id)
+       |WHERE drops.vec_id IS NULL ORDER BY x.vec_id""".stripMargin
+
+  /** The SemDeDup within-cluster prune shared by the fixed-k and
+    * bounded-cluster variants: pairs inside one cluster with cosine ≥
+    * 0.5 (rounded to 7 before compare — the cross-engine rule), drop
+    * the larger id of every such pair, keep the rest.
+    */
+  private def semDedupPrune(assign: DataFrame, e: DataFrame): DataFrame = {
+    val x = assign.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val l = x.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = x.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val drops = l.join(r, Seq("cid")).filter(col("a") < col("b"))
+      .filter(round(graft.functions.CrossHash.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")), 7) >= 0.5)
+      .select(col("b").as("vec_id")).distinct()
+    x.join(drops, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cid").orderBy("vec_id")
+  }
+
   /** [[SharedFrames]] adapters: ensure the base index exists and hand back
     * its (1-row) meta frame as the registrable DataFrame.
     */
@@ -187,13 +216,20 @@ object SimilarityQueries {
        |    GROUP BY a.cid, r.dim)
        |  GROUP BY cid) n USING (cid)""".stripMargin
 
-  private[queries] def kmeansCtes: String =
+  private[queries] def kmeansCtes: String = kmeansCtesK("8")
+
+  /** [[kmeansCtes]] with the seed count as a SQL fragment — a literal for
+    * the fixed serving config, or a scalar subquery (DuckDB allows
+    * `LIMIT (SELECT …)`) for data-dependent k like the bounded-cluster
+    * SemDeDup's ⌈N/50⌉.
+    */
+  private[queries] def kmeansCtesK(limitSql: String): String =
     s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
        |  FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, ve AS cvec
-       |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
+       |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT $limitSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmUpdateSql("a1", "c0")}),
        |a2 AS (${kmAssignSql("c1")}),
@@ -265,17 +301,23 @@ object SimilarityQueries {
     // the anti-join — replays in the oracle, so this is exact-parity
     // verified, unlike blocking schemes whose miss rate needs a
     // certificate.
-    "sim_semdedup_keep" -> ((s, d) => {
-      val x = kmeansAssignFrame(s, d).select(col("vec_id"), col("cid"))
-        .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
-      val l = x.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val r = x.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
-      val drops = l.join(r, Seq("cid")).filter(col("a") < col("b"))
-        .filter(round(graft.functions.CrossHash.cosine(
-          col("ea").cast("array<double>"), col("eb").cast("array<double>")), 7) >= 0.5)
-        .select(col("b").as("vec_id")).distinct()
-      x.join(drops, Seq("vec_id"), "left_anti")
-        .select("vec_id", "cid").orderBy("vec_id")
+    "sim_semdedup_keep" -> ((s, d) =>
+      semDedupPrune(
+        kmeansAssignFrame(s, d).select(col("vec_id"), col("cid")), emb(s, d))),
+
+    // The PRODUCTION shape of the same prune: k grows with the corpus so
+    // cluster sizes stay ~bounded (target 50 here ⇒ k = ⌈N/50⌉) and the
+    // within-cluster pair mass is LINEAR in N — the scaling argument the
+    // fixed-k variant's measured exp 1.32 (ScaleBench `cluster`, dated in
+    // BASELINE.md) makes concrete. Data-dependent k is still exactly
+    // replayable: the oracle seeds its centroid CTE with
+    // LIMIT (SELECT ⌈count/50⌉).
+    "sim_semdedup_bounded" -> ((s, d) => {
+      val e = emb(s, d)
+      val k = math.ceil(e.count() / 50.0).toInt
+      semDedupPrune(
+        Similarity.kmeansAssign(e, "vec_id", "embedding", k = k, iters = 2)
+          .select(col("vec_id"), col("cid")), e)
     }),
 
     // Clustering feeding curation: the k-means assignment becomes the
@@ -903,13 +945,12 @@ object SimilarityQueries {
     // anti-join — the full SemDeDup chain replayed.
     "sim_semdedup_keep" ->
       s"""WITH $kmeansCtes,
-         |x AS (SELECT af.vec_id, af.cid, v.ve FROM af JOIN v USING (vec_id)),
-         |p AS (
-         |  SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.ve", "r.ve")} AS cos
-         |  FROM x l JOIN x r ON l.cid = r.cid AND l.vec_id < r.vec_id),
-         |drops AS (SELECT DISTINCT b AS vec_id FROM p WHERE cos >= 0.5)
-         |SELECT x.vec_id, x.cid FROM x LEFT JOIN drops USING (vec_id)
-         |WHERE drops.vec_id IS NULL ORDER BY x.vec_id""".stripMargin,
+         |$semDedupTailSql""".stripMargin,
+
+    // same chain with the seed count a scalar subquery: k = ⌈N/50⌉
+    "sim_semdedup_bounded" ->
+      s"""WITH ${kmeansCtesK("(SELECT CAST(ceil(count(1) / 50.0) AS INT) FROM v)")},
+         |$semDedupTailSql""".stripMargin,
 
     // kmeans replay (af) composed with the √-balance membership rule —
     // the same keep-rate/salted-hash arithmetic as d_lang_balance, with

@@ -773,7 +773,7 @@ object ScaleBench {
       // measures the quadratic that the "grow k with the corpus"
       // doctrine exists to avoid, on purpose, as the honest contrast
       case "cluster" => Seq("sim_kmeans_clusters", "q_communities",
-        "sim_semdedup_keep")
+        "sim_semdedup_keep", "sim_semdedup_bounded")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
