@@ -15,6 +15,28 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("k-means assignment broadcasts the centroids; no cartesian product") {
+    // audit the operator's lazy plan (the query memoizes via a
+    // localCheckpoint, whose plan is just a materialized-RDD scan)
+    val df = graft.operators.Similarity.kmeansAssign(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must reach the assignment via broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must never cartesian-shuffle the corpus:\n$p")
+  }
+
+  test("SemDeDup prune joins clusters by cid hash; no cartesian product") {
+    val p = plan("sim_semdedup_keep")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairs must come from a cid equi-join:\n$p")
+    assert("""cid#\d+""".r.findFirstIn(p).isDefined
+      && (p.contains("HashJoin") || p.contains("SortMergeJoin")),
+      s"expected the cid self-join in:\n$p")
+  }
+
   test("correlated EXISTS decorrelates to a left semi join, no per-row subplan") {
     val p = plan("q_exists_correlated")
     assert(p.contains("LeftSemi"), s"expected a semi join in:\n$p")
