@@ -296,6 +296,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "source probe changed after a fork-side deletion")
   }
 
+  test("k-means assignment is invariant to input partitioning (bit-exact)") {
+    // THE determinism claim behind the exact-replay oracle: centroid
+    // means are exact-decimal sums (shuffle order cannot perturb a bit)
+    // and distances round before the argmin — so clustering the same
+    // corpus under different partitionings must be byte-identical, not
+    // merely close. A double-summed mean would fail this intermittently.
+    val corpus = (0 until 90).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 97) * 0.013f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def run(parts: Int) = Similarity.kmeansAssign(
+        corpus.repartition(parts), "vec_id", "embedding", k = 5, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(1); val b = run(7); val c = run(32)
+    assert(a == b && b == c, s"partitioning changed the clustering: ${a.size}/${b.size}/${c.size}")
+    assert(a.map(_._2).size > 1)
+  }
+
   test("k-means model: persisted-assign parity, blue/green rebuild resolve, ragged refusal") {
     val corpus = (0 until 60).map { i =>
       val base = i % 3
