@@ -95,6 +95,124 @@ object Multimodal {
     }(enc)
   }
 
+  /** One NEAR-DUPLICATE twin per input id — the BASE id's raster with the
+    * single pixel (0,0) bumped by +1 per channel (mod 256, same wrap the
+    * oracle replays), encoded as a fresh PNG under `id + idOffset`:
+    * visually identical, byte-different. The planted positive for the
+    * perceptual-hash dedup query — exact/byte dedup can never pair these
+    * (different payloads), which is precisely the gap aHash closes.
+    */
+  def synthesizePngNearDup(
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        require(id >= 0, s"synthesizePngNearDup requires non-negative ids, got $id")
+        val w = pngWidth(id); val h = pngHeight(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bump = if (x == 0 && y == 0) 1 else 0
+            img.setRGB(x, y,
+              (((pixelValue(id, x, y, 0) + bump) % 256) << 16) |
+              (((pixelValue(id, x, y, 1) + bump) % 256) << 8) |
+              ((pixelValue(id, x, y, 2) + bump) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        ImageIO.write(img, "png", mos)
+        mos.close()
+        val bytes = bos.toByteArray
+        Row(id + idOffset, bytes, Row("image/png", bytes.length.toLong, w, h))
+      }
+    }(enc)
+  }
+
+  /** 8×8 average-hash (aHash) of each decoded image — the perceptual
+    * fingerprint behind IMAGE near-dup dedup (the modality exact/byte
+    * dedup cannot cover: a re-encoded or single-pixel-retouched image
+    * has a different payload but the same picture). Entirely integer
+    * and decode-exact, so the SQL oracle replays every bit:
+    *  - sample the raster on an 8×8 grid, nearest pixel (gx·w/8, gy·h/8);
+    *  - integer luminance (r+g+b)/3 per sample;
+    *  - bit i (= gy·8+gx) set iff 64·lum_i > Σ lums (the ">" against the
+    *    mean kept in integers — no division anywhere).
+    * Returns (asset_id, h_lo, h_hi): 32 bits per long, split so neither
+    * engine plays sign games with bit 63. Scale shape: one partition-
+    * local decode pass, 64 ints of state per image, no shuffle.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false),
+      StructField("h_hi", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload"))))
+        require(img != null, s"undecodable payload for asset_id=${r.getLong(0)}")
+        val w = img.getWidth; val h = img.getHeight
+        val lums = new Array[Int](64)
+        var total = 0L
+        var i = 0
+        while (i < 64) {
+          val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+          val lum = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+          lums(i) = lum; total += lum
+          i += 1
+        }
+        var lo = 0L; var hi = 0L
+        i = 0
+        while (i < 64) {
+          if (64L * lums(i) > total) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        Row(r.getLong(0), lo, hi)
+      }
+    }(enc)
+  }
+
+  /** Banded hamming near-dup pairs over [[imageAHash]] fingerprints: the
+    * 64-bit hash splits into 8 disjoint 8-bit bands, candidates collide
+    * on ANY identical band, exact hamming re-verifies — pigeonhole-
+    * LOSSLESS for hamming ≤ 7 (8 differing bits cannot dirty all 8
+    * bands), which the all-pairs oracle certifies empirically every
+    * round. The same banded shape as the MinHash/SimHash tiers: shuffle
+    * on (band_no, band_val), O(Σ bucket²) candidates, never all-pairs.
+    * Returns (a, b, hamming), a < b.
+    */
+  def aHashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"8 x 8-bit bands are pigeonhole-lossless only for hamming <= 7, got $maxHamming")
+    val bands = hashes.select(col("asset_id"), col("h_lo"), col("h_hi"),
+      explode(array((0 until 8).map { j =>
+        val src = if (j < 4) col("h_lo") else col("h_hi")
+        struct(lit(j).as("band_no"),
+          shiftright(src, 8 * (j % 4)).bitwiseAND(lit(255L)).as("band_val"))
+      }: _*)).as("b"))
+      .select(col("asset_id"), col("h_lo"), col("h_hi"),
+        col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    val l = bands.select(col("band_no"), col("band_val"),
+      col("asset_id").as("a"), col("h_lo").as("la"), col("h_hi").as("ha"))
+    val r = bands.select(col("band_no"), col("band_val"),
+      col("asset_id").as("b"), col("h_lo").as("lb"), col("h_hi").as("hb"))
+    l.join(r, Seq("band_no", "band_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("la").bitwiseXOR(col("lb")))
+          + bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Wrap any (id, text) frame as media rows: payload = UTF-8 bytes, with
     * deterministic fake dimensions derived from the byte length. Stands in
     * for `spark.read.format("binaryFile")` in environments with real media.

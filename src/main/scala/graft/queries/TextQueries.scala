@@ -381,6 +381,31 @@ object TextQueries {
           round(col("mean_b") + 1e-9, 6).as("mean_b"))
         .orderBy("asset_id"))
   ,
+    // Image PERCEPTUAL near-dup — the dedup modality exact/byte hashing
+    // cannot cover: every 25th document gets a planted twin whose raster
+    // differs by ONE pixel (+1 per channel at (0,0)), so payload bytes
+    // differ but the picture is the same. Real PNG encode+decode on both
+    // populations, 8×8 integer average-hash, banded hamming pairs
+    // (8 × 8-bit bands — pigeonhole-lossless for hamming ≤ 7). The
+    // oracle recomputes every hash bit arithmetically and takes ALL
+    // pairs at the threshold, so equality certifies both the decode
+    // fidelity and the banding's losslessness, corpus-wide, each round.
+    "mm_ahash_pairs" -> ((s, d) => {
+      val base = Multimodal.synthesizePng(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizePngNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      // τ=3: the planted byte-different twins land at hamming ≤ 2. The
+      // non-twin pairs in the result are TRUE perceptual matches of this
+      // corpus, not noise: every synthetic raster is the same linear
+      // gradient (slopes 11/17) at a different offset, so visually-alike
+      // images abound and a perceptual hash is SUPPOSED to pair them —
+      // which also makes this corpus a worst-case stress of the banded
+      // join's bucket handling. Banding stays lossless for any τ ≤ 7.
+      Multimodal.aHashPairs(
+          Multimodal.imageAHash(base.unionByName(twins)), maxHamming = 3)
+        .orderBy("a", "b")
+    })
+  ,
     // Multimodal REAL audio decode — the WAV twin of mm_features: one
     // deterministic PCM16 clip per document encoded through the JDK's
     // javax.sound.sampled WAV writer, decoded back to samples in the
@@ -858,6 +883,44 @@ object TextQueries {
           |       round(avg((asset_id * 37 + x * 11 + y * 17 + 29) % 256) + 0.000000001, 6) AS mean_g,
           |       round(avg((asset_id * 37 + x * 11 + y * 17 + 58) % 256) + 0.000000001, 6) AS mean_b
           |FROM v GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
+
+      // Replays Multimodal.imageAHash bit-for-bit from the pixel function
+      // (base + single-pixel-perturbed twin populations), then takes ALL
+      // pairs at the hamming threshold — equality with the Spark side's
+      // BANDED pairs certifies the banding lossless at <= 7.
+      "mm_ahash_pairs" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+          |g AS (SELECT asset_id, rid, pert,
+          |        (rid % 13 + 4) AS w, (rid % 11 + 4) AS h FROM ids),
+          |s AS (
+          |  SELECT g.asset_id, r2.gy * 8 + r1.gx AS i,
+          |    (r1.gx * g.w) // 8 AS sx, (r2.gy * g.h) // 8 AS sy, g.rid, g.pert
+          |  FROM g, range(0, 8) r1(gx), range(0, 8) r2(gy)),
+          |lm AS (
+          |  SELECT asset_id, i,
+          |    (((rid * 37 + sx * 11 + sy * 17) % 256 + bump) % 256
+          |     + ((rid * 37 + sx * 11 + sy * 17 + 29) % 256 + bump) % 256
+          |     + ((rid * 37 + sx * 11 + sy * 17 + 58) % 256 + bump) % 256) // 3 AS lum
+          |  FROM (SELECT *,
+          |          CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END AS bump
+          |        FROM s)),
+          |t AS (SELECT asset_id, i, lum,
+          |        sum(lum) OVER (PARTITION BY asset_id) AS total FROM lm),
+          |bits AS (SELECT asset_id, i,
+          |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
+          |hh AS (SELECT asset_id,
+          |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
+          |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
+          |  FROM bits GROUP BY asset_id),
+          |p AS (
+          |  SELECT x.asset_id AS a, y.asset_id AS b,
+          |    (bit_count(xor(x.h_lo, y.h_lo))
+          |     + bit_count(xor(x.h_hi, y.h_hi)))::BIGINT AS hamming
+          |  FROM hh x JOIN hh y ON x.asset_id < y.asset_id)
+          |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
 
       // Mirrors Multimodal.wavSamples / sampleValue exactly: the waveform
       // the Spark side encodes into a real WAV and decodes back.

@@ -296,6 +296,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "source probe changed after a fork-side deletion")
   }
 
+  test("aHash pairs the single-pixel twin; byte hashing cannot") {
+    import graft.operators.Multimodal
+    val ids = Seq(3L, 7L, 10L).toDF("doc_id")
+    val base = Multimodal.synthesizePng(ids, "doc_id")
+    val twins = Multimodal.synthesizePngNearDup(ids.filter(col("doc_id") === 10L), "doc_id")
+    // the twin's PAYLOAD differs from its base (exact dedup blind spot)...
+    val basePayload = base.filter(col("asset_id") === 10L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val twinPayload = twins.select("payload").head().getAs[Array[Byte]](0)
+    assert(!java.util.Arrays.equals(basePayload, twinPayload),
+      "twin must be byte-different from its base")
+    // ...but the perceptual hash pairs them within the planted budget
+    val pairs = Multimodal.aHashPairs(
+        Multimodal.imageAHash(base.unionByName(twins)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twinPair = pairs.filter(p => p._1 == 10L && p._2 == 10000010L)
+    assert(twinPair.length == 1, s"planted twin not paired: ${pairs.toSeq}")
+    assert(twinPair.head._3 <= 2, s"twin hamming above the planted budget: $twinPair")
+  }
+
   test("k-means assignment is invariant to input partitioning (bit-exact)") {
     // THE determinism claim behind the exact-replay oracle: centroid
     // means are exact-decimal sums (shuffle order cannot perturb a bit)
