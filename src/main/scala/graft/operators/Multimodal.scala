@@ -347,6 +347,90 @@ object Multimodal {
     }(enc)
   }
 
+  /** One NEAR-DUPLICATE audio twin per input id — the BASE clip's samples
+    * with sample 0 bumped by +1 (16-bit wrap kept in the floorMod
+    * convention the oracle replays), re-encoded under `id + idOffset`:
+    * inaudible, byte-different. The planted positive for the audio
+    * perceptual-hash dedup query — exact/byte dedup can never pair it.
+    */
+  def synthesizeWavNearDup(
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        require(id >= 0, s"synthesizeWavNearDup requires non-negative ids, got $id")
+        val n = wavSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val base = sampleValue(id, i)
+          val v = if (i == 0) Math.floorMod(base + 32768 + 1, 65536) - 32768 else base
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        Row(id + idOffset, bytes, Row("audio/wav", bytes.length.toLong, 8000, 16))
+      }
+    }(enc)
+  }
+
+  /** 64-band energy hash of a decoded clip — the audio sibling of
+    * [[imageAHash]] (a chromaprint-shaped fingerprint reduced to its
+    * exactly-replayable core): sample i belongs to frame `i·64 / n`
+    * (integer division — 64 non-empty frames for any n ≥ 64), frame
+    * energy is the EXACT integer Σ v², bit f set iff 64·e_f > Σ e (the
+    * mean compare kept in integers; bounds: e_f ≤ ⌈n/64⌉·2³⁰ and
+    * 64·e_f ≈ Σ e ≤ n·2³⁰ ≪ 2⁶³). Same (asset_id, h_lo, h_hi) shape as
+    * the image hash, so [[aHashPairs]]' banded hamming join serves both
+    * modalities unchanged.
+    */
+  def audioEnergyHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false),
+      StructField("h_hi", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"asset_id=${r.getLong(0)}: expected PCM16LE mono, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        require(n >= 64,
+          s"asset_id=${r.getLong(0)}: energy hash needs >= 64 samples, got $n")
+        val energy = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+          val f = (i * 64) / n
+          energy(f) += v * v; total += v * v
+          i += 1
+        }
+        var lo = 0L; var hi = 0L
+        var f = 0
+        while (f < 64) {
+          if (64L * energy(f) > total) {
+            if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+          }
+          f += 1
+        }
+        Row(r.getLong(0), lo, hi)
+      }
+    }(enc)
+  }
+
   /** REAL image resize via a partition iterator — the remaining verb of
     * the decode / feature-extract / resize / frame-sample quartet: each
     * payload decodes through `javax.imageio`, resamples to `outW`×`outH`

@@ -406,6 +406,28 @@ object TextQueries {
         .orderBy("a", "b")
     })
   ,
+    // Audio PERCEPTUAL near-dup — the WAV sibling of mm_ahash_pairs:
+    // every 25th clip gets a planted twin whose sample 0 is bumped by
+    // one quantization step (inaudible, byte-different), both
+    // populations run through the real RIFF encode+decode, and the
+    // 64-band integer energy hash pairs them through the SAME banded
+    // hamming join the image tier uses. The twins land at hamming 0 (a
+    // one-step sample change moves one frame's energy by ~2v out of
+    // ~10⁹ — no mean-compare bit flips); the remaining pairs are true
+    // contour matches of this corpus: ids whose sample streams differ
+    // by a constant offset share their relative energy SHAPE, which a
+    // loudness-contour fingerprint is supposed to pair. The oracle
+    // recomputes every bit and takes all pairs at τ=3, certifying both
+    // decode fidelity and banding losslessness.
+    "mm_audio_hash_pairs" -> ((s, d) => {
+      val base = Multimodal.synthesizeWav(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizeWavNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.aHashPairs(
+          Multimodal.audioEnergyHash(base.unionByName(twins)), maxHamming = 3)
+        .orderBy("a", "b")
+    })
+  ,
     // Multimodal REAL audio decode — the WAV twin of mm_features: one
     // deterministic PCM16 clip per document encoded through the JDK's
     // javax.sound.sampled WAV writer, decoded back to samples in the
@@ -911,6 +933,37 @@ object TextQueries {
           |        sum(lum) OVER (PARTITION BY asset_id) AS total FROM lm),
           |bits AS (SELECT asset_id, i,
           |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
+          |hh AS (SELECT asset_id,
+          |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
+          |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
+          |  FROM bits GROUP BY asset_id),
+          |p AS (
+          |  SELECT x.asset_id AS a, y.asset_id AS b,
+          |    (bit_count(xor(x.h_lo, y.h_lo))
+          |     + bit_count(xor(x.h_hi, y.h_hi)))::BIGINT AS hamming
+          |  FROM hh x JOIN hh y ON x.asset_id < y.asset_id)
+          |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+      // Replays Multimodal.audioEnergyHash bit-for-bit from the sample
+      // function (base + one-step-perturbed twins), all pairs at τ=3.
+      "mm_audio_hash_pairs" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+          |sm AS (
+          |  SELECT g.asset_id, r.i, (g.rid % 256) + 64 AS n,
+          |    ((g.rid * 31 + r.i * 7919) % 65536
+          |     + CASE WHEN g.pert = 1 AND r.i = 0 THEN 1 ELSE 0 END) % 65536
+          |    - 32768 AS v
+          |  FROM ids g, range(0, 320) r(i)
+          |  WHERE r.i < (g.rid % 256) + 64),
+          |en AS (SELECT asset_id, (i * 64) // n AS f, sum(v * v) AS e
+          |       FROM sm GROUP BY asset_id, (i * 64) // n),
+          |t AS (SELECT asset_id, f, e,
+          |        sum(e) OVER (PARTITION BY asset_id) AS total FROM en),
+          |bits AS (SELECT asset_id, f AS i,
+          |           CASE WHEN 64 * e > total THEN 1 ELSE 0 END AS bit FROM t),
           |hh AS (SELECT asset_id,
           |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
           |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
