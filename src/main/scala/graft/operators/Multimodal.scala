@@ -641,6 +641,127 @@ object Multimodal {
     }(enc)
   }
 
+  /** One NEAR-DUPLICATE clip twin per input id — the BASE clip's frames
+    * with pixel (0,0) of frame 0 bumped by +1 (mod 256), re-encoded
+    * under `id + idOffset`: one sub-visible retouch in one frame,
+    * byte-different container. The planted positive for the video
+    * near-dup query.
+    */
+  def synthesizeGifNearDup(
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      rows.map { r =>
+        val id = r.getLong(0)
+        require(id >= 0, s"synthesizeGifNearDup requires non-negative ids, got $id")
+        val nf = gifFrames(id); val w = gifWidth(id); val h = gifHeight(id)
+        val bos = new ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        val writer = ImageIO.getImageWritersBySuffix("gif").next()
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bump = if (f == 0 && x == 0 && y == 0) 1 else 0
+              raster.setSample(x, y, 0, (gifPixel(id, f, x, y) + bump) % 256)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        val bytes = bos.toByteArray
+        Row(id + idOffset, bytes, Row("image/gif", bytes.length.toLong, w, h))
+      }
+    }(enc)
+  }
+
+  /** Per-FRAME 8×8 average-hash over a decoded multi-frame clip — the
+    * video fingerprint feeding [[clipContainmentPairs]]: every frame
+    * gets the [[imageAHash]] treatment (nearest-sample grid, the single
+    * gray channel as luminance, `64·v > Σ` mean compare in integers),
+    * one row per frame from the partition iterator. Returns (asset_id,
+    * frame_no, h_lo, h_hi).
+    */
+  def gifFrameAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false),
+      StructField("h_hi", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val reader = ImageIO.getImageReadersBySuffix("gif").next()
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        reader.setInput(in)
+        try {
+          val nf = reader.getNumImages(true)
+          (0 until nf).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            val lums = new Array[Int](64)
+            var total = 0L
+            var i = 0
+            while (i < 64) {
+              lums(i) = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xff
+              total += lums(i)
+              i += 1
+            }
+            var lo = 0L; var hi = 0L
+            i = 0
+            while (i < 64) {
+              if (64L * lums(i) > total) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            Row(id, f.toLong, lo, hi)
+          }
+        } finally { reader.dispose(); in.close() }
+      }
+    }(enc)
+  }
+
+  /** Clip-level near-dup via frame-hash CONTAINMENT — the video version
+    * of the CDC-containment idiom: clips pair when at least HALF of the
+    * smaller-id clip's frames have a perceptually-identical frame
+    * (exact [[gifFrameAHash]] equality) in the other clip — all-integer
+    * (`2·m ≥ nf`, no float share), so the oracle replays it exactly.
+    * The hash IS the blocking key: candidates come from one shuffle on
+    * (h_lo, h_hi), O(bucket²) like every banded tier, never all-pairs.
+    * Returns (a, b, m_a, nf_a): matched and total frames of the
+    * smaller-id clip.
+    */
+  def clipContainmentPairs(frameHashes: DataFrame): DataFrame = {
+    val nf = frameHashes.groupBy("asset_id").agg(count(lit(1)).as("nf_a"))
+    val l = frameHashes.select(col("h_lo"), col("h_hi"),
+      col("asset_id").as("a"), col("frame_no").as("fa"))
+    val r = frameHashes.select(col("h_lo"), col("h_hi"), col("asset_id").as("b"))
+    l.join(r, Seq("h_lo", "h_hi")).filter(col("a") < col("b"))
+      .select("a", "b", "fa").distinct() // a-frames with >= 1 match in b
+      .groupBy("a", "b").agg(count(lit(1)).as("m_a"))
+      .join(nf.withColumnRenamed("asset_id", "a"), Seq("a"))
+      .filter(col("m_a") * 2 >= col("nf_a"))
+      .select("a", "b", "m_a", "nf_a")
+  }
+
   /** REAL multi-frame decode — the video analogue of [[sampleFrames]]
     * with the content actually decoded: `javax.imageio`'s GIF reader
     * walks every frame of the container (`getNumImages(true)` forces a

@@ -406,6 +406,26 @@ object TextQueries {
         .orderBy("a", "b")
     })
   ,
+    // Video near-dup via frame-hash CONTAINMENT — the clip-level member
+    // of the perceptual trio (image aHash, audio energy hash): every
+    // 25th clip gets a planted twin with ONE pixel of ONE frame
+    // retouched, both populations decode through the real GIF reader,
+    // each frame gets an 8×8 integer average-hash, and clips pair when
+    // ≥ half the smaller clip's frames have an identical-hash frame in
+    // the other (2·m ≥ nf — all-integer, no float share). The twin's
+    // untouched frames match exactly, so it always clears the bar; the
+    // hash-equality join doubles as the blocking key (one shuffle,
+    // O(bucket²)). The oracle replays every frame hash and the
+    // containment filter arithmetically.
+    "mm_video_hash_pairs" -> ((s, d) => {
+      val base = Multimodal.synthesizeGif(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizeGifNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.clipContainmentPairs(
+          Multimodal.gifFrameAHash(base.unionByName(twins)))
+        .orderBy("a", "b")
+    })
+  ,
     // Audio PERCEPTUAL near-dup — the WAV sibling of mm_ahash_pairs:
     // every 25th clip gets a planted twin whose sample 0 is bumped by
     // one quantization step (inaudible, byte-different), both
@@ -943,6 +963,43 @@ object TextQueries {
           |     + bit_count(xor(x.h_hi, y.h_hi)))::BIGINT AS hamming
           |  FROM hh x JOIN hh y ON x.asset_id < y.asset_id)
           |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+      // Replays Multimodal.gifFrameAHash per frame from gifPixel, then
+      // the exact-equality frame join + integer containment filter.
+      "mm_video_hash_pairs" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+          |g AS (SELECT asset_id, rid, pert, (rid % 5 + 2) AS nf,
+          |        (rid % 9 + 4) AS w, (rid % 7 + 4) AS h FROM ids),
+          |fr AS (SELECT g.*, ff.f FROM g, range(0, 7) ff(f) WHERE ff.f < g.nf),
+          |s AS (
+          |  SELECT asset_id, f, r2.gy * 8 + r1.gx AS i,
+          |    (r1.gx * w) // 8 AS sx, (r2.gy * h) // 8 AS sy, rid, pert
+          |  FROM fr, range(0, 8) r1(gx), range(0, 8) r2(gy)),
+          |lm AS (
+          |  SELECT asset_id, f, i,
+          |    ((rid * 37 + f * 101 + sx * 11 + sy * 17) % 256
+          |     + CASE WHEN pert = 1 AND f = 0 AND sx = 0 AND sy = 0
+          |            THEN 1 ELSE 0 END) % 256 AS lum
+          |  FROM s),
+          |t AS (SELECT asset_id, f, i, lum,
+          |        sum(lum) OVER (PARTITION BY asset_id, f) AS total FROM lm),
+          |bits AS (SELECT asset_id, f, i,
+          |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
+          |hh AS (SELECT asset_id, f,
+          |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
+          |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
+          |  FROM bits GROUP BY asset_id, f),
+          |mt AS (
+          |  SELECT DISTINCT x.asset_id AS a, y.asset_id AS b, x.f AS fa
+          |  FROM hh x JOIN hh y
+          |    ON x.h_lo = y.h_lo AND x.h_hi = y.h_hi AND x.asset_id < y.asset_id),
+          |m AS (SELECT a, b, count(1)::BIGINT AS m_a FROM mt GROUP BY a, b)
+          |SELECT m.a, m.b, m.m_a, (g.rid % 5 + 2)::BIGINT AS nf_a
+          |FROM m JOIN g ON g.asset_id = m.a
+          |WHERE m.m_a * 2 >= (g.rid % 5 + 2) ORDER BY a, b""".stripMargin,
 
       // Replays Multimodal.audioEnergyHash bit-for-bit from the sample
       // function (base + one-step-perturbed twins), all pairs at τ=3.

@@ -316,6 +316,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(twinPair.head._3 <= 2, s"twin hamming above the planted budget: $twinPair")
   }
 
+  test("clip containment pairs the one-frame-retouched twin") {
+    import graft.operators.Multimodal
+    val ids = Seq(4L, 9L).toDF("doc_id")
+    val base = Multimodal.synthesizeGif(ids, "doc_id")
+    val twins = Multimodal.synthesizeGifNearDup(ids.filter(col("doc_id") === 9L), "doc_id")
+    val basePayload = base.filter(col("asset_id") === 9L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val twinPayload = twins.select("payload").head().getAs[Array[Byte]](0)
+    assert(!java.util.Arrays.equals(basePayload, twinPayload),
+      "twin clip must be byte-different from its base")
+    val pairs = Multimodal.clipContainmentPairs(
+        Multimodal.gifFrameAHash(base.unionByName(twins)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val twinPair = pairs.filter(p => p._1 == 9L && p._2 == 10000009L)
+    assert(twinPair.length == 1, s"planted twin clip not paired: ${pairs.toSeq}")
+    // at most the retouched frame can miss; every other frame matches
+    assert(twinPair.head._3 >= twinPair.head._4 - 1,
+      s"too few matched frames for the twin: $twinPair")
+  }
+
   test("k-means assignment is invariant to input partitioning (bit-exact)") {
     // THE determinism claim behind the exact-replay oracle: centroid
     // means are exact-decimal sums (shuffle order cannot perturb a bit)
