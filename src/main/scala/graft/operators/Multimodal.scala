@@ -190,10 +190,11 @@ object Multimodal {
     * on (band_no, band_val), O(Σ bucket²) candidates, never all-pairs.
     * Returns (a, b, hamming), a < b.
     */
-  def aHashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def aHashPairs(
+      hashes: DataFrame, maxHamming: Int = 7, hotBucketCap: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"8 x 8-bit bands are pigeonhole-lossless only for hamming <= 7, got $maxHamming")
-    val bands = hashes.select(col("asset_id"), col("h_lo"), col("h_hi"),
+    val banded = hashes.select(col("asset_id"), col("h_lo"), col("h_hi"),
       explode(array((0 until 8).map { j =>
         val src = if (j < 4) col("h_lo") else col("h_hi")
         struct(lit(j).as("band_no"),
@@ -201,6 +202,22 @@ object Multimodal {
       }: _*)).as("b"))
       .select(col("asset_id"), col("h_lo"), col("h_hi"),
         col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    // hot-bucket cap (the minhashPairs idiom): a degenerate corpus —
+    // many visually-identical assets — concentrates a band value into
+    // one bucket whose self-join is O(width²); with the cap, buckets
+    // wider than `hotBucketCap` are left-anti-excluded BEFORE the join,
+    // bounding every bucket at C(cap, 2) candidates. A true pair is
+    // lost only if EVERY band it collides in is over-cap — the same
+    // missed-pair bound as the minhash cap, oracle-replayed by the
+    // capped query. 0 = off (the pigeonhole-lossless exact path).
+    val bands =
+      if (hotBucketCap <= 0) banded
+      else {
+        val hot = banded.groupBy("band_no", "band_val")
+          .agg(count(lit(1)).as("w")).filter(col("w") > hotBucketCap)
+          .select("band_no", "band_val")
+        banded.join(hot, Seq("band_no", "band_val"), "left_anti")
+      }
     val l = bands.select(col("band_no"), col("band_val"),
       col("asset_id").as("a"), col("h_lo").as("la"), col("h_hi").as("ha"))
     val r = bands.select(col("band_no"), col("band_val"),

@@ -406,6 +406,24 @@ object TextQueries {
         .orderBy("a", "b")
     })
   ,
+    // The hot-bucket-capped variant of mm_ahash_pairs — this corpus's
+    // shared-gradient structure makes some band buckets genuinely
+    // degenerate (hundreds of identical band values), which is exactly
+    // the O(width²) blow-up the cap bounds at petabyte scale. Buckets
+    // wider than 50 are excluded before the self-join; a true pair is
+    // lost only if EVERY band it collides in is over-cap (the minhash
+    // cap's bound). The oracle replays the capped banding exactly, so
+    // the cap's semantics — not just its existence — are hash-verified.
+    "mm_ahash_pairs_capped" -> ((s, d) => {
+      val base = Multimodal.synthesizePng(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizePngNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.aHashPairs(
+          Multimodal.imageAHash(base.unionByName(twins)),
+          maxHamming = 3, hotBucketCap = 50)
+        .orderBy("a", "b")
+    })
+  ,
     // Video near-dup via frame-hash CONTAINMENT — the clip-level member
     // of the perceptual trio (image aHash, audio energy hash): every
     // 25th clip gets a planted twin with ONE pixel of ONE frame
@@ -601,6 +619,40 @@ object TextQueries {
        |GROUP BY sym
        |ORDER BY cnt DESC, sym
        |LIMIT 30""".stripMargin
+
+  /** Shared CTE chain replaying [[graft.operators.Multimodal.imageAHash]]
+    * over base + single-pixel-perturbed twin populations: ids/g/s/lm/t/
+    * bits/hh — `hh` is (asset_id, h_lo, h_hi). Consumed by the exact
+    * (`mm_ahash_pairs`) and hot-bucket-capped (`mm_ahash_pairs_capped`)
+    * oracles.
+    */
+  private def ahashHashCtes: String =
+    """ids AS (
+      |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+      |g AS (SELECT asset_id, rid, pert,
+      |        (rid % 13 + 4) AS w, (rid % 11 + 4) AS h FROM ids),
+      |s AS (
+      |  SELECT g.asset_id, r2.gy * 8 + r1.gx AS i,
+      |    (r1.gx * g.w) // 8 AS sx, (r2.gy * g.h) // 8 AS sy, g.rid, g.pert
+      |  FROM g, range(0, 8) r1(gx), range(0, 8) r2(gy)),
+      |lm AS (
+      |  SELECT asset_id, i,
+      |    (((rid * 37 + sx * 11 + sy * 17) % 256 + bump) % 256
+      |     + ((rid * 37 + sx * 11 + sy * 17 + 29) % 256 + bump) % 256
+      |     + ((rid * 37 + sx * 11 + sy * 17 + 58) % 256 + bump) % 256) // 3 AS lum
+      |  FROM (SELECT *,
+      |          CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END AS bump
+      |        FROM s)),
+      |t AS (SELECT asset_id, i, lum,
+      |        sum(lum) OVER (PARTITION BY asset_id) AS total FROM lm),
+      |bits AS (SELECT asset_id, i,
+      |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
+      |hh AS (SELECT asset_id,
+      |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
+      |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
+      |  FROM bits GROUP BY asset_id)""".stripMargin
 
   val oracles: Map[String, String] = {
     val toksCte =
@@ -931,38 +983,39 @@ object TextQueries {
       // pairs at the hamming threshold — equality with the Spark side's
       // BANDED pairs certifies the banding lossless at <= 7.
       "mm_ahash_pairs" ->
-        """WITH ids AS (
-          |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
-          |g AS (SELECT asset_id, rid, pert,
-          |        (rid % 13 + 4) AS w, (rid % 11 + 4) AS h FROM ids),
-          |s AS (
-          |  SELECT g.asset_id, r2.gy * 8 + r1.gx AS i,
-          |    (r1.gx * g.w) // 8 AS sx, (r2.gy * g.h) // 8 AS sy, g.rid, g.pert
-          |  FROM g, range(0, 8) r1(gx), range(0, 8) r2(gy)),
-          |lm AS (
-          |  SELECT asset_id, i,
-          |    (((rid * 37 + sx * 11 + sy * 17) % 256 + bump) % 256
-          |     + ((rid * 37 + sx * 11 + sy * 17 + 29) % 256 + bump) % 256
-          |     + ((rid * 37 + sx * 11 + sy * 17 + 58) % 256 + bump) % 256) // 3 AS lum
-          |  FROM (SELECT *,
-          |          CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END AS bump
-          |        FROM s)),
-          |t AS (SELECT asset_id, i, lum,
-          |        sum(lum) OVER (PARTITION BY asset_id) AS total FROM lm),
-          |bits AS (SELECT asset_id, i,
-          |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
-          |hh AS (SELECT asset_id,
-          |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
-          |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
-          |  FROM bits GROUP BY asset_id),
+        s"""WITH $ahashHashCtes,
           |p AS (
           |  SELECT x.asset_id AS a, y.asset_id AS b,
           |    (bit_count(xor(x.h_lo, y.h_lo))
           |     + bit_count(xor(x.h_hi, y.h_hi)))::BIGINT AS hamming
           |  FROM hh x JOIN hh y ON x.asset_id < y.asset_id)
           |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+      // The capped variant replayed exactly: band values from the SAME
+      // hashes, buckets wider than 50 dropped, candidates only from
+      // surviving shared bands, exact hamming verify.
+      "mm_ahash_pairs_capped" ->
+        s"""WITH $ahashHashCtes,
+          |bands AS (
+          |  SELECT asset_id, h_lo, h_hi, j.band_no,
+          |    CASE WHEN j.band_no < 4 THEN (h_lo >> (8 * j.band_no)) & 255
+          |         ELSE (h_hi >> (8 * (j.band_no - 4))) & 255 END AS band_val
+          |  FROM hh, range(0, 8) j(band_no)),
+          |keep AS (
+          |  SELECT band_no, band_val FROM bands
+          |  GROUP BY band_no, band_val HAVING count(1) <= 50),
+          |kb AS (SELECT b.* FROM bands b JOIN keep USING (band_no, band_val)),
+          |cand AS (
+          |  SELECT DISTINCT x.asset_id AS a, y.asset_id AS b,
+          |    x.h_lo AS la, x.h_hi AS ha, y.h_lo AS lb, y.h_hi AS hb
+          |  FROM kb x JOIN kb y
+          |    ON x.band_no = y.band_no AND x.band_val = y.band_val
+          |      AND x.asset_id < y.asset_id)
+          |SELECT a, b,
+          |  (bit_count(xor(la, lb)) + bit_count(xor(ha, hb)))::BIGINT AS hamming
+          |FROM cand
+          |WHERE (bit_count(xor(la, lb)) + bit_count(xor(ha, hb))) <= 3
+          |ORDER BY a, b""".stripMargin,
 
       // Replays Multimodal.gifFrameAHash per frame from gifPixel, then
       // the exact-equality frame join + integer containment filter.
