@@ -774,6 +774,12 @@ object ScaleBench {
       // doctrine exists to avoid, on purpose, as the honest contrast
       case "cluster" => Seq("sim_kmeans_clusters", "q_communities",
         "sim_semdedup_keep", "sim_semdedup_bounded")
+      // round-9: perceptual-hash pair join, uncapped vs hot-bucket-capped
+      // — this corpus's shared-gradient structure makes band buckets
+      // degenerate BY CONSTRUCTION, so the uncapped point measures the
+      // O(width²) growth the cap exists to bound (the image twin of the
+      // minhash `hotcap` batch)
+      case "phash" => Seq("mm_ahash_pairs", "mm_ahash_pairs_capped")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
