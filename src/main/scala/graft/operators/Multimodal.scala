@@ -766,11 +766,25 @@ object Multimodal {
     * Returns (a, b, m_a, nf_a): matched and total frames of the
     * smaller-id clip.
     */
-  def clipContainmentPairs(frameHashes: DataFrame): DataFrame = {
+  def clipContainmentPairs(
+      frameHashes: DataFrame, hotBucketCap: Int = 0): DataFrame = {
     val nf = frameHashes.groupBy("asset_id").agg(count(lit(1)).as("nf_a"))
-    val l = frameHashes.select(col("h_lo"), col("h_hi"),
+    // hot-bucket cap, same idiom as aHashPairs/minhashPairs: a frame
+    // hash shared by more than `hotBucketCap` frames is excluded before
+    // the join (its bucket's candidate volume is O(width²)); a clip
+    // pair is lost only if EVERY frame hash it shares is over-cap.
+    // nf_a stays the TRUE frame count — capping reduces m_a only.
+    val fh =
+      if (hotBucketCap <= 0) frameHashes
+      else {
+        val hot = frameHashes.groupBy("h_lo", "h_hi")
+          .agg(count(lit(1)).as("w")).filter(col("w") > hotBucketCap)
+          .select("h_lo", "h_hi")
+        frameHashes.join(hot, Seq("h_lo", "h_hi"), "left_anti")
+      }
+    val l = fh.select(col("h_lo"), col("h_hi"),
       col("asset_id").as("a"), col("frame_no").as("fa"))
-    val r = frameHashes.select(col("h_lo"), col("h_hi"), col("asset_id").as("b"))
+    val r = fh.select(col("h_lo"), col("h_hi"), col("asset_id").as("b"))
     l.join(r, Seq("h_lo", "h_hi")).filter(col("a") < col("b"))
       .select("a", "b", "fa").distinct() // a-frames with >= 1 match in b
       .groupBy("a", "b").agg(count(lit(1)).as("m_a"))

@@ -444,6 +444,21 @@ object TextQueries {
         .orderBy("a", "b")
     })
   ,
+    // Capped video containment — frame hashes shared by > 50 frames
+    // corpus-wide (this corpus's shared-gradient degenerate buckets)
+    // are excluded before the join, bounding the candidate volume at
+    // C(50, 2) per hash; a clip pair is lost only when too few of its
+    // shared frames survive the cap to clear the 2·m ≥ nf bar. The
+    // oracle replays the capped banding exactly.
+    "mm_video_hash_pairs_capped" -> ((s, d) => {
+      val base = Multimodal.synthesizeGif(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizeGifNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.clipContainmentPairs(
+          Multimodal.gifFrameAHash(base.unionByName(twins)), hotBucketCap = 50)
+        .orderBy("a", "b")
+    })
+  ,
     // Audio PERCEPTUAL near-dup — the WAV sibling of mm_ahash_pairs:
     // every 25th clip gets a planted twin whose sample 0 is bumped by
     // one quantization step (inaudible, byte-different), both
@@ -653,6 +668,38 @@ object TextQueries {
       |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
       |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
       |  FROM bits GROUP BY asset_id)""".stripMargin
+
+  /** Shared CTE chain replaying [[graft.operators.Multimodal.gifFrameAHash]]
+    * over base + one-frame-retouched twin clips: ids/g/fr/s/lm/t/bits/hh
+    * — `hh` is (asset_id, f, h_lo, h_hi). Consumed by the exact and
+    * hot-bucket-capped video containment oracles.
+    */
+  private def videoHashCtes: String =
+    """ids AS (
+      |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+      |g AS (SELECT asset_id, rid, pert, (rid % 5 + 2) AS nf,
+      |        (rid % 9 + 4) AS w, (rid % 7 + 4) AS h FROM ids),
+      |fr AS (SELECT g.*, ff.f FROM g, range(0, 7) ff(f) WHERE ff.f < g.nf),
+      |s AS (
+      |  SELECT asset_id, f, r2.gy * 8 + r1.gx AS i,
+      |    (r1.gx * w) // 8 AS sx, (r2.gy * h) // 8 AS sy, rid, pert
+      |  FROM fr, range(0, 8) r1(gx), range(0, 8) r2(gy)),
+      |lm AS (
+      |  SELECT asset_id, f, i,
+      |    ((rid * 37 + f * 101 + sx * 11 + sy * 17) % 256
+      |     + CASE WHEN pert = 1 AND f = 0 AND sx = 0 AND sy = 0
+      |            THEN 1 ELSE 0 END) % 256 AS lum
+      |  FROM s),
+      |t AS (SELECT asset_id, f, i, lum,
+      |        sum(lum) OVER (PARTITION BY asset_id, f) AS total FROM lm),
+      |bits AS (SELECT asset_id, f, i,
+      |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
+      |hh AS (SELECT asset_id, f,
+      |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
+      |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
+      |  FROM bits GROUP BY asset_id, f)""".stripMargin
 
   val oracles: Map[String, String] = {
     val toksCte =
@@ -1020,34 +1067,27 @@ object TextQueries {
       // Replays Multimodal.gifFrameAHash per frame from gifPixel, then
       // the exact-equality frame join + integer containment filter.
       "mm_video_hash_pairs" ->
-        """WITH ids AS (
-          |  SELECT doc_id AS asset_id, doc_id AS rid, 0 AS pert FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
-          |g AS (SELECT asset_id, rid, pert, (rid % 5 + 2) AS nf,
-          |        (rid % 9 + 4) AS w, (rid % 7 + 4) AS h FROM ids),
-          |fr AS (SELECT g.*, ff.f FROM g, range(0, 7) ff(f) WHERE ff.f < g.nf),
-          |s AS (
-          |  SELECT asset_id, f, r2.gy * 8 + r1.gx AS i,
-          |    (r1.gx * w) // 8 AS sx, (r2.gy * h) // 8 AS sy, rid, pert
-          |  FROM fr, range(0, 8) r1(gx), range(0, 8) r2(gy)),
-          |lm AS (
-          |  SELECT asset_id, f, i,
-          |    ((rid * 37 + f * 101 + sx * 11 + sy * 17) % 256
-          |     + CASE WHEN pert = 1 AND f = 0 AND sx = 0 AND sy = 0
-          |            THEN 1 ELSE 0 END) % 256 AS lum
-          |  FROM s),
-          |t AS (SELECT asset_id, f, i, lum,
-          |        sum(lum) OVER (PARTITION BY asset_id, f) AS total FROM lm),
-          |bits AS (SELECT asset_id, f, i,
-          |           CASE WHEN 64 * lum > total THEN 1 ELSE 0 END AS bit FROM t),
-          |hh AS (SELECT asset_id, f,
-          |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS h_lo,
-          |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
-          |  FROM bits GROUP BY asset_id, f),
+        s"""WITH $videoHashCtes,
           |mt AS (
           |  SELECT DISTINCT x.asset_id AS a, y.asset_id AS b, x.f AS fa
           |  FROM hh x JOIN hh y
+          |    ON x.h_lo = y.h_lo AND x.h_hi = y.h_hi AND x.asset_id < y.asset_id),
+          |m AS (SELECT a, b, count(1)::BIGINT AS m_a FROM mt GROUP BY a, b)
+          |SELECT m.a, m.b, m.m_a, (g.rid % 5 + 2)::BIGINT AS nf_a
+          |FROM m JOIN g ON g.asset_id = m.a
+          |WHERE m.m_a * 2 >= (g.rid % 5 + 2) ORDER BY a, b""".stripMargin,
+
+      // The hot-bucket-capped variant: frame hashes shared by more than
+      // 50 frames corpus-wide are excluded BEFORE the join; nf stays
+      // the true frame count, so capping only reduces m_a.
+      "mm_video_hash_pairs_capped" ->
+        s"""WITH $videoHashCtes,
+          |keep AS (SELECT h_lo, h_hi FROM hh
+          |         GROUP BY h_lo, h_hi HAVING count(1) <= 50),
+          |kh AS (SELECT hh.* FROM hh JOIN keep USING (h_lo, h_hi)),
+          |mt AS (
+          |  SELECT DISTINCT x.asset_id AS a, y.asset_id AS b, x.f AS fa
+          |  FROM kh x JOIN kh y
           |    ON x.h_lo = y.h_lo AND x.h_hi = y.h_hi AND x.asset_id < y.asset_id),
           |m AS (SELECT a, b, count(1)::BIGINT AS m_a FROM mt GROUP BY a, b)
           |SELECT m.a, m.b, m.m_a, (g.rid % 5 + 2)::BIGINT AS nf_a

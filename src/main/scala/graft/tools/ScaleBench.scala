@@ -779,7 +779,8 @@ object ScaleBench {
       // degenerate BY CONSTRUCTION, so the uncapped point measures the
       // O(width²) growth the cap exists to bound (the image twin of the
       // minhash `hotcap` batch)
-      case "phash" => Seq("mm_ahash_pairs", "mm_ahash_pairs_capped")
+      case "phash" => Seq("mm_ahash_pairs", "mm_ahash_pairs_capped",
+        "mm_video_hash_pairs", "mm_video_hash_pairs_capped")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 
