@@ -59,7 +59,11 @@ object Multimodal {
     * iterator (the ingest shape `spark.read.format("binaryFile")` produces
     * in environments where media arrives as files).
     */
-  def synthesizePng(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizePng(df: DataFrame, idCol: String): DataFrame =
+    synthesizePngImpl(df, idCol, idOffset = 0L, perturb = false)
+
+  private def synthesizePngImpl(
+      df: DataFrame, idCol: String, idOffset: Long, perturb: Boolean): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
       rows.map { r =>
@@ -73,10 +77,11 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
+            val bump = if (perturb && x == 0 && y == 0) 1 else 0
             img.setRGB(x, y,
-              (pixelValue(id, x, y, 0) << 16) |
-              (pixelValue(id, x, y, 1) << 8) |
-              pixelValue(id, x, y, 2))
+              (((pixelValue(id, x, y, 0) + bump) % 256) << 16) |
+              (((pixelValue(id, x, y, 1) + bump) % 256) << 8) |
+              ((pixelValue(id, x, y, 2) + bump) % 256))
             x += 1
           }
           y += 1
@@ -90,7 +95,7 @@ object Multimodal {
         ImageIO.write(img, "png", mos)
         mos.close()
         val bytes = bos.toByteArray
-        Row(id, bytes, Row("image/png", bytes.length.toLong, w, h))
+        Row(id + idOffset, bytes, Row("image/png", bytes.length.toLong, w, h))
       }
     }(enc)
   }
@@ -103,36 +108,8 @@ object Multimodal {
     * (different payloads), which is precisely the gap aHash closes.
     */
   def synthesizePngNearDup(
-      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        require(id >= 0, s"synthesizePngNearDup requires non-negative ids, got $id")
-        val w = pngWidth(id); val h = pngHeight(id)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val bump = if (x == 0 && y == 0) 1 else 0
-            img.setRGB(x, y,
-              (((pixelValue(id, x, y, 0) + bump) % 256) << 16) |
-              (((pixelValue(id, x, y, 1) + bump) % 256) << 8) |
-              ((pixelValue(id, x, y, 2) + bump) % 256))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new ByteArrayOutputStream()
-        val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        ImageIO.write(img, "png", mos)
-        mos.close()
-        val bytes = bos.toByteArray
-        Row(id + idOffset, bytes, Row("image/png", bytes.length.toLong, w, h))
-      }
-    }(enc)
-  }
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame =
+    synthesizePngImpl(df, idCol, idOffset, perturb = true)
 
   /** 8×8 average-hash (aHash) of each decoded image — the perceptual
     * fingerprint behind IMAGE near-dup dedup (the modality exact/byte
@@ -292,7 +269,11 @@ object Multimodal {
     * iterator — the audio twin of [[synthesizePng]]: a genuine container
     * format written by a genuine JDK codec, no external jars, no stub.
     */
-  def synthesizeWav(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame =
+    synthesizeWavImpl(df, idCol, idOffset = 0L, perturb = false)
+
+  private def synthesizeWavImpl(
+      df: DataFrame, idCol: String, idOffset: Long, perturb: Boolean): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
@@ -303,7 +284,9 @@ object Multimodal {
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val v = sampleValue(id, i)
+          val base = sampleValue(id, i)
+          val v = if (perturb && i == 0)
+            Math.floorMod(base + 32768 + 1, 65536) - 32768 else base
           pcm(2 * i) = (v & 0xff).toByte          // little-endian
           pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
           i += 1
@@ -316,7 +299,7 @@ object Multimodal {
         val bytes = bos.toByteArray
         // width/height carry (sampleRate, sampleBits) — the closest typed
         // metadata the shared media schema offers an audio clip
-        Row(id, bytes, Row("audio/wav", bytes.length.toLong, 8000, 16))
+        Row(id + idOffset, bytes, Row("audio/wav", bytes.length.toLong, 8000, 16))
       }
     }(enc)
   }
@@ -371,33 +354,8 @@ object Multimodal {
     * perceptual-hash dedup query — exact/byte dedup can never pair it.
     */
   def synthesizeWavNearDup(
-      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      rows.map { r =>
-        val id = r.getLong(0)
-        require(id >= 0, s"synthesizeWavNearDup requires non-negative ids, got $id")
-        val n = wavSamples(id)
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val base = sampleValue(id, i)
-          val v = if (i == 0) Math.floorMod(base + 32768 + 1, 65536) - 32768 else base
-          pcm(2 * i) = (v & 0xff).toByte
-          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-          i += 1
-        }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        val bytes = bos.toByteArray
-        Row(id + idOffset, bytes, Row("audio/wav", bytes.length.toLong, 8000, 16))
-      }
-    }(enc)
-  }
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame =
+    synthesizeWavImpl(df, idCol, idOffset, perturb = true)
 
   /** 64-band energy hash of a decoded clip — the audio sibling of
     * [[imageAHash]] (a chromaprint-shaped fingerprint reduced to its
@@ -610,7 +568,11 @@ object Multimodal {
     * raster would force the writer to quantize and break the arithmetic
     * oracle).
     */
-  def synthesizeGif(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizeGif(df: DataFrame, idCol: String): DataFrame =
+    synthesizeGifImpl(df, idCol, idOffset = 0L, perturb = false)
+
+  private def synthesizeGifImpl(
+      df: DataFrame, idCol: String, idOffset: Long, perturb: Boolean): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
       // palette + writer are per-partition state, reused across rows
@@ -641,55 +603,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              raster.setSample(x, y, 0, gifPixel(id, f, x, y))
-              x += 1
-            }
-            y += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
-          f += 1
-        }
-        writer.endWriteSequence()
-        writer.dispose()
-        ios.close()
-        val bytes = bos.toByteArray
-        Row(id, bytes, Row("image/gif", bytes.length.toLong, w, h))
-      }
-    }(enc)
-  }
-
-  /** One NEAR-DUPLICATE clip twin per input id — the BASE clip's frames
-    * with pixel (0,0) of frame 0 bumped by +1 (mod 256), re-encoded
-    * under `id + idOffset`: one sub-visible retouch in one frame,
-    * byte-different container. The planted positive for the video
-    * near-dup query.
-    */
-  def synthesizeGifNearDup(
-      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
-      val grays = Array.tabulate[Byte](256)(_.toByte)
-      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-      rows.map { r =>
-        val id = r.getLong(0)
-        require(id >= 0, s"synthesizeGifNearDup requires non-negative ids, got $id")
-        val nf = gifFrames(id); val w = gifWidth(id); val h = gifHeight(id)
-        val bos = new ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        val writer = ImageIO.getImageWritersBySuffix("gif").next()
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < nf) {
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val bump = if (f == 0 && x == 0 && y == 0) 1 else 0
+              val bump = if (perturb && f == 0 && x == 0 && y == 0) 1 else 0
               raster.setSample(x, y, 0, (gifPixel(id, f, x, y) + bump) % 256)
               x += 1
             }
@@ -706,6 +620,16 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** One NEAR-DUPLICATE clip twin per input id — the BASE clip's frames
+    * with pixel (0,0) of frame 0 bumped by +1 (mod 256), re-encoded
+    * under `id + idOffset`: one sub-visible retouch in one frame,
+    * byte-different container. The planted positive for the video
+    * near-dup query.
+    */
+  def synthesizeGifNearDup(
+      df: DataFrame, idCol: String, idOffset: Long = 10000000L): DataFrame =
+    synthesizeGifImpl(df, idCol, idOffset, perturb = true)
 
   /** Per-FRAME 8×8 average-hash over a decoded multi-frame clip — the
     * video fingerprint feeding [[clipContainmentPairs]]: every frame
