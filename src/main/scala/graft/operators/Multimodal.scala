@@ -389,7 +389,9 @@ object Multimodal {
         var i = 0
         while (i < n) {
           val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
-          val f = (i * 64) / n
+          // Long numerator: i*64 overflows Int at >= 2^25 samples
+          // (~12 min at 44.1 kHz), which would index energy() negatively
+          val f = ((i.toLong * 64) / n).toInt
           energy(f) += v * v; total += v * v
           i += 1
         }
@@ -801,6 +803,7 @@ object Multimodal {
         try {
           val nf = reader.getNumImages(true)
           var prev: Array[Int] = null
+          var prevW = -1; var prevH = -1
           (0 until nf).map { f =>
             val img = reader.read(f)
             val w = img.getWidth; val h = img.getHeight
@@ -816,8 +819,10 @@ object Multimodal {
             }
             // a mid-clip geometry change (legal in GIF) IS a scene cut:
             // no pixel correspondence exists, so delta stays 0 and the
-            // frame is a keyframe by definition (same as the clip opener)
-            val geomChange = prev != null && prev.length != cur.length
+            // frame is a keyframe by definition (same as the clip opener).
+            // Both dims are compared — a w×h → h×w transpose keeps the
+            // flattened length but still destroys pixel correspondence
+            val geomChange = prev != null && (prevW != w || prevH != h)
             var delta = 0L
             if (prev != null && !geomChange) {
               var i = 0
@@ -825,7 +830,7 @@ object Multimodal {
                 delta += math.abs(cur(i) - prev(i)); i += 1
               }
             }
-            prev = cur
+            prev = cur; prevW = w; prevH = h
             // frame 0 opens the clip: keyframe by definition, delta 0
             val isKey = f == 0 || geomChange || delta >= perPixelThreshold * w * h
             Row(id, f.toLong, delta, isKey)

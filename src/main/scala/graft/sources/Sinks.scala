@@ -488,10 +488,19 @@ object Sinks {
     val spark = df.sparkSession
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+      min(col(colB).cast("double")), max(col(colB).cast("double")),
+      sum(when(col(colA).isNull.or(col(colB).isNull), 1L).otherwise(0L))).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
       s"writeZTiled: no non-null ($colA, $colB) rows to bin — an empty " +
         "layout would be unreadable")
+    // NULL z-keys would land in zfile=__HIVE_DEFAULT_PARTITION__, which
+    // readZTiled's `zfile IN (tiles)` filter can never select — such rows
+    // would be silently unreachable through the reader. Refuse loudly
+    // (same spirit as the empty-layout guard); callers wanting NULLs must
+    // route them to a side table themselves.
+    require(b.getLong(4) == 0L,
+      s"writeZTiled: ${b.getLong(4)} rows have NULL in $colA/$colB — they " +
+        "would be unreachable through readZTiled's tile filter")
     val (loA, loB) = (b.getDouble(0), b.getDouble(2))
     // a constant column degenerates width_bucket's range — widen it so
     // every row lands in bin 0 and the layout stays well-defined (all

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -1565,6 +1566,39 @@ class DedupSimilaritySpec extends SparkSpec {
       Multimodal.synthesizeGif(Seq(-2L).toDF("doc_id"), "doc_id").collect()
     }
     assert(bad.getMessage != null)
+  }
+
+  test("keyframe detector treats a transposed-geometry frame as a scene cut") {
+    // GIF frames may legally change geometry mid-clip; a w×h → h×w
+    // transpose keeps the flattened pixel COUNT, so a length-only check
+    // would diff rasters with no pixel correspondence (delta 0 on the
+    // constant rasters below → frame silently non-key). Build such a clip
+    // by hand: constant-gray frames 8×4, 4×8, 4×8.
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    for ((w, h) <- Seq((8, 4), (4, 8), (4, 8))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, 10)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(Row(99L, bytes, Row("image/gif", bytes.length.toLong, 8, 4))),
+      Multimodal.mediaSchema)
+    val got = Multimodal.decodeGifKeyframes(media)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, true), (1L, 0L, true), (2L, 0L, false)),
+      s"transposed frame must be a keyframe, steady frame must not: ${got.toSeq}")
   }
 
   test("multimodal frame sampling: ceil(n/frame) frames, last partial") {

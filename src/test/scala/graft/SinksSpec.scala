@@ -172,6 +172,19 @@ class SinksSpec extends SparkSpec {
       "shard content/order must be independent of upstream order/partitioning")
   }
 
+  test("z-tiled writer refuses NULL z-column rows (unreachable via the reader)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_znull").toString
+    val pts = spark.range(10).select(
+      col("id"),
+      when(col("id") === 3, lit(null)).otherwise(col("id").cast("double")).as("x"),
+      col("id").cast("double").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeZTiled(pts, out, "x", "y", bitsPerDim = 4, tileBits = 2)
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("z-order layout: box reads are exact and BOTH columns prune partitions") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
