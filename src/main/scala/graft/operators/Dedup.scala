@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash._
@@ -1316,6 +1317,122 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection — [[keepSurvivors]] with the
+    * "which copy do we keep?" decision made on MERIT instead of id order:
+    * within each near-dup cluster the document with the HIGHEST
+    * `quality` survives (ties to the smallest id, so the choice is
+    * total and deterministic); documents in no cluster pass through.
+    * This is the curation rule real pipelines want — near-dup clusters
+    * mix truncated/boilerplated variants of one source, and "smallest
+    * id" keeps an arbitrary one while "highest quality" keeps the least
+    * damaged one.
+    *
+    * Shape: the component labels from [[connectedComponents]] join back
+    * to (id, quality) — cluster-member-sized, tiny next to the corpus —
+    * and one window over the `rep` partitioning picks each cluster's
+    * argmax. The corpus itself is touched exactly once, by the final
+    * `left_anti` of the losers (same no-broadcast-hint reasoning as
+    * [[keepSurvivors]]: AQE promotes the loser side when it measures
+    * small). At 100 TB: labels and quality are per-DOC frames, every
+    * join/window keys on id/rep — no all-pairs anything.
+    *
+    * `quality` must be evaluable on `df`'s rows (a column or expression
+    * over them).
+    */
+  def keepBestSurvivors(
+      df: DataFrame,
+      idCol: String,
+      pairEdges: DataFrame,
+      quality: Column): DataFrame = {
+    val q = df.select(col(idCol).cast("long").as("id"), quality.as("__q"))
+    val byCluster = Window.partitionBy("rep")
+      .orderBy(col("__q").desc, col("id"))
+    val losers = connectedComponents(pairEdges)
+      .join(q, "id")
+      .withColumn("__rk", row_number().over(byCluster))
+      .filter(col("__rk") > 1)
+      .select(col("id").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    * Bayardo et al. 2007 / Vernica et al. 2010): all pairs whose DISTINCT
+    * token sets have Jaccard ≥ `threshold` — with NO false negatives,
+    * the guarantee the MinHash path ([[minhashPairs]]) trades away for
+    * speed. The two are complementary: LSH when a small miss probability
+    * is acceptable, this when the dedup must be provably lossless (legal
+    * holds, benchmark decontamination audits).
+    *
+    * Candidate generation is the prefix-filter theorem, relationally:
+    * tokens get a GLOBAL rarity order (document frequency asc, token asc
+    * — no global rank materialized, the (df, tok) tuple itself is the
+    * order), each document keeps only its first `s − ⌈τ·s⌉ + 1` rarest
+    * tokens as its prefix, and candidates are the pairs sharing a PREFIX
+    * token (one equi-join on tok). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(sa,
+    * sb)⌉, and a set's suffix holds fewer than ⌈τ·s⌉ intersection tokens
+    * by construction, so both prefixes must contain an intersection token
+    * and the classic t-prefix theorem puts a COMMON one in both — every
+    * qualifying pair survives. A size filter (min(sa,sb) ≥ τ·max(sa,sb),
+    * necessary since J ≤ min/max) prunes candidates before verification;
+    * the exact Jaccard verify (one pair×token join + count) removes false
+    * positives.
+    *
+    * 100 TB shape: the join key is PREFIX tokens only — the corpus's
+    * RAREST tokens — so bucket widths are bounded by rare-token df, never
+    * by stopword df (a stopword enters a prefix only for documents almost
+    * entirely made of stopwords); candidate volume is Σ_prefix-tok C(df,
+    * 2), the quantity prefix filtering exists to bound. Everything
+    * shuffles on tok or (a, b); no all-pairs stage anywhere. The df
+    * aggregation and per-doc prefix window ride one (id)-keyed shuffle.
+    *
+    * Output: (a, b, jaccard) with a < b, jaccard rounded to 4 decimals
+    * (+1e-9 boundary nudge, the [[ngramJaccardPairs]] convention).
+    */
+  def setSimilarityJoin(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1] — at 0 the prefix is the " +
+        "whole set and the join degenerates to all-pairs")
+    val toks = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(tokens)).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = toks.groupBy("id").agg(count(lit(1)).as("s"))
+      val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      // per-doc rarity order; tok is distinct within a doc so the order
+      // is total and the prefix deterministic
+      val byDoc = Window.partitionBy("id").orderBy("df", "tok")
+      val prefix = toks.join(dfT, "tok")
+        .join(sizes, "id")
+        .withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+        .select("id", "tok", "s")
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+            least(col("x.s"), col("y.s")) >=
+              lit(threshold) * greatest(col("x.s"), col("y.s")))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.s").as("sa"), col("y.s").as("sb"))
+        .distinct()
+      val ta = toks.select(col("id").as("a"), col("tok"))
+      val tb = toks.select(col("id").as("b"), col("tok"))
+      cand.join(ta, "a").join(tb, Seq("b", "tok"))
+        .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("c"))
+        .withColumn("jaccard",
+          round(col("c").cast("double") / (col("sa") + col("sb") - col("c"))
+            + 1e-9, 4))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        // the candidate set is pair-bounded; materialize so the persist
+        // scope can close before the caller consumes the result
+        .localCheckpoint(true)
+    } finally toks.unpersist()
+  }
+
   /** Benchmark decontamination — the train/eval overlap check every
     * pretraining corpus needs before release: a training document is
     * contaminated if it shares at least one word-n-gram with any benchmark
@@ -1387,15 +1504,22 @@ object Dedup {
       val n = math.max(1L, distinctBench.count())
       val bloom = distinctBench.stat.bloomFilter("gram", n, fpp)
       val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
-      g.filter(!col("is_bench"))
-        .filter(mightContain(col("gram")))
-        .join(bench, "gram") // shuffle join of the PRUNED stream — no broadcast
-        .groupBy("id")
-        .agg(
-          countDistinct("bench_id").as("n_bench_docs"),
-          min("bench_id").as("first_bench_id"),
-          count(lit(1)).as("n_shared_grams"))
+      try {
+        val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+        // materialize BEFORE releasing the broadcast: the sketch is
+        // ~120 MB at the documented scale, and a lazily-returned plan
+        // would pin it in driver+executor memory for the session (the
+        // contamination report itself is per-contaminated-doc, tiny)
+        g.filter(!col("is_bench"))
+          .filter(mightContain(col("gram")))
+          .join(bench, "gram") // shuffle join of the PRUNED stream — no broadcast
+          .groupBy("id")
+          .agg(
+            countDistinct("bench_id").as("n_bench_docs"),
+            min("bench_id").as("first_bench_id"),
+            count(lit(1)).as("n_shared_grams"))
+          .localCheckpoint(true)
+      } finally bc.destroy()
     } finally distinctBench.unpersist()
   }
 

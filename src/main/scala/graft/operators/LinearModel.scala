@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear classifier training + scoring — the
+  * "quality/language classifier" stage of an LLM-data pipeline (the
+  * FineWeb-Edu / CCNet-style filter: a cheap linear probe distills a
+  * labeling rule or judge into a scorer that runs over the whole corpus),
+  * built so the ENTIRE training run is bit-exactly replayable in a second
+  * SQL engine (extension tier; the reference has no ML surface —
+  * SURVEY.md §7).
+  *
+  * Training is full-batch gradient descent on squared loss with the
+  * Elliott squashing link σ(m) = 0.5 + 0.5·m/(1+|m|) (Elliott 1993) —
+  * chosen over the logistic sigmoid DELIBERATELY: it uses only +, ×, /,
+  * |·|, all IEEE-754-exact and identical across engines, where exp()
+  * differs in final ulps between libm implementations and would defeat
+  * arithmetic-replay verification. σ is monotone, maps to (0, 1), and
+  * its derivative 0.5/(1+|m|)² is the same exact-arithmetic class.
+  *
+  * Determinism contract (the [[Similarity.kmeansAssign]] discipline):
+  * per-row gradient contributions are cast to DECIMAL(28,14) and summed
+  * exactly (order-independent, engine-independent), the mean and weight
+  * update are plain double arithmetic with a pinned evaluation order,
+  * and weights live on the driver between rounds (O(d) — model-parameter
+  * scale, like the BPE merge table and index `_meta` reads).
+  *
+  * Scale shape: one map-side-combinable aggregation per round (d decimal
+  * sums + a count — a single hash-free reduce), zero joins, zero
+  * shuffles beyond the aggregation's; cost is O(corpus · d · iters).
+  * Scoring is row-local arithmetic (codegen'd, no UDF). This is the
+  * textbook distributed full-batch GD; at 100 TB rounds are corpus scans,
+  * so `iters` stays small and the feature frame should be a materialized
+  * projection.
+  */
+object LinearModel {
+
+  /** Squashing link σ(m) = 0.5 + (0.5·m)/(1+|m|) — evaluation order
+    * pinned to match the oracle's SQL text token-for-token.
+    */
+  def squash(m: Column): Column =
+    lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
+
+  /** Margin Σ wⱼ·xⱼ as a left-associated addition chain — the order the
+    * oracle replays.
+    */
+  def margin(xCols: Seq[Column], w: Seq[Double]): Column = {
+    require(xCols.nonEmpty && xCols.size == w.size,
+      s"got ${xCols.size} feature columns for ${w.size} weights")
+    xCols.zip(w).map { case (x, wi) => x * lit(wi) }.reduceLeft(_ + _)
+  }
+
+  /** Train weights (zero-initialized) by `iters` full-batch GD rounds at
+    * learning rate `lr` over feature columns `xCols` (doubles; include an
+    * explicit all-ones bias column) against `yCol` ∈ {0.0, 1.0}.
+    * Returns the learned weight vector.
+    */
+  def trainSquashedLinear(
+      feats: DataFrame,
+      xCols: Seq[String],
+      yCol: String,
+      lr: Double,
+      iters: Int): Array[Double] = {
+    require(iters >= 1 && lr > 0, s"iters=$iters, lr=$lr must be positive")
+    var w = Array.fill(xCols.size)(0.0)
+    for (_ <- 1 to iters) {
+      val m = margin(xCols.map(col), w.toSeq)
+      val p = squash(m)
+      val ds = lit(0.5) / ((lit(1.0) + abs(m)) * (lit(1.0) + abs(m)))
+      val err = p - col(yCol)
+      val gradCols = xCols.zipWithIndex.map { case (c, j) =>
+        sum(((err * ds) * col(c)).cast("decimal(28,14)")).cast("double").as(s"g$j")
+      }
+      val r = feats.agg(count(lit(1)).as("n"), gradCols: _*).head()
+      val n = r.getLong(0)
+      require(n > 0, "trainSquashedLinear: empty feature frame")
+      w = w.zipWithIndex.map { case (wj, j) => wj - lr * (r.getDouble(j + 1) / n) }
+    }
+    w
+  }
+
+  /** Score rows under fixed weights: σ(margin) rounded to 7 decimals
+    * BEFORE any comparison (the cross-engine ranking rule), plus the
+    * thresholded prediction.
+    */
+  def scoreSquashedLinear(
+      feats: DataFrame,
+      xCols: Seq[String],
+      w: Seq[Double],
+      scoreCol: String = "score",
+      predCol: String = "pred"): DataFrame = {
+    val s = round(squash(margin(xCols.map(col), w)), 7)
+    feats.withColumn(scoreCol, s).withColumn(predCol, col(scoreCol) >= 0.5)
+  }
+
+  import org.apache.spark.sql.{SaveMode, SparkSession}
+  import graft.sources.Sinks
+
+  /** Persist a trained model as the 6th persisted family: `_weights`
+    * ((j, feature, w) — the feature NAME travels with each weight, so
+    * serving can never scramble the order) then `_meta` LAST (the
+    * completeness-marker discipline every index family follows).
+    */
+  def writeLinearModel(
+      spark: SparkSession,
+      tablePrefix: String,
+      xCols: Seq[String],
+      w: Seq[Double]): Unit = {
+    require(xCols.size == w.size && w.nonEmpty,
+      s"${xCols.size} feature names for ${w.size} weights")
+    spark.createDataFrame(w.indices.map(j => (j, xCols(j), w(j))))
+      .toDF("j", "feature", "w")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_weights")
+    spark.createDataFrame(Seq(Tuple1(w.size))).toDF("d")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Retrain-and-cutover — identical blue/green contract to every other
+    * persisted family (stage `_g<N+1>`, flip the pointer, retire).
+    */
+  def rebuildLinearModel(
+      feats: DataFrame,
+      tablePrefix: String,
+      xCols: Seq[String],
+      yCol: String,
+      lr: Double,
+      iters: Int): Long =
+    Sinks.rebuildCutover(feats.sparkSession, tablePrefix, Seq("_weights", "_meta")) { g =>
+      writeLinearModel(feats.sparkSession, g, xCols,
+        trainSquashedLinear(feats, xCols, yCol, lr, iters).toSeq)
+    }
+
+  /** Score a batch against a PERSISTED model — the online half of the
+    * train/serve split: generation-resolved, and the feature columns are
+    * bound BY STORED NAME in stored order, so a caller holding the
+    * feature frame in any column order scores identically (a missing
+    * feature column fails loudly at resolution). Empty batches pass.
+    */
+  def scoreAgainstLinearModel(
+      feats: DataFrame,
+      tablePrefix: String,
+      scoreCol: String = "score",
+      predCol: String = "pred"): DataFrame = {
+    val spark = feats.sparkSession
+    val tp = Sinks.activeTablePrefix(spark, tablePrefix)
+    val rows = spark.table(s"${tp}_weights")
+      .orderBy("j").select("feature", "w").collect()
+    val names = rows.map(_.getString(0)).toSeq
+    val w = rows.map(_.getDouble(1)).toSeq
+    val d = spark.table(s"${tp}_meta").head().getInt(0)
+    require(d == w.size,
+      s"model '$tablePrefix': _meta says $d weights, _weights has ${w.size}")
+    scoreSquashedLinear(feats, names, w, scoreCol, predCol)
+  }
+}

@@ -103,6 +103,57 @@ object Similarity {
         round(col("dot") + 1e-9, 4).as("dot"))
   }
 
+  /** Contrastive hard-negative mining — the training-PAIR step after
+    * near-dup resolution: for every ANCHOR (a vector that participates in
+    * at least one near-duplicate pair), the top-k highest-cosine corpus
+    * vectors that are NOT in the anchor's duplicate CLUSTER. Those are
+    * the "hard negatives" an embedding-model trainer wants: maximally
+    * confusable, yet verified non-duplicates — excluding by the connected
+    * CLUSTER (not just direct pair partners) so a transitive duplicate
+    * can never leak in as a negative.
+    *
+    * `dupEdges` is an (a, b) near-dup pair frame (e.g.
+    * [[Dedup.embeddingPairs]] output); cluster membership comes from
+    * [[Dedup.connectedComponents]] over it. Eligibility is a null-safe
+    * rep comparison: a neighbor in NO cluster is always eligible, a
+    * clustered neighbor iff its rep differs (self shares the anchor's
+    * rep, so self-exclusion is implied).
+    *
+    * Scale shape: the anchor set (clustered vectors) broadcasts like
+    * [[bruteForceTopK]]'s query set — exact and oracle-replayable, the
+    * per-anchor cost is one corpus scan. When anchors are a corpus-scale
+    * fraction, the production path is the persisted-IVF probe
+    * ([[ivfTopKAgainstIndex]]) at k + slack followed by this same
+    * cluster anti-filter, with slack ≥ the largest duplicate cluster
+    * intersecting the probed cells — the brute formulation here is the
+    * exact baseline that certifies it.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dupEdges: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val cc = Dedup.connectedComponents(dupEdges)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .withColumn("cn", l2Norm(col("ce")))
+      .join(cc.select(col("id").as("neighbor_id"), col("rep").as("nrep")),
+        Seq("neighbor_id"), "left")
+    val anchors = corpus.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .join(cc.select(col("id").as("query_id"), col("rep").as("qrep")), "query_id")
+      .withColumn("qn", l2Norm(col("qe")))
+    val scored = broadcast(anchors).join(c,
+        col("query_id") =!= col("neighbor_id") && !(col("nrep") <=> col("qrep")))
+      .withColumn("cos", round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 7))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF coarse quantizer: deterministic Lloyd k-means entirely in
     * DataFrame operators. Initial centroids are the `nlist` vectors with
     * the smallest ids (deterministic — no random init, so results are

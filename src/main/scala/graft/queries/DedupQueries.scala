@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.operators.{Dedup, Sampling, Text}
+import graft.operators.{Dedup, Sampling, Similarity, Text}
 import graft.sources.Tables
 
 /** Deduplication tier over the `documents` / `embeddings` tables, each with
@@ -138,6 +138,15 @@ object DedupQueries {
       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)""".stripMargin
 
   private val ToksCte = s"WITH $ToksBody"
+
+  /** Oracle fragment: English stopword hits over `toks` — the
+    * [[Text.qualityScore]] fluency term (TextQueries' hitsSql, shared
+    * here by the quality-aware survivor oracle).
+    */
+  private val QualityHitsSql = {
+    val list = Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($list, t)))"
+  }
 
   /** Shared oracle CTE chain for the word-5-gram duplicate-span marking
     * (full-corpus `minDocs = 2`, runs merged per document) as `s(doc_id,
@@ -373,6 +382,31 @@ object DedupQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // Clusters -> BEST survivors: same near-dup clusters, but the copy
+    // kept per cluster is the HIGHEST-quality one (Text.qualityScore,
+    // ties to smallest id) instead of the smallest id — the curation rule
+    // that keeps the least-damaged variant of a duplicated source. The
+    // oracle replays the cluster closure AND the quality argmax.
+    "d_dedup_keep_best" -> ((s, d) => {
+      val docs = docsTk(s, d)
+      Dedup.keepBestSurvivors(docs, "doc_id", minhashPairEdges(s, d),
+          Text.qualityScore(col("text"), col("__tk")))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // EXACT set-similarity self-join (prefix filtering) at word-3-shingle
+    // Jaccard >= 0.7 — the provably-lossless EXACT twin of d_minhash_lsh
+    // (same sets, same threshold, no hashing anywhere): the oracle is the
+    // FULL all-pairs answer, so a hash match certifies zero false
+    // negatives corpus-wide, exactly the guarantee prefix filtering
+    // claims and LSH trades away. Shingles (not unigrams) are the set:
+    // this corpus's unigram vocabulary is so small that 40% of ALL pairs
+    // clear 0.7 on token sets — a regime where no filter can prune and
+    // the answer means nothing.
+    "d_setsim_exact" -> ((s, d) =>
+      Dedup.setSimilarityJoin(docsTk(s, d), "doc_id", tkShingles(3), threshold = 0.7)
+        .orderBy("a", "b")),
+
     // Deterministic stratified downsample — the corpus-shaping filter a
     // training pipeline runs after dedup: per-language keep rates decided
     // by a salted content hash, reproducible across runs, engines and
@@ -454,6 +488,18 @@ object DedupQueries {
           t(s, d, "embeddings").select("vec_id", "label"),
           "vec_id", embeddingPairEdges(s, d))
         .orderBy("vec_id")),
+
+    // Contrastive hard-negative mining over the same near-dup graph: for
+    // every anchor in a duplicate pair, the top-3 most-similar vectors
+    // OUTSIDE its duplicate cluster — maximally confusable verified
+    // non-duplicates, the training-pair step an embedding-model pipeline
+    // runs after dedup. Cluster exclusion (not pair exclusion), so a
+    // transitive duplicate can never surface as a negative.
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          embeddingPairEdges(s, d).select("a", "b"), k = 3)
+        .orderBy("query_id", "rank")),
 
     // End-to-end corpus curation — the daily training-data pipeline as ONE
     // composed query: dedup survivors (shared pair-edge frame) → language
@@ -1172,6 +1218,44 @@ object DedupQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.id = d.doc_id AND r.rep < r.id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Same closure, survivor = quality argmax per cluster (ties to the
+    // smaller id) — the quality formula is tx_quality's, verbatim.
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ClusterRepBody,
+         |q AS (
+         |  SELECT t.doc_id,
+         |    round(least(len(toks) / 50.0, 1.0) * 0.5
+         |      + ($QualityHitsSql::DOUBLE / len(toks)) * 0.3
+         |      + least((length(regexp_replace(dd.text, '\\s+', '', 'g'))::DOUBLE
+         |               / len(toks)) / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS q
+         |  FROM t JOIN documents dd USING (doc_id)),
+         |losers AS (
+         |  SELECT r.id FROM rep r JOIN q ON q.doc_id = r.id
+         |  QUALIFY row_number() OVER (PARTITION BY r.rep ORDER BY q.q DESC, r.id) > 1)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Exact all-pairs shingle Jaccard — deliberately NOT a replay of the
+    // prefix filter: equality proves the prefix path lost no pair (and
+    // invented none).
+    "d_setsim_exact" ->
+      s"""$ToksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |  FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+         |s AS (SELECT doc_id, count(*) AS s FROM e GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM e x JOIN e y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, b, round(c::DOUBLE / (sa.s + sb.s - c) + 0.000000001, 4) AS jaccard
+         |  FROM i JOIN s sa ON i.a = sa.doc_id JOIN s sb ON i.b = sb.doc_id)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin,
+
     "d_simhash" ->
       s"""$ToksCte,
          |sh AS (
@@ -1345,6 +1429,37 @@ object DedupQueries {
          |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id)
          |SELECT v.vec_id, v.label FROM embeddings v
          |WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.id = v.vec_id AND r.rep < r.id)
-         |ORDER BY v.vec_id""".stripMargin
+         |ORDER BY v.vec_id""".stripMargin,
+
+    // Same dup-cluster closure; anchors = clustered ids, eligibility =
+    // different-or-no cluster, ranking replays the 7-decimal cosine rule.
+    "sim_hard_negatives" ->
+      s"""WITH RECURSIVE $EmbPairsBody,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |walk AS (
+         |  SELECT a AS id, b AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e2.b AS reach FROM walk w JOIN edges e2 ON w.reach = e2.a),
+         |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id),
+         |s AS (
+         |  SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> qa.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> qa.embedding[i]::DOUBLE * qa.embedding[i]::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> nb.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)))), 7) AS cos
+         |  FROM embeddings qa
+         |  JOIN rep ra ON ra.id = qa.vec_id
+         |  JOIN embeddings nb ON nb.vec_id <> qa.vec_id
+         |  LEFT JOIN rep rn ON rn.id = nb.vec_id
+         |  WHERE rn.rep IS NULL OR rn.rep <> ra.rep),
+         |r2 AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r2 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

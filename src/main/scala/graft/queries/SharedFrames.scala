@@ -30,6 +30,7 @@ private[graft] object SharedFrames {
     "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
     "kmeans_k8_i2" -> (SimilarityQueries.kmeansAssignFrame _),
     "bpe_merges6" -> (TextQueries.bpeMerges6 _),
+    "clf_weights" -> (TextQueries.classifierWeightsFrame _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))
 

@@ -1037,6 +1037,65 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed classifier serving: the linear quality probe is trained
+    // once and PERSISTED (writeLinearModel — weights + meta, the 6th
+    // persisted family), then the corpus streams in four micro-batches,
+    // each featurized row-locally and scored against the STORED weights
+    // in foreachBatch (features bound by stored NAME, not caller order).
+    // Scoring is per-row under a frozen model, so the drained union must
+    // equal the one-shot scoring EXACTLY (serve_ok pins row parity + 4
+    // batches) — and the oracle replays the FULL training (all 50 GD
+    // rounds), so a persisted model diverging from the trained weights
+    // hash-mismatches.
+    "st_classifier_serving_parity" -> ((s, d) => {
+      import graft.operators.LinearModel
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = fixtureDir("clfserve", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"clf_serve_${ScratchKeys.forPath(d)}"
+      Seq(s"${prefix}_weights", s"${prefix}_meta")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      LinearModel.writeLinearModel(s, prefix,
+        TextQueries.ClfXCols, TextQueries.classifierWeights(s, d))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_clf_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              LinearModel.scoreAgainstLinearModel(
+                  TextQueries.classifierFeatureCols(batch.toDF()), prefix)
+                .select(col("doc_id"), col("score"), col("pred"),
+                  lit(bid).as("batch_id"))
+                .write.mode("append").parquet(resultsDir): Unit)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        val oneShot = LinearModel.scoreSquashedLinear(
+            TextQueries.classifierFeatures(s, d),
+            TextQueries.ClfXCols, TextQueries.classifierWeights(s, d))
+          .select("doc_id", "score", "pred")
+        val served = streamed.drop("batch_id")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select(col("doc_id"),
+            round(col("score") + 1e-9, 4).as("score"),
+            col("pred").as("pred_keep"), col("serve_ok"))
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -1421,6 +1480,15 @@ object StreamQueries {
       s"""WITH ${SimilarityQueries.kmeansCtes}
          |SELECT vec_id, cid, round(d + 0.000000001, 4) AS dist, TRUE AS serve_ok
          |FROM af ORDER BY vec_id""".stripMargin,
+
+    // tx_quality_classifier's full-training replay with the pinned-TRUE
+    // serving certificate: four streamed scoring batches against the
+    // persisted weights must union to the one-shot corpus scoring.
+    "st_classifier_serving_parity" ->
+      s"""${TextQueries.classifierCtes}
+         |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
+         |       s7 >= 0.5 AS pred_keep, TRUE AS serve_ok
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "st_ann_index_parity" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.operators.{Multimodal, Text}
+import graft.operators.{LinearModel, Multimodal, Text}
 import graft.sources.Tables
 
 /** Text-analysis + multimodal-plumbing tier over `documents`: language ID,
@@ -44,6 +44,124 @@ object TextQueries {
   private def scoreSql(lang: String): String =
     s"round(${hitsSql(lang)}::DOUBLE / len(toks), 4)"
 
+  private[queries] val ClfXCols = Seq("x1", "x2", "x3", "x4")
+  private[queries] val ClfLr = 16.0
+  private[queries] val ClfIters = 50
+
+  /** Classifier feature projection over a documents-shaped frame
+    * (doc_id, x1..x4, y): bias, the three quality-score signals UNROUNDED
+    * (volume, en-stopword ratio, avg word length — each a ratio of exact
+    * integers, so the doubles are engine-identical), and the teacher
+    * label y = 1.0 iff the composite quality gate clears 0.62 (≈ the
+    * corpus median — a balanced split at both SFs). The label is a
+    * NONLINEAR function of the features (the round() grid + the
+    * threshold), so distilling it through the squashing link is a genuine
+    * fit, not an identity. Pure row-local projection — the serving path
+    * applies it per micro-batch.
+    */
+  private[queries] def classifierFeatureCols(df: DataFrame): DataFrame = {
+    val tk = toks
+    val enHits = size(filter(tk,
+      t => array_contains(typedlit(Text.stopwords("en")), t)))
+    df.select(
+      col("doc_id"),
+      lit(1.0).as("x1"),
+      least(size(tk) / lit(50.0), lit(1.0)).as("x2"),
+      (enHits.cast("double") / size(tk)).as("x3"),
+      least((length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+        / size(tk)) / lit(8.0), lit(1.0)).as("x4"),
+      when(Text.qualityScore(col("text"), tk) >= 0.62, 1.0)
+        .otherwise(0.0).as("y"))
+  }
+
+  /** The corpus feature frame, materialized once per (session, dir):
+    * training scans it `ClfIters` times, scoring once.
+    */
+  private[queries] def classifierFeatures(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"clf_features:$d") {
+      classifierFeatureCols(docs(s, d)).localCheckpoint(true)
+    }
+
+  /** Suite-shared learned weights (trains once per session+dir; the
+    * weights ride a 4-row memoized frame so Bench charges training to the
+    * shared-frame entry).
+    */
+  private[queries] def classifierWeightsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"clf_weights:$d") {
+      val w = LinearModel.trainSquashedLinear(
+        classifierFeatures(s, d), ClfXCols, "y", ClfLr, ClfIters)
+      s.createDataFrame(w.toSeq.zipWithIndex.map { case (v, j) => (j, v) })
+        .toDF("j", "w").localCheckpoint(true)
+    }
+
+  private[queries] def classifierWeights(s: SparkSession, d: String): Seq[Double] =
+    classifierWeightsFrame(s, d).orderBy("j").select("w")
+      .collect().map(_.getDouble(0)).toSeq
+
+  /** Oracle fragment: the full GD replay as ONE recursive CTE over the
+    * weight row (the q_pagerank iteration idiom — a per-round CTE chain
+    * hits DuckDB's binder recursion ceiling and its CTE-inlining blowup
+    * long before 50 rounds). Each recursive step inlines the margin
+    * (left-associated Σ wⱼ·xⱼ, token-for-token the Spark evaluation
+    * order), sums the DECIMAL(28,14) per-row gradient contributions
+    * exactly, and emits the updated weight row; `mf` re-derives the
+    * margin under the FINAL weights for scoring.
+    */
+  /** Shared oracle body ending in `sc(doc_id, y, s7)` — the FULL
+    * classifier replay (feature derivation, every GD round via the
+    * recursive weight-row CTE, final margin + 7-decimal score):
+    * `tx_quality_classifier` reports it, the streaming serving parity
+    * consumes it with a pinned-TRUE certificate.
+    */
+  private[queries] def classifierCtes: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    1.0 AS x1,
+       |    least(len(toks) / 50.0, 1.0) AS x2,
+       |    ${hitsSql("en")}::DOUBLE / len(toks) AS x3,
+       |    least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |           / len(toks)) / 8.0, 1.0) AS x4,
+       |    CASE WHEN round(
+       |      least(len(toks) / 50.0, 1.0) * 0.5
+       |      + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
+       |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |               / len(toks)) / 8.0, 1.0) * 0.2 + 0.000000001, 4) >= 0.62
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM t),
+       |${gdCtes(ClfIters, ClfLr.toString)},
+       |sc AS (
+       |  SELECT doc_id, y,
+       |         round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s7
+       |  FROM mf)""".stripMargin
+
+  private def gdCtes(iters: Int, lr: String): String = {
+    val sig = "(0.5 + (0.5 * m) / (1.0 + abs(m)))"
+    val ds = "(0.5 / ((1.0 + abs(m)) * (1.0 + abs(m))))"
+    val grads = (1 to 4).map { j =>
+      s"w$j - $lr * (sum(CAST((($sig - y) * $ds) * x$j AS DECIMAL(28,14)))::DOUBLE / count(*))"
+    }.mkString(",\n|    ")
+    s"""gd(it, w1, w2, w3, w4) AS (
+       |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    $grads
+       |  FROM (
+       |    SELECT gd.it, gd.w1, gd.w2, gd.w3, gd.w4,
+       |           f.x1, f.x2, f.x3, f.x4, f.y,
+       |           (((f.x1 * gd.w1) + (f.x2 * gd.w2)) + (f.x3 * gd.w3))
+       |             + (f.x4 * gd.w4) AS m
+       |    FROM gd, f WHERE gd.it < $iters) z
+       |  GROUP BY it, w1, w2, w3, w4),
+       |mf AS (
+       |  SELECT f.doc_id, f.y,
+       |    (((f.x1 * fw.w1) + (f.x2 * fw.w2)) + (f.x3 * fw.w3))
+       |      + (f.x4 * fw.w4) AS m
+       |  FROM f, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $iters) fw)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: per-language stopword scores, argmax with fixed
@@ -61,6 +179,24 @@ object TextQueries {
     }),
 
     // Quality scoring: volume / fluency-proxy / lexical-weight composite.
+    // Rule-distillation linear probe (the FineWeb-Edu-shaped classifier
+    // filter, with the hand-written quality gate as the teacher): full-
+    // batch GD (50 rounds, lr=16, Elliott squashing link — exp-free so
+    // every arithmetic step is engine-exact) distills the thresholded
+    // composite quality rule back out of its raw signals, then scores the
+    // corpus (student/teacher agreement 0.91/0.93 at sf0.01/0.1 vs a 0.55
+    // base rate). The oracle replays ALL FIFTY GD rounds — the learned
+    // weights themselves are hash-verified, not just the scores.
+    "tx_quality_classifier" -> ((s, d) => {
+      val feats = classifierFeatures(s, d)
+      LinearModel.scoreSquashedLinear(feats, ClfXCols, classifierWeights(s, d))
+        .select(col("doc_id"),
+          round(col("score") + 1e-9, 4).as("score"),
+          col("pred").as("pred_keep"),
+          (col("y") === 1.0).as("is_good"))
+        .orderBy("doc_id")
+    }),
+
     "tx_quality" -> ((s, d) =>
       docs(s, d).withColumn("tk", toks)
         .select(
@@ -719,6 +855,12 @@ object TextQueries {
            |SELECT doc_id, lang, $predSql AS pred_lang, best AS best_score,
            |       ($predSql = lang) AS is_match
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "tx_quality_classifier" ->
+        s"""$classifierCtes
+           |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
+           |       s7 >= 0.5 AS pred_keep, (y = 1.0) AS is_good
+           |FROM sc ORDER BY doc_id""".stripMargin,
 
       "tx_quality" ->
         s"""$toksCte

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Hierarchy
+import graft.operators.{Hierarchy, Relational}
 import graft.sources.Tables
 
 /** Warehouse-modeling + data-quality tier (extension; the reference's
@@ -48,6 +48,32 @@ object WarehouseQueries {
     "returnflag_domain" -> "l_returnflag IN ('A','N','R')",
     "tax_range" -> "l_tax BETWEEN 0 AND 0.08")
 
+  /** SCD Type-2 dimension versions with NATIVE date validity bounds
+    * (custkey, priority, eff_from, eff_to) — the frame behind `q_scd2`
+    * (which formats it) and `q_scd2_pit` (which joins facts against it).
+    * Same-day duplicates resolve to the max orderkey; consecutive
+    * same-priority runs compress; eff_to = next version's eff_from
+    * (half-open validity, NULL = current). ALL windows ride the one
+    * custkey hash shuffle (PlanSpec-pinned via q_scd2).
+    */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    val byCustDayKey = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey").desc)
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val dedup = t(s, d, "orders")
+      .withColumn("prev_day", lag("o_orderdate", 1).over(byCustDayKey))
+      .filter(col("prev_day").isNull || col("prev_day") =!= col("o_orderdate"))
+    dedup
+      .withColumn("prev", lag("o_orderpriority", 1).over(byCust))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("eff_to", lead("o_orderdate", 1).over(byCust))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("eff_from"),
+        col("eff_to"))
+  }
+
   /** Distinct (basket, item) pairs from lineitem, eagerly materialized and
     * memoized per (session, dir) — q_assoc_rules and q_triangles both
     * consume it (and its pair counts).
@@ -83,25 +109,42 @@ object WarehouseQueries {
     // partitioned row_number — so Catalyst plans ONE hash shuffle and
     // re-sorts within it (PlanSpec pins this; the two-partitioning
     // formulation pays a second full shuffle at scale).
-    "q_scd2" -> ((s, d) => {
-      val byCustDayKey = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey").desc)
-      val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate")
-      val dedup = t(s, d, "orders")
-        .withColumn("prev_day", lag("o_orderdate", 1).over(byCustDayKey))
-        .filter(col("prev_day").isNull || col("prev_day") =!= col("o_orderdate"))
-      val runs = dedup
-        .withColumn("prev", lag("o_orderpriority", 1).over(byCust))
-        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-      runs
-        .withColumn("eff_to", lead("o_orderdate", 1).over(byCust))
+    "q_scd2" -> ((s, d) =>
+      scd2Versions(s, d)
         .select(
-          col("o_custkey").as("custkey"),
-          col("o_orderpriority").as("priority"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
+          col("custkey"),
+          col("priority"),
+          date_format(col("eff_from"), "yyyy-MM-dd").as("effective_from"),
           date_format(col("eff_to"), "yyyy-MM-dd").as("effective_to"),
           col("eff_to").isNull.as("is_current"))
-        .orderBy("custkey", "effective_from")
+        .orderBy("custkey", "effective_from")),
+
+    // Point-in-time enrichment against the SCD2 dimension: every lineitem
+    // picks the customer's priority version valid AT ITS SHIP DATE —
+    // spelled as an AS-OF join (union + one window pass over the custkey
+    // shuffle, Relational.asofJoin), NOT a validity-range join: the
+    // versions partition time contiguously per key, so "latest version
+    // with eff_from <= ship date" IS the BETWEEN semantics, at linear
+    // cost where the range-join spelling (the oracle's) builds a per-key
+    // cross product. The fact-side enrichment pattern every event/feature
+    // pipeline with SCD2 dimensions runs.
+    "q_scd2_pit" -> ((s, d) => {
+      val facts = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_custkey").as("custkey"), col("l_shipdate"))
+      Relational.asofJoin(
+          facts, scd2Versions(s, d),
+          leftKey = "custkey", rightKey = "custkey",
+          leftTime = "l_shipdate", rightTime = "eff_from",
+          rightCols = Seq("priority", "eff_from"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("custkey"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("priority").as("priority_at_ship"),
+          date_format(col("eff_from"), "yyyy-MM-dd").as("priority_since"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Cohort retention: users bucketed by first-seen week, distinct actives
@@ -719,6 +762,37 @@ object WarehouseQueries {
         |       strftime(eff_to, '%Y-%m-%d') AS effective_to,
         |       eff_to IS NULL AS is_current
         |FROM runs ORDER BY custkey, effective_from""".stripMargin,
+
+    // Validity-range spelling of the point-in-time join — the quadratic
+    // shape the as-of formulation avoids; equality is the claim that the
+    // window pass implements BETWEEN semantics exactly.
+    "q_scd2_pit" ->
+      """WITH dedup AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |hist AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY o_orderdate) AS prev
+        |  FROM dedup WHERE rn = 1),
+        |runs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate) AS eff_to
+        |  FROM hist WHERE prev IS NULL OR prev <> o_orderpriority),
+        |f AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.custkey,
+        |       strftime(f.l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       r.o_orderpriority AS priority_at_ship,
+        |       strftime(r.o_orderdate, '%Y-%m-%d') AS priority_since
+        |FROM f LEFT JOIN runs r ON f.custkey = r.o_custkey
+        |  AND f.l_shipdate >= r.o_orderdate
+        |  AND (r.eff_to IS NULL OR f.l_shipdate < r.eff_to)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_cohort" ->
       """WITH f AS (

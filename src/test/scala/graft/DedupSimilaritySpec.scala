@@ -1410,6 +1410,44 @@ class DedupSimilaritySpec extends SparkSpec {
       "bloom false positives must be discarded by the exact verify join")
   }
 
+  test("exact set-similarity join: equals brute-force all-pairs, contains the LSH pairs") {
+    val exact = Dedup.setSimilarityJoin(
+        docs, "doc_id", CrossHash.wordShingles(toks, 3), threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // scala-side brute force over the same shingle sets
+    val sets = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(exact == expected, s"exact=$exact expected=$expected")
+    assert(expected.nonEmpty, "fixture must contain qualifying pairs")
+    // LSH (probabilistic) can only MISS pairs — never find one the exact
+    // join doesn't
+    val lsh = Dedup.minhashPairs(docs, "doc_id", CrossHash.wordShingles(toks, 3),
+        k = 16, bands = 4, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("quality-aware survivor selection keeps the cluster's quality argmax") {
+    // the EXACT pair set, so the cluster {1,2,4} is deterministic
+    val pairs = Dedup.setSimilarityJoin(
+      docs, "doc_id", CrossHash.wordShingles(toks, 3), threshold = 0.5)
+    // quality = doc_id: the cluster {1,2,4} must keep 4, not min-id 1
+    val kept = Dedup.keepBestSurvivors(docs, "doc_id", pairs, col("doc_id").cast("double"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+    // constant quality degenerates to the min-id rule (= keepSurvivors)
+    val keptTie = Dedup.keepBestSurvivors(docs, "doc_id", pairs, lit(1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTie == Set(1L, 3L), s"got $keptTie")
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),

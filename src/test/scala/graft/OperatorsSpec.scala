@@ -362,4 +362,64 @@ class OperatorsSpec extends SparkSpec {
       .select("word", "syms").as[(String, Seq[String])].collect().toMap
     assert(chars == Map("ab" -> Seq("a", "b"), "" -> Seq.empty))
   }
+
+  test("squashed-linear GD: hand-computed round, partition invariance, scoring") {
+    // two rows, bias + one feature, one round at lr=1, w0 = 0:
+    // m=0 ⇒ p=0.5, dσ=0.5; contributions
+    //   g_bias: ((0.5−1)·0.5)·1 = −0.25 and ((0.5−0)·0.5)·1 = 0.25 ⇒ mean 0
+    //   g_x:    ((0.5−1)·0.5)·0 = 0     and ((0.5−0)·0.5)·1 = 0.25 ⇒ mean 0.125
+    val df = Seq((1.0, 0.0, 1.0), (1.0, 1.0, 0.0)).toDF("x1", "x2", "y")
+    val w = LinearModel.trainSquashedLinear(df, Seq("x1", "x2"), "y", lr = 1.0, iters = 1)
+    assert(w.toSeq == Seq(0.0, -0.125))
+    // the DECIMAL gradient sums make training invariant to partitioning
+    val wRep = LinearModel.trainSquashedLinear(
+      df.repartition(7), Seq("x1", "x2"), "y", lr = 1.0, iters = 1)
+    assert(wRep.toSeq == w.toSeq)
+    val w3 = LinearModel.trainSquashedLinear(df, Seq("x1", "x2"), "y", lr = 1.0, iters = 3)
+    val w3Rep = LinearModel.trainSquashedLinear(
+      df.repartition(5), Seq("x1", "x2"), "y", lr = 1.0, iters = 3)
+    assert(w3.toSeq == w3Rep.toSeq && w3.toSeq != w.toSeq)
+    // scoring under w = (0, −0.125): row1 m=0 ⇒ 0.5 (kept at the boundary),
+    // row2 m=−0.125 ⇒ σ = 0.5 − 0.0625/1.125 = 0.4444444 (rounded to 7)
+    val s = LinearModel.scoreSquashedLinear(df, Seq("x1", "x2"), w.toSeq)
+      .select("score", "pred").as[(Double, Boolean)].collect().toSet
+    assert(s == Set((0.5, true), (0.4444444, false)), s.toString)
+    // ragged inputs refuse loudly
+    intercept[IllegalArgumentException] {
+      LinearModel.trainSquashedLinear(df, Seq("x1"), "y", lr = 1.0, iters = 0)
+    }
+  }
+
+  test("persisted linear model: name-bound serving parity and blue/green rebuild") {
+    import graft.sources.Sinks
+    val df = Seq((1L, 1.0, 0.0, 1.0), (2L, 1.0, 1.0, 0.0), (3L, 1.0, 0.5, 1.0))
+      .toDF("id", "x1", "x2", "y")
+    val w = LinearModel.trainSquashedLinear(df, Seq("x1", "x2"), "y", lr = 1.0, iters = 3)
+    val prefix = "clf_spec_model"
+    Seq(s"${prefix}_weights", s"${prefix}_meta", s"${prefix}_current")
+      .foreach(Sinks.dropManagedTable(spark, _))
+    LinearModel.writeLinearModel(spark, prefix, Seq("x1", "x2"), w.toSeq)
+    val direct = LinearModel.scoreSquashedLinear(df, Seq("x1", "x2"), w.toSeq)
+      .select("id", "score", "pred")
+    val served = LinearModel.scoreAgainstLinearModel(df, prefix)
+      .select("id", "score", "pred")
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
+    // serving binds features by STORED NAME: a reordered frame scores
+    // identically (positional binding would swap the weights)
+    val served2 = LinearModel
+      .scoreAgainstLinearModel(df.select("x2", "y", "id", "x1"), prefix)
+      .select("id", "score", "pred")
+    assert(served2.exceptAll(direct).isEmpty && direct.exceptAll(served2).isEmpty)
+    // blue/green retrain: the new generation resolves through the pointer
+    val gen = LinearModel.rebuildLinearModel(df, prefix, Seq("x1", "x2"), "y",
+      lr = 1.0, iters = 5)
+    assert(gen >= 1L)
+    val w5 = LinearModel.trainSquashedLinear(df, Seq("x1", "x2"), "y", lr = 1.0, iters = 5)
+    val direct5 = LinearModel.scoreSquashedLinear(df, Seq("x1", "x2"), w5.toSeq)
+      .select("id", "score", "pred")
+    val served5 = LinearModel.scoreAgainstLinearModel(df, prefix)
+      .select("id", "score", "pred")
+    assert(served5.exceptAll(direct5).isEmpty && direct5.exceptAll(served5).isEmpty)
+    assert(direct5.exceptAll(direct).count() > 0, "retrain must actually change scores")
+  }
 }
