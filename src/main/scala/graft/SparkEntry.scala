@@ -73,6 +73,7 @@ object SparkEntry {
       "sim_knn_ivf_rebuild", "sim_knn_ivf_sqrtn", "sim_knn_ivf_filtered",
       "sim_knn_ivf_delete",
       "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_ivfpq_ingest",
-      "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete") ++
+      "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete",
+      "tx_clf_holdout") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

@@ -27,6 +27,7 @@ object Verify {
       // corpora.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // managed tables (bucketed-join round-trip) must never land in the
       // repo cwd — the default warehouse dir is ${user.dir}/spark-warehouse

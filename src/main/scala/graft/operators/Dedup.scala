@@ -998,21 +998,35 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
+    // each round consumes the PREVIOUS round through an RDD bridge
+    // (LogicalRDD over the persisted blocks — the pageRank/bfs idiom):
+    // a round references its predecessor twice (the union and the join),
+    // so composing Datasets directly doubles the LOGICAL plan per round
+    // — execution stays incremental through the cache, but on a
+    // deep-diameter graph (many rounds) AQE's plan logging walks the
+    // 2^rounds expanded tree and stalls/OOMs the driver building a
+    // string nobody reads (measured: 20+ min on the ×10 embedding pair
+    // graph). The bridge keeps every round's plan constant-size while
+    // `persisted` still releases superseded blocks deterministically.
+    var persisted = labels
+    var bridged: DataFrame =
+      und.sparkSession.createDataFrame(labels.rdd, labels.schema)
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
-      val viaNeighbor = und.join(labels, und("src") === labels("id"))
+      val viaNeighbor = und.join(bridged, und("src") === bridged("id"))
         .select(col("dst").as("id"), col("rep"))
-      val next = labels.union(viaNeighbor)
+      val next = bridged.union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       // next is materialized; the superseded round's blocks go NOW, not at
       // GC — deterministic release is the whole point of this loop shape.
-      labels.unpersist()
+      persisted.unpersist()
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels = next
+      persisted = next
+      bridged = und.sparkSession.createDataFrame(next.rdd, next.schema)
       iter += 1
     }
     und.unpersist()
@@ -1020,7 +1034,7 @@ object Dedup {
     // (split clusters) with no signal; a pathological >maxIter-diameter
     // chain should fail loudly so the caller raises maxIter deliberately.
     if (!converged) {
-      labels.unpersist()
+      persisted.unpersist()
       throw new IllegalArgumentException(
         s"requirement failed: connectedComponents did not converge within " +
           s"maxIter=$maxIter rounds — a component's diameter exceeds the " +
@@ -1028,8 +1042,8 @@ object Dedup {
     }
     // truncate the per-round lineage and hand back a frame whose only
     // retained blocks are the final (tiny) label set.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    val out = bridged.localCheckpoint(true)
+    persisted.unpersist()
     out
   }
 
@@ -1393,44 +1407,58 @@ object Dedup {
       idCol: String,
       tokens: Column,
       threshold: Double): DataFrame = {
+    val toks = setSimTokens(df, idCol, tokens, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the result is pair-bounded; materialize so the persist scope can
+    // close before the caller consumes it
+    try setSimilarityJoinBody(toks, threshold).localCheckpoint(true)
+    finally toks.unpersist()
+  }
+
+  /** Lazy end-to-end plan of [[setSimilarityJoin]] for plan audits (the
+    * [[cdcContainmentPlan]] convention — the production path checkpoints,
+    * which hides the plan).
+    */
+  private[graft] def setSimilarityJoinPlan(
+      df: DataFrame, idCol: String, tokens: Column, threshold: Double): DataFrame =
+    setSimilarityJoinBody(setSimTokens(df, idCol, tokens, threshold), threshold)
+
+  private def setSimTokens(
+      df: DataFrame, idCol: String, tokens: Column, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1] — at 0 the prefix is the " +
         "whole set and the join degenerates to all-pairs")
-    val toks = df
-      .select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(tokens)).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = toks.groupBy("id").agg(count(lit(1)).as("s"))
-      val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      // per-doc rarity order; tok is distinct within a doc so the order
-      // is total and the prefix deterministic
-      val byDoc = Window.partitionBy("id").orderBy("df", "tok")
-      val prefix = toks.join(dfT, "tok")
-        .join(sizes, "id")
-        .withColumn("rn", row_number().over(byDoc))
-        .filter(col("rn") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
-        .select("id", "tok", "s")
-      val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
-            least(col("x.s"), col("y.s")) >=
-              lit(threshold) * greatest(col("x.s"), col("y.s")))
-        .select(col("x.id").as("a"), col("y.id").as("b"),
-          col("x.s").as("sa"), col("y.s").as("sb"))
-        .distinct()
-      val ta = toks.select(col("id").as("a"), col("tok"))
-      val tb = toks.select(col("id").as("b"), col("tok"))
-      cand.join(ta, "a").join(tb, Seq("b", "tok"))
-        .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("c"))
-        .withColumn("jaccard",
-          round(col("c").cast("double") / (col("sa") + col("sb") - col("c"))
-            + 1e-9, 4))
-        .filter(col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-        // the candidate set is pair-bounded; materialize so the persist
-        // scope can close before the caller consumes the result
-        .localCheckpoint(true)
-    } finally toks.unpersist()
+    df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(tokens)).as("tok"))
+  }
+
+  private def setSimilarityJoinBody(toks: DataFrame, threshold: Double): DataFrame = {
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("s"))
+    val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc rarity order; tok is distinct within a doc so the order
+    // is total and the prefix deterministic
+    val byDoc = Window.partitionBy("id").orderBy("df", "tok")
+    val prefix = toks.join(dfT, "tok")
+      .join(sizes, "id")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+      .select("id", "tok", "s")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+          least(col("x.s"), col("y.s")) >=
+            lit(threshold) * greatest(col("x.s"), col("y.s")))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.s").as("sa"), col("y.s").as("sb"))
+      .distinct()
+    val ta = toks.select(col("id").as("a"), col("tok"))
+    val tb = toks.select(col("id").as("b"), col("tok"))
+    cand.join(ta, "a").join(tb, Seq("b", "tok"))
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("sa") + col("sb") - col("c"))
+          + 1e-9, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
   }
 
   /** Benchmark decontamination — the train/eval overlap check every

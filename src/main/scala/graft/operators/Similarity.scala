@@ -127,25 +127,43 @@ object Similarity {
     * cluster anti-filter, with slack ≥ the largest duplicate cluster
     * intersecting the probed cells — the brute formulation here is the
     * exact baseline that certifies it.
+    *
+    * Pass a MATERIALIZED `dupEdges` frame (the suite's pair-edge memos
+    * are localCheckpointed): handing the live LSH/chunk-join plan here
+    * makes the CC rounds reference it repeatedly, and AQE's per-stage
+    * plan logging then expands the shared subtree into a string large
+    * enough to stall or OOM the driver (measured on the ×10 batch).
     */
   def hardNegatives(
       corpus: DataFrame,
       idCol: String,
       embCol: String,
       dupEdges: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      anchorPred: Column = lit(true)): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     val cc = Dedup.connectedComponents(dupEdges)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .withColumn("cn", l2Norm(col("ce")))
       .join(cc.select(col("id").as("neighbor_id"), col("rep").as("nrep")),
         Seq("neighbor_id"), "left")
+    // `anchorPred` restricts WHICH anchors get mined this call (the
+    // production shape: negatives are mined per training batch, not for
+    // every clustered vector at once — per-anchor cost is a corpus scan,
+    // so the caller sizes the anchor batch, the corpus sizes the scan)
     val anchors = corpus.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .filter(anchorPred)
       .join(cc.select(col("id").as("query_id"), col("rep").as("qrep")), "query_id")
       .withColumn("qn", l2Norm(col("qe")))
+    // project the vectors AWAY before the ranking window: an
+    // anchors×corpus row stream carrying two 64-dim arrays through the
+    // window shuffle is the memory cliff (measured: OOM at the ×10
+    // decade); after this projection each row is 3 scalars and Spark's
+    // WindowGroupLimit keeps per-partition top-k before the shuffle
     val scored = broadcast(anchors).join(c,
         col("query_id") =!= col("neighbor_id") && !(col("nrep") <=> col("qrep")))
-      .withColumn("cos", round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 7))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 7).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

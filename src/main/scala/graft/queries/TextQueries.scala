@@ -113,11 +113,22 @@ object TextQueries {
     * `tx_quality_classifier` reports it, the streaming serving parity
     * consumes it with a pinned-TRUE certificate.
     */
-  private[queries] def classifierCtes: String =
+  private[queries] def classifierCtes: String = classifierCtesImpl(holdout = false)
+
+  /** The holdout variant: train on doc_id % 5 ≠ 0, score the held-out
+    * fifth — same replay, different frames bound to the GD loop and the
+    * scoring margin.
+    */
+  private[queries] def classifierHoldoutCtes: String = classifierCtesImpl(holdout = true)
+
+  private def classifierCtesImpl(holdout: Boolean): String = {
+    val trainWhere = if (holdout) " WHERE doc_id % 5 <> 0" else ""
+    val testCte =
+      if (holdout) "ftest AS (SELECT * FROM fall WHERE doc_id % 5 = 0),\n" else ""
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS toks
        |  FROM documents),
-       |f AS (
+       |fall AS (
        |  SELECT doc_id,
        |    1.0 AS x1,
        |    least(len(toks) / 50.0, 1.0) AS x2,
@@ -131,13 +142,15 @@ object TextQueries {
        |               / len(toks)) / 8.0, 1.0) * 0.2 + 0.000000001, 4) >= 0.62
        |      THEN 1.0 ELSE 0.0 END AS y
        |  FROM t),
-       |${gdCtes(ClfIters, ClfLr.toString)},
+       |f AS (SELECT * FROM fall$trainWhere),
+       |$testCte${gdCtes(ClfIters, ClfLr.toString, if (holdout) "ftest" else "f")},
        |sc AS (
        |  SELECT doc_id, y,
        |         round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s7
        |  FROM mf)""".stripMargin
+  }
 
-  private def gdCtes(iters: Int, lr: String): String = {
+  private def gdCtes(iters: Int, lr: String, scoreFrom: String): String = {
     val sig = "(0.5 + (0.5 * m) / (1.0 + abs(m)))"
     val ds = "(0.5 / ((1.0 + abs(m)) * (1.0 + abs(m))))"
     val grads = (1 to 4).map { j =>
@@ -156,10 +169,10 @@ object TextQueries {
        |    FROM gd, f WHERE gd.it < $iters) z
        |  GROUP BY it, w1, w2, w3, w4),
        |mf AS (
-       |  SELECT f.doc_id, f.y,
-       |    (((f.x1 * fw.w1) + (f.x2 * fw.w2)) + (f.x3 * fw.w3))
-       |      + (f.x4 * fw.w4) AS m
-       |  FROM f, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $iters) fw)""".stripMargin
+       |  SELECT $scoreFrom.doc_id, $scoreFrom.y,
+       |    ((($scoreFrom.x1 * fw.w1) + ($scoreFrom.x2 * fw.w2)) + ($scoreFrom.x3 * fw.w3))
+       |      + ($scoreFrom.x4 * fw.w4) AS m
+       |  FROM $scoreFrom, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $iters) fw)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -195,6 +208,29 @@ object TextQueries {
           col("pred").as("pred_keep"),
           (col("y") === 1.0).as("is_good"))
         .orderBy("doc_id")
+    }),
+
+    // Held-out generalization check — the train/eval split discipline:
+    // the probe trains on doc_id % 5 != 0 ONLY and scores the unseen
+    // fifth; `holdout_acc_ok` certifies held-out agreement >= 0.8
+    // (measured 0.930/0.936 at sf0.01/0.1 vs a 0.54 test base rate), so
+    // a memorization-only or degenerate fit fails the gate. The oracle
+    // replays the split, the 50 train rounds, and the test scoring.
+    "tx_clf_holdout" -> ((s, d) => {
+      val feats = classifierFeatures(s, d)
+      val train = feats.filter(col("doc_id") % 5 =!= 0)
+      val test = feats.filter(col("doc_id") % 5 === 0)
+      val w = LinearModel.trainSquashedLinear(train, ClfXCols, "y", ClfLr, ClfIters)
+      val scored = LinearModel.scoreSquashedLinear(test, ClfXCols, w.toSeq)
+        .select(col("doc_id"),
+          round(col("score") + 1e-9, 4).as("score"),
+          col("pred").as("pred_keep"),
+          (col("y") === 1.0).as("is_good"))
+        .localCheckpoint(true) // consumed by the certificate AND the output
+      val acc = scored
+        .agg(avg(when(col("pred_keep") === col("is_good"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      scored.withColumn("holdout_acc_ok", lit(acc >= 0.8)).orderBy("doc_id")
     }),
 
     "tx_quality" -> ((s, d) =>
@@ -860,6 +896,15 @@ object TextQueries {
         s"""$classifierCtes
            |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
            |       s7 >= 0.5 AS pred_keep, (y = 1.0) AS is_good
+           |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // train on 4/5, score the unseen fifth; the certificate is
+      // pinned TRUE — a sub-floor held-out accuracy hash-mismatches
+      "tx_clf_holdout" ->
+        s"""$classifierHoldoutCtes
+           |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
+           |       s7 >= 0.5 AS pred_keep, (y = 1.0) AS is_good,
+           |       TRUE AS holdout_acc_ok
            |FROM sc ORDER BY doc_id""".stripMargin,
 
       "tx_quality" ->

@@ -618,6 +618,10 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // cap AQE's per-stage plan-change logging: a plan whose printed
+      // tree expands shared subtrees can otherwise OOM/burn the driver
+      // building a string nobody reads (seen on the r10 batch)
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_scalebench")
@@ -720,6 +724,56 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (which == "r10") {
+      // progressive per-query prints (x1 then x10 back-to-back per query)
+      // so a mid-suite failure still leaves the earlier measurements on
+      // stdout
+      val fam = Seq("d_setsim_exact", "d_dedup_keep_best",
+        "tx_quality_classifier")
+      fam.foreach { n =>
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+      fam.foreach { n =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val r1 = SparkEntry.queries(n)(spark, src).count()
+        val t1 = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val t2 = System.nanoTime()
+        val r10 = SparkEntry.queries(n)(spark, scaleDir).count()
+        val t10 = (System.nanoTime() - t2) / 1e9
+        println(f"R10 $n%-22s x1 $t1%7.2f s ($r1%8d rows)  x10 $t10%7.2f s " +
+          f"($r10%9d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
+      }
+      // hard negatives measured in the SERVING shape (the ann-batch
+      // design): a FIXED anchor batch — copy-0 ids, present identically
+      // at both scales — against the growing corpus. Mining negatives
+      // for every clustered vector at once is a deliberate non-goal:
+      // the ×10 rotation corpus makes ~3/4 of all vectors anchors, an
+      // anchors×corpus brute product nothing should plan.
+      import graft.operators.{Dedup, Similarity}
+      def mineFixed(dir: String): (Double, Long) = {
+        spark.catalog.clearCache()
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        // materialize the edge frame exactly like the production memo
+        // does — CC-on-a-live-chunked-join-plan makes AQE's per-stage
+        // plan logging explode (measured: 20+ min of generateTreeString)
+        val edges = Dedup.embeddingPairs(e, "vec_id", "embedding", "label",
+          threshold = 0.38, chunkRows = 256).select("a", "b")
+          .localCheckpoint(true)
+        val n = Similarity.hardNegatives(e, "vec_id", "embedding", edges, k = 3,
+          anchorPred = col("query_id") < 10000000L).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (h1, hr1) = mineFixed(src)
+      val (h10, hr10) = mineFixed(scaleDir)
+      println(f"R10 sim_hard_negatives(fixed-anchor batch) x1 $h1%7.2f s ($hr1%8d rows)  " +
+        f"x10 $h10%7.2f s ($hr10%9d rows)  ratio ${h10 / h1}%6.2f  exp ${math.log10(h10 / h1)}%5.2f")
+      spark.stop()
+      return
+    }
     if (which == "x100") {
       val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
       runX100(spark, src, scaleDir, scale100)
@@ -781,6 +835,17 @@ object ScaleBench {
       // minhash `hotcap` batch)
       case "phash" => Seq("mm_ahash_pairs", "mm_ahash_pairs_capped",
         "mm_video_hash_pairs", "mm_video_hash_pairs_capped")
+      // round-10: the exact set-similarity join (prefix filtering — the
+      // claim is that candidate volume is bounded by RARE-token df, so
+      // the decade should stay near-linear even though the guarantee is
+      // exact), quality-aware survivor selection (keepSurvivors + one
+      // window — same CC-bound shape), the classifier (fixed 50-round GD
+      // = 50 linear corpus aggregations, expected ~linear), and the
+      // hard-negative miner (brute anchors×corpus baseline — expected
+      // SUPER-linear on purpose: the honest contrast with the documented
+      // IVF-probe + slack serving path, like the embpairs batch)
+      case "r10" => Seq("d_setsim_exact", "d_dedup_keep_best",
+        "tx_quality_classifier", "sim_hard_negatives")
       case _ => DedupFamily ++ WarehouseFamily ++ RangeJoinFamily
     }
 

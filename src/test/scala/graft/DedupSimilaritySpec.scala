@@ -1448,6 +1448,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keptTie == Set(1L, 3L), s"got $keptTie")
   }
 
+  test("hard negatives exclude the whole dup cluster; anchorPred batches anchors") {
+    import graft.operators.Similarity
+    // 0-1-2 form a dup chain (cluster {0,1,2}); 3,4 are clean
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)), (2L, Array(0.98f, 0.02f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", edges, k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    val byAnchor = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byAnchor.keySet == Set(0L, 1L, 2L), "anchors = clustered ids only")
+    // anchor 0's negatives: transitively-linked 2 must NOT appear even
+    // though (0,2) is not a direct edge; nearest non-cluster = 3 then 4
+    assert(byAnchor(0L) == Seq(3L, 4L), byAnchor.toString)
+    // anchor batching: predicate restricts anchors, rows unchanged
+    val batch = Similarity.hardNegatives(vecs, "vec_id", "embedding", edges, k = 2,
+        anchorPred = col("query_id") === 1L)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    assert(batch.map(_._1).toSet == Set(1L))
+    assert(batch.sortBy(_._2).map(_._3).toSeq == byAnchor(1L))
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),

@@ -37,6 +37,26 @@ class PlanSpec extends SparkSpec {
       s"expected the cid self-join in:\n$p")
   }
 
+  test("exact set-similarity join plans equi joins only — never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val toks = graft.functions.CrossHash.tokens(col("text"))
+    val p = graft.operators.Dedup.setSimilarityJoinPlan(
+        docs, "doc_id", graft.functions.CrossHash.wordShingles(toks, 3), threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must keep candidate generation an equi join on tok:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the prefix-token equi join in:\n$p")
+  }
+
+  test("SCD2 point-in-time join is windows + equi joins — no range cross product") {
+    val p = plan("q_scd2_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the as-of spelling must never plan a validity-range cross product:\n$p")
+    assert(p.contains("Window"), s"expected the as-of window pass in:\n$p")
+  }
+
   test("correlated EXISTS decorrelates to a left semi join, no per-row subplan") {
     val p = plan("q_exists_correlated")
     assert(p.contains("LeftSemi"), s"expected a semi join in:\n$p")
