@@ -74,6 +74,8 @@ object SparkEntry {
       "sim_knn_ivf_delete",
       "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_ivfpq_ingest",
       "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete",
-      "tx_clf_holdout") ++
+      "tx_clf_holdout",
+      "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
+      "tx_bm25_rebuild") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

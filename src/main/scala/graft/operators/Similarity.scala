@@ -142,7 +142,12 @@ object Similarity {
       k: Int,
       anchorPred: Column = lit(true)): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
-    val cc = Dedup.connectedComponents(dupEdges)
+    // star CC, not the min-label loop: a dense near-dup graph's component
+    // DIAMETER grows with corpus size (the ×10 decade's 0.38-threshold
+    // pair graph exceeded 20 label-hop rounds), while the star operators
+    // converge in O(log n) rounds at any diameter — same (id, rep = min
+    // node id) contract, so the mined negatives are identical
+    val cc = Dedup.connectedComponentsStar(dupEdges)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
       .withColumn("cn", l2Norm(col("ce")))
       .join(cc.select(col("id").as("neighbor_id"), col("rep").as("nrep")),

@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index — the SPARSE-retrieval serving tier, the
+  * seventh persisted index family (after minhash / gram / IVF / IVF-PQ /
+  * k-means / linear-model). Where the dense tier answers "vectors near
+  * this query vector" through IVF cells, this tier answers "documents
+  * matching these query terms, BM25-ranked" through bucketed postings
+  * lists — the retrieval half of a RAG pipeline that a dense index cannot
+  * express (exact term semantics, no training, instant ingest).
+  *
+  * The reference pipeline has no retrieval at all (it is a table-copy ELT,
+  * see `/root/reference/etl_process.py:18-23`); this tier is part of the
+  * mandated LLM-pipeline extension surface, reusing the exact BM25
+  * arithmetic of [[Text.bm25]] so the one-shot and the served paths are
+  * oracle-equal.
+  *
+  * Catalog layout under `tablePrefix` (generation-resolved through the
+  * same `_current` pointer chain as every other family — see
+  * [[graft.sources.Sinks.rebuildCutover]]):
+  *
+  *   - `_postings` (term, id, tf)  bucketed+sorted by `term` — the
+  *     postings lists. A probe filters `term IN (query terms)`, which
+  *     Spark serves with BUCKET PRUNING (only the buckets the query terms
+  *     hash to are read — `SelectedBucketsCount` in the scan, pinned in
+  *     PlanSpec); at 100 TB the probe cost is O(matched postings), never
+  *     a corpus scan.
+  *   - `_doclens` (id, dl)  bucketed+sorted by `id` — document lengths
+  *     for the BM25 length normalization. Joined only against the
+  *     (tiny) matched-id set; the index side never re-shuffles.
+  *   - `_stats` (batch_id, n_docs, tot_dl) — PARTIAL corpus statistics,
+  *     one row per build/ingest/delete verb (deletes append NEGATIVE
+  *     compensation rows). Probes sum this metadata-sized table instead
+  *     of re-aggregating `_doclens`, so global stats stay O(#batches).
+  *   - `_tombstones` (id) — deleted document ids. Probes anti-join their
+  *     (small) candidate sets against it; document-frequency is computed
+  *     live from the PROBED terms' surviving postings, so deletion
+  *     correctness falls out with no stored-df bookkeeping at all.
+  *   - `_meta` (k1, b, buckets) — scoring parameters + layout, written
+  *     LAST as the completeness marker (crash mid-build leaves a metaless
+  *     prefix nothing resolves to).
+  */
+object TextIndex {
+
+  private[graft] val Suffixes =
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+
+  private def postingsOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), explode(toks).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+
+  private def doclensOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      size(toks).cast("long").as("dl"))
+
+  /** Build the index over `docs`. Layout + scoring params land in `_meta`
+    * (LAST); stats land as the batch_id = -1 base partial.
+    */
+  def writeTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      buckets: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): Unit = {
+    val spark = docs.sparkSession
+    val lens = doclensOf(docs, idCol, toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sinks.writeBucketedTable(
+        postingsOf(docs, idCol, toks), s"${tablePrefix}_postings", buckets, "term")
+      graft.sources.Sinks.writeBucketedTable(
+        lens, s"${tablePrefix}_doclens", buckets, "id")
+      lens.agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${tablePrefix}_stats")
+      spark.createDataFrame(Seq((0L, 0L))).toDF("id", "pad")
+        .filter(lit(false)).select("id")
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${tablePrefix}_tombstones")
+      spark.createDataFrame(Seq((k1, b, buckets))).toDF("k1", "b", "buckets")
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+    } finally lens.unpersist()
+  }
+
+  /** One ingest cycle: append the batch's postings + doclens
+    * bucket-aligned (probes stay zero-rescan as the index grows) and its
+    * stats partial. Cost per call is O(|batch| tokens) — one aggregation,
+    * two bucketed appends, never a corpus re-scan. This is the
+    * `foreachBatch` body of a streaming retrieval ingest
+    * (`st_text_index_parity`).
+    */
+  def ingestIntoTextIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      batchId: Long = -1L): Unit = {
+    val spark = newDocs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val buckets = spark.table(s"${tp}_meta").head().getInt(2)
+    val lens = doclensOf(newDocs, idCol, toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postingsOf(newDocs, idCol, toks).write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${tp}_postings")
+      lens.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tp}_doclens")
+      lens.agg(lit(batchId).as("batch_id"), count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+        .write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(s"${tp}_stats")
+    } finally lens.unpersist()
+  }
+
+  /** Exactly-once wrapper around [[ingestIntoTextIndex]] — the
+    * batchId-keyed write-ahead-ledger recipe with [[deleteFromTextIndex]]
+    * as the crash-recovery scrub (per-document rows, so the anti-join
+    * scrub applies — unlike the gram index's df partials). Returns true
+    * when the batch was applied, false on a redelivery skip.
+    */
+  def exactlyOnceIngestIntoTextIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      batchId: Long): Boolean = {
+    val spark = newDocs.sparkSession
+    graft.sources.Sinks.exactlyOnceBatch(
+        spark, s"${tablePrefix}_applied", batchId) {
+      hardDeleteFromTextIndex(spark, tablePrefix,
+        newDocs.select(col(idCol).cast("long").as("id")))
+    } {
+      ingestIntoTextIndex(newDocs, idCol, toks, tablePrefix, batchId)
+    }.isDefined
+  }
+
+  /** Take documents down: tombstone their ids and append a NEGATIVE stats
+    * compensation row (their count and summed dl, looked up from
+    * `_doclens`). Idempotent — already-tombstoned ids are skipped, so a
+    * retried delete cannot double-compensate. Postings rows stay on disk
+    * until [[compactTextIndex]]; probes are correct immediately because
+    * candidates anti-join the tombstones and df is computed from the
+    * surviving postings of the probed terms only.
+    */
+  def deleteFromTextIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      ids: DataFrame): Unit = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val fresh = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct()
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val comp = fresh.join(spark.table(s"${tp}_doclens"), Seq("id"))
+      .agg(lit(-2L).as("batch_id"), (-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("tot_dl"))
+      .localCheckpoint(true)
+    comp.write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tp}_stats")
+    fresh.write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tp}_tombstones")
+  }
+
+  /** Physical excision (the exactly-once scrub): rewrite postings and
+    * doclens without `ids`' rows through the bucket-preserving compaction
+    * path, and remove any stats partials those ids contributed by
+    * re-summing. Used only by the ledger scrub, where the partial batch's
+    * ids are known exactly; routine take-downs use the cheap
+    * [[deleteFromTextIndex]].
+    */
+  private def hardDeleteFromTextIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      ids: DataFrame): Unit = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val gone = ids.select(col("id")).distinct().localCheckpoint(true)
+    graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
+      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
+    graft.sources.Sinks.compactTable(spark, s"${tp}_doclens",
+      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
+    // stats: recompute the single base partial from the surviving doclens
+    // (metadata-sized result; the scan is the same cost the scrub's two
+    // rewrites above already paid)
+    val st = spark.table(s"${tp}_doclens")
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+      .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+      .localCheckpoint(true)
+    st.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tp}_stats")
+  }
+
+  /** BM25 top-k probe against the ACTIVE generation. Exactly
+    * [[Text.bm25]]'s arithmetic (decimal-summed contributions, round 4,
+    * +1e-9) over the index's stored state:
+    *
+    *   - postings filtered to the query terms — served by bucket pruning,
+    *   - tombstone anti-join on the (small) matched set,
+    *   - df computed live from the surviving matched postings (tiny:
+    *     only the probed terms), so deletes need no df maintenance,
+    *   - global n_docs / avgdl from the summed `_stats` partials
+    *     (metadata-sized, broadcast).
+    *
+    * Returns (id, dl, bm25) ordered by bm25 desc, id — deterministic
+    * under the round-4 scores.
+    */
+  def bm25AgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      kTop: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25AgainstIndex: no query terms")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
+    val (k1, b) = (m.getDouble(0), m.getDouble(1))
+    val stats = spark.table(s"${tp}_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+    val tomb = spark.table(s"${tp}_tombstones")
+    val post = spark.table(s"${tp}_postings")
+      .filter(col("term").isInCollection(queryTerms))
+      .join(tomb, Seq("id"), "left_anti")
+    val dfreq = post.groupBy("term").agg(countDistinct("id").as("df"))
+    post.join(broadcast(dfreq), "term")
+      .join(spark.table(s"${tp}_doclens"), "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("id", "dl")
+      .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
+        .as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(kTop)
+  }
+
+  /** Lazy probe plan for plan audits (PlanSpec pins bucket pruning on the
+    * postings scan) — identical to [[bm25AgainstIndex]], which is already
+    * lazy; alias kept for the sibling families' naming convention.
+    */
+  private[graft] def bm25AgainstIndexPlan(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      kTop: Int): DataFrame =
+    bm25AgainstIndex(spark, tablePrefix, queryTerms, kTop)
+
+  /** Blue/green rebuild — for scoring-parameter (k1/b) or bucket-count
+    * changes; same pointer/resolve contract as the sibling families.
+    * Returns the new generation number.
+    */
+  def rebuildTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String,
+      buckets: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): Long =
+    graft.sources.Sinks.rebuildCutover(docs.sparkSession, tablePrefix,
+      Suffixes) { g =>
+      writeTextIndex(docs, idCol, toks, g, buckets, k1, b)
+    }
+
+  /** Fork (snapshot) the active generation into an independent staging
+    * copy — the copy-on-write verb mutation trials run on.
+    */
+  def snapshotTextIndex(
+      spark: SparkSession,
+      fromPrefix: String,
+      toPrefix: String): Unit =
+    graft.sources.Sinks.snapshotTablePrefix(spark, fromPrefix, toPrefix, Suffixes)
+
+  /** Vacuum: fold tombstoned rows out of postings/doclens (bucket
+    * layout preserved — probes keep their pruned scans), re-sum the
+    * stats partials to one base row, and truncate the tombstones.
+    * Returns (input files, output files) for the postings rewrite.
+    */
+  def compactTextIndex(spark: SparkSession, tablePrefix: String): (Int, Int) = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val gone = spark.table(s"${tp}_tombstones").localCheckpoint(true)
+    val res = graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
+      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
+    graft.sources.Sinks.compactTable(spark, s"${tp}_doclens",
+      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
+    val st = spark.table(s"${tp}_doclens")
+      .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+      .localCheckpoint(true)
+    st.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tp}_stats")
+    gone.limit(0).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tp}_tombstones")
+    res
+  }
+}

@@ -1177,6 +1177,54 @@ object StreamQueries {
     // sum(n_docs) over the index must equal the independently recomputed
     // distinct (doc, gram) count over ALL documents — a dropped or
     // double-appended batch flips index_ok.
+    // Streaming retrieval ingest — the inverted-index family's twin: the
+    // base index serves 90% of the corpus, the remaining tenth arrives as
+    // four micro-batches whose foreachBatch body is the production
+    // exactly-once ingest (batchId-keyed ledger). The post-drain BM25
+    // probe must equal the one-shot full-corpus Text.bm25 oracle
+    // verbatim — a lost batch shifts n_docs/avgdl/df, a duplicated one
+    // doubles a tf — and the certificate additionally pins the index's
+    // stats-vs-corpus totals.
+    "st_text_index_parity" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.TextIndex
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val tk = CrossHash.tokens(col("text"))
+      val splitDir = fixtureDir("ti", d, "documents", "docs4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.filter(col("doc_id") % 10 === 0)
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"ti_stream_index_${ScratchKeys.forPath(d)}"
+      (TextIndex.Suffixes :+ "_applied")
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(s, s"$prefix$sfx"))
+      TextIndex.writeTextIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", tk, prefix, buckets = 8)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ti_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              TextIndex.exactlyOnceIngestIntoTextIndex(batch.toDF(), "doc_id",
+                CrossHash.tokens(col("text")), prefix, bid): Unit)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val nAll = docs.count()
+      val statsN = s.table(s"${prefix}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      val lensN = s.table(s"${prefix}_doclens").count()
+      TextIndex.bm25AgainstIndex(s, prefix, TextQueries.BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .withColumn("index_ok", lit(statsN == nAll && lensN == nAll))
+    }),
+
     "st_gram_index_parity" -> ((s, d) => {
       import graft.functions.CrossHash
       import graft.operators.Dedup
@@ -1585,6 +1633,9 @@ object StreamQueries {
     // certificate — four streamed df-partial appends must lose nothing a
     // one-shot batch marking keeps, including spans whose two documents
     // arrived in different micro-batches.
+    "st_text_index_parity" ->
+      TextQueries.bm25OracleSql("", extraCols = ", TRUE AS index_ok"),
+
     "st_gram_index_parity" ->
       s"""WITH ${DedupQueries.GramSpansIndexedBody}
          |SELECT doc_id, start_pos, n_grams, span_words, TRUE AS index_ok

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.operators.{LinearModel, Multimodal, Text}
+import graft.operators.{LinearModel, Multimodal, Text, TextIndex}
 import graft.sources.Tables
 
 /** Text-analysis + multimodal-plumbing tier over `documents`: language ID,
@@ -29,6 +29,25 @@ object TextQueries {
     }
 
   private def toks = CrossHash.tokens(col("text"))
+
+  /** Shared persisted inverted-index BASE (the 75% corpus at the serving
+    * scoring params k1=1.2/b=0.75): `tx_bm25_indexed` probes it
+    * read-only; the mutating verb trials (`tx_bm25_ingest`,
+    * `tx_bm25_delete`) FORK it first — the build-once / fork-to-stage
+    * discipline every persisted family follows. Built once per
+    * (session, corpus).
+    */
+  private[queries] def ensureTextBase(s: SparkSession, d: String): String = {
+    val prefix = s"ti_base_${ScratchKeys.forPath(d)}"
+    IndexMemo.ensure(s, s"ti_base:$d") {
+      TextIndex.Suffixes
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(s, s"$prefix$sfx"))
+      TextIndex.writeTextIndex(
+        docs(s, d).filter(col("doc_id") % 4 =!= 3), "doc_id", toks,
+        prefix, buckets = 8)
+    }
+    prefix
+  }
 
   /** Fixed BM25 query bag — high-signal corpus terms (see the generator's
     * vocabulary in TESTDATA.md); the scoring is term-agnostic.
@@ -297,6 +316,109 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("dl"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
+
+    // SERVED BM25 — the sparse-retrieval index family's read-only probe:
+    // top-20 against the persisted inverted index (postings bucketed by
+    // term → bucket-pruned scan, stats partials summed, df computed live
+    // from the probed terms). Must equal the one-shot Text.bm25 over the
+    // indexed subset — the oracle replays exactly that.
+    "tx_bm25_indexed" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+    }),
+
+    // Exactly-once retrieval ingest under at-least-once delivery — the
+    // minhash tier's d_exactly_once_ingest discipline on the inverted
+    // index: the day's batch arrives twice-ish (a mid-append crash with
+    // intent recorded and half the rows in, then a full redelivery after
+    // success). The ledger must scrub the partial residue (physical
+    // excision through the bucket-preserving compaction path + stats
+    // re-sum) and skip the redelivery, leaving the index EXACTLY the
+    // clean build: the probe must match the full-corpus one-shot BM25,
+    // and the certificate pins stats-vs-corpus totals and the three verb
+    // outcomes.
+    "tx_bm25_ingest" -> ((s, d) => {
+      val prefix = s"ti_eo_${ScratchKeys.forPath(d)}"
+      (TextIndex.Suffixes :+ "_applied")
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(s, s"$prefix$sfx"))
+      TextIndex.snapshotTextIndex(s, ensureTextBase(s, d), prefix)
+      val day = docs(s, d).filter(col("doc_id") % 4 === 3)
+      val batch0 = day.filter(col("doc_id") % 2 === 0)
+      val batch1 = day.filter(col("doc_id") % 2 =!= 0)
+      val applied0 = TextIndex.exactlyOnceIngestIntoTextIndex(
+        batch0, "doc_id", toks, prefix, batchId = 0)
+      // stage the mid-append crash: intent recorded, part of the batch
+      // landed, no commit — the state a died executor leaves behind
+      graft.sources.Sinks.recordLedger(s, s"${prefix}_applied", 1L, "intent")
+      TextIndex.ingestIntoTextIndex(
+        batch1.filter(col("doc_id") % 3 === 0), "doc_id", toks, prefix, batchId = 1)
+      val recovered = TextIndex.exactlyOnceIngestIntoTextIndex(
+        batch1, "doc_id", toks, prefix, batchId = 1)
+      // checkpoint-lag redelivery of the committed batch — must skip
+      val skipped = !TextIndex.exactlyOnceIngestIntoTextIndex(
+        batch1, "doc_id", toks, prefix, batchId = 1)
+      val nAll = docs(s, d).count()
+      val statsN = s.table(s"${prefix}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      val lensN = s.table(s"${prefix}_doclens").count()
+      val ok = applied0 && recovered && skipped && statsN == nAll && lensN == nAll
+      TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .withColumn("ingest_ok", lit(ok))
+    }),
+
+    // Retrieval take-down + vacuum: a third of the indexed documents are
+    // tombstoned (stats compensated by a negative partial; postings left
+    // in place — probes anti-join the tombstones and df is computed from
+    // the surviving probed postings, so correctness is immediate), then
+    // the index is COMPACTED (tombstoned rows folded out through the
+    // bucket-preserving rewrite, stats re-summed, tombstones truncated)
+    // and the probe must be bit-identical pre/post vacuum. The oracle
+    // recomputes BM25 with the deleted docs absent — n_docs, avgdl and
+    // df all shift, so a stale stat or a leaked posting hash-mismatches.
+    "tx_bm25_delete" -> ((s, d) => {
+      val prefix = s"ti_del_${ScratchKeys.forPath(d)}"
+      TextIndex.snapshotTextIndex(s, ensureTextBase(s, d), prefix)
+      TextIndex.deleteFromTextIndex(s, prefix,
+        docs(s, d).filter(col("doc_id") % 4 =!= 3 && col("doc_id") % 3 === 0)
+          .select("doc_id"))
+      val before = TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .localCheckpoint(true)
+      TextIndex.compactTextIndex(s, prefix)
+      val after = TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .localCheckpoint(true)
+      val same = before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty
+      val tombEmpty = s.table(s"${prefix}_tombstones").isEmpty
+      before.withColumn("compact_ok", lit(same && tombEmpty))
+    }),
+
+    // Blue/green rebuild of the retrieval index — scoring-parameter
+    // change (k1/b), which silently shifts every stored-parameter score:
+    // the index first serves a stale (k1=2.0, b=0.5) generation whose
+    // top-20 DIFFERS from the serving parameters', then rebuildTextIndex
+    // re-scores nothing (postings are parameter-free) but re-stamps the
+    // scoring params and flips the pointer. The post-cutover probe must
+    // match the serving-parameter oracle verbatim — impossible through
+    // the stale meta — and the certificate pins gen=1 + bare tables
+    // retired.
+    "tx_bm25_rebuild" -> ((s, d) => {
+      val prefix = s"ti_rb_${ScratchKeys.forPath(d)}"
+      (TextIndex.Suffixes.map(sfx => s"$prefix$sfx") ++
+        TextIndex.Suffixes.map(sfx => s"${prefix}_g1$sfx") :+ s"${prefix}_current")
+        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val base = docs(s, d).filter(col("doc_id") % 4 =!= 3)
+      TextIndex.writeTextIndex(base, "doc_id", toks, prefix, buckets = 8,
+        k1 = 2.0, b = 0.5)
+      val gen = TextIndex.rebuildTextIndex(base, "doc_id", toks, prefix,
+        buckets = 8, k1 = 1.2, b = 0.75)
+      val retired = !s.catalog.tableExists(s"${prefix}_postings")
+      TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .withColumn("rebuild_ok", lit(gen == 1L && retired))
+    }),
 
     // Repetition signals: Gopher-style duplicate/top-gram mass counts per
     // document with an integer-arithmetic `repetitive` gate (top word ≥
@@ -873,6 +995,45 @@ object TextQueries {
       |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS h_hi
       |  FROM bits GROUP BY asset_id, f)""".stripMargin
 
+  /** Parameterized BM25 replay — the inverted-index probes' oracle: the
+    * exact `tx_bm25` SQL with the corpus restricted by `docWhere` (the
+    * build/ingest/delete doc-set algebra) and the scoring params
+    * interpolated (Scala's shortest-round-trip double printing and
+    * DuckDB's literal parsing agree bit-for-bit, same device as every
+    * interpolated constant here). `extraCols` appends pinned-TRUE
+    * certificate columns.
+    */
+  private[queries] def bm25OracleSql(
+      docWhere: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      extraCols: String = ""): String = {
+    val terms = BmQueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents$docWhere),
+       |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+       |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+       |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, count(1) AS tf FROM tm
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+       |c AS (
+       |  SELECT tf.doc_id, dl,
+       |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+       |      * (tf::DOUBLE * ${k1 + 1})
+       |      / (tf + $k1 * (${1 - b} + $b * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+       |      AS contrib
+       |  FROM tf JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+       |s AS (
+       |  SELECT doc_id, dl,
+       |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+       |  FROM c GROUP BY doc_id, dl)
+       |SELECT doc_id, dl, bm25$extraCols FROM s
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = {
     val toksCte =
       """WITH t AS (
@@ -986,6 +1147,22 @@ object TextQueries {
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      // served probe over the 75% base index
+      "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),
+
+      // base + exactly-once day ingest = the full corpus; cert pinned TRUE
+      "tx_bm25_ingest" -> bm25OracleSql("", extraCols = ", TRUE AS ingest_ok"),
+
+      // base minus the tombstoned third — n_docs/avgdl/df all shift
+      "tx_bm25_delete" -> bm25OracleSql(
+        " WHERE doc_id % 4 <> 3 AND NOT (doc_id % 3 = 0)",
+        extraCols = ", TRUE AS compact_ok"),
+
+      // post-cutover probe resolves to the serving params (the stale
+      // k1=2.0/b=0.5 generation's top-20 scores differ)
+      "tx_bm25_rebuild" -> bm25OracleSql(" WHERE doc_id % 4 <> 3",
+        extraCols = ", TRUE AS rebuild_ok"),
 
       "tx_rep_signals" ->
         """WITH d AS (

@@ -422,4 +422,110 @@ class OperatorsSpec extends SparkSpec {
     assert(served5.exceptAll(direct5).isEmpty && direct5.exceptAll(served5).isEmpty)
     assert(direct5.exceptAll(direct).count() > 0, "retrain must actually change scores")
   }
+
+  test("inverted text index: served BM25 equals one-shot; bucket-pruned probe") {
+    val corpus = Seq(
+      (1L, "spark shuffles the join keys before the merge join runs"),
+      (2L, "a broadcast join skips the shuffle when one side is small"),
+      (3L, "stream processing windows the query over event time"),
+      (4L, "nothing relevant here at all just filler words and noise"),
+      (5L, "query planning picks the join strategy from table statistics")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val terms = Seq("spark", "query", "join", "stream")
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_spec", buckets = 4)
+
+    val served = TextIndex.bm25AgainstIndex(spark, "ti_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    val oneShot = Text.bm25(corpus, "doc_id", tk, terms).select("id", "dl", "bm25")
+    assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty,
+      "served BM25 must equal the one-shot scoring")
+
+    // the postings scan must be bucket-pruned by the term IN filter:
+    // 4 query terms can hash to at most 4 of the 4+ buckets, and for this
+    // fixed bag strictly fewer than all (asserted on the scan string)
+    val planStr = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(sel.isDefined, s"expected a bucket-pruned postings scan in:\n$planStr")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe must not scan every postings bucket: ${sel.get.matched}")
+  }
+
+  test("inverted text index: tombstone delete is immediate + idempotent, compact preserves") {
+    val corpus = Seq(
+      (1L, "spark join spark join spark"),
+      (2L, "spark query stream join words"),
+      (3L, "query stream query stream query")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val terms = Seq("spark", "query", "join", "stream")
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_del_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_del_spec", buckets = 2)
+
+    TextIndex.deleteFromTextIndex(spark, "ti_del_spec", Seq(2L).toDF("doc_id"))
+    val after = TextIndex.bm25AgainstIndex(spark, "ti_del_spec", terms, 10)
+      .select("id", "dl", "bm25").localCheckpoint(true)
+    assert(after.filter(col("id") === 2L).isEmpty, "deleted doc must not surface")
+    val expect = Text.bm25(corpus.filter(col("doc_id") =!= 2L), "doc_id", tk, terms)
+      .select("id", "dl", "bm25")
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty,
+      "post-delete scores must equal the doc-never-indexed scoring " +
+        "(n_docs/avgdl/df all shift)")
+
+    // idempotence: re-deleting must not double the stats compensation
+    val statsBefore = spark.table("ti_del_spec_stats")
+      .agg(sum("n_docs"), sum("tot_dl")).head()
+    TextIndex.deleteFromTextIndex(spark, "ti_del_spec", Seq(2L).toDF("doc_id"))
+    val statsAfter = spark.table("ti_del_spec_stats")
+      .agg(sum("n_docs"), sum("tot_dl")).head()
+    assert(statsBefore == statsAfter, "retried delete must be a no-op")
+
+    // vacuum: fold the tombstones out; the probe must be unchanged
+    TextIndex.compactTextIndex(spark, "ti_del_spec")
+    assert(spark.table("ti_del_spec_tombstones").isEmpty)
+    assert(spark.table("ti_del_spec_postings")
+      .filter(col("id") === 2L).isEmpty, "compaction must excise tombstoned postings")
+    val afterCompact = TextIndex.bm25AgainstIndex(spark, "ti_del_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(afterCompact.exceptAll(after).isEmpty && after.exceptAll(afterCompact).isEmpty)
+  }
+
+  test("inverted text index: fork is copy-on-write; rebuild re-stamps scoring params") {
+    val corpus = Seq(
+      (1L, "spark join words"), (2L, "query stream words words")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val terms = Seq("spark", "query")
+    (Seq("ti_fk_spec", "ti_fk_spec_fork").flatMap(p =>
+        Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta", "_current")
+          .map(p + _)) ++
+      Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+        .map(s => s"ti_fk_spec_g1$s"))
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_fk_spec", buckets = 2)
+    val base = TextIndex.bm25AgainstIndex(spark, "ti_fk_spec", terms, 10)
+      .select("id", "dl", "bm25").localCheckpoint(true)
+
+    TextIndex.snapshotTextIndex(spark, "ti_fk_spec", "ti_fk_spec_fork")
+    TextIndex.deleteFromTextIndex(spark, "ti_fk_spec_fork", Seq(1L).toDF("doc_id"))
+    val baseAgain = TextIndex.bm25AgainstIndex(spark, "ti_fk_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(baseAgain.exceptAll(base).isEmpty && base.exceptAll(baseAgain).isEmpty,
+      "mutating the fork must not touch the source index")
+
+    // rebuild at different scoring params: pointer flips, scores change
+    val gen = TextIndex.rebuildTextIndex(corpus, "doc_id", tk, "ti_fk_spec",
+      buckets = 2, k1 = 2.0, b = 0.5)
+    assert(gen == 1L)
+    assert(!spark.catalog.tableExists("ti_fk_spec_postings"),
+      "bare generation must be retired after cutover")
+    val rebuilt = TextIndex.bm25AgainstIndex(spark, "ti_fk_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(rebuilt.exceptAll(base).count() > 0,
+      "k1/b change must actually change the served scores")
+  }
 }
