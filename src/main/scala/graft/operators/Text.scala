@@ -214,6 +214,115 @@ object Text {
         round(col("tf") * col("idf") + 1e-9, 4).as("tfidf"))
   }
 
+  /** Corpus-level CHUNK dedup with document reassembly — the
+    * MassiveText/RefinedWeb "remove duplicated paragraphs across the
+    * corpus" pass, on content-defined chunks (the corpus here has no
+    * newline structure, so [[cdcChunkEnds]] supplies the segmentation;
+    * a real corpus would pass paragraph bounds the same way): every
+    * chunk keeps only its FIRST occurrence corpus-wide (minimum
+    * (doc_id, chunk_no) per fingerprint — deterministic), and each
+    * document is rebuilt from its surviving chunks in order. A document
+    * that was entirely duplicated elsewhere collapses to the empty
+    * string but keeps its row (the caller decides whether to drop it —
+    * `n_kept = 0` is the signal).
+    *
+    * Shape: one chunk explode, one map-side-combinable `min(struct)` per
+    * fingerprint (NOT a window — the first-occurrence argmin reduces
+    * before the shuffle), one join back, one per-doc reassembly
+    * aggregation. All shuffles key on fingerprint or doc id; nothing is
+    * quadratic in corpus size, and the widest row is one document.
+    *
+    * Output (id, new_text, n_kept, n_dropped), one row per input doc.
+    */
+  def chunkDedup(
+      docs: DataFrame, idCol: String, text: Column,
+      n: Int = 8, mask: Int = 64): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"), text.as("__t"),
+        cdcChunkEnds(text, n, mask).as("__ends"))
+      .select(col("id"), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("__k", "__e")))
+    val start = when(col("__k") === 0, lit(1))
+      .otherwise(element_at(col("__ends"), col("__k")) + 1)
+    val chunks = exploded.select(
+      col("id"), col("__k").cast("long").as("chunk_no"),
+      substr(col("__t"), start, col("__e") - start + 1).as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val firsts = chunks.groupBy("fp")
+        .agg(min(struct(col("id"), col("chunk_no"))).as("f"))
+        .select(col("fp"), col("f.id").as("id"), col("f.chunk_no").as("chunk_no"))
+      val kept = chunks.join(firsts, Seq("fp", "id", "chunk_no"))
+        .groupBy("id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_no"), col("chunk")))),
+            x => x.getField("chunk")), "").as("new_text"),
+          count(lit(1)).as("n_kept"))
+      val totals = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+      totals.join(kept, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_text"), lit("")).as("new_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .localCheckpoint(true)
+    } finally chunks.unpersist()
+  }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): fit hashed
+    * bag-of-words models over a TARGET subset and the RAW corpus
+    * (unigram counts folded into `bins` buckets via the cross-engine
+    * [[graft.functions.CrossHash.h60]], add-one smoothed), then score
+    * every document by its mean log importance ratio
+    * w(d) = Σ_bin tf_d(bin)·(ln p_target(bin) − ln p_raw(bin)) / |d|.
+    * High-weight documents "look like" the target domain; selection is
+    * the deterministic top-k by (weight, id) — the rank-based variant of
+    * DSIR's Gumbel resampling (same ordering statistic, reproducible).
+    *
+    * Scale shape: one explode → (id, bin) aggregation, two bin-count
+    * aggregations over `bins` rows (broadcast back), one per-doc sum.
+    * Per-bin contributions are DECIMAL(28,14)-summed so shuffle order
+    * cannot change the double total — the BM25 determinism device.
+    *
+    * Output (id, dl, dsir_w) with dsir_w rounded to 4 decimals.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      targetPred: Column,
+      bins: Int = 128): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val tf = docs
+      .select(col(idCol).as("id"), targetPred.as("is_t"), explode(toks).as("term"))
+      .withColumn("bin", graft.functions.CrossHash.h60(col("term")) % bins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val raw = tf.groupBy("bin").agg(count(lit(1)).as("cr"))
+      val tgt = tf.filter(col("is_t")).groupBy("bin").agg(count(lit(1)).as("ct"))
+      val tots = tf.agg(
+        count(lit(1)).as("tot_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tot_t"))
+      val binLlr = raw.join(tgt, Seq("bin"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(0L)))
+        .crossJoin(broadcast(tots))
+        .select(col("bin"),
+          (log((col("ct") + 1).cast("double") / (col("tot_t") + bins))
+            - log((col("cr") + 1).cast("double") / (col("tot_r") + bins))).as("llr"))
+      val dtf = tf.groupBy("id", "bin").agg(count(lit(1)).as("tf"))
+      dtf.join(broadcast(binLlr), "bin")
+        .groupBy("id")
+        .agg(
+          sum("tf").as("dl"),
+          round(
+            sum((col("tf") * col("llr")).cast("decimal(28,14)")).cast("double")
+              / sum("tf") + 1e-9, 4).as("dsir_w"))
+        .localCheckpoint(true)
+    } finally tf.unpersist()
+  }
+
   /** Gopher-style repetition signals: per document, the total/distinct/
     * top-occurrence counts of its words and word-bigrams, plus a boolean
     * `repetitive` gate — the standard pretraining quality filter for

@@ -245,6 +245,43 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
+    // '09) of the DENSE ranking (brute cosine top-50 for the anchor
+    // vector, the ANN tier's exact baseline) and the SPARSE ranking
+    // (BM25 top-50 for the fixed term bag, the inverted-index tier's
+    // scoring) over the shared doc_id == vec_id id space — the RAG
+    // retrieval shape neither tier answers alone. Both rankings are
+    // top-k-bounded BEFORE fusion (TakeOrdered + a 50-row window, never
+    // a corpus-wide global window), the fusion itself is a full-outer
+    // join of two 50-row frames, and 1/(60+rank) is exact in binary so
+    // the round-7 scores replay bit-for-bit. A doc ranked by both tiers
+    // outranks single-tier docs — the oracle replays both rankings and
+    // the fusion arithmetic end-to-end.
+    "sim_rrf_fusion" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.Text
+      val e = emb(s, d)
+      val dense = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0L), e, "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+      val docs = Tables.load(s, d, "documents")
+      val sparseTop = Text.bm25(docs, "doc_id",
+          CrossHash.tokens(col("text")), TextQueries.BmQueryTerms)
+        .orderBy(col("bm25").desc, col("id")).limit(50)
+        .localCheckpoint(true) // 50 rows — the window below ranks these only
+      val sparse = sparseTop
+        .withColumn("sparse_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+        .select(col("id").as("doc_id"), col("sparse_rank"))
+      dense.join(sparse, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+        .select("doc_id", "dense_rank", "sparse_rank", "rrf")
+    }),
+
     // Hyperplane-LSH ANN: 4 tables × 4 planes, candidates from bucket
     // collisions, exact cosine re-rank, top-3.
     "sim_knn_lsh" -> ((s, d) => {
@@ -894,6 +931,49 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+         |dsc AS (
+         |  SELECT vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM e, q WHERE vec_id <> 0),
+         |dr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS dense_rank
+         |  FROM dsc QUALIFY dense_rank <= 50),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+         |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+         |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+         |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (
+         |  SELECT doc_id, term, count(1) AS tf FROM tm
+         |  WHERE term IN (${TextQueries.BmQueryTerms.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id, dl,
+         |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         |      * (tf::DOUBLE * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+         |      AS contrib
+         |  FROM tf JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+         |bs AS (
+         |  SELECT doc_id,
+         |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+         |  FROM c GROUP BY doc_id),
+         |sr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS sparse_rank
+         |  FROM bs QUALIFY sparse_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(dr.doc_id, sr.doc_id) AS doc_id, dense_rank, sparse_rank,
+         |    round(coalesce(1.0 / (60.0 + dense_rank), 0.0)
+         |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
+         |  FROM dr FULL OUTER JOIN sr USING (doc_id))
+         |SELECT doc_id, dense_rank, sparse_rank, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     "sim_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -317,6 +317,31 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
 
+    // Corpus-level chunk dedup + document reassembly — the MassiveText-
+    // style "remove duplicated paragraphs corpus-wide" pass on the CDC
+    // segmentation: each chunk survives only at its first (doc_id,
+    // chunk_no) occurrence, documents are rebuilt from their survivors,
+    // fully-duplicated documents collapse to empty with n_kept = 0. The
+    // first-occurrence argmin is a map-side-combinable min(struct), not
+    // a window. The oracle replays segmentation, argmin and reassembly.
+    "tx_chunk_dedup" -> ((s, d) =>
+      Text.chunkDedup(docs(s, d), "doc_id", col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // DSIR data selection: hashed-unigram bag models over the TARGET
+    // slice (lang = 'en') vs the RAW corpus, add-one smoothed; every doc
+    // scored by mean log importance ratio, deterministic top-50 by
+    // (weight, id). Selecting with lang hidden from the scorer, the
+    // top-50 should be (and is) overwhelmingly the target language —
+    // the oracle replays bins, both models, and the decimal-summed
+    // per-doc ratio.
+    "tx_dsir_sample" -> ((s, d) =>
+      Text.dsirWeights(docs(s, d), "doc_id", toks, col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+        .limit(50)),
+
     // SERVED BM25 — the sparse-retrieval index family's read-only probe:
     // top-20 against the persisted inverted index (postings bucketed by
     // term → bucket-pruned scan, stats partials summed, df computed live
@@ -1147,6 +1172,71 @@ object TextQueries {
            |SELECT doc_id, dl, bm25 FROM s
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      // first-occurrence chunk dedup + reassembly (the cdc_chunks ends
+      // replay, with the chunk TEXT kept for the string_agg rebuild)
+      "tx_chunk_dedup" ->
+        """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          |e AS (
+          |  SELECT doc_id, text,
+          |    list_sort(list_distinct(list_concat(
+          |      CASE WHEN n < 8 THEN []::BIGINT[] ELSE
+          |        list_transform(list_filter(range(1, n - 6),
+          |          i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 64) = 0),
+          |          i -> i + 7) END,
+          |      [n::BIGINT]))) AS ends
+          |  FROM t),
+          |x AS (SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS k FROM e),
+          |c AS (
+          |  SELECT doc_id, (k - 1)::BIGINT AS chunk_no,
+          |    substr(text,
+          |      (CASE WHEN k = 1 THEN 1 ELSE ends[k::INT - 1] + 1 END)::INT,
+          |      (ends[k::INT] - CASE WHEN k = 1 THEN 1 ELSE ends[k::INT - 1] + 1 END + 1)::INT)
+          |      AS chunk
+          |  FROM x),
+          |f AS (SELECT doc_id, chunk_no, chunk, md5(chunk) AS fp FROM c),
+          |w AS (
+          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_no) AS rn
+          |  FROM f),
+          |kp AS (
+          |  SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_no) AS new_text,
+          |    count(*) AS n_kept
+          |  FROM w WHERE rn = 1 GROUP BY doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_chunks FROM f GROUP BY doc_id)
+          |SELECT tot.doc_id, coalesce(new_text, '') AS new_text,
+          |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+          |  (n_chunks - coalesce(n_kept, 0))::BIGINT AS n_dropped
+          |FROM tot LEFT JOIN kp USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+
+      // hashed-unigram importance weights: target = en docs, raw = all
+      "tx_dsir_sample" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS toks
+          |  FROM documents),
+          |tm AS (SELECT doc_id, (lang = 'en') AS is_t, unnest(toks) AS term FROM t),
+          |b AS (
+          |  SELECT doc_id, is_t,
+          |    (('0x' || substr(md5(term), 1, 15))::BIGINT % 128) AS bin
+          |  FROM tm),
+          |raw AS (SELECT bin, count(1) AS cr FROM b GROUP BY bin),
+          |tgt AS (SELECT bin, count(1) AS ct FROM b WHERE is_t GROUP BY bin),
+          |tots AS (
+          |  SELECT count(1) AS tot_r,
+          |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tot_t
+          |  FROM b),
+          |llr AS (
+          |  SELECT raw.bin,
+          |    ln((coalesce(ct, 0) + 1)::DOUBLE / (tot_t + 128))
+          |      - ln((cr + 1)::DOUBLE / (tot_r + 128)) AS llr
+          |  FROM raw LEFT JOIN tgt USING (bin) CROSS JOIN tots),
+          |dtf AS (SELECT doc_id, bin, count(1) AS tf FROM b GROUP BY doc_id, bin),
+          |wts AS (
+          |  SELECT doc_id, sum(tf)::BIGINT AS dl,
+          |    round(sum((tf * llr)::DECIMAL(28,14))::DOUBLE / sum(tf)
+          |      + 0.000000001, 4) AS dsir_w
+          |  FROM dtf JOIN llr USING (bin) GROUP BY doc_id)
+          |SELECT doc_id, dl, dsir_w FROM wts
+          |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
 
       // served probe over the 75% base index
       "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),

@@ -423,6 +423,61 @@ class OperatorsSpec extends SparkSpec {
     assert(direct5.exceptAll(direct).count() > 0, "retrain must actually change scores")
   }
 
+  test("Text.chunkDedup: first occurrence survives corpus-wide; docs reassemble in order") {
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(600) // long enough to contain whole chunks
+    val aTail = blob(300)
+    val bHead = blob(300)
+    val corpus = Seq(
+      (1L, shared + aTail),  // doc 1 owns `shared`'s chunks (first occurrence)
+      (2L, bHead + shared),  // doc 2 re-uses them mid-document — they must drop
+      (3L, shared)           // doc 3 is nothing BUT duplicated content
+    ).toDF("doc_id", "text")
+    val out = Text.chunkDedup(corpus, "doc_id", col("text"))
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val Seq(d1, d2, d3) = out.toSeq
+    // doc 1 saw every chunk first: fully intact
+    assert(d1._2 == shared + aTail && d1._4 == 0L, "doc 1 must survive whole")
+    // doc 2 keeps its own head (plus any boundary chunk straddling the
+    // seam) but loses interior duplicated chunks
+    assert(d2._4 > 0L, "doc 2 must drop duplicated interior chunks")
+    assert(d2._2.startsWith(bHead.take(100)), "doc 2 keeps its unique head in order")
+    // doc 3: interior chunks all duplicated; whatever survives is only
+    // boundary-difference chunks (doc 3's final chunk ends at a different
+    // offset than doc 1's continuation, so its fp can differ)
+    assert(d3._4 >= 1L, "doc 3 must lose its duplicated chunks")
+    // reassembly is ORDERED: kept chunks concatenate to a substring-
+    // compatible sequence of the original (spot-check doc 2's survivor
+    // text appears in doc 2's original in order)
+    assert(d2._2.nonEmpty && (bHead + shared).indexOf(d2._2.take(50)) >= 0)
+    // total chunk conservation per doc
+    out.foreach { case (_, _, kept, dropped) => assert(kept + dropped > 0) }
+  }
+
+  test("Text.dsirWeights: target-typical docs outrank off-target; dl = token count") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta gamma delta alpha beta", true),
+      (3L, "omega psi chi omega psi chi", false),
+      (4L, "alpha beta alpha beta alpha alpha", false), // target-LOOKING raw doc
+      (5L, "omega psi omega psi omega psi", false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = Text.dsirWeights(corpus, "doc_id",
+        CrossHash.tokens(col("text")), col("is_en"))
+      .orderBy(col("dsir_w").desc, col("id"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(_._2 == 6L), "dl must equal the token count")
+    val rankOf = out.map(_._1).zipWithIndex.toMap
+    // docs made of target-model tokens (1, 4) must outrank the pure
+    // off-target docs (3, 5) — including doc 4, which is NOT labeled
+    // target: DSIR scores by content, not by the label
+    assert(rankOf(1L) < rankOf(3L) && rankOf(1L) < rankOf(5L))
+    assert(rankOf(4L) < rankOf(3L) && rankOf(4L) < rankOf(5L))
+  }
+
   test("inverted text index: served BM25 equals one-shot; bucket-pruned probe") {
     val corpus = Seq(
       (1L, "spark shuffles the join keys before the merge join runs"),
