@@ -729,7 +729,8 @@ object ScaleBench {
       // so a mid-suite failure still leaves the earlier measurements on
       // stdout
       val fam = Seq("d_setsim_exact", "d_dedup_keep_best",
-        "tx_quality_classifier")
+        "tx_quality_classifier", "tx_bm25_indexed", "tx_chunk_dedup",
+        "tx_dsir_sample")
       fam.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
