@@ -246,6 +246,61 @@ object TextIndex {
       .limit(kTop)
   }
 
+  /** Batched multi-query BM25 probe — the serving fan-in shape: N query
+    * term bags answered in ONE pass over the index instead of N probes.
+    * The bags arrive driver-side (they are the serving request batch),
+    * so their term union pushes down as a LITERAL `IN` filter — the scan
+    * stays bucket-pruned exactly like the single probe — while the
+    * per-query scoring fans out through a broadcast join against the
+    * (query_id, term) pairs. Per-query top-k is one window partitioned
+    * by query_id (WindowGroupLimit keeps per-partition top-k before the
+    * shuffle). Cost: one pruned postings pass for the whole batch —
+    * the amortization is the point.
+    *
+    * Returns (query_id, rank, id, dl, bm25), rank 1..kTop per query.
+    */
+  def bm25BatchAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryBags: Map[Long, Seq[String]],
+      kTop: Int): DataFrame = {
+    require(queryBags.nonEmpty && queryBags.values.forall(_.nonEmpty),
+      "bm25BatchAgainstIndex: every query needs at least one term")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val allTerms = queryBags.values.flatten.toSeq.distinct
+    val qt = spark.createDataFrame(
+        queryBags.toSeq.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("query_id", "term")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
+    val (k1, b) = (m.getDouble(0), m.getDouble(1))
+    val stats = spark.table(s"${tp}_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+    val post = spark.table(s"${tp}_postings")
+      .filter(col("term").isInCollection(allTerms))
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+    val dfreq = post.groupBy("term").agg(countDistinct("id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
+    post.join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .join(spark.table(s"${tp}_doclens"), "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("query_id", "id", "dl")
+      .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
+        .as("bm25"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select("query_id", "rank", "id", "dl", "bm25")
+  }
+
   /** Lazy probe plan for plan audits (PlanSpec pins bucket pruning on the
     * postings scan) — identical to [[bm25AgainstIndex]], which is already
     * lazy; alias kept for the sibling families' naming convention.

@@ -54,6 +54,16 @@ object TextQueries {
     */
   val BmQueryTerms: Seq[String] = Seq("spark", "query", "join", "stream")
 
+  /** Fixed batch of query bags for the multi-query served probe —
+    * overlapping vocabularies on purpose (bag 0 shares nothing with bag
+    * 1; "batch"/"data"/"window" are corpus-common), so per-query df vs
+    * batch-union term handling is actually exercised.
+    */
+  private[queries] val BmBatchBags: Map[Long, Seq[String]] = Map(
+    0L -> BmQueryTerms,
+    1L -> Seq("table", "row", "scan"),
+    2L -> Seq("window", "filter", "merge", "batch", "data"))
+
   /** Oracle fragment: stopword hits for one language. */
   private def hitsSql(lang: String): String = {
     val list = Text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -351,6 +361,19 @@ object TextQueries {
       val prefix = ensureTextBase(s, d)
       TextIndex.bm25AgainstIndex(s, prefix, BmQueryTerms, 20)
         .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+    }),
+
+    // Batched serving probe: three query bags answered in ONE pruned
+    // postings pass (term-union literal pushdown keeps the bucket
+    // pruning; per-query fan-out is a broadcast join; per-query top-5 is
+    // one WindowGroupLimit window). Must equal three independent
+    // single-query probes — the oracle replays each bag's BM25 from the
+    // same corpus statistics.
+    "tx_bm25_batch" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.bm25BatchAgainstIndex(s, prefix, BmBatchBags, kTop = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("query_id", "rank")
     }),
 
     // Exactly-once retrieval ingest under at-least-once delivery — the
@@ -1240,6 +1263,43 @@ object TextQueries {
 
       // served probe over the 75% base index
       "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),
+
+      // the batched probe: each bag replayed from shared corpus stats
+      "tx_bm25_batch" -> {
+        val qtVals = BmBatchBags.toSeq.sortBy(_._1).flatMap { case (q, ts) =>
+          ts.map(t => s"($q, '$t')")
+        }.mkString(", ")
+        s"""WITH qt(query_id, term) AS (VALUES $qtVals),
+           |t AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           |  FROM documents WHERE doc_id % 4 <> 3),
+           |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+           |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+           |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (
+           |  SELECT doc_id, term, count(1) AS tf FROM tm
+           |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+           |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+           |c AS (
+           |  SELECT qt.query_id, tf.doc_id, dl,
+           |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+           |      * (tf::DOUBLE * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+           |      AS contrib
+           |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+           |    JOIN l USING (doc_id) CROSS JOIN st),
+           |s AS (
+           |  SELECT query_id, doc_id, dl,
+           |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+           |  FROM c GROUP BY query_id, doc_id, dl),
+           |r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+           |  FROM s)
+           |SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           |  doc_id, dl, bm25
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
 
       // base + exactly-once day ingest = the full corpus; cert pinned TRUE
       "tx_bm25_ingest" -> bm25OracleSql("", extraCols = ", TRUE AS ingest_ok"),

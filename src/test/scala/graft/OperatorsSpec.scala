@@ -498,6 +498,20 @@ class OperatorsSpec extends SparkSpec {
     assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty,
       "served BM25 must equal the one-shot scoring")
 
+    // batched probe: bag 0 (same terms) must reproduce the single probe
+    // exactly; bag 1 must equal the one-shot scoring of its own terms
+    val batch = TextIndex.bm25BatchAgainstIndex(spark, "ti_spec",
+      Map(0L -> terms, 1L -> Seq("broadcast", "statistics")), kTop = 10)
+      .localCheckpoint(true)
+    val bag0 = batch.filter(col("query_id") === 0L).select("id", "dl", "bm25")
+    assert(bag0.exceptAll(served).isEmpty && served.exceptAll(bag0).isEmpty,
+      "batch bag 0 must equal the single probe")
+    val bag1 = batch.filter(col("query_id") === 1L).select("id", "dl", "bm25")
+    val one1 = Text.bm25(corpus, "doc_id", tk, Seq("broadcast", "statistics"))
+      .select("id", "dl", "bm25")
+    assert(bag1.exceptAll(one1).isEmpty && one1.exceptAll(bag1).isEmpty,
+      "batch bag 1 must equal its own one-shot scoring")
+
     // the postings scan must be bucket-pruned by the term IN filter:
     // 4 query terms can hash to at most 4 of the 4+ buckets, and for this
     // fixed bag strictly fewer than all (asserted on the scan string)
