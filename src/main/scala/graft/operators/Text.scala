@@ -294,33 +294,75 @@ object Text {
       toks: Column,
       targetPred: Column,
       bins: Int = 128): DataFrame = {
-    require(bins >= 2, s"bins=$bins must be >= 2")
-    val tf = docs
-      .select(col(idCol).as("id"), targetPred.as("is_t"), explode(toks).as("term"))
-      .withColumn("bin", graft.functions.CrossHash.h60(col("term")) % bins)
+    val tf = tokenBins(docs, idCol, toks, targetPred, bins)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val raw = tf.groupBy("bin").agg(count(lit(1)).as("cr"))
-      val tgt = tf.filter(col("is_t")).groupBy("bin").agg(count(lit(1)).as("ct"))
-      val tots = tf.agg(
-        count(lit(1)).as("tot_r"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("tot_t"))
-      val binLlr = raw.join(tgt, Seq("bin"), "left")
-        .withColumn("ct", coalesce(col("ct"), lit(0L)))
-        .crossJoin(broadcast(tots))
-        .select(col("bin"),
-          (log((col("ct") + 1).cast("double") / (col("tot_t") + bins))
-            - log((col("cr") + 1).cast("double") / (col("tot_r") + bins))).as("llr"))
-      val dtf = tf.groupBy("id", "bin").agg(count(lit(1)).as("tf"))
-      dtf.join(broadcast(binLlr), "bin")
-        .groupBy("id")
-        .agg(
-          sum("tf").as("dl"),
-          round(
-            sum((col("tf") * col("llr")).cast("decimal(28,14)")).cast("double")
-              / sum("tf") + 1e-9, 4).as("dsir_w"))
-        .localCheckpoint(true)
+      val binPart = tf.groupBy("bin").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      val dtfPart = tf.groupBy("id", "bin").agg(count(lit(1)).as("tf"))
+      dsirWeightsFromPartials(binPart, dtfPart, bins).localCheckpoint(true)
     } finally tf.unpersist()
+  }
+
+  private def tokenBins(
+      docs: DataFrame, idCol: String, toks: Column,
+      targetPred: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    docs
+      .select(col(idCol).as("id"), targetPred.as("is_t"), explode(toks).as("term"))
+      .withColumn("bin", graft.functions.CrossHash.h60(col("term")) % bins)
+  }
+
+  /** One micro-batch's DSIR model partials — the streaming maintenance
+    * verb (`st_dsir_parity`'s foreachBatch body): (bin, cr, ct) model
+    * counts plus (id, bin, tf) doc counts, both ADDITIVE, so appending
+    * per batch and re-summing at read time reconstructs the one-shot
+    * model exactly regardless of how the corpus was split into batches.
+    */
+  def dsirPartials(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      targetPred: Column,
+      bins: Int = 128): (DataFrame, DataFrame) = {
+    val tf = tokenBins(docs, idCol, toks, targetPred, bins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val binPart = tf.groupBy("bin").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(true)
+      val dtfPart = tf.groupBy("id", "bin").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      (binPart, dtfPart)
+    } finally tf.unpersist()
+  }
+
+  /** Score documents from ACCUMULATED model partials (see
+    * [[dsirPartials]]) — identical arithmetic to [[dsirWeights]]: counts
+    * re-sum associatively, the smoothed log-ratio is computed once per
+    * bin, per-doc contributions are DECIMAL-summed.
+    */
+  def dsirWeightsFromPartials(
+      binParts: DataFrame,
+      dtfParts: DataFrame,
+      bins: Int = 128): DataFrame = {
+    val binAgg = binParts.groupBy("bin")
+      .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+    val tots = binAgg.agg(sum("cr").as("tot_r"), sum("ct").as("tot_t"))
+    val binLlr = binAgg.crossJoin(broadcast(tots))
+      .select(col("bin"),
+        (log((col("ct") + 1).cast("double") / (col("tot_t") + bins))
+          - log((col("cr") + 1).cast("double") / (col("tot_r") + bins))).as("llr"))
+    dtfParts.groupBy("id", "bin").agg(sum("tf").as("tf"))
+      .join(broadcast(binLlr), "bin")
+      .groupBy("id")
+      .agg(
+        sum("tf").as("dl"),
+        round(
+          sum((col("tf") * col("llr")).cast("decimal(28,14)")).cast("double")
+            / sum("tf") + 1e-9, 4).as("dsir_w"))
   }
 
   /** Gopher-style repetition signals: per document, the total/distinct/

@@ -217,8 +217,47 @@ object TextIndex {
       tablePrefix: String,
       queryTerms: Seq[String],
       kTop: Int): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25AgainstIndex: no query terms")
     require(kTop >= 1, s"kTop=$kTop must be positive")
+    bm25Scores(spark, tablePrefix, queryTerms)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(kTop)
+  }
+
+  /** Filtered probe — metadata-restricted retrieval (the RAG shape:
+    * "top-k matching these terms, but only documents passing this
+    * predicate"). Lucene/ES semantics on purpose: the filter restricts
+    * CANDIDATES, never statistics — idf/avgdl stay corpus-global, so
+    * adding a filter clause cannot re-rank the surviving matches
+    * (contrast the dense tier's `sim_knn_ivf_filtered`, where pre-filter
+    * semantics are the contract — both contracts exist in production
+    * engines; each tier documents and oracle-proves its own). The
+    * allowed-id set joins as a LEFT SEMI against the (already
+    * term-bounded) scored candidates.
+    */
+  def bm25FilteredAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      allowedIds: DataFrame,
+      kTop: Int): DataFrame = {
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).cast("long").as("id")).distinct()
+    bm25Scores(spark, tablePrefix, queryTerms)
+      .join(allowed, Seq("id"), "left_semi")
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(kTop)
+  }
+
+  /** Shared scoring plan of the single-bag probes: (id, dl, bm25) for
+    * every surviving document matching >= 1 query term — bucket-pruned
+    * postings scan, tombstone anti-join, live df, summed stats partials.
+    */
+  private def bm25Scores(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25AgainstIndex: no query terms")
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val m = spark.table(s"${tp}_meta").head()
     val (k1, b) = (m.getDouble(0), m.getDouble(1))
@@ -242,8 +281,6 @@ object TextIndex {
       .groupBy("id", "dl")
       .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
         .as("bm25"))
-      .orderBy(col("bm25").desc, col("id"))
-      .limit(kTop)
   }
 
   /** Batched multi-query BM25 probe — the serving fan-in shape: N query

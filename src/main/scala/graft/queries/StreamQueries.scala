@@ -1225,6 +1225,55 @@ object StreamQueries {
         .withColumn("index_ok", lit(statsN == nAll && lensN == nAll))
     }),
 
+    // Streaming DSIR model maintenance: the selection model's bin counts
+    // and per-doc term counts are ADDITIVE partials, so each micro-batch
+    // appends its own aggregation and day-close scoring re-sums — the
+    // drained top-50 must equal the one-shot tx_dsir_sample replay
+    // exactly, and the certificate pins the accumulated model's token
+    // total against the corpus (a lost or doubled batch breaks both).
+    "st_dsir_parity" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.Text
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = fixtureDir("dsir", d, "documents", "all4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val binsT = s"dsir_bins_${ScratchKeys.forPath(d)}"
+      val dtfT = s"dsir_dtf_${ScratchKeys.forPath(d)}"
+      Seq(binsT, dtfT).foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dsir_")
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => {
+              val (bp, dp) = Text.dsirPartials(batch.toDF(), "doc_id",
+                CrossHash.tokens(col("text")), col("lang") === "en")
+              bp.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .format("parquet").saveAsTable(binsT)
+              dp.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .format("parquet").saveAsTable(dtfT)
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally deleteRecursively(scratch)
+      val totTok = docs
+        .select(explode(CrossHash.tokens(col("text")))).count()
+      val crSum = s.table(binsT)
+        .agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
+      Text.dsirWeightsFromPartials(s.table(binsT), s.table(dtfT))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+        .limit(50)
+        .withColumn("model_ok", lit(crSum == totTok))
+    }),
+
     "st_gram_index_parity" -> ((s, d) => {
       import graft.functions.CrossHash
       import graft.operators.Dedup
@@ -1635,6 +1684,9 @@ object StreamQueries {
     // arrived in different micro-batches.
     "st_text_index_parity" ->
       TextQueries.bm25OracleSql("", extraCols = ", TRUE AS index_ok"),
+
+    "st_dsir_parity" ->
+      TextQueries.dsirOracleSql(", TRUE AS model_ok"),
 
     "st_gram_index_parity" ->
       s"""WITH ${DedupQueries.GramSpansIndexedBody}

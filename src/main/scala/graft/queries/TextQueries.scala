@@ -363,6 +363,20 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("dl"), col("bm25"))
     }),
 
+    // Metadata-filtered serving probe (the RAG filter clause): top-20
+    // among lang='en' documents only, with idf/avgdl deliberately
+    // corpus-global (Lucene/ES semantics — a filter must not re-rank the
+    // surviving matches; the dense tier's filtered probe documents the
+    // opposite, pre-filter contract). The oracle keeps stats over the
+    // indexed corpus and applies the predicate to candidates only — a
+    // stats-shifting implementation would hash-mismatch.
+    "tx_bm25_filtered" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.bm25FilteredAgainstIndex(s, prefix, BmQueryTerms,
+          docs(s, d).filter(col("lang") === "en").select("doc_id"), kTop = 20)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+    }),
+
     // Batched serving probe: three query bags answered in ONE pruned
     // postings pass (term-union literal pushdown keeps the bucket
     // pruning; per-query fan-out is a broadcast join; per-query top-5 is
@@ -1055,10 +1069,17 @@ object TextQueries {
       docWhere: String,
       k1: Double = 1.2,
       b: Double = 0.75,
-      extraCols: String = ""): String = {
+      extraCols: String = "",
+      candWhere: String = ""): String = {
     val terms = BmQueryTerms.map(q => s"'$q'").mkString(", ")
+    // candWhere (over the documents columns) restricts CANDIDATES only —
+    // stats/df stay over the docWhere corpus (the filtered probe's
+    // Lucene-semantics contract)
+    val candJoin =
+      if (candWhere.isEmpty) ""
+      else s" JOIN t USING (doc_id) WHERE $candWhere"
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
        |  FROM documents$docWhere),
        |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
        |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
@@ -1078,9 +1099,42 @@ object TextQueries {
        |  SELECT doc_id, dl,
        |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
        |  FROM c GROUP BY doc_id, dl)
-       |SELECT doc_id, dl, bm25$extraCols FROM s
+       |SELECT doc_id, dl, bm25$extraCols FROM s$candJoin
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  /** DSIR replay — shared by the one-shot query and the streaming
+    * model-maintenance parity (`st_dsir_parity`): bins, both smoothed
+    * bag models, the decimal-summed per-doc ratio, deterministic top-50.
+    */
+  private[queries] def dsirOracleSql(extraCols: String = ""): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |tm AS (SELECT doc_id, (lang = 'en') AS is_t, unnest(toks) AS term FROM t),
+       |b AS (
+       |  SELECT doc_id, is_t,
+       |    (('0x' || substr(md5(term), 1, 15))::BIGINT % 128) AS bin
+       |  FROM tm),
+       |raw AS (SELECT bin, count(1) AS cr FROM b GROUP BY bin),
+       |tgt AS (SELECT bin, count(1) AS ct FROM b WHERE is_t GROUP BY bin),
+       |tots AS (
+       |  SELECT count(1) AS tot_r,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tot_t
+       |  FROM b),
+       |llr AS (
+       |  SELECT raw.bin,
+       |    ln((coalesce(ct, 0) + 1)::DOUBLE / (tot_t + 128))
+       |      - ln((cr + 1)::DOUBLE / (tot_r + 128)) AS llr
+       |  FROM raw LEFT JOIN tgt USING (bin) CROSS JOIN tots),
+       |dtf AS (SELECT doc_id, bin, count(1) AS tf FROM b GROUP BY doc_id, bin),
+       |wts AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS dl,
+       |    round(sum((tf * llr)::DECIMAL(28,14))::DOUBLE / sum(tf)
+       |      + 0.000000001, 4) AS dsir_w
+       |  FROM dtf JOIN llr USING (bin) GROUP BY doc_id)
+       |SELECT doc_id, dl, dsir_w$extraCols FROM wts
+       |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = {
     val toksCte =
@@ -1232,34 +1286,7 @@ object TextQueries {
           |FROM tot LEFT JOIN kp USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
 
       // hashed-unigram importance weights: target = en docs, raw = all
-      "tx_dsir_sample" ->
-        """WITH t AS (
-          |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS toks
-          |  FROM documents),
-          |tm AS (SELECT doc_id, (lang = 'en') AS is_t, unnest(toks) AS term FROM t),
-          |b AS (
-          |  SELECT doc_id, is_t,
-          |    (('0x' || substr(md5(term), 1, 15))::BIGINT % 128) AS bin
-          |  FROM tm),
-          |raw AS (SELECT bin, count(1) AS cr FROM b GROUP BY bin),
-          |tgt AS (SELECT bin, count(1) AS ct FROM b WHERE is_t GROUP BY bin),
-          |tots AS (
-          |  SELECT count(1) AS tot_r,
-          |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tot_t
-          |  FROM b),
-          |llr AS (
-          |  SELECT raw.bin,
-          |    ln((coalesce(ct, 0) + 1)::DOUBLE / (tot_t + 128))
-          |      - ln((cr + 1)::DOUBLE / (tot_r + 128)) AS llr
-          |  FROM raw LEFT JOIN tgt USING (bin) CROSS JOIN tots),
-          |dtf AS (SELECT doc_id, bin, count(1) AS tf FROM b GROUP BY doc_id, bin),
-          |wts AS (
-          |  SELECT doc_id, sum(tf)::BIGINT AS dl,
-          |    round(sum((tf * llr)::DECIMAL(28,14))::DOUBLE / sum(tf)
-          |      + 0.000000001, 4) AS dsir_w
-          |  FROM dtf JOIN llr USING (bin) GROUP BY doc_id)
-          |SELECT doc_id, dl, dsir_w FROM wts
-          |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
+      "tx_dsir_sample" -> dsirOracleSql(),
 
       // served probe over the 75% base index
       "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),
@@ -1300,6 +1327,10 @@ object TextQueries {
            |  doc_id, dl, bm25
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
+
+      // candidates filtered to en, statistics NOT (Lucene semantics)
+      "tx_bm25_filtered" -> bm25OracleSql(" WHERE doc_id % 4 <> 3",
+        candWhere = "lang = 'en'"),
 
       // base + exactly-once day ingest = the full corpus; cert pinned TRUE
       "tx_bm25_ingest" -> bm25OracleSql("", extraCols = ", TRUE AS ingest_ok"),
