@@ -76,6 +76,7 @@ object SparkEntry {
       "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete",
       "tx_clf_holdout",
       "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
-      "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered") ++
+      "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
+      "tx_phrase_search") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

@@ -47,9 +47,13 @@ object TextIndex {
   private[graft] val Suffixes =
     Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
 
+  // positional postings: `pos` (0-based, ascending) enables phrase /
+  // proximity probes; tf = size(pos) keeps BM25 reads unchanged
   private def postingsOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"), explode(toks).as("term"))
-      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    docs.select(col(idCol).cast("long").as("id"),
+        posexplode(toks).as(Seq("p", "term")))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p").cast("long"))).as("pos"))
 
   private def doclensOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
@@ -246,6 +250,43 @@ object TextIndex {
     bm25Scores(spark, tablePrefix, queryTerms)
       .join(allowed, Seq("id"), "left_semi")
       .orderBy(col("bm25").desc, col("id"))
+      .limit(kTop)
+  }
+
+  /** Exact phrase search over the POSITIONAL postings: a document
+    * matches at start position s iff term_i of the phrase occurs at
+    * s + i for every i — the classic positional-intersection probe
+    * (Manning et al., IIR §2.4). Each term's occurrence positions are
+    * exploded SHIFTED by −i and the per-term (id, start) sets
+    * intersected, so duplicate terms in the phrase ("the ... the") and
+    * overlapping self-matches are handled by set semantics with no
+    * special cases. Every set is bounded by that term's postings (the
+    * scan is bucket-pruned like every probe); ranking is occurrence
+    * count desc, id.
+    *
+    * Returns (id, dl, n_hits) — top kTop by (n_hits desc, id).
+    */
+  def phraseSearchAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      phrase: Seq[String],
+      kTop: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchAgainstIndex: empty phrase")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val post = spark.table(s"${tp}_postings")
+      .filter(col("term").isInCollection(phrase.distinct))
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("id"), explode(col("pos")).as("p"))
+        .select(col("id"), (col("p") - i).as("start"))
+    }
+    val hits = parts.reduce(_.intersect(_))
+    hits.groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .join(spark.table(s"${tp}_doclens"), "id")
+      .select("id", "dl", "n_hits")
+      .orderBy(col("n_hits").desc, col("id"))
       .limit(kTop)
   }
 

@@ -377,6 +377,17 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("dl"), col("bm25"))
     }),
 
+    // Exact phrase search over the positional postings — per-term
+    // occurrence positions shifted by the term's phrase offset and
+    // set-intersected (IIR §2.4), ranked by occurrence count. The oracle
+    // replays positions with ordinality and the same INTERSECT.
+    "tx_phrase_search" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.phraseSearchAgainstIndex(s, prefix, Seq("table", "hash"), kTop = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("n_hits").desc, col("doc_id"))
+    }),
+
     // Batched serving probe: three query bags answered in ONE pruned
     // postings pass (term-union literal pushdown keeps the bucket
     // pruning; per-query fan-out is a broadcast join; per-query top-5 is
@@ -1290,6 +1301,24 @@ object TextQueries {
 
       // served probe over the 75% base index
       "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),
+
+      // positional-intersection phrase replay over the indexed subset
+      "tx_phrase_search" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+          |  FROM documents WHERE doc_id % 4 <> 3),
+          |u AS (
+          |  SELECT doc_id, unnest(toks) AS term,
+          |    generate_subscripts(toks, 1) AS i
+          |  FROM t),
+          |h AS (
+          |  SELECT doc_id, (i - 1)::BIGINT AS start FROM u WHERE term = 'table'
+          |  INTERSECT
+          |  SELECT doc_id, (i - 2)::BIGINT AS start FROM u WHERE term = 'hash'),
+          |g AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM h GROUP BY doc_id),
+          |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t)
+          |SELECT doc_id, dl, n_hits FROM g JOIN l USING (doc_id)
+          |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
 
       // the batched probe: each bag replayed from shared corpus stats
       "tx_bm25_batch" -> {

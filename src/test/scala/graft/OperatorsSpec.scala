@@ -523,6 +523,33 @@ class OperatorsSpec extends SparkSpec {
       s"probe must not scan every postings bucket: ${sel.get.matched}")
   }
 
+  test("inverted text index: phrase search — positional intersection, duplicate terms, self-overlap") {
+    val corpus = Seq(
+      (1L, "big table hash join and another table hash here"),   // 2 hits
+      (2L, "table hash"),                                        // 1 hit
+      (3L, "hash table"),                                        // reversed: 0 hits
+      (4L, "the the the end"),                                   // self-overlap corpus
+      (5L, "table and hash far apart")                           // 0 hits
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_ph_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_ph_spec", buckets = 2)
+
+    val out = TextIndex.phraseSearchAgainstIndex(
+        spark, "ti_ph_spec", Seq("table", "hash"), kTop = 10)
+      .select("id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L),
+      s"phrase must match in order only, counting every occurrence: $out")
+
+    // duplicate phrase terms: "the the" occurs at starts 0 and 1 in doc 4
+    // (overlapping self-matches are legitimate distinct starts)
+    val dup = TextIndex.phraseSearchAgainstIndex(
+        spark, "ti_ph_spec", Seq("the", "the"), kTop = 10)
+      .select("id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(dup == Map(4L -> 2L), s"got $dup")
+  }
+
   test("inverted text index: tombstone delete is immediate + idempotent, compact preserves") {
     val corpus = Seq(
       (1L, "spark join spark join spark"),
