@@ -220,11 +220,41 @@ object TextIndex {
       spark: SparkSession,
       tablePrefix: String,
       queryTerms: Seq[String],
-      kTop: Int): DataFrame = {
+      kTop: Int,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(kTop >= 1, s"kTop=$kTop must be positive")
-    bm25Scores(spark, tablePrefix, queryTerms)
+    bm25Scores(spark, tablePrefix, queryTerms, maxDfFrac)
       .orderBy(col("bm25").desc, col("id"))
       .limit(kTop)
+  }
+
+  /** Hot-term audit — the postings-skew report an operator reads before
+    * probing with an unvetted query bag (the `d_band_stats` discipline
+    * applied to retrieval): per-term document frequency and its corpus
+    * fraction, hottest first. The defenses it informs are (a) SEMANTIC —
+    * BM25's idf already drives a near-universal term's contribution
+    * toward zero, (b) COST — [[bm25AgainstIndex]]'s `maxDfFrac` elides
+    * terms above a df fraction from scoring entirely (Lucene's
+    * common-terms cutoff; spec-proven, corpus-level threshold is
+    * deployment-tuned), and (c) LAYOUT — [[compactTextIndex]] keeps a
+    * hot term's postings from fragmenting across ingest files.
+    */
+  def postingsStats(
+      spark: SparkSession,
+      tablePrefix: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val stats = spark.table(s"${tp}_stats")
+      .agg(sum("n_docs").as("n_docs"))
+    spark.table(s"${tp}_postings")
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+      .groupBy("term").agg(countDistinct("id").as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"),
+        round(col("df").cast("double") / col("n_docs") + 1e-9, 4).as("df_frac"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
   }
 
   /** Filtered probe — metadata-restricted retrieval (the RAG shape:
@@ -297,8 +327,11 @@ object TextIndex {
   private def bm25Scores(
       spark: SparkSession,
       tablePrefix: String,
-      queryTerms: Seq[String]): DataFrame = {
+      queryTerms: Seq[String],
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(queryTerms.nonEmpty, "bm25AgainstIndex: no query terms")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"maxDfFrac=$maxDfFrac must be in (0, 1]")
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val m = spark.table(s"${tp}_meta").head()
     val (k1, b) = (m.getDouble(0), m.getDouble(1))
@@ -309,9 +342,18 @@ object TextIndex {
       .filter(col("term").isInCollection(queryTerms))
       .join(tomb, Seq("id"), "left_anti")
     val dfreq = post.groupBy("term").agg(countDistinct("id").as("df"))
-    post.join(broadcast(dfreq), "term")
+    val joined = post.join(broadcast(dfreq), "term")
       .join(spark.table(s"${tp}_doclens"), "id")
       .crossJoin(broadcast(stats))
+    // common-term elision (Lucene's cutoff): terms above the df fraction
+    // contribute nothing and their postings never reach the scoring —
+    // the probe's COST defense against stop-term bags; default 1.0 keeps
+    // the exact-BM25 contract
+    val elided =
+      if (maxDfFrac >= 1.0) joined
+      else joined.filter(
+        col("df").cast("double") <= lit(maxDfFrac) * col("n_docs"))
+    elided
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
         log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)

@@ -377,6 +377,16 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("dl"), col("bm25"))
     }),
 
+    // Hot-term audit over the persisted postings (the d_band_stats
+    // discipline for retrieval): per-term df + corpus fraction, hottest
+    // first — what an operator reads before probing with an unvetted
+    // bag; the acting defenses are idf (semantic), the maxDfFrac elision
+    // verb (cost; spec-proven) and compaction (layout).
+    "tx_postings_stats" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.postingsStats(s, prefix, topN = 10)
+    }),
+
     // Exact phrase search over the positional postings — per-term
     // occurrence positions shifted by the term's phrase offset and
     // set-intersected (IIR §2.4), ranked by occurrence count. The oracle
@@ -1301,6 +1311,17 @@ object TextQueries {
 
       // served probe over the 75% base index
       "tx_bm25_indexed" -> bm25OracleSql(" WHERE doc_id % 4 <> 3"),
+
+      // hottest terms of the indexed subset
+      "tx_postings_stats" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+          |  FROM documents WHERE doc_id % 4 <> 3),
+          |u AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+          |d AS (SELECT term, count(*)::BIGINT AS df FROM u GROUP BY term),
+          |n AS (SELECT count(*) AS nd FROM t)
+          |SELECT term, df, round(df::DOUBLE / nd + 0.000000001, 4) AS df_frac
+          |FROM d, n ORDER BY df DESC, term LIMIT 10""".stripMargin,
 
       // positional-intersection phrase replay over the indexed subset
       "tx_phrase_search" ->

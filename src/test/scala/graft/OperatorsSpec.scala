@@ -550,6 +550,45 @@ class OperatorsSpec extends SparkSpec {
     assert(dup == Map(4L -> 2L), s"got $dup")
   }
 
+  test("inverted text index: common-term elision drops hot terms from scoring; audit ranks df") {
+    // 'noise' appears in 4/5 docs (df_frac 0.8); 'signal' in 1/5 (0.2)
+    val corpus = Seq(
+      (1L, "signal noise filler words here"),
+      (2L, "noise filler other words"),
+      (3L, "noise words filler again"),
+      (4L, "noise and more filler"),
+      (5L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_el_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_el_spec", buckets = 2)
+
+    // maxDfFrac = 0.5 elides 'noise' (0.8) and keeps 'signal' (0.2):
+    // the elided probe must equal the one-shot scoring of 'signal' alone
+    val elided = TextIndex.bm25AgainstIndex(spark, "ti_el_spec",
+        Seq("signal", "noise"), kTop = 10, maxDfFrac = 0.5)
+      .select("id", "dl", "bm25")
+    val rareOnly = Text.bm25(corpus, "doc_id", tk, Seq("signal"))
+      .select("id", "dl", "bm25")
+    assert(elided.exceptAll(rareOnly).isEmpty && rareOnly.exceptAll(elided).isEmpty,
+      "elision must remove the hot term's contribution entirely")
+    // default (1.0) keeps exact BM25 over both terms
+    val full = TextIndex.bm25AgainstIndex(spark, "ti_el_spec",
+        Seq("signal", "noise"), kTop = 10)
+      .select("id", "dl", "bm25")
+    val oneShot = Text.bm25(corpus, "doc_id", tk, Seq("signal", "noise"))
+      .select("id", "dl", "bm25")
+    assert(full.exceptAll(oneShot).isEmpty && oneShot.exceptAll(full).isEmpty)
+
+    // audit: hottest first with exact df/fraction ('filler' and 'noise'
+    // tie at df=4; term asc breaks the tie)
+    val top = TextIndex.postingsStats(spark, "ti_el_spec", topN = 2)
+      .as[(String, Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq("filler", "noise"), top.mkString(", "))
+    assert(top.forall(t => t._2 == 4L && t._3 == 0.8), top.mkString(", "))
+  }
+
   test("inverted text index: tombstone delete is immediate + idempotent, compact preserves") {
     val corpus = Seq(
       (1L, "spark join spark join spark"),
