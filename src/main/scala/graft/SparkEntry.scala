@@ -77,6 +77,6 @@ object SparkEntry {
       "tx_clf_holdout",
       "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
       "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
-      "tx_phrase_search", "tx_postings_stats") ++
+      "tx_phrase_search", "tx_postings_stats", "tx_near_search") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

@@ -320,6 +320,44 @@ object TextIndex {
       .limit(kTop)
   }
 
+  /** Ordered proximity ("A NEAR/k B") over the positional postings: a
+    * document scores one hit per occurrence of `termA` that has an
+    * occurrence of `termB` within (0, maxDist] positions AFTER it —
+    * distinct anchors, so several B's near one A count once (the
+    * deterministic, replayable convention). The position pairing is a
+    * per-document range join between two term-bounded position sets;
+    * nothing scans beyond the two terms' bucket-pruned postings.
+    *
+    * Returns (id, dl, n_hits) — top kTop by (n_hits desc, id).
+    */
+  def proximitySearchAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      termA: String,
+      termB: String,
+      maxDist: Int,
+      kTop: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val post = spark.table(s"${tp}_postings")
+      .filter(col("term").isInCollection(Seq(termA, termB).distinct))
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+    def positions(t: String, as: String) =
+      post.filter(col("term") === t)
+        .select(col("id"), explode(col("pos")).as(as))
+    val hits = positions(termA, "pa")
+      .join(positions(termB, "pb"),
+        Seq("id")) // per-doc range pairing; both sides term-bounded
+      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + maxDist)
+      .select("id", "pa").distinct()
+    hits.groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .join(spark.table(s"${tp}_doclens"), "id")
+      .select("id", "dl", "n_hits")
+      .orderBy(col("n_hits").desc, col("id"))
+      .limit(kTop)
+  }
+
   /** Shared scoring plan of the single-bag probes: (id, dl, bm25) for
     * every surviving document matching >= 1 query term — bucket-pruned
     * postings scan, tombstone anti-join, live df, summed stats partials.

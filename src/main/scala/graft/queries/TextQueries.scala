@@ -398,6 +398,17 @@ object TextQueries {
         .orderBy(col("n_hits").desc, col("doc_id"))
     }),
 
+    // Ordered proximity: every 'table' anchor with a 'hash' within the
+    // next 3 positions, distinct anchors per doc — the NEAR/k verb; the
+    // oracle replays the per-doc position range pairing.
+    "tx_near_search" -> ((s, d) => {
+      val prefix = ensureTextBase(s, d)
+      TextIndex.proximitySearchAgainstIndex(
+          s, prefix, "table", "hash", maxDist = 3, kTop = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("n_hits").desc, col("doc_id"))
+    }),
+
     // Batched serving probe: three query bags answered in ONE pruned
     // postings pass (term-union literal pushdown keeps the bucket
     // pruning; per-query fan-out is a broadcast join; per-query top-5 is
@@ -1336,6 +1347,25 @@ object TextQueries {
           |  SELECT doc_id, (i - 1)::BIGINT AS start FROM u WHERE term = 'table'
           |  INTERSECT
           |  SELECT doc_id, (i - 2)::BIGINT AS start FROM u WHERE term = 'hash'),
+          |g AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM h GROUP BY doc_id),
+          |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t)
+          |SELECT doc_id, dl, n_hits FROM g JOIN l USING (doc_id)
+          |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+      // NEAR/3 replay: distinct 'table' anchors with a close 'hash'
+      "tx_near_search" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+          |  FROM documents WHERE doc_id % 4 <> 3),
+          |u AS (
+          |  SELECT doc_id, unnest(toks) AS term,
+          |    generate_subscripts(toks, 1) AS i
+          |  FROM t),
+          |h AS (
+          |  SELECT DISTINCT a.doc_id, a.i AS pa
+          |  FROM u a JOIN u b ON a.doc_id = b.doc_id
+          |    AND b.i > a.i AND b.i <= a.i + 3
+          |  WHERE a.term = 'table' AND b.term = 'hash'),
           |g AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM h GROUP BY doc_id),
           |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t)
           |SELECT doc_id, dl, n_hits FROM g JOIN l USING (doc_id)

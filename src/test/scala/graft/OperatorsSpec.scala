@@ -548,6 +548,20 @@ class OperatorsSpec extends SparkSpec {
         spark, "ti_ph_spec", Seq("the", "the"), kTop = 10)
       .select("id", "n_hits").as[(Long, Long)].collect().toMap
     assert(dup == Map(4L -> 2L), s"got $dup")
+
+    // proximity: ordered, bounded, distinct anchors — doc 5 ("table and
+    // hash far apart": distance 2) matches NEAR/3 but not NEAR/1; one
+    // anchor with one-or-more close Bs counts once
+    val near3 = TextIndex.proximitySearchAgainstIndex(
+        spark, "ti_ph_spec", "table", "hash", maxDist = 3, kTop = 10)
+      .select("id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(near3 == Map(1L -> 2L, 2L -> 1L, 5L -> 1L), s"got $near3")
+    val near1 = TextIndex.proximitySearchAgainstIndex(
+        spark, "ti_ph_spec", "table", "hash", maxDist = 1, kTop = 10)
+      .select("id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(near1 == Map(1L -> 2L, 2L -> 1L), s"got $near1")
+    // order matters: doc 3 is "hash table" — no hits either way
+    assert(!near3.contains(3L))
   }
 
   test("inverted text index: common-term elision drops hot terms from scoring; audit ranks df") {
