@@ -63,6 +63,17 @@ object LinearModel {
       lr: Double,
       iters: Int): Array[Double] = {
     require(iters >= 1 && lr > 0, s"iters=$iters, lr=$lr must be positive")
+    // NULLs must fail loudly up front: a null feature value would be
+    // silently DROPPED from its gradient component's sum while still
+    // counted in n (biasing that component against the exact-replay
+    // contract), and an all-null column would NPE mid-training with no
+    // column name. One pre-pass names the offender instead.
+    val nullCond = (xCols :+ yCol).map(col(_).isNull).reduce(_ || _)
+    val bad = feats.filter(nullCond).limit(1).collect()
+    require(bad.isEmpty,
+      s"trainSquashedLinear: NULL in feature/label row ${bad.headOption
+        .map(_.toString).getOrElse("")} — impute or filter before training " +
+        s"(columns checked: ${(xCols :+ yCol).mkString(", ")})")
     var w = Array.fill(xCols.size)(0.0)
     for (_ <- 1 to iters) {
       val m = margin(xCols.map(col), w.toSeq)

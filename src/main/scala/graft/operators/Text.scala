@@ -146,7 +146,7 @@ object Text {
     */
   def cdcChunkFrame(
       df: DataFrame, idCol: String, text: Column,
-      n: Int = 8, mask: Int = 64): DataFrame = {
+      n: Int = 8, mask: Int = 64, keepText: Boolean = false): DataFrame = {
     val tmp = Seq("__cdc_t", "__cdc_ends", "__cdc_k", "__cdc_e")
     require(!df.columns.exists(tmp.contains),
       s"cdcChunkFrame reserves temp columns ${tmp.mkString(", ")}")
@@ -157,11 +157,19 @@ object Text {
         posexplode(col("__cdc_ends")).as(Seq("__cdc_k", "__cdc_e")))
     val start = when(col("__cdc_k") === 0, lit(1))
       .otherwise(element_at(col("__cdc_ends"), col("__cdc_k")) + 1)
-    exploded.select(
+    val base = Seq(
       col(idCol),
       col("__cdc_k").cast("long").as("chunk_no"),
       (col("__cdc_e") - start + 1).cast("long").as("chunk_len"),
       md5(substr(col("__cdc_t"), start, col("__cdc_e") - start + 1)).as("chunk_fp"))
+    // keepText: carry the chunk text itself — what [[chunkDedup]]'s
+    // reassembly consumes; off by default so fingerprint-only consumers
+    // never materialize the corpus twice
+    val cols =
+      if (keepText)
+        base :+ substr(col("__cdc_t"), start, col("__cdc_e") - start + 1).as("chunk")
+      else base
+    exploded.select(cols: _*)
   }
 
   /** PII patterns shared by the scrubber and its oracle — RE2-compatible
@@ -237,17 +245,13 @@ object Text {
   def chunkDedup(
       docs: DataFrame, idCol: String, text: Column,
       n: Int = 8, mask: Int = 64): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), text.as("__t"),
-        cdcChunkEnds(text, n, mask).as("__ends"))
-      .select(col("id"), col("__t"), col("__ends"),
-        posexplode(col("__ends")).as(Seq("__k", "__e")))
-    val start = when(col("__k") === 0, lit(1))
-      .otherwise(element_at(col("__ends"), col("__k")) + 1)
-    val chunks = exploded.select(
-      col("id"), col("__k").cast("long").as("chunk_no"),
-      substr(col("__t"), start, col("__e") - start + 1).as("chunk"))
-      .withColumn("fp", md5(col("chunk")))
+    // one chunk derivation in the codebase: cdcChunkFrame owns the
+    // boundary arithmetic; this pass only adds the keep/reassemble logic
+    val chunks = cdcChunkFrame(
+        docs.select(col(idCol).as("id"), text.as("__txt")),
+        "id", col("__txt"), n, mask, keepText = true)
+      .select(col("id"), col("chunk_no"), col("chunk"),
+        col("chunk_fp").as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val firsts = chunks.groupBy("fp")

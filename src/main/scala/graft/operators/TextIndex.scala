@@ -108,6 +108,20 @@ object TextIndex {
     val spark = newDocs.sparkSession
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val buckets = spark.table(s"${tp}_meta").head().getInt(2)
+    // re-ingesting a TOMBSTONED id must fail loudly: appending fresh
+    // postings/doclens for it would (a) stay invisible through every
+    // probe's tombstone anti-join while its stats partial counts it, and
+    // (b) leave TWO doclens generations for one id once the tombstone is
+    // lifted. The supported path is compactTextIndex first (physical
+    // excision + tombstone truncation), then ingest normally.
+    val resurrected = newDocs.select(col(idCol).cast("long").as("id"))
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(resurrected.isEmpty,
+      s"ingest into '$tablePrefix' includes tombstoned id " +
+        s"${resurrected.headOption.map(_.getLong(0)).getOrElse(-1L)} — " +
+        "run compactTextIndex to excise tombstoned rows before " +
+        "re-ingesting a deleted document")
     val lens = doclensOf(newDocs, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -153,6 +167,15 @@ object TextIndex {
     * until [[compactTextIndex]]; probes are correct immediately because
     * candidates anti-join the tombstones and df is computed from the
     * surviving postings of the probed terms only.
+    *
+    * Crash-window ordering: the tombstone append lands FIRST. Dying
+    * between the two appends leaves the ids tombstoned but
+    * uncompensated — probes are already CORRECT (the docs are
+    * invisible; only n_docs/avgdl are slightly stale until
+    * [[compactTextIndex]] re-sums stats from the surviving doclens),
+    * and the idempotence skip means a retry cannot compensate twice.
+    * The reverse order would double-compensate on retry — a permanent
+    * stats corruption rather than a repairable staleness.
     */
   def deleteFromTextIndex(
       spark: SparkSession,
@@ -167,10 +190,10 @@ object TextIndex {
       .agg(lit(-2L).as("batch_id"), (-count(lit(1))).as("n_docs"),
         (-coalesce(sum("dl"), lit(0L))).as("tot_dl"))
       .localCheckpoint(true)
-    comp.write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(s"${tp}_stats")
     fresh.write.mode(SaveMode.Append)
       .format("parquet").saveAsTable(s"${tp}_tombstones")
+    comp.write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tp}_stats")
   }
 
   /** Physical excision (the exactly-once scrub): rewrite postings and
@@ -185,14 +208,24 @@ object TextIndex {
       tablePrefix: String,
       ids: DataFrame): Unit = {
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
-    val gone = ids.select(col("id")).distinct().localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
+    excise(spark, tp, ids.select(col("id")).distinct().localCheckpoint(true))
+  }
+
+  /** Physically remove `gone`'s rows from postings + doclens through the
+    * bucket-preserving compaction path, then recompute the single base
+    * `_stats` partial from the surviving, non-tombstoned doclens — the
+    * shared body of the ledger scrub ([[hardDeleteFromTextIndex]], where
+    * `gone` is a partial batch's ids) and the vacuum
+    * ([[compactTextIndex]], where `gone` is the tombstone set). The
+    * stats scan anti-joins `_tombstones` so an excision that is NOT the
+    * tombstone set (the scrub) still leaves tombstoned docs
+    * uncounted.
+    */
+  private def excise(spark: SparkSession, tp: String, gone: DataFrame): (Int, Int) = {
+    val res = graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
       rewrite = df => df.join(gone, Seq("id"), "left_anti"))
     graft.sources.Sinks.compactTable(spark, s"${tp}_doclens",
       rewrite = df => df.join(gone, Seq("id"), "left_anti"))
-    // stats: recompute the single base partial from the surviving doclens
-    // (metadata-sized result; the scan is the same cost the scrub's two
-    // rewrites above already paid)
     val st = spark.table(s"${tp}_doclens")
       .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
       .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
@@ -200,6 +233,7 @@ object TextIndex {
       .localCheckpoint(true)
     st.write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tp}_stats")
+    res
   }
 
   /** BM25 top-k probe against the ACTIVE generation. Exactly
@@ -366,7 +400,26 @@ object TextIndex {
       spark: SparkSession,
       tablePrefix: String,
       queryTerms: Seq[String],
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0): DataFrame =
+    bm25Contribs(spark, tablePrefix, queryTerms, maxDfFrac)
+      .groupBy("id", "dl")
+      .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
+        .as("bm25"))
+
+  /** The ONE BM25 scoring body every probe shape consumes: per surviving
+    * (term, id) posting of the query terms, the term's BM25 contribution
+    * plus the doc length — bucket-pruned postings scan, tombstone
+    * anti-join, live df, summed stats partials, optional common-term
+    * elision. The single probe aggregates it by (id, dl); the batched
+    * probe first fans it out against its (query_id, term) pairs. One
+    * body means the probes cannot drift apart (same elision, same
+    * arithmetic, same determinism device).
+    */
+  private def bm25Contribs(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      maxDfFrac: Double): DataFrame = {
     require(queryTerms.nonEmpty, "bm25AgainstIndex: no query terms")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0,
       s"maxDfFrac=$maxDfFrac must be in (0, 1]")
@@ -399,9 +452,7 @@ object TextIndex {
       .withColumn("contrib",
         col("idf") * (col("tf").cast("double") * lit(k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
-      .groupBy("id", "dl")
-      .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
-        .as("bm25"))
+      .select("term", "id", "dl", "contrib")
   }
 
   /** Batched multi-query BM25 probe — the serving fan-in shape: N query
@@ -421,7 +472,8 @@ object TextIndex {
       spark: SparkSession,
       tablePrefix: String,
       queryBags: Map[Long, Seq[String]],
-      kTop: Int): DataFrame = {
+      kTop: Int,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(queryBags.nonEmpty && queryBags.values.forall(_.nonEmpty),
       "bm25BatchAgainstIndex: every query needs at least one term")
     require(kTop >= 1, s"kTop=$kTop must be positive")
@@ -429,28 +481,13 @@ object TextIndex {
     val qt = spark.createDataFrame(
         queryBags.toSeq.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
       .toDF("query_id", "term")
-    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
-    val m = spark.table(s"${tp}_meta").head()
-    val (k1, b) = (m.getDouble(0), m.getDouble(1))
-    val stats = spark.table(s"${tp}_stats")
-      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
-    val post = spark.table(s"${tp}_postings")
-      .filter(col("term").isInCollection(allTerms))
-      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
-    val dfreq = post.groupBy("term").agg(countDistinct("id").as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
-    post.join(broadcast(qt), "term")
-      .join(broadcast(dfreq), "term")
-      .join(spark.table(s"${tp}_doclens"), "id")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
-          / (col("df").cast("double") + 0.5)))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(k1 + 1))
-          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // the shared scoring body (same elision, arithmetic and determinism
+    // device as the single probe — the shapes cannot drift), fanned out
+    // per query bag and top-k'd per query
+    bm25Contribs(spark, tablePrefix, allTerms, maxDfFrac)
+      .join(broadcast(qt), "term")
       .groupBy("query_id", "id", "dl")
       .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
         .as("bm25"))
@@ -473,6 +510,15 @@ object TextIndex {
   /** Blue/green rebuild — for scoring-parameter (k1/b) or bucket-count
     * changes; same pointer/resolve contract as the sibling families.
     * Returns the new generation number.
+    *
+    * Exactly-once ledger contract: the `_applied` batch history is NOT
+    * generation-scoped (see [[graft.sources.Sinks.clearIngestLedger]]).
+    * Rebuilding from a corpus that already CONTAINS the committed
+    * batches (the usual re-encode) keeps the ledger — a post-cutover
+    * redelivery must still skip or it would double-apply. Rebuilding
+    * from a snapshot that EXCLUDES them means the caller is resetting
+    * the stream to replay those batches: clear the ledger with the same
+    * cutover, or the replays are silently skipped.
     */
   def rebuildTextIndex(
       docs: DataFrame,
@@ -504,16 +550,7 @@ object TextIndex {
   def compactTextIndex(spark: SparkSession, tablePrefix: String): (Int, Int) = {
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val gone = spark.table(s"${tp}_tombstones").localCheckpoint(true)
-    val res = graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
-      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tp}_doclens",
-      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
-    val st = spark.table(s"${tp}_doclens")
-      .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
-      .localCheckpoint(true)
-    st.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${tp}_stats")
+    val res = excise(spark, tp, gone)
     gone.limit(0).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tp}_tombstones")
     res

@@ -301,6 +301,22 @@ object Sinks {
     next
   }
 
+  /** Reset an index family's exactly-once ingest ledger (`_applied`,
+    * kept at the BARE prefix — deliberately OUTSIDE the generation
+    * chain). The ledger's batch history spans generations, which is the
+    * right default for the common rebuild ("re-encode the corpus AS
+    * INGESTED SO FAR": a post-cutover redelivery of a committed batch
+    * must still skip, or it would double-apply). It is the WRONG default
+    * for a rebuild from a snapshot that excludes committed batches —
+    * there the stream is being reset to replay them, and a stale ledger
+    * would silently skip the replays. That caller resets the ledger
+    * with this verb as part of the same cutover, mirroring the stream's
+    * checkpoint reset. Spelled out here because the failure is silent
+    * in both directions; the rebuild verbs' scaladoc points at it.
+    */
+  def clearIngestLedger(spark: SparkSession, tablePrefix: String): Unit =
+    dropManagedTable(spark, s"${tablePrefix}_applied")
+
   /** Snapshot (fork) a persisted table family — the index lifecycle verb
     * a vector/dedup store exposes as "restore into a staging copy": the
     * ACTIVE generation of `fromPrefix` (pointer-resolved, same chain as

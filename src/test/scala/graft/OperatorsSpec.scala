@@ -595,6 +595,15 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "dl", "bm25")
     assert(full.exceptAll(oneShot).isEmpty && oneShot.exceptAll(full).isEmpty)
 
+    // the BATCHED probe shares the same elision body (one scoring
+    // implementation — the shapes cannot drift)
+    val batchElided = TextIndex.bm25BatchAgainstIndex(spark, "ti_el_spec",
+        Map(0L -> Seq("signal", "noise")), kTop = 10, maxDfFrac = 0.5)
+      .select("id", "dl", "bm25")
+    assert(batchElided.exceptAll(rareOnly).isEmpty
+      && rareOnly.exceptAll(batchElided).isEmpty,
+      "batched probe must apply the same elision as the single probe")
+
     // audit: hottest first with exact df/fraction ('filler' and 'noise'
     // tie at df=4; term asc breaks the tie)
     val top = TextIndex.postingsStats(spark, "ti_el_spec", topN = 2)
@@ -633,6 +642,14 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum("n_docs"), sum("tot_dl")).head()
     assert(statsBefore == statsAfter, "retried delete must be a no-op")
 
+    // re-ingesting a tombstoned id must fail loudly (appended rows would
+    // be invisible through the anti-join while their stats count)
+    val resurrect = intercept[IllegalArgumentException] {
+      TextIndex.ingestIntoTextIndex(
+        corpus.filter(col("doc_id") === 2L), "doc_id", tk, "ti_del_spec")
+    }
+    assert(resurrect.getMessage.contains("tombstoned id 2"), resurrect.getMessage)
+
     // vacuum: fold the tombstones out; the probe must be unchanged
     TextIndex.compactTextIndex(spark, "ti_del_spec")
     assert(spark.table("ti_del_spec_tombstones").isEmpty)
@@ -641,6 +658,16 @@ class OperatorsSpec extends SparkSpec {
     val afterCompact = TextIndex.bm25AgainstIndex(spark, "ti_del_spec", terms, 10)
       .select("id", "dl", "bm25")
     assert(afterCompact.exceptAll(after).isEmpty && after.exceptAll(afterCompact).isEmpty)
+
+    // post-compact, the formerly deleted document may re-ingest — and
+    // the index then equals a fresh build over the same corpus
+    TextIndex.ingestIntoTextIndex(
+      corpus.filter(col("doc_id") === 2L), "doc_id", tk, "ti_del_spec")
+    val back = TextIndex.bm25AgainstIndex(spark, "ti_del_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    val fresh2 = Text.bm25(corpus, "doc_id", tk, terms).select("id", "dl", "bm25")
+    assert(back.exceptAll(fresh2).isEmpty && fresh2.exceptAll(back).isEmpty,
+      "compact-then-reingest must equal a fresh full build")
   }
 
   test("inverted text index: fork is copy-on-write; rebuild re-stamps scoring params") {
