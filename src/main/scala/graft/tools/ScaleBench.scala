@@ -730,7 +730,8 @@ object ScaleBench {
       // stdout
       val fam = Seq("d_setsim_exact", "d_dedup_keep_best",
         "tx_quality_classifier", "tx_bm25_indexed", "tx_chunk_dedup",
-        "tx_dsir_sample")
+        "tx_dsir_sample", "tx_bm25_batch", "tx_bm25_filtered",
+        "tx_phrase_search", "tx_near_search", "sim_rrf_fusion")
       fam.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
