@@ -102,19 +102,20 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val detail = jsonLine(results, total)
-    println(detail)
     // durable per-rep detail: median is what the driver grades, but the
     // raw reps are what adjudicate "noise vs regression" without re-runs
     val repsJson = perPass.head.map(_._1).map { name =>
       s"\"" + name + "\":[" + byName(name).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // The harness keeps only a bounded tail of stdout; once the suite grew
-    // past ~90 queries the single detail line overflowed it and was
-    // front-truncated, losing the total (BENCH_r04 "parsed": null). Durable
-    // fallbacks, in order: the full detail goes to a repo file, and the LAST
-    // stdout line is a compact spec-shaped summary — total plus as many of
-    // the slowest queries as fit well inside the tail window — so whatever
-    // reads the tail always sees one complete, parseable JSON line.
+    // past ~90 queries a full per-query detail line overflowed it and was
+    // front-truncated, losing the total (BENCH_r04, and again r10: the
+    // complete summary line sat INSIDE the tail but behind a truncated
+    // detail fragment, and the driver recorded "parsed": null anyway).
+    // So stdout now carries EXACTLY ONE JSON line — the compact
+    // spec-shaped summary (total + as many of the slowest queries as fit
+    // well inside the tail window) — and the full per-query detail with
+    // raw reps goes only to the repo file, where the budget gate reads it.
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       val withReps = detail.dropRight(1) + s""","reps":$repsJson}"""

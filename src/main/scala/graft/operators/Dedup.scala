@@ -554,9 +554,10 @@ object Dedup {
     val spark = batch.sparkSession
     graft.sources.Sinks.exactlyOnceBatch(
         spark, s"${tablePrefix}_applied", batchId) {
-      graft.sources.Sinks.compactTable(spark,
-        s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}_grams",
-        _.filter(col("batch_id") =!= batchId)): Unit
+      graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+        Seq("_grams", "_meta"),
+        Map[String, DataFrame => DataFrame](
+          "_grams" -> (_.filter(col("batch_id") =!= batchId)))): Unit
     } {
       ingestIntoGramIndex(batch, idCol, toks, tablePrefix, batchId)
     }
@@ -584,18 +585,22 @@ object Dedup {
     * [[writeMinhashIndex]] / [[ingestIntoMinhashIndex]]): per-batch
     * appends fragment `_bands` and `_sigs` one file per bucket per batch;
     * this rewrites each back to one file per bucket through its own
-    * catalog bucket spec (stage-then-swap — see
-    * [[graft.sources.Sinks.compactTable]]). Row set unchanged, so probe
+    * catalog bucket spec, staged as a fresh GENERATION and flipped
+    * through the `_current` pointer
+    * ([[graft.sources.Sinks.compactFamilyCutover]] — a reader resolves a
+    * complete family at every instant; the old per-table rename swap had
+    * a blind window, SinksSpec stages it). Row set unchanged, so probe
     * results are hash-identical and the zero-Exchange probe plan is
     * preserved (both spec-pinned). Returns per-table (files before,
-    * files after).
+    * files after) for (`_bands`, `_sigs`).
     */
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String): Seq[(Int, Int)] =
-    Seq("_bands", "_sigs")
-      .map(sfx => graft.sources.Sinks.compactTable(spark,
-        s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}$sfx"))
+      tablePrefix: String): Seq[(Int, Int)] = {
+    val (_, counts) = graft.sources.Sinks.compactFamilyCutover(
+      spark, tablePrefix, Seq("_bands", "_sigs", "_meta"))
+    Seq(counts("_bands"), counts("_sigs"))
+  }
 
   /** Vacuum the gram index (see [[writeGramIndex]] /
     * [[ingestIntoGramIndex]]): ingest appends per-batch (gram, n_docs)
@@ -611,16 +616,17 @@ object Dedup {
   def compactGramIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Int, Int) =
-    graft.sources.Sinks.compactTable(spark,
-      s"${graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)}_grams",
-      _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
-        // partials collapse into the merged generation (see
-        // writeGramIndex); compact only with no ingest in flight
-        .withColumn("batch_id", lit(-1L)))
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_grams", "_meta"),
+      Map[String, DataFrame => DataFrame]("_grams" -> (
+        _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
+          // partials collapse into the merged generation (see
+          // writeGramIndex); compact only with no ingest in flight
+          .withColumn("batch_id", lit(-1L)))))._2("_grams")
 
   /** Delete documents from the minhash index (see [[writeMinhashIndex]]):
     * drops the documents' rows from `_bands` and `_sigs` via an anti-join
-    * rewrite riding the compaction machinery (stage-then-swap, bucket
+    * rewrite riding the compaction machinery (generation cutover, bucket
     * layout preserved, fragmentation vacuumed in the same pass — a
     * deletion IS a rewrite, so it doubles as one). Probes after deletion
     * behave exactly as if the documents had never been indexed
@@ -649,11 +655,10 @@ object Dedup {
       tablePrefix: String,
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id")).distinct().localCheckpoint(true)
-    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
-    graft.sources.Sinks.compactTable(spark, s"${tp}_bands",
-      _.join(del, Seq("id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tp}_sigs",
-      _.join(del, Seq("id"), "left_anti"))
+    val anti = (df: DataFrame) => df.join(del, Seq("id"), "left_anti")
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_bands", "_sigs", "_meta"),
+      Map[String, DataFrame => DataFrame]("_bands" -> anti, "_sigs" -> anti)): Unit
   }
 
   /** Delete documents from the gram index (see [[writeGramIndex]]): the
@@ -683,15 +688,17 @@ object Dedup {
       .select(col("id"), explode(array_distinct(wordShingles(col("tk"), n))).as("gram"))
       .groupBy("gram").agg(countDistinct(col("id")).as("n_del"))
       .localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark, s"${tp}_grams",
-      _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
-        .join(delCounts, Seq("gram"), "left")
-        .select(col("gram"),
-          (col("n_docs") - coalesce(col("n_del"), lit(0L))).as("n_docs"))
-        .filter(col("n_docs") > 0)
-        // partials collapse into the merged generation (see
-        // writeGramIndex); run deletions only with no ingest in flight
-        .withColumn("batch_id", lit(-1L)))
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_grams", "_meta"),
+      Map[String, DataFrame => DataFrame]("_grams" -> (
+        _.groupBy("gram").agg(sum("n_docs").as("n_docs"))
+          .join(delCounts, Seq("gram"), "left")
+          .select(col("gram"),
+            (col("n_docs") - coalesce(col("n_del"), lit(0L))).as("n_docs"))
+          .filter(col("n_docs") > 0)
+          // partials collapse into the merged generation (see
+          // writeGramIndex); run deletions only with no ingest in flight
+          .withColumn("batch_id", lit(-1L))))): Unit
   }
 
   /** Edge-deletion connected components — the take-down counterpart of

@@ -140,8 +140,10 @@ object Similarity {
       embCol: String,
       dupEdges: DataFrame,
       k: Int,
-      anchorPred: Column = lit(true)): DataFrame = {
+      anchorPred: Column = lit(true),
+      maxAnchors: Long = 200_000L): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
+    require(maxAnchors >= 1, s"maxAnchors=$maxAnchors must be positive")
     // star CC, not the min-label loop: a dense near-dup graph's component
     // DIAMETER grows with corpus size (the ×10 decade's 0.38-threshold
     // pair graph exceeded 20 label-hop rounds), while the star operators
@@ -155,11 +157,24 @@ object Similarity {
     // `anchorPred` restricts WHICH anchors get mined this call (the
     // production shape: negatives are mined per training batch, not for
     // every clustered vector at once — per-anchor cost is a corpus scan,
-    // so the caller sizes the anchor batch, the corpus sizes the scan)
+    // so the caller sizes the anchor batch, the corpus sizes the scan).
+    // The anchor set is BROADCAST below, so the "caller sizes the batch"
+    // contract is enforced, not assumed: the set materializes once
+    // (localCheckpoint — also what the broadcast ships), and a batch
+    // over `maxAnchors` fails loudly instead of OOMing the driver with a
+    // corpus-scale broadcast. Corpus-fraction anchor sets belong on
+    // [[hardNegativesIndexed]], which probes the persisted IVF index.
     val anchors = corpus.select(col(idCol).as("query_id"), col(embCol).as("qe"))
       .filter(anchorPred)
       .join(cc.select(col("id").as("query_id"), col("rep").as("qrep")), "query_id")
       .withColumn("qn", l2Norm(col("qe")))
+      .localCheckpoint(true)
+    val nAnchors = anchors.count()
+    require(nAnchors <= maxAnchors,
+      s"hardNegatives: anchor batch has $nAnchors vectors (> maxAnchors=" +
+        s"$maxAnchors) — a broadcast this size is a driver OOM, not a " +
+        "plan; mine per training batch via anchorPred, raise maxAnchors " +
+        "deliberately, or use hardNegativesIndexed (IVF-probed shortlist)")
     // project the vectors AWAY before the ranking window: an
     // anchors×corpus row stream carrying two 64-dim arrays through the
     // window shuffle is the memory cliff (measured: OOM at the ×10
@@ -175,6 +190,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
+  }
+
+  /** Production hard-negative mining — [[hardNegatives]]' contract served
+    * off the persisted IVF index instead of a per-anchor corpus scan: the
+    * anchor's candidates come from its `nprobe` nearest cells (the
+    * bucketed `_lists` layout — O(probed-cell vectors) per anchor, never
+    * the corpus), and the duplicate-CLUSTER anti-filter applies INSIDE
+    * the probe, BEFORE the ranking window. That placement is the scale
+    * design: the top-k is taken among eligible candidates directly, so
+    * the probe depth is k itself — a giant duplicate cluster (the ×10
+    * decade's 0.38-threshold graph has one) costs nothing extra, where a
+    * shortlist-then-filter composition would need a shortlist as deep as
+    * the cluster (measured 16× SLOWER than brute before this fix).
+    *
+    * What remains approximate is IVF recall alone — a true near-neighbor
+    * in an unprobed cell — the standard ANN trade; `sim_hard_negatives`'
+    * certificate measures it against the brute baseline, and bit-parity
+    * at nprobe = nlist (no unprobed cells) is spec-pinned.
+    *
+    * Scale shape vs the brute verb: anchors are never broadcast (the
+    * probe joins anchors×probed-cells on `cid` — a shuffle join), so a
+    * corpus-scale anchor fraction is a legitimate batch here; with the
+    * production nlist ≈ √N the probed fraction is assign·nprobe/nlist ≪ 1.
+    * Measured in ScaleBench `hardneg`.
+    */
+  def hardNegativesIndexed(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dupEdges: DataFrame,
+      k: Int,
+      tablePrefix: String,
+      nprobe: Int = 4,
+      anchorPred: Column = lit(true)): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val cc = Dedup.connectedComponentsStar(dupEdges).localCheckpoint(true)
+    // anchor frame exposes `query_id` — the same name the brute verb's
+    // anchorPred filters on, so batching predicates are interchangeable
+    val anchors = corpus.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .filter(anchorPred)
+      .join(cc.select(col("id").as("query_id"), col("rep").as("qrep")), "query_id")
+      .localCheckpoint(true)
+    val nreps = cc.select(col("id").as("neighbor_id"), col("rep").as("nrep"))
+    // eligibility joins per (anchor, candidate) pair before the window:
+    // null-safe rep inequality — a never-clustered neighbor is always
+    // eligible, self shares the anchor's rep (anchors are clustered by
+    // construction), so self-exclusion is implied like the brute verb
+    val eligible = (cand: DataFrame) => cand
+      .join(anchors.select(col("query_id"), col("qrep")), "query_id")
+      .join(nreps, Seq("neighbor_id"), "left")
+      .filter(!(col("nrep") <=> col("qrep")))
+      .drop("qrep", "nrep")
+    ivfTopKAgainstIndexPlan(anchors.select(col("query_id"), col("qe")),
+        tablePrefix, "query_id", "qe", k = k, nprobe = nprobe,
+        candidateHook = eligible)
+      .localCheckpoint(true)
   }
 
   /** IVF coarse quantizer: deterministic Lloyd k-means entirely in
@@ -1033,7 +1104,8 @@ object Similarity {
       embCol: String,
       k: Int,
       nprobe: Int = 4,
-      candidateFilter: Column = lit(true)): DataFrame = {
+      candidateFilter: Column = lit(true),
+      candidateHook: DataFrame => DataFrame = identity): DataFrame = {
     val spark = queries.sparkSession
     val tp = activeIvfPrefix(spark, tablePrefix)
     val meta = spark.table(s"${tp}_meta").head()
@@ -1069,7 +1141,12 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
     // multi-assigned indexes list a vector under `assign` cells; dedupe
     // before ranking so row_number cannot count a neighbor twice
-    val cand = if (assign > 1) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
+    val cand1 = if (assign > 1) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
+    // per-(query, candidate) eligibility the static candidateFilter can't
+    // express (e.g. hard-negative mining's "not in THIS anchor's dup
+    // cluster") joins in HERE — before the ranking window, so the top-k
+    // is taken among eligible candidates at probe depth k itself
+    val cand = candidateHook(cand1)
     val scored = cand.select(
       col("query_id"), col("neighbor_id"),
       round(dotD(col("qe"), col("ce")) / (l2Norm(col("qe")) * l2Norm(col("ce"))), 7).as("cos"))
@@ -1238,34 +1315,36 @@ object Similarity {
   /** Vacuum a persisted IVF index (see [[writeIvfIndex]] /
     * [[appendToIvfIndex]]): per-batch appends fragment `_lists` one file
     * per bucket per batch; this rewrites it back to one file per bucket
-    * through its own catalog bucket spec (stage-then-swap — see
-    * [[graft.sources.Sinks.compactTable]]). Row set unchanged, so probes
-    * are hash-identical and zero-Exchange is preserved (spec-pinned).
+    * through its own catalog bucket spec, staged as a fresh GENERATION
+    * and flipped through the pointer
+    * ([[graft.sources.Sinks.compactFamilyCutover]] — no reader-blind
+    * rename window). Row set unchanged, so probes are hash-identical and
+    * zero-Exchange is preserved (spec-pinned). Returns `_lists` (files
+    * before, files after).
     */
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Int, Int) =
-    graft.sources.Sinks.compactTable(spark,
-      s"${activeIvfPrefix(spark, tablePrefix)}_lists")
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_lists", "_cents", "_meta"))._2("_lists")
 
   /** Vacuum a persisted IVF-PQ index (see [[writeIvfPqIndex]] /
     * [[appendToIvfPqIndex]]): rewrites the bucketed `_codes` back to one
-    * file per bucket, and the non-bucketed `_vecs` side table to
-    * size-targeted files. Returns ((codes before, after),
-    * (vecs before, after)).
+    * file per bucket and the non-bucketed `_vecs` side table to
+    * size-targeted files — one generation cutover for the whole family.
+    * Returns ((codes before, after), (vecs before, after)).
     */
   def compactIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String): ((Int, Int), (Int, Int)) =
-    {
-    val tp = activeIvfPrefix(spark, tablePrefix)
-    (graft.sources.Sinks.compactTable(spark, s"${tp}_codes"),
-      graft.sources.Sinks.compactTable(spark, s"${tp}_vecs"))
+      tablePrefix: String): ((Int, Int), (Int, Int)) = {
+    val (_, counts) = graft.sources.Sinks.compactFamilyCutover(
+      spark, tablePrefix, Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
+    (counts("_codes"), counts("_vecs"))
   }
 
   /** Delete vectors from a persisted IVF index (see [[writeIvfIndex]]):
     * drops their inverted-list rows via an anti-join rewrite riding the
-    * compaction machinery (stage-then-swap, bucket layout preserved,
+    * compaction machinery (generation cutover, bucket layout preserved,
     * fragmentation vacuumed in the same pass). Probes afterwards behave
     * exactly as if the vectors had never been indexed (hash-verified by
     * `sim_knn_ivf_delete`). `deletedIds` must expose an `id` column.
@@ -1276,15 +1355,17 @@ object Similarity {
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id").as("neighbor_id"))
       .distinct().localCheckpoint(true)
-    graft.sources.Sinks.compactTable(spark,
-      s"${activeIvfPrefix(spark, tablePrefix)}_lists",
-      _.join(del, Seq("neighbor_id"), "left_anti"))
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_lists", "_cents", "_meta"),
+      Map[String, DataFrame => DataFrame](
+        "_lists" -> (_.join(del, Seq("neighbor_id"), "left_anti")))): Unit
   }
 
   /** Delete vectors from a persisted IVF-PQ index (see
     * [[writeIvfPqIndex]]): anti-join rewrite of both the bucketed
     * `_codes` and the `_vecs` re-rank side table — a deleted vector must
-    * vanish from BOTH, or the shortlist would re-rank ghosts.
+    * vanish from BOTH, or the shortlist would re-rank ghosts; the single
+    * generation cutover makes the pair-removal atomic for readers.
     */
   def deleteFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1292,11 +1373,11 @@ object Similarity {
       deletedIds: DataFrame): Unit = {
     val del = deletedIds.select(col("id").as("neighbor_id"))
       .distinct().localCheckpoint(true)
-    val tp = activeIvfPrefix(spark, tablePrefix)
-    graft.sources.Sinks.compactTable(spark, s"${tp}_codes",
-      _.join(del, Seq("neighbor_id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tp}_vecs",
-      _.join(del, Seq("neighbor_id"), "left_anti"))
+    val anti = (df: DataFrame) => df.join(del, Seq("neighbor_id"), "left_anti")
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix,
+      Seq("_codes", "_vecs", "_cents", "_books", "_meta"),
+      Map[String, DataFrame => DataFrame](
+        "_codes" -> anti, "_vecs" -> anti)): Unit
   }
 
   /** Fork (snapshot) a persisted IVF index: the ACTIVE generation of

@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   private[graft] val Suffixes =
-    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+    Seq("_postings", "_doclens", "_stats", "_tombstones", "_maxscores", "_meta")
 
   // positional postings: `pos` (0-based, ascending) enables phrase /
   // proximity probes; tf = size(pos) keeps BM25 reads unchanged
@@ -58,6 +58,20 @@ object TextIndex {
   private def doclensOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
       size(toks).cast("long").as("dl"))
+
+  /** Per-term score-bound partials for the MaxScore probe: the batch's
+    * max tf and document count per term. Both measures MERGE across
+    * batches (max of maxes, sum of dfs — ingest rejects duplicate live
+    * ids, so summed df is exact for the stored postings), and both stay
+    * VALID upper-bound inputs under tombstone deletes (true max_tf can
+    * only shrink; true df is bounded below by stored df − tombstone
+    * count, which [[bm25MaxScoreAgainstIndex]] uses for its idf upper
+    * bound). Compaction recomputes them exact.
+    */
+  private def maxscoresOf(posts: DataFrame, batchId: Long): DataFrame =
+    posts.groupBy("term")
+      .agg(max(col("tf")).cast("long").as("max_tf"), count(lit(1)).as("df"))
+      .select(lit(batchId).as("batch_id"), col("term"), col("max_tf"), col("df"))
 
   /** Build the index over `docs`. Layout + scoring params land in `_meta`
     * (LAST); stats land as the batch_id = -1 base partial.
@@ -73,11 +87,15 @@ object TextIndex {
     val spark = docs.sparkSession
     val lens = doclensOf(docs, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = postingsOf(docs, idCol, toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sinks.writeBucketedTable(
-        postingsOf(docs, idCol, toks), s"${tablePrefix}_postings", buckets, "term")
+        posts, s"${tablePrefix}_postings", buckets, "term")
       graft.sources.Sinks.writeBucketedTable(
         lens, s"${tablePrefix}_doclens", buckets, "id")
+      graft.sources.Sinks.writeBucketedTable(
+        maxscoresOf(posts, -1L), s"${tablePrefix}_maxscores", buckets, "term")
       lens.agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
           coalesce(sum("dl"), lit(0L)).as("tot_dl"))
         .write.mode(SaveMode.Overwrite)
@@ -89,7 +107,7 @@ object TextIndex {
       spark.createDataFrame(Seq((k1, b, buckets))).toDF("k1", "b", "buckets")
         .write.mode(SaveMode.Overwrite)
         .format("parquet").saveAsTable(s"${tablePrefix}_meta")
-    } finally lens.unpersist()
+    } finally { lens.unpersist(); posts.unpersist() }
   }
 
   /** One ingest cycle: append the batch's postings + doclens
@@ -108,34 +126,62 @@ object TextIndex {
     val spark = newDocs.sparkSession
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val buckets = spark.table(s"${tp}_meta").head().getInt(2)
-    // re-ingesting a TOMBSTONED id must fail loudly: appending fresh
-    // postings/doclens for it would (a) stay invisible through every
-    // probe's tombstone anti-join while its stats partial counts it, and
-    // (b) leave TWO doclens generations for one id once the tombstone is
-    // lifted. The supported path is compactTextIndex first (physical
-    // excision + tombstone truncation), then ingest normally.
-    val resurrected = newDocs.select(col(idCol).cast("long").as("id"))
+    // an ingested id must be NEW to the index — both collision classes
+    // fail loudly, in one probe job (union of two semi-joins, limit 1):
+    //   - TOMBSTONED: appending fresh postings/doclens for it would (a)
+    //     stay invisible through every probe's tombstone anti-join while
+    //     its stats partial counts it, and (b) leave TWO doclens
+    //     generations for one id once the tombstone is lifted. The
+    //     supported path is compactTextIndex first (physical excision +
+    //     tombstone truncation), then ingest normally.
+    //   - LIVE: a second doclens row for the id makes every matching
+    //     posting join twice in bm25Contribs (doubled contributions) and
+    //     _stats counts the doc twice — permanent silent score
+    //     corruption. The exactly-once ledger only covers redelivery of
+    //     the SAME batchId; an overlapping batch under a new batchId
+    //     lands here. Upsert-via-delete (deleteFromTextIndex, then
+    //     compact, then ingest) is the only supported overwrite path.
+    // Both probes scan narrow metadata-sized tables (id-only / (id, dl)),
+    // the batch side broadcasts — O(index metadata), never the postings.
+    val newIds = newDocs.select(col(idCol).cast("long").as("id"))
+    val conflict = newIds
       .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_semi")
+      .select(col("id"), lit("tombstoned").as("why"))
+      .unionByName(newIds
+        .join(spark.table(s"${tp}_doclens"), Seq("id"), "left_semi")
+        .select(col("id"), lit("live").as("why")))
       .limit(1).collect()
-    require(resurrected.isEmpty,
-      s"ingest into '$tablePrefix' includes tombstoned id " +
-        s"${resurrected.headOption.map(_.getLong(0)).getOrElse(-1L)} — " +
-        "run compactTextIndex to excise tombstoned rows before " +
-        "re-ingesting a deleted document")
+    conflict.headOption.foreach { r =>
+      if (r.getString(1) == "tombstoned") throw new IllegalArgumentException(
+        s"requirement failed: ingest into '$tablePrefix' includes " +
+          s"tombstoned id ${r.getLong(0)} — run compactTextIndex to " +
+          "excise tombstoned rows before re-ingesting a deleted document")
+      else throw new IllegalArgumentException(
+        s"requirement failed: ingest into '$tablePrefix' includes id " +
+          s"${r.getLong(0)} already live in the index — re-ingesting " +
+          "would double its doclens/stats and silently corrupt every " +
+          "matching BM25 score; delete (tombstone) the id, compact, " +
+          "then ingest (upsert-via-delete is the only overwrite path)")
+    }
     val lens = doclensOf(newDocs, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = postingsOf(newDocs, idCol, toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      postingsOf(newDocs, idCol, toks).write.mode(SaveMode.Append)
+      posts.write.mode(SaveMode.Append)
         .bucketBy(buckets, "term").sortBy("term")
         .format("parquet").saveAsTable(s"${tp}_postings")
       lens.write.mode(SaveMode.Append)
         .bucketBy(buckets, "id").sortBy("id")
         .format("parquet").saveAsTable(s"${tp}_doclens")
+      maxscoresOf(posts, batchId).write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${tp}_maxscores")
       lens.agg(lit(batchId).as("batch_id"), count(lit(1)).as("n_docs"),
           coalesce(sum("dl"), lit(0L)).as("tot_dl"))
         .write.mode(SaveMode.Append)
         .format("parquet").saveAsTable(s"${tp}_stats")
-    } finally lens.unpersist()
+    } finally { lens.unpersist(); posts.unpersist() }
   }
 
   /** Exactly-once wrapper around [[ingestIntoTextIndex]] — the
@@ -196,6 +242,46 @@ object TextIndex {
       .format("parquet").saveAsTable(s"${tp}_stats")
   }
 
+  /** Audit-and-repair for the `_stats` partials — the cheap recovery verb
+    * for [[deleteFromTextIndex]]'s crash window (tombstones landed, the
+    * negative compensation did not; probes are CORRECT — the docs are
+    * invisible — but n_docs/avgdl are stale-high until repaired, and the
+    * delete's idempotence skip means a retry cannot close the gap).
+    * Recomputes the truth from `_doclens` anti `_tombstones` (one
+    * aggregation over narrow metadata tables — never the postings),
+    * compares against the summed partials, and on ANY drift replaces the
+    * partials with one fresh base row. Far cheaper than
+    * [[compactTextIndex]], which repairs the same staleness only as a
+    * side effect of a full postings rewrite.
+    *
+    * Returns a one-row audit frame
+    * (n_docs_stored, tot_dl_stored, n_docs_truth, tot_dl_truth, repaired)
+    * — run it with no drift and it is a read-only no-op (repaired =
+    * false), so schedulers can poll it as a drift detector.
+    */
+  def repairTextIndexStats(spark: SparkSession, tablePrefix: String): DataFrame = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val stored = spark.table(s"${tp}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
+      .head()
+    val truth = spark.table(s"${tp}_doclens")
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .head()
+    val drifted = stored.getLong(0) != truth.getLong(0) ||
+      stored.getLong(1) != truth.getLong(1)
+    if (drifted)
+      spark.range(1)
+        .select(lit(-1L).as("batch_id"), lit(truth.getLong(0)).as("n_docs"),
+          lit(truth.getLong(1)).as("tot_dl"))
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${tp}_stats")
+    spark.createDataFrame(Seq((stored.getLong(0), stored.getLong(1),
+        truth.getLong(0), truth.getLong(1), drifted)))
+      .toDF("n_docs_stored", "tot_dl_stored", "n_docs_truth", "tot_dl_truth",
+        "repaired")
+  }
+
   /** Physical excision (the exactly-once scrub): rewrite postings and
     * doclens without `ids`' rows through the bucket-preserving compaction
     * path, and remove any stats partials those ids contributed by
@@ -206,34 +292,55 @@ object TextIndex {
   private def hardDeleteFromTextIndex(
       spark: SparkSession,
       tablePrefix: String,
-      ids: DataFrame): Unit = {
-    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
-    excise(spark, tp, ids.select(col("id")).distinct().localCheckpoint(true))
-  }
+      ids: DataFrame): Unit =
+    excise(spark, tablePrefix,
+      ids.select(col("id")).distinct().localCheckpoint(true),
+      truncateTombstones = false)
 
-  /** Physically remove `gone`'s rows from postings + doclens through the
-    * bucket-preserving compaction path, then recompute the single base
-    * `_stats` partial from the surviving, non-tombstoned doclens — the
-    * shared body of the ledger scrub ([[hardDeleteFromTextIndex]], where
-    * `gone` is a partial batch's ids) and the vacuum
-    * ([[compactTextIndex]], where `gone` is the tombstone set). The
-    * stats scan anti-joins `_tombstones` so an excision that is NOT the
-    * tombstone set (the scrub) still leaves tombstoned docs
-    * uncounted.
+  /** Physically remove `gone`'s rows from postings + doclens and
+    * recompute the `_stats` / `_maxscores` partials exactly from the
+    * survivors — the shared body of the ledger scrub
+    * ([[hardDeleteFromTextIndex]], where `gone` is a partial batch's
+    * ids and the tombstones copy through) and the vacuum
+    * ([[compactTextIndex]], where `gone` is the tombstone set and the
+    * tombstones truncate). The stats/bounds scans anti-join
+    * `_tombstones` so an excision that is NOT the tombstone set (the
+    * scrub) still leaves tombstoned docs uncounted.
+    *
+    * The whole excision rides ONE generation cutover
+    * ([[graft.sources.Sinks.compactFamilyCutover]]): a concurrent
+    * reader resolves a complete generation at every instant (no
+    * rename window), and a crash anywhere leaves either the old or the
+    * new generation serving. `tablePrefix` is the family's LOGICAL
+    * prefix (pointer-unresolved — the cutover resolves and advances it).
     */
-  private def excise(spark: SparkSession, tp: String, gone: DataFrame): (Int, Int) = {
-    val res = graft.sources.Sinks.compactTable(spark, s"${tp}_postings",
-      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
-    graft.sources.Sinks.compactTable(spark, s"${tp}_doclens",
-      rewrite = df => df.join(gone, Seq("id"), "left_anti"))
-    val st = spark.table(s"${tp}_doclens")
+  private def excise(
+      spark: SparkSession,
+      tablePrefix: String,
+      gone: DataFrame,
+      truncateTombstones: Boolean): (Int, Int) = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val anti = (df: DataFrame) => df.join(gone, Seq("id"), "left_anti")
+    val surviving = anti(spark.table(s"${tp}_doclens"))
       .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
-      .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
-      .localCheckpoint(true)
-    st.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${tp}_stats")
-    res
+    val rewrites = Map[String, DataFrame => DataFrame](
+      "_postings" -> anti,
+      "_doclens" -> anti,
+      // score bounds re-tighten EXACTLY from the surviving postings (the
+      // partials only ever loosen under deletes — compaction is where
+      // they snap back)
+      "_maxscores" -> (_ => maxscoresOf(
+        anti(spark.table(s"${tp}_postings"))
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti"), -1L)),
+      "_stats" -> (_ => surviving
+        .agg(lit(-1L).as("batch_id"), count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("tot_dl")))) ++
+      (if (truncateTombstones)
+        Map[String, DataFrame => DataFrame]("_tombstones" -> (df => df.limit(0)))
+      else Map.empty[String, DataFrame => DataFrame])
+    val (_, counts) = graft.sources.Sinks.compactFamilyCutover(
+      spark, tablePrefix, Suffixes, rewrites)
+    counts("_postings")
   }
 
   /** BM25 top-k probe against the ACTIVE generation. Exactly
@@ -280,7 +387,13 @@ object TextIndex {
     require(topN >= 1, s"topN=$topN must be positive")
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val stats = spark.table(s"${tp}_stats")
-      .agg(sum("n_docs").as("n_docs"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
+    // all-deleted (or compensated-to-zero) index: df_frac would divide by
+    // zero and emit null rows — fail loudly like the builders' guards
+    val nDocs = stats.head().getLong(0)
+    require(nDocs > 0,
+      s"postingsStats('$tablePrefix'): index holds no live documents " +
+        s"(summed _stats n_docs = $nDocs) — df_frac is undefined")
     spark.table(s"${tp}_postings")
       .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
       .groupBy("term").agg(countDistinct("id").as("df"))
@@ -307,11 +420,16 @@ object TextIndex {
       tablePrefix: String,
       queryTerms: Seq[String],
       allowedIds: DataFrame,
-      kTop: Int): DataFrame = {
+      kTop: Int,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(kTop >= 1, s"kTop=$kTop must be positive")
     val allowed = allowedIds
       .select(col(allowedIds.columns.head).cast("long").as("id")).distinct()
-    bm25Scores(spark, tablePrefix, queryTerms)
+    // maxDfFrac threads into the shared scoring body like the single and
+    // batched probes — an unvetted query bag on a FILTERED probe needs
+    // the common-term elision cost defense just as much (the filter
+    // bounds candidates, not the hot term's postings scan)
+    bm25Scores(spark, tablePrefix, queryTerms, maxDfFrac)
       .join(allowed, Seq("id"), "left_semi")
       .orderBy(col("bm25").desc, col("id"))
       .limit(kTop)
@@ -395,16 +513,151 @@ object TextIndex {
   /** Shared scoring plan of the single-bag probes: (id, dl, bm25) for
     * every surviving document matching >= 1 query term — bucket-pruned
     * postings scan, tombstone anti-join, live df, summed stats partials.
+    * `among`, when given, restricts the SCORED documents (a left-semi on
+    * id BEFORE the aggregation — the MaxScore probe's candidate bound);
+    * df/stats stay corpus-exact either way.
     */
   private def bm25Scores(
       spark: SparkSession,
       tablePrefix: String,
       queryTerms: Seq[String],
-      maxDfFrac: Double = 1.0): DataFrame =
-    bm25Contribs(spark, tablePrefix, queryTerms, maxDfFrac)
+      maxDfFrac: Double = 1.0,
+      among: Option[DataFrame] = None): DataFrame = {
+    val contribs = bm25Contribs(spark, tablePrefix, queryTerms, maxDfFrac)
+    among.fold(contribs)(ids => contribs.join(ids, Seq("id"), "left_semi"))
       .groupBy("id", "dl")
       .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
         .as("bm25"))
+  }
+
+  /** One MaxScore probe's pruning decisions — what the cost-defense
+    * certificates and ScaleBench read: how many of the query's terms
+    * stayed essential, the score floor `theta` the non-essential prefix
+    * was pruned against (None = no floor was established, nothing
+    * pruned), and the summed upper bounds of the pruned terms.
+    */
+  final case class MaxScoreAudit(
+      nTerms: Int,
+      nEssential: Int,
+      theta: Option[Double],
+      prunedUbSum: Double,
+      essentialTerms: Seq[String])
+
+  /** BM25 top-k with MaxScore-shaped term pruning (Turtle & Flood 1995;
+    * the WAND family's set-oriented adaptation) — LOSSLESS for top-k by
+    * construction, the principled version of the `maxDfFrac` elision
+    * (which changes scores; this never does):
+    *
+    *   1. Per-term score UPPER BOUNDS from the `_maxscores` partials:
+    *      ub(t) = idf_ub(t) · max_tf·(k1+1) / (max_tf + k1·(1−b)) — the
+    *      dl-normalization at its minimum, idf at a df LOWER bound
+    *      (stored df − tombstone count; deletes only loosen bounds, so
+    *      a stale partial stays safe — compaction re-tightens).
+    *   2. θ phase: EXACT full scores for the documents matching the
+    *      RAREST query term (smallest stored df — the cheapest candidate
+    *      set); θ = the k-th best. Any k exact scores lower-bound the
+    *      true k-th score.
+    *   3. Essential split: sorted by ub ascending, the maximal prefix P
+    *      with Σub(P) ≤ θ − 10⁻³ (margin dominates the round-4 grid) is
+    *      non-essential — a document containing ONLY P terms scores
+    *      strictly below θ and can never enter the top-k.
+    *   4. Exact scoring (every query term, live df, exact stats) over
+    *      documents matching ≥ 1 ESSENTIAL term only.
+    *
+    * The scan cost a set-oriented engine saves is the scoring pipeline:
+    * every term's postings are still read once (live df needs them), but
+    * only candidate documents' postings flow through the doclens join +
+    * aggregation + top-k — with a hot term pruned, that is the
+    * difference between O(hot postings) and O(rare postings) rows in the
+    * expensive stages. Measured in ScaleBench `maxscore`.
+    *
+    * Returns exactly [[bm25AgainstIndex]]'s shape — (id, dl, bm25),
+    * top kTop by (bm25 desc, id) — and must equal it bit-for-bit on any
+    * index and bag (the `tx_bm25_maxscore` oracle is the EXHAUSTIVE
+    * replay; OperatorsSpec pins equality plus that pruning engaged).
+    */
+  def bm25MaxScoreAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      kTop: Int): DataFrame =
+    bm25MaxScoreWithAudit(spark, tablePrefix, queryTerms, kTop)._1
+
+  /** [[bm25MaxScoreAgainstIndex]] plus its [[MaxScoreAudit]]. */
+  def bm25MaxScoreWithAudit(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      kTop: Int): (DataFrame, MaxScoreAudit) = {
+    require(queryTerms.nonEmpty, "bm25MaxScoreAgainstIndex: no query terms")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
+    val (k1, b) = (m.getDouble(0), m.getDouble(1))
+    val statsRow = spark.table(s"${tp}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
+      .head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0,
+      s"bm25MaxScoreAgainstIndex('$tablePrefix'): index holds no live documents")
+    val tombCount = spark.table(s"${tp}_tombstones").count()
+    // per-term merged bound partials — bucket-pruned scan, ≤ |bag| rows
+    val bounds = spark.table(s"${tp}_maxscores")
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("term")
+      .agg(max("max_tf").as("max_tf"), sum("df").as("df"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def ub(maxTf: Long, dfStored: Long): Double = {
+      val dfLb = math.max(0.5, math.min((dfStored - tombCount).toDouble, nDocs.toDouble))
+      val idfUb = math.log(1.0 + ((nDocs - dfLb) + 0.5) / (dfLb + 0.5))
+      idfUb * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+    }
+    val terms = bounds.map { case (t, maxTf, df) => (t, df, ub(maxTf, df)) }
+    // θ phase off the rarest present term; absent terms prune for free
+    val theta: Option[Double] =
+      if (terms.isEmpty) None
+      else {
+        val seed = terms.minBy { case (t, df, _) => (df, t) }._1
+        val seedIds = spark.table(s"${tp}_postings")
+          .filter(col("term") === seed)
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+          .select("id")
+        val top = bm25Scores(spark, tablePrefix, queryTerms, 1.0, Some(seedIds))
+          .orderBy(col("bm25").desc, col("id"))
+          .limit(kTop).collect()
+        if (top.length < kTop) None else Some(top.last.getAs[Double]("bm25"))
+      }
+    // maximal ascending-ub prefix whose bound sum stays under θ − margin
+    val sortedAsc = terms.sortBy { case (t, _, u) => (u, t) }
+    var acc = 0.0
+    val pruned = scala.collection.mutable.ArrayBuffer.empty[String]
+    theta.foreach { th =>
+      var i = 0
+      while (i < sortedAsc.length && acc + sortedAsc(i)._3 <= th - 1e-3) {
+        acc += sortedAsc(i)._3
+        pruned += sortedAsc(i)._1
+        i += 1
+      }
+    }
+    val essential = terms.map(_._1).filterNot(pruned.contains).toSeq
+    val audit = MaxScoreAudit(queryTerms.distinct.length, essential.length,
+      theta, acc, essential)
+    val result =
+      if (essential.isEmpty || pruned.isEmpty)
+        // nothing pruned (or nothing present): the exhaustive probe
+        bm25AgainstIndex(spark, tablePrefix, queryTerms, kTop)
+      else {
+        val cands = spark.table(s"${tp}_postings")
+          .filter(col("term").isInCollection(essential))
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+          .select("id").distinct()
+        bm25Scores(spark, tablePrefix, queryTerms, 1.0, Some(cands))
+          .orderBy(col("bm25").desc, col("id"))
+          .limit(kTop)
+      }
+    (result, audit)
+  }
 
   /** The ONE BM25 scoring body every probe shape consumes: per surviving
     * (term, id) posting of the query terms, the term's BM25 contribution
@@ -544,15 +797,36 @@ object TextIndex {
 
   /** Vacuum: fold tombstoned rows out of postings/doclens (bucket
     * layout preserved — probes keep their pruned scans), re-sum the
-    * stats partials to one base row, and truncate the tombstones.
-    * Returns (input files, output files) for the postings rewrite.
+    * stats and score-bound partials to one base row each, and truncate
+    * the tombstones — all staged as ONE fresh generation and flipped
+    * atomically through the `_current` pointer (no reader ever resolves
+    * a half-compacted family; the old stage-then-rename path left a
+    * window where the table name resolved to NOTHING — SinksSpec stages
+    * it). Returns (input files, output files) for the postings rewrite.
     */
   def compactTextIndex(spark: SparkSession, tablePrefix: String): (Int, Int) = {
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val gone = spark.table(s"${tp}_tombstones").localCheckpoint(true)
-    val res = excise(spark, tp, gone)
-    gone.limit(0).write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${tp}_tombstones")
-    res
+    excise(spark, tablePrefix, gone, truncateTombstones = true)
+  }
+
+  /** Scoring-parameter (k1/b) re-stamp — the PARAM-ONLY rebuild: postings,
+    * doclens, stats, bounds and tombstones are parameter-free, so a k1/b
+    * change needs no re-tokenization or re-aggregation at all; the new
+    * generation is a bucket-preserving copy with a fresh `_meta`, flipped
+    * through the same pointer as [[rebuildTextIndex]] (which remains the
+    * verb for bucket-count or corpus changes). Returns the new generation.
+    */
+  def restampTextIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      k1: Double,
+      b: Double): Long = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val buckets = spark.table(s"${tp}_meta").head().getInt(2)
+    val meta = spark.createDataFrame(Seq((k1, b, buckets)))
+      .toDF("k1", "b", "buckets")
+    graft.sources.Sinks.compactFamilyCutover(spark, tablePrefix, Suffixes,
+      Map[String, DataFrame => DataFrame]("_meta" -> (_ => meta)))._1
   }
 }

@@ -495,11 +495,31 @@ object DedupQueries {
     // non-duplicates, the training-pair step an embedding-model pipeline
     // runs after dedup. Cluster exclusion (not pair exclusion), so a
     // transitive duplicate can never surface as a negative.
-    "sim_hard_negatives" -> ((s, d) =>
-      Similarity.hardNegatives(
-          t(s, d, "embeddings"), "vec_id", "embedding",
-          embeddingPairEdges(s, d).select("a", "b"), k = 3)
-        .orderBy("query_id", "rank")),
+    //
+    // Emitted rows are the EXACT brute mining (the oracle replays them in
+    // SQL); the PRODUCTION path — hardNegativesIndexed, shortlists off
+    // the shared persisted IVF index instead of scanning the corpus per
+    // anchor — contributes `mine_recall_ok`: corpus-level recall of the
+    // indexed mining against the exact set, ≥ the floor and pinned TRUE
+    // by the oracle (the sim_knn_ivf certificate pattern; exact parity
+    // at full probe is pinned in DedupSimilaritySpec).
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val edges = embeddingPairEdges(s, d).select("a", "b")
+      val brute = Similarity.hardNegatives(e, "vec_id", "embedding", edges, k = 3)
+      val mined = Similarity.hardNegativesIndexed(e, "vec_id", "embedding",
+          edges, k = 3,
+          tablePrefix = SimilarityQueries.ensureIvfBase(s, d),
+          nprobe = SimilarityQueries.IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val all = Window.partitionBy(lit(1))
+      brute.join(mined, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("mine_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= SimilarityQueries.HardNegRecallFloor)
+        .select("query_id", "rank", "neighbor_id", "cos", "mine_recall_ok")
+        .orderBy("query_id", "rank")
+    }),
 
     // End-to-end corpus curation — the daily training-data pipeline as ONE
     // composed query: dedup survivors (shared pair-edge frame) → language
@@ -610,9 +630,10 @@ object DedupQueries {
     "d_exactly_once_ingest" -> ((s, d) => {
       val sigs = minhashSigsFrame(s, d)
       val prefix = s"mh_eo_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta",
-          s"${prefix}_applied")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      // the crash-recovery scrub advances a generation now — scrub the
+      // pointer + old generations too, or a rerun mis-resolves
+      graft.sources.Sinks.dropTableFamily(s, prefix,
+        Seq("_bands", "_sigs", "_meta"))
       val idx = sigs.filter(col("id") % 10 =!= 0)
       Dedup.writeMinhashIndex(
         idx.filter(col("id") % 3 === 0), prefix, buckets = 8, k = 16, bands = 4)
@@ -630,8 +651,10 @@ object DedupQueries {
       val skipped =
         Dedup.exactlyOnceIngestIntoMinhashIndex(batch1, prefix, batchId = 1)
       val idxN = idx.count()
-      val sigsN = s.table(s"${prefix}_sigs").count()
-      val bandsN = s.table(s"${prefix}_bands").count()
+      // the crash-recovery scrub rode a generation cutover — resolve
+      val atp = graft.sources.Sinks.activeTablePrefix(s, prefix)
+      val sigsN = s.table(s"${atp}_sigs").count()
+      val bandsN = s.table(s"${atp}_bands").count()
       val ok = sigsN == idxN && bandsN == idxN * 4 &&
         applied0.isDefined && recovered.isDefined && skipped.isEmpty
       Dedup.minhashPairsAgainstIndex(
@@ -675,8 +698,7 @@ object DedupQueries {
     "d_delete_spans" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val prefix = s"gram_del_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_grams", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      graft.sources.Sinks.dropTableFamily(s, prefix, Seq("_grams", "_meta"))
       val idxDocs = docs.filter(col("doc_id") % 10 =!= 0)
       Dedup.writeGramIndex(idxDocs, "doc_id", toks, n = 5, prefix, buckets = 8)
       Dedup.deleteFromGramIndex(s, prefix,
@@ -757,8 +779,7 @@ object DedupQueries {
     "d_dup_spans_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val prefix = s"gram_index_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_grams", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      graft.sources.Sinks.dropTableFamily(s, prefix, Seq("_grams", "_meta"))
       // the index corpus (doc_id % 10 != 0) arrives in two installments —
       // build + append — then a VACUUM cycle rewrites the fragmented
       // df-partials to one row per gram before the probe, so the oracle
@@ -1459,7 +1480,8 @@ object DedupQueries {
          |  SELECT query_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
-         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+         |  TRUE AS mine_recall_ok
          |FROM r2 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -180,6 +180,31 @@ object SimilarityQueries {
     */
   val IvfPqRecallFloor = 0.80
 
+  /** Corpus-level recall floor for INDEX-MINED hard negatives
+    * (`sim_hard_negatives`: hardNegativesIndexed probes the shared IVF
+    * base at the serving nprobe with the duplicate-cluster filter INSIDE
+    * the probe) against the exact brute mining. Measured (ScaleBench
+    * `hardneg`, 2026-08-15): 0.963 / 0.895 / 0.882 at sf0.001 / 0.01 /
+    * 0.1 on the shared nlist=16/nprobe=6 base — deterministic
+    * end-to-end, so the floor sits ~0.08 under the worst measured point
+    * (the sibling floors' policy). The production √N-nlist shape trades
+    * deeper: nlist=142/nprobe=18 at ×10 mines at 2.0× the brute speed
+    * scanning 25% of the corpus per anchor, recall 0.789 (same batch).
+    */
+  val HardNegRecallFloor = 0.80
+
+  /** Top-15 overlap floor for the end-to-end RAG retrieval
+    * (`sim_rag_retrieve`): both SERVED tiers (filtered IVF probe at
+    * nprobe=8, filtered BM25 probe) fused with RRF must recover the
+    * exactly-fused top-15. Measured (tools/ProfileScratch `rag`,
+    * 2026-08-15): 0.800 / 0.867 / 0.933 at sf0.001 / 0.01 / 0.1 — the
+    * only loss is dense-tier ANN recall (the sparse tier is exact), RRF's
+    * rank discounting dampens it, and the overlap IMPROVES with corpus
+    * size as probed cells densify. Floor at the smallest corpus's
+    * measured point; deterministic end-to-end.
+    */
+  val RagFusionRecallFloor = 0.80
+
   /** Oracle fragment: left-to-right double dot product of two list columns
     * over the first `dims` dimensions.
     */
@@ -280,6 +305,69 @@ object SimilarityQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(15)
         .select("doc_id", "dense_rank", "sparse_rank", "rrf")
+    }),
+
+    // END-TO-END filtered hybrid retrieval — the actual RAG serving
+    // shape, composing three oracle-proven pieces as ONE query:
+    // metadata-filtered dense (id % 3 = 0, the filtered-ANN contract of
+    // sim_knn_ivf_filtered), metadata-filtered sparse (same candidates,
+    // Lucene stats semantics of tx_bm25_filtered), reciprocal-rank
+    // fusion (sim_rrf_fusion's arithmetic). Emitted rows are the
+    // EXACTLY-fused top-15 (brute filtered dense × one-shot filtered
+    // BM25 — fully SQL-replayable); the SERVED composition — IVF probe
+    // off the shared dense index + BM25 probe off the shared inverted
+    // index, fused identically — contributes `rag_recall_ok`, the
+    // top-15 overlap certificate ≥ RagFusionRecallFloor, pinned TRUE by
+    // the oracle.
+    "sim_rag_retrieve" -> ((s, d) => {
+      import graft.operators.{Text, TextIndex}
+      import graft.functions.CrossHash
+      val e = emb(s, d)
+      val docsAll = Tables.load(s, d, "documents")
+      val anchor = e.filter(col("vec_id") === 0L)
+      def fuse(dense: DataFrame, sparse: DataFrame): DataFrame =
+        dense.join(sparse, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(15)
+      def rankSparse(top: DataFrame): DataFrame = top
+        .withColumn("sparse_rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+        .select(col("id").as("doc_id"), col("sparse_rank"))
+      // the exact side: brute cosine over the FILTERED corpus; one-shot
+      // BM25 over the indexed corpus with filtered CANDIDATES
+      val denseExact = Similarity.bruteForceTopK(
+          anchor, e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+      val sparseExact = rankSparse(
+        Text.bm25(docsAll.filter(col("doc_id") % 4 =!= 3), "doc_id",
+            CrossHash.tokens(col("text")), TextQueries.BmQueryTerms)
+          .filter(col("id") % 3 === 0)
+          .orderBy(col("bm25").desc, col("id")).limit(50)
+          .localCheckpoint(true))
+      val exact = fuse(denseExact, sparseExact).localCheckpoint(true)
+      // the served side: both tiers probe their persisted indexes
+      val denseServed = Similarity.ivfTopKAgainstIndex(anchor,
+          ensureIvfBase(s, d), "vec_id", "embedding", k = 50,
+          nprobe = IvfFilteredNprobe,
+          candidateFilter = col("neighbor_id") % 3 === 0)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+      val sparseServed = rankSparse(
+        TextIndex.bm25FilteredAgainstIndex(s, TextQueries.ensureTextBase(s, d),
+            TextQueries.BmQueryTerms,
+            docsAll.filter(col("doc_id") % 3 === 0).select("doc_id"), kTop = 50)
+          .localCheckpoint(true))
+      val served = fuse(denseServed, sparseServed)
+        .select(col("doc_id"), lit(1).as("hit"))
+      val all = Window.partitionBy(lit(1))
+      exact.join(served, Seq("doc_id"), "left")
+        .withColumn("rag_recall_ok",
+          (sum(coalesce(col("hit"), lit(0))).over(all).cast("double")
+            / count(lit(1)).over(all)) >= RagFusionRecallFloor)
+        .select("doc_id", "dense_rank", "sparse_rank", "rrf", "rag_recall_ok")
+        .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
     // Hyperplane-LSH ANN: 4 tables × 4 planes, candidates from bucket
@@ -694,9 +782,9 @@ object SimilarityQueries {
       val e = emb(s, d)
       val q = queriesOf(e)
       val prefix = s"ivfpq_ingest_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_codes", s"${prefix}_vecs", s"${prefix}_cents",
-          s"${prefix}_books", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      // the vacuum advances a generation — scrub pointer + generations too
+      graft.sources.Sinks.dropTableFamily(s, prefix,
+        Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", prefix,
         buckets = 8, nlist = 16, nlistIters = 3, m = 16, ks = 16, iters = 2,
@@ -716,7 +804,9 @@ object SimilarityQueries {
       // together, instead of four separate count jobs; dual assignment
       // codes every vector exactly `assign` times
       val eN = e.count()
-      val cs = s.table(s"${prefix}_codes")
+      // compaction flipped a generation — resolve through the pointer
+      val atp = graft.sources.Sinks.activeTablePrefix(s, prefix)
+      val cs = s.table(s"${atp}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
       val complete = cs.getLong(0) == IvfAssign * eN && cs.getLong(1) == eN
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
@@ -757,7 +847,8 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val sN = survivors.count()
       val eN = e.count()
-      val ls = s.table(s"${prefix}_lists")
+      // the deletion flipped a generation on the fork — resolve
+      val ls = s.table(s"${graft.sources.Sinks.activeTablePrefix(s, prefix)}_lists")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
       val baseIntact = s.table(s"${base}_lists").count() == IvfAssign * eN
       val complete = ls.getLong(0) == IvfAssign * sN && ls.getLong(1) == sN &&
@@ -796,9 +887,11 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val sN = survivors.count()
       val eN = e.count()
-      val cs = s.table(s"${prefix}_codes")
+      // the deletion flipped a generation on the fork — resolve
+      val atp = graft.sources.Sinks.activeTablePrefix(s, prefix)
+      val cs = s.table(s"${atp}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
-      val vN = s.table(s"${prefix}_vecs").count()
+      val vN = s.table(s"${atp}_vecs").count()
       val baseIntact = s.table(s"${base}_codes").count() == IvfAssign * eN &&
         s.table(s"${base}_vecs").count() == eN
       val complete = cs.getLong(0) == IvfAssign * sN && cs.getLong(1) == sN &&
@@ -973,6 +1066,54 @@ object SimilarityQueries {
          |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
          |  FROM dr FULL OUTER JOIN sr USING (doc_id))
          |SELECT doc_id, dense_rank, sparse_rank, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the exactly-fused filtered retrieval: dense brute over the %3
+    // corpus slice, sparse BM25 over the indexed (%4<>3) corpus with %3
+    // candidates, identical RRF arithmetic; the served-path overlap
+    // certificate is pinned TRUE
+    "sim_rag_retrieve" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+         |dsc AS (
+         |  SELECT vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM e, q WHERE vec_id <> 0 AND vec_id % 3 = 0),
+         |dr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS dense_rank
+         |  FROM dsc QUALIFY dense_rank <= 50),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents WHERE doc_id % 4 <> 3),
+         |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+         |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+         |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (
+         |  SELECT doc_id, term, count(1) AS tf FROM tm
+         |  WHERE term IN (${TextQueries.BmQueryTerms.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id, dl,
+         |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         |      * (tf::DOUBLE * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+         |      AS contrib
+         |  FROM tf JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+         |bs AS (
+         |  SELECT doc_id,
+         |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+         |  FROM c GROUP BY doc_id),
+         |sr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS sparse_rank
+         |  FROM bs WHERE doc_id % 3 = 0 QUALIFY sparse_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(dr.doc_id, sr.doc_id) AS doc_id, dense_rank, sparse_rank,
+         |    round(coalesce(1.0 / (60.0 + dense_rank), 0.0)
+         |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
+         |  FROM dr FULL OUTER JOIN sr USING (doc_id))
+         |SELECT doc_id, dense_rank, sparse_rank, rrf, TRUE AS rag_recall_ok FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     "sim_knn_lsh" ->

@@ -602,8 +602,10 @@ object StreamQueries {
           try q.processAllAvailable() finally q.stop()
         }
         val nDocs = docs.count()
-        val sigsN = s.table(s"${prefix}_sigs").count()
-        val bandsN = s.table(s"${prefix}_bands").count()
+        // resolution-safe: a retried batch's scrub advances a generation
+        val atp = graft.sources.Sinks.activeTablePrefix(s, prefix)
+        val sigsN = s.table(s"${atp}_sigs").count()
+        val bandsN = s.table(s"${atp}_bands").count()
         s.read.parquet(pairsDir)
           .filter(col("index_id") % 10 =!= 0)
           .groupBy("new_id")
@@ -640,8 +642,10 @@ object StreamQueries {
           .write.mode("overwrite").parquet(out.toString)
       }
       val prefix = s"mh_stream_del_${ScratchKeys.forPath(d)}"
-      Seq(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_meta")
-        .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+      // four streamed deletions = four generation cutovers — scrub the
+      // pointer and old generations so a rerun resolves fresh
+      graft.sources.Sinks.dropTableFamily(s, prefix,
+        Seq("_bands", "_sigs", "_meta"))
       val corpusSigs = DedupQueries.minhashSigsFrame(s, d)
       Dedup.writeMinhashIndex(
         corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)
@@ -661,8 +665,9 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
       val survivors = docs
         .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0).count()
-      val sigsN = s.table(s"${prefix}_sigs").count()
-      val bandsN = s.table(s"${prefix}_bands").count()
+      val atp = graft.sources.Sinks.activeTablePrefix(s, prefix)
+      val sigsN = s.table(s"${atp}_sigs").count()
+      val bandsN = s.table(s"${atp}_bands").count()
       Dedup.minhashPairsAgainstIndex(
           corpusSigs.filter(col("id") % 10 === 0), prefix, k = 16, bands = 4,
           threshold = 0.7)
@@ -832,7 +837,8 @@ object StreamQueries {
       // one aggregation pass per side (see sim_knn_ivfpq_ingest); dual
       // assignment lists every vector exactly `assign` times
       val eN = e.count()
-      val ls = s.table(s"${prefix}_lists")
+      // resolution-safe: a retried batch's scrub advances a generation
+      val ls = s.table(s"${graft.sources.Sinks.activeTablePrefix(s, prefix)}_lists")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
       val complete =
         ls.getLong(0) == SimilarityQueries.IvfAssign * eN && ls.getLong(1) == eN
@@ -1144,7 +1150,8 @@ object StreamQueries {
       // one aggregation pass per side (see sim_knn_ivfpq_ingest); dual
       // assignment codes every vector exactly `assign` times
       val eN = e.count()
-      val cs = s.table(s"${prefix}_codes")
+      // resolution-safe: a retried batch's scrub advances a generation
+      val cs = s.table(s"${graft.sources.Sinks.activeTablePrefix(s, prefix)}_codes")
         .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd")).head()
       val complete =
         cs.getLong(0) == SimilarityQueries.IvfAssign * eN && cs.getLong(1) == eN
@@ -1306,7 +1313,8 @@ object StreamQueries {
           try q.processAllAvailable() finally q.stop()
         }
       } finally deleteRecursively(scratch)
-      val dfSum = s.table(s"${prefix}_grams")
+      // resolution-safe: a retried batch's scrub advances a generation
+      val dfSum = s.table(s"${graft.sources.Sinks.activeTablePrefix(s, prefix)}_grams")
         .agg(sum("n_docs")).head().getLong(0)
       val expected = docs
         .select(col("doc_id"), explode(array_distinct(

@@ -301,6 +301,25 @@ object Sinks {
     next
   }
 
+  /** Drop every on-disk remnant of a pointer-managed table family at
+    * `prefix`: the bare member tables, the exactly-once ledger, the
+    * generation pointer, and generations g1..`maxGen` — the idempotence
+    * scrub for trial fixtures that re-build a family per run (now that
+    * deletes/compactions also advance generations, a leftover `_current`
+    * from a previous run would silently mis-resolve a freshly written
+    * bare index).
+    */
+  def dropTableFamily(
+      spark: SparkSession,
+      prefix: String,
+      suffixes: Seq[String],
+      maxGen: Int = 4): Unit = {
+    (suffixes ++ Seq("_applied", "_current"))
+      .foreach(sfx => dropManagedTable(spark, s"$prefix$sfx"))
+    (1 to maxGen).foreach(g =>
+      suffixes.foreach(sfx => dropManagedTable(spark, s"${prefix}_g$g$sfx")))
+  }
+
   /** Reset an index family's exactly-once ingest ledger (`_applied`,
     * kept at the BARE prefix — deliberately OUTSIDE the generation
     * chain). The ledger's batch history spans generations, which is the
@@ -697,16 +716,45 @@ object Sinks {
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(table.matches("[A-Za-z0-9_]+"),
       s"compactTable expects an unqualified [A-Za-z0-9_]+ identifier, got '$table'")
+    val before = parquetFileCount(spark, table)
+    val stage = s"${table}__cstage"
+    val old = s"${table}__cold"
+    Seq(stage, old).foreach(dropManagedTable(spark, _))
+    stageCompactedInto(spark, table, stage, rewrite, targetFileBytes)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    dropManagedTable(spark, old)
+    (before, parquetFileCount(spark, table))
+  }
+
+  /** Parquet data files currently backing a managed catalog table. */
+  private def parquetFiles(
+      spark: SparkSession, table: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  private[graft] def parquetFileCount(spark: SparkSession, table: String): Int =
+    parquetFiles(spark, table).length
+
+  /** The compaction STAGE write shared by [[compactTable]] (stage → two
+    * renames, for standalone tables) and [[compactFamilyCutover]] (stage
+    * into a fresh generation, for pointer-managed families): writes
+    * `rewrite(src)` into `dst` through src's OWN bucket spec at one file
+    * per bucket — or size-targeted files when unbucketed — with src's
+    * column order re-pinned.
+    */
+  private def stageCompactedInto(
+      spark: SparkSession,
+      table: String,
+      stage: String,
+      rewrite: DataFrame => DataFrame,
+      targetFileBytes: Long): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val catalog = spark.sessionState.catalog
-    def files(t: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val p = new org.apache.hadoop.fs.Path(
-        catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
-    val inFiles = files(table)
-    val before = inFiles.length
     val spec = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
     // a rewrite hook must preserve the column SET (it writes back into
@@ -717,9 +765,6 @@ object Sinks {
     // loudly here instead of corrupting the table.
     val origCols = spark.table(table).columns.toSeq
     def ordered(df: DataFrame): DataFrame = df.select(origCols.map(col): _*)
-    val stage = s"${table}__cstage"
-    val old = s"${table}__cold"
-    Seq(stage, old).foreach(dropManagedTable(spark, _))
     spec match {
       case Some(s) =>
         // repartition on the bucket columns with the bucket count — the
@@ -756,7 +801,7 @@ object Sinks {
           case (k, None) => spark.conf.unset(k)
         }
       case None =>
-        val totalBytes = math.max(1L, inFiles.map(_.getLen).sum)
+        val totalBytes = math.max(1L, parquetFiles(spark, table).map(_.getLen).sum)
         val nOut = math.min(
           math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
           Int.MaxValue.toLong).toInt
@@ -764,10 +809,51 @@ object Sinks {
           .write.mode(SaveMode.Overwrite)
           .format("parquet").saveAsTable(stage)
     }
-    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
-    dropManagedTable(spark, old)
-    (before, files(table).length)
+  }
+
+  /** Family-level compaction THROUGH THE GENERATION POINTER — closes
+    * [[compactTable]]'s reader gap for pointer-managed index families: the
+    * stage-then-two-renames swap leaves a window where a concurrent
+    * reader resolves NEITHER table name, while here every table of the
+    * compacted family stages into a fresh generation (same one-file-per-
+    * bucket write, `_meta` LAST as the completeness marker), the flip is
+    * the one-row `_current` overwrite every probe already resolves
+    * through, and the retired generation drops after — a reader holds a
+    * complete serving generation at every instant (the
+    * [[rebuildCutover]] crash-window contract, applied to vacuuming).
+    *
+    * `rewrites` transforms individual member tables inside the same
+    * staging pass (tombstone-fold anti-joins, stats/bounds re-sums,
+    * meta re-stamps); unnamed members copy-compact verbatim. Reads
+    * inside a rewrite closure resolve against the OLD generation for
+    * the whole staging pass (the pointer flips after), so closures may
+    * freely read sibling tables of the generation being compacted.
+    *
+    * Returns (new generation, per-suffix (input files, output files)).
+    */
+  private[graft] def compactFamilyCutover(
+      spark: SparkSession,
+      tablePrefix: String,
+      suffixes: Seq[String],
+      rewrites: Map[String, DataFrame => DataFrame] = Map.empty,
+      targetFileBytes: Long = 128L << 20): (Long, Map[String, (Int, Int)]) = {
+    require(suffixes.contains("_meta"),
+      "compactFamilyCutover: family must include _meta (the completeness marker)")
+    require(rewrites.keySet.subsetOf(suffixes.toSet),
+      s"rewrites name non-member suffixes: ${rewrites.keySet.diff(suffixes.toSet)}")
+    val from = activeTablePrefix(spark, tablePrefix)
+    val counts = scala.collection.mutable.Map.empty[String, (Int, Int)]
+    val gen = rebuildCutover(spark, tablePrefix, suffixes) { g =>
+      val (meta, data) = suffixes.partition(_ == "_meta")
+      (data ++ meta).foreach { sfx =>
+        val src = s"$from$sfx"
+        val dst = s"$g$sfx"
+        stageCompactedInto(spark, src, dst,
+          rewrites.getOrElse(sfx, identity[DataFrame] _), targetFileBytes)
+        counts(sfx) = (parquetFileCount(spark, src), parquetFileCount(spark, dst))
+      }
+    }
+    (gen, counts.toMap)
   }
 
   /** Sink-choosing seam: one destination's write + audit pair. The parquet

@@ -32,6 +32,64 @@ object ProfileScratch {
     val df = Tables.load(spark, d, "documents")
     df.count() // footer/page-cache warm
 
+    if (args.headOption.contains("rag")) {
+      // measure sim_rag_retrieve's served-vs-exact top-15 overlap (the
+      // number RagFusionRecallFloor gates) at the three verify SFs —
+      // replicates the query's construction on self-built indexes
+      import graft.operators.{Similarity, Text, TextIndex}
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val terms = graft.queries.TextQueries.BmQueryTerms
+      def overlap(dir: String): Double = {
+        val e = Tables.load(spark, dir, "embeddings")
+        val docs = Tables.load(spark, dir, "documents")
+        val anchor = e.filter(col("vec_id") === 0L)
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ti = s"rag_ti_$tag"; val iv = s"rag_iv_$tag"
+        (TextIndex.Suffixes.map(ti + _) :+ s"${ti}_current" :+
+          s"${iv}_lists" :+ s"${iv}_cents" :+ s"${iv}_meta" :+ s"${iv}_current")
+          .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+        TextIndex.writeTextIndex(docs.filter(col("doc_id") % 4 =!= 3),
+          "doc_id", tokens(col("text")), ti, buckets = 8)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", iv,
+          buckets = 8, nlist = 16, iters = 3, assign = 2)
+        def fuse(dense: DataFrame, sparse: DataFrame): DataFrame =
+          dense.join(sparse, Seq("doc_id"), "full_outer")
+            .withColumn("rrf", round(
+              coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
+                + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
+            .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+        def rankSparse(top: DataFrame): DataFrame = top
+          .withColumn("sparse_rank", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+          .select(col("id").as("doc_id"), col("sparse_rank"))
+        val denseExact = Similarity.bruteForceTopK(
+            anchor, e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+        val sparseExact = rankSparse(
+          Text.bm25(docs.filter(col("doc_id") % 4 =!= 3), "doc_id",
+              tokens(col("text")), terms)
+            .filter(col("id") % 3 === 0)
+            .orderBy(col("bm25").desc, col("id")).limit(50).localCheckpoint(true))
+        val exact = fuse(denseExact, sparseExact).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        val denseServed = Similarity.ivfTopKAgainstIndex(anchor, iv,
+            "vec_id", "embedding", k = 50, nprobe = 8,
+            candidateFilter = col("neighbor_id") % 3 === 0)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+        val sparseServed = rankSparse(
+          TextIndex.bm25FilteredAgainstIndex(spark, ti, terms,
+            docs.filter(col("doc_id") % 3 === 0).select("doc_id"), kTop = 50)
+            .localCheckpoint(true))
+        val served = fuse(denseServed, sparseServed).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        exact.intersect(served).size.toDouble / exact.size
+      }
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        .foreach(dir => println(f"RAG overlap $dir ${overlap(dir)}%.3f"))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("nll")) {
       // isolate tx_bigram_nll's 100×-decade super-linearity (x100text
       // batch measured e(10-100) = 1.11): time the operator alone on the

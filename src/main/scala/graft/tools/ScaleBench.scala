@@ -611,6 +611,144 @@ object ScaleBench {
     }
   }
 
+  /** Round-11: hard-negative mining, brute vs IVF-indexed — the
+    * probe-bounded serving-cost point plus the recall-floor evidence for
+    * `sim_hard_negatives`' certificate. Same fixed-anchor-batch design
+    * as the r10 mode (copy-0 ids at the x scales — identical batch, so
+    * the decade isolates per-anchor cost growth); at the verify SFs the
+    * batch is every clustered vector (the query's own shape). The index
+    * is the query tier's config (buckets=8, nlist=16, iters=3,
+    * assign=2) and the probe its serving nprobe=6.
+    */
+  private def runHardNeg(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    if (!new java.io.File(s"$scaleDir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      println(s"SCALE embeddings written to $scaleDir")
+    }
+    def measure(tag: String, dir: String, fixedBatch: Boolean): Unit = {
+      spark.catalog.clearCache()
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val edges = Dedup.embeddingPairs(e, "vec_id", "embedding", "label",
+          threshold = 0.38, chunkRows = 256).select("a", "b")
+        .localCheckpoint(true)
+      val prefix = s"hn_sb_${tag.replace('.', '_').replace('/', '_')}"
+      Seq("_cents", "_lists", "_meta", "_current")
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$prefix$sfx"))
+      // the PRODUCTION index shape (the sqrtn doctrine): nlist ≈ √N keeps
+      // the probed fraction assign·nprobe/nlist ≪ 1, which is where the
+      // indexed path's cost bound comes from — at the suite's toy
+      // nlist=16/nprobe=6 the probe scans 75% of the corpus and indexing
+      // can't beat a broadcast brute scan (measured, r11)
+      val n = e.count()
+      val nlist = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nprobe = math.max(2, (nlist + 7) / 8)
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", prefix,
+        buckets = 8, nlist = nlist, iters = 3, assign = 2)
+      val pred = if (fixedBatch) col("query_id") < 10000000L else lit(true)
+      val t0 = System.nanoTime()
+      val brute = Similarity.hardNegatives(e, "vec_id", "embedding", edges,
+          k = 3, anchorPred = pred).localCheckpoint(true)
+      val nBrute = brute.count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val mined = Similarity.hardNegativesIndexed(e, "vec_id", "embedding",
+          edges, k = 3, tablePrefix = prefix, nprobe = nprobe, anchorPred = pred)
+        .localCheckpoint(true)
+      val tI = (System.nanoTime() - t1) / 1e9
+      val hits = brute.join(
+          mined.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum("hit"), lit(0L))).head().getLong(0)
+      val recall = if (nBrute == 0) 1.0 else hits.toDouble / nBrute
+      println(f"HARDNEG $tag%-8s nlist=$nlist%4d nprobe=$nprobe%3d  " +
+        f"brute $tB%7.2f s  indexed $tI%7.2f s  " +
+        f"speedup ${tB / tI}%5.2f  recall $recall%.3f  ($nBrute%6d exact rows)")
+      // the suite certificate's config (the shared nlist=16 base at the
+      // serving nprobe=6) — this recall is what HardNegRecallFloor gates
+      if (!fixedBatch) {
+        val qPrefix = s"${prefix}_q16"
+        Seq("_cents", "_lists", "_meta", "_current")
+          .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$qPrefix$sfx"))
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", qPrefix,
+          buckets = 8, nlist = 16, iters = 3, assign = 2)
+        val mined16 = Similarity.hardNegativesIndexed(e, "vec_id", "embedding",
+            edges, k = 3, tablePrefix = qPrefix, nprobe = 6, anchorPred = pred)
+          .localCheckpoint(true)
+        val hits16 = brute.join(
+            mined16.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(coalesce(sum("hit"), lit(0L))).head().getLong(0)
+        val r16 = if (nBrute == 0) 1.0 else hits16.toDouble / nBrute
+        println(f"HARDNEG $tag%-8s cert config (nlist=16, nprobe=6)  recall $r16%.3f")
+      }
+    }
+    measure("sf0.001", "/root/testdata/sf0.001", fixedBatch = false)
+    measure("sf0.01", "/root/testdata/sf0.01", fixedBatch = false)
+    measure("x1", src, fixedBatch = false)
+    measure("x10fix", scaleDir, fixedBatch = true)
+  }
+
+  /** Round-11: MaxScore pruning cost point — exhaustive vs pruned probe
+    * over the skewed corpus (the `tx_bm25_maxscore` construction: a
+    * planted stop-term at df 0.9 over the ~0.78 organic band), with the
+    * honest scanned-postings accounting: total matched postings vs the
+    * postings that actually reach the scoring pipeline (candidates of
+    * the essential terms). Lossless by construction — the row-equality
+    * is re-asserted here too.
+    */
+  private def runMaxScore(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.TextIndex
+    // the tx_bm25_maxscore shape: a selective bag (planted rare term at
+    // df 0.1) polluted by a planted stop-term at df 0.9 — θ comes from
+    // the rare term's candidates, the stop-term's postings reach the
+    // scorer only for those candidates
+    val bag = Seq("spark", "query", "join", "stream", "zstopz", "zrarez")
+    def measure(tag: String, dir: String): Unit = {
+      spark.catalog.clearCache()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" zstopz zrarez")))
+            .when(col("doc_id") % 10 =!= 0, concat(col("text"), lit(" zstopz")))
+            .otherwise(col("text")).as("text"))
+      val prefix = s"ms_sb_${tag.replace('.', '_')}"
+      (TextIndex.Suffixes :+ "_current")
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"$prefix$sfx"))
+      TextIndex.writeTextIndex(docs, "doc_id",
+        graft.functions.CrossHash.tokens(col("text")), prefix, buckets = 8)
+      val t0 = System.nanoTime()
+      val full = TextIndex.bm25AgainstIndex(spark, prefix, bag, 20)
+        .localCheckpoint(true)
+      val tFull = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (pruned, audit) = TextIndex.bm25MaxScoreWithAudit(spark, prefix, bag, 20)
+      val prunedM = pruned.localCheckpoint(true)
+      val tPruned = (System.nanoTime() - t1) / 1e9
+      val equal = prunedM.exceptAll(full).isEmpty && full.exceptAll(prunedM).isEmpty
+      val post = spark.table(s"${prefix}_postings")
+      val matched = post.filter(col("term").isInCollection(bag)).count()
+      val cands = post.filter(col("term").isInCollection(audit.essentialTerms))
+        .select("id").distinct()
+      val scored = post.filter(col("term").isInCollection(bag))
+        .join(cands, Seq("id"), "left_semi").count()
+      println(f"MAXSCORE $tag%-8s full $tFull%6.2f s  pruned $tPruned%6.2f s  " +
+        f"essential ${audit.nEssential}/${audit.nTerms}  " +
+        f"postings->scorer $scored%8d of $matched%8d (${100.0 * scored / matched}%5.1f%%)  " +
+        f"lossless=$equal")
+    }
+    measure("x1", src)
+    measure("x10", scaleDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -773,6 +911,16 @@ object ScaleBench {
       val (h10, hr10) = mineFixed(scaleDir)
       println(f"R10 sim_hard_negatives(fixed-anchor batch) x1 $h1%7.2f s ($hr1%8d rows)  " +
         f"x10 $h10%7.2f s ($hr10%9d rows)  ratio ${h10 / h1}%6.2f  exp ${math.log10(h10 / h1)}%5.2f")
+      spark.stop()
+      return
+    }
+    if (which == "hardneg") {
+      runHardNeg(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "maxscore") {
+      runMaxScore(spark, src, scaleDir)
       spark.stop()
       return
     }

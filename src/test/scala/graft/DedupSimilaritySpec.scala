@@ -287,10 +287,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spec.exists(b => b.numBuckets == 4 && b.bucketColumnNames == Seq("cid")),
       s"fork lists lost the source bucket spec: $spec")
 
-    // copy-on-write: scrubbing the fork never touches the source
+    // copy-on-write: scrubbing the fork never touches the source (the
+    // fork's delete is a generation cutover — resolve through its pointer)
     Similarity.deleteFromIvfIndex(spark, "ivf_snap_fork",
       corpus.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("id")))
-    assert(spark.table("ivf_snap_fork_lists").count() == 30)
+    assert(spark.table(s"${graft.sources.Sinks.activeTablePrefix(spark,
+      "ivf_snap_fork")}_lists").count() == 30)
     assert(spark.table("ivf_snap_src_g1_lists").count() == 60,
       "deleting from the fork must leave the source lists intact")
     assert(probe("ivf_snap_src") == viaSrc,
@@ -586,11 +588,8 @@ class DedupSimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 3, nprobe = 4)
       .select("query_id", "rank", "neighbor_id")
       .as[(Long, Long, Long)].collect().toSet
-    val allTables = Seq("ivf_rb_spec_lists", "ivf_rb_spec_cents", "ivf_rb_spec_meta",
-      "ivf_rb_spec_current",
-      "ivf_rb_spec_g1_lists", "ivf_rb_spec_g1_cents", "ivf_rb_spec_g1_meta",
-      "ivf_rb_spec_g2_lists", "ivf_rb_spec_g2_cents", "ivf_rb_spec_g2_meta")
-    allTables.foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "ivf_rb_spec",
+      Seq("_lists", "_cents", "_meta"))
     Similarity.writeIvfIndex(corpus.filter(col("vec_id") < 60),
       "vec_id", "embedding", "ivf_rb_spec", buckets = 4, nlist = 4, iters = 2)
     val before = probe()
@@ -617,14 +616,19 @@ class DedupSimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 30, nprobe = 8)
       .select("neighbor_id").as[Long].collect().toSet
     assert(wide.exists(_ >= 60L), "rebuilt index must serve the refreshed corpus")
-    // appends and deletes resolve through the pointer too
+    // appends and deletes resolve through the pointer too; a delete is
+    // itself a generation cutover now (g1 → g2, g1 retired)
     Similarity.deleteFromIvfIndex(spark, "ivf_rb_spec",
       corpus.filter(col("vec_id") >= 60).select(col("vec_id").as("id")))
-    assert(spark.table("ivf_rb_spec_g1_lists").count() == 60L)
-    // second rebuild increments the generation and retires g1
+    assert(graft.sources.Sinks.activeTablePrefix(spark, "ivf_rb_spec")
+      == "ivf_rb_spec_g2", "a delete must advance the generation")
+    assert(!spark.catalog.tableExists("ivf_rb_spec_g1_lists"),
+      "the pre-delete generation must be retired")
+    assert(spark.table("ivf_rb_spec_g2_lists").count() == 60L)
+    // the next rebuild keeps incrementing and retires g2
     assert(Similarity.rebuildIvfIndex(corpus, "vec_id", "embedding",
-      "ivf_rb_spec", buckets = 4, nlist = 4, iters = 2) == 2L)
-    assert(!spark.catalog.tableExists("ivf_rb_spec_g1_lists"))
+      "ivf_rb_spec", buckets = 4, nlist = 4, iters = 2) == 3L)
+    assert(!spark.catalog.tableExists("ivf_rb_spec_g2_lists"))
     assert(probe().nonEmpty && after.nonEmpty)
   }
 
@@ -746,12 +750,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val seed = corpus.filter(col("vec_id") < 40)
     val batchA = corpus.filter(col("vec_id") >= 40 && col("vec_id") < 60)
     val batchB = corpus.filter(col("vec_id") >= 60)
-    Seq("ivf_eo_spec_lists", "ivf_eo_spec_cents", "ivf_eo_spec_meta",
-        "ivf_eo_spec_applied")
-      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "ivf_eo_spec",
+      Seq("_lists", "_cents", "_meta"))
     Similarity.writeIvfIndex(seed, "vec_id", "embedding", "ivf_eo_spec",
       buckets = 4, nlist = 4, iters = 2)
-    def lists() = spark.table("ivf_eo_spec_lists")
+    // the crash-recovery scrub is a generation cutover — resolve reads
+    def active() = graft.sources.Sinks.activeTablePrefix(spark, "ivf_eo_spec")
+    def lists() = spark.table(s"${active()}_lists")
       .select("cid", "neighbor_id").as[(Long, Long)].collect().toSet
 
     assert(Similarity.exactlyOnceAppendToIvfIndex(
@@ -772,11 +777,11 @@ class DedupSimilaritySpec extends SparkSpec {
     // under the frozen centroids — no residual duplicates, none missing
     val expected = Similarity.assignToCentroids(
         corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
-        "neighbor_id", "ce", spark.table("ivf_eo_spec_cents"))
+        "neighbor_id", "ce", spark.table(s"${active()}_cents"))
       .select(col("cid"), col("neighbor_id")).as[(Long, Long)].collect().toSet
     assert(lists() == expected,
       "crash-retry must land the listing in the clean one-shot state")
-    assert(spark.table("ivf_eo_spec_lists").count() == 80L)
+    assert(spark.table(s"${active()}_lists").count() == 80L)
   }
 
   test("exactly-once gram ingest: stamped scrub excises a partial append exactly") {
@@ -785,10 +790,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val seed = mkDocs(0 until 4, "s")
     val batchA = mkDocs(10 until 14, "a")
     val batchB = mkDocs(20 until 26, "b")
-    Seq("gram_eo_spec_grams", "gram_eo_spec_meta", "gram_eo_spec_applied")
-      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "gram_eo_spec",
+      Seq("_grams", "_meta"))
     Dedup.writeGramIndex(seed, "doc_id", toks, 3, "gram_eo_spec", buckets = 4)
-    def dfTotals() = spark.table("gram_eo_spec_grams")
+    // the crash-recovery scrub is a generation cutover — resolve reads
+    def dfTotals() = spark.table(
+        s"${graft.sources.Sinks.activeTablePrefix(spark, "gram_eo_spec")}_grams")
       .groupBy("gram").agg(sum("n_docs").as("df"))
       .as[(String, Long)].collect().toMap
 
@@ -900,11 +907,14 @@ class DedupSimilaritySpec extends SparkSpec {
       (10L, "zebras graze quietly beside the river while herons watch the current"),
       (11L, "training corpora need dedup before the tokenizer ever sees them"))
       .toDF("doc_id", "text")
-    def tableState() = Seq("mh_eo_spec_sigs", "mh_eo_spec_bands").map { t =>
-      spark.table(t).collect().map(_.toString).sorted.toSeq
+    // the crash-recovery scrub is a generation cutover — resolve reads
+    def tableState() = Seq("_sigs", "_bands").map { sfx =>
+      spark.table(
+          s"${graft.sources.Sinks.activeTablePrefix(spark, "mh_eo_spec")}$sfx")
+        .collect().map(_.toString).sorted.toSeq
     }
-    Seq("mh_eo_spec_bands", "mh_eo_spec_sigs", "mh_eo_spec_meta", "mh_eo_spec_applied")
-      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "mh_eo_spec",
+      Seq("_bands", "_sigs", "_meta"))
     Dedup.writeMinhashIndex(sigsOf(seed), "mh_eo_spec", buckets = 4, k = 16, bands = 8)
 
     // first delivery applies
@@ -938,8 +948,9 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recovered == oneShot,
       "crash-retry must land the index in the clean one-shot state")
     // sanity: the scrubbed half did not double-insert
-    assert(spark.table("mh_eo_spec_sigs").count() == 5L)
-    assert(spark.table("mh_eo_spec_bands").count() == 5L * 8)
+    val eoAtp = graft.sources.Sinks.activeTablePrefix(spark, "mh_eo_spec")
+    assert(spark.table(s"${eoAtp}_sigs").count() == 5L)
+    assert(spark.table(s"${eoAtp}_bands").count() == 5L * 8)
   }
 
   test("minhash/gram rebuild cutover: parameter change re-signs with no serving gap") {
@@ -989,8 +1000,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
       (2L, "some completely independent sentence about catalyst optimizer rules")
     ).toDF("doc_id", "text")
-    Seq("mh_cmp_spec_bands", "mh_cmp_spec_sigs", "mh_cmp_spec_meta")
-      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "mh_cmp_spec",
+      Seq("_bands", "_sigs", "_meta"))
     Dedup.writeMinhashIndex(sigsOf(seed), "mh_cmp_spec", buckets = 4, k = 16, bands = 8)
     // three append cycles fragment both tables (one file per bucket per cycle)
     for (i <- 0 until 3) {
@@ -1018,8 +1029,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(after == before, s"compaction changed probe results: $after vs $before")
     // row set unchanged — compaction is a layout rewrite for these tables
-    assert(spark.table("mh_cmp_spec_sigs").count() == 5L)
-    assert(spark.table("mh_cmp_spec_bands").count() == 5L * 8)
+    // (staged as a fresh generation now — resolve through the pointer)
+    val mhAtp = graft.sources.Sinks.activeTablePrefix(spark, "mh_cmp_spec")
+    assert(mhAtp == "mh_cmp_spec_g1", s"compaction must advance the generation: $mhAtp")
+    assert(spark.table(s"${mhAtp}_sigs").count() == 5L)
+    assert(spark.table(s"${mhAtp}_bands").count() == 5L * 8)
   }
 
   test("gram index compaction: df partials collapse to one row per gram, probes identical") {
@@ -1027,8 +1041,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta other words here")
     ).toDF("doc_id", "text")
-    Seq("gram_cmp_spec_grams", "gram_cmp_spec_meta")
-      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
+    graft.sources.Sinks.dropTableFamily(spark, "gram_cmp_spec",
+      Seq("_grams", "_meta"))
     Dedup.writeGramIndex(seed, "doc_id", toks, 3, "gram_cmp_spec", buckets = 4)
     // two ingest cycles append df PARTIALS for overlapping grams
     for (i <- 0 until 2) {
@@ -1049,11 +1063,13 @@ class DedupSimilaritySpec extends SparkSpec {
 
     val (inF, outF) = Dedup.compactGramIndex(spark, "gram_cmp_spec")
     assert(outF < inF, s"compaction must reduce files: $inF -> $outF")
-    // partials merged: one row per distinct gram now
-    val compactRows = spark.table("gram_cmp_spec_grams").count()
+    // partials merged: one row per distinct gram now (compaction staged a
+    // fresh generation — resolve through the pointer)
+    val gAtp = graft.sources.Sinks.activeTablePrefix(spark, "gram_cmp_spec")
+    val compactRows = spark.table(s"${gAtp}_grams").count()
     assert(compactRows < partialRows,
       s"partials must collapse: $partialRows -> $compactRows")
-    assert(spark.table("gram_cmp_spec_grams")
+    assert(spark.table(s"${gAtp}_grams")
       .groupBy("gram").count().filter(col("count") > 1).isEmpty,
       "exactly one row per gram after compaction")
     // df totals preserved exactly — sum of partials is the true df
@@ -1071,8 +1087,8 @@ class DedupSimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .localCheckpoint(true)
-    for (t <- Seq("codes", "vecs", "cents", "books", "meta"))
-      graft.sources.Sinks.dropManagedTable(spark, s"ivfpq_cmp_spec_$t")
+    graft.sources.Sinks.dropTableFamily(spark, "ivfpq_cmp_spec",
+      Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
     Similarity.writeIvfPqIndex(corpus.filter(col("vec_id") < 50),
       "vec_id", "embedding", "ivfpq_cmp_spec",
       buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
@@ -1093,7 +1109,8 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cOut <= 4, s"one file per bucket expected, got $cOut")
     assert(vOut < vIn, s"vecs compaction must reduce files: $vIn -> $vOut")
     assert(probe() == beforeRows, "compaction changed probe results")
-    assert(spark.table("ivfpq_cmp_spec_codes").count() == 80L)
+    assert(spark.table(s"${graft.sources.Sinks.activeTablePrefix(spark,
+      "ivfpq_cmp_spec")}_codes").count() == 80L)
 
     // the compacted table still feeds the probe join with zero Exchange
     // on the index side (bucket spec survived the stage-then-swap)
@@ -1111,8 +1128,10 @@ class DedupSimilaritySpec extends SparkSpec {
         case s: FileSourceScanExec => Seq((s, anc))
         case _ => p.children.flatMap(paths(_, p :: anc))
       }
+    val activeCodes = s"${graft.sources.Sinks.activeTablePrefix(spark,
+      "ivfpq_cmp_spec")}_codes"
     val codeScans = paths(lazyPlan.queryExecution.executedPlan, Nil).filter {
-      case (s, _) => s.relation.location.rootPaths.mkString.contains("ivfpq_cmp_spec_codes")
+      case (s, _) => s.relation.location.rootPaths.mkString.contains(activeCodes)
     }
     assert(codeScans.size == 1)
     codeScans.foreach { case (_, anc) =>
@@ -1132,8 +1151,8 @@ class DedupSimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .localCheckpoint(true)
-    for (t <- Seq("codes", "vecs", "cents", "books", "meta"))
-      graft.sources.Sinks.dropManagedTable(spark, s"ivfpq_del_spec_$t")
+    graft.sources.Sinks.dropTableFamily(spark, "ivfpq_del_spec",
+      Seq("_codes", "_vecs", "_cents", "_books", "_meta"))
     Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", "ivfpq_del_spec",
       buckets = 4, nlist = 4, nlistIters = 2, m = 4, ks = 8, iters = 2, dims = 16)
     // delete vec 0's entire direction-cluster cohort except itself — a
@@ -1147,8 +1166,11 @@ class DedupSimilaritySpec extends SparkSpec {
 
     Similarity.deleteFromIvfPqIndex(spark, "ivfpq_del_spec",
       cohort.toDF("id"))
-    assert(spark.table("ivfpq_del_spec_codes").count() == 80L - cohort.size)
-    assert(spark.table("ivfpq_del_spec_vecs").count() == 80L - cohort.size)
+    // the pair-removal rode ONE generation cutover — resolve
+    val delAtp = graft.sources.Sinks.activeTablePrefix(spark, "ivfpq_del_spec")
+    assert(delAtp == "ivfpq_del_spec_g1", s"delete must advance the generation: $delAtp")
+    assert(spark.table(s"${delAtp}_codes").count() == 80L - cohort.size)
+    assert(spark.table(s"${delAtp}_vecs").count() == 80L - cohort.size)
     val after = Similarity.ivfPqTopKAgainstIndex(
         corpus.filter(col("vec_id") === 0), "ivfpq_del_spec",
         "vec_id", "embedding", k = 10, nprobe = 2, shortlist = 64)
@@ -1469,6 +1491,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
     assert(batch.map(_._1).toSet == Set(1L))
     assert(batch.sortBy(_._2).map(_._3).toSeq == byAnchor(1L))
+
+    // the broadcast-size contract is enforced, not assumed: a batch over
+    // maxAnchors fails loudly instead of OOMing the driver
+    val oversized = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, "vec_id", "embedding", edges, k = 2,
+        maxAnchors = 1L)
+    }
+    assert(oversized.getMessage.contains("maxAnchors"), oversized.getMessage)
+  }
+
+  test("hard negatives: IVF-indexed mining equals brute at full probe; cluster filter inside the probe") {
+    import graft.operators.Similarity
+    // same separable fixture as the brute spec: cluster {0,1,2}, clean 3,4
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)), (2L, Array(0.98f, 0.02f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    Seq("_cents", "_lists", "_meta")
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"hn_ivf_spec$sfx"))
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "hn_ivf_spec",
+      buckets = 2, nlist = 2, iters = 2)
+    // nprobe = nlist ⇒ the probe is exhaustive, so the ONLY approximation
+    // (IVF recall) is off — indexed mining must equal the brute verb
+    // bit-for-bit, PROVING the in-probe cluster filter cannot starve the
+    // top-k: anchor 0's two cluster-mates outrank both clean vectors in
+    // raw cosine, yet 3 and 4 still surface as its negatives.
+    val brute = Similarity.hardNegatives(vecs, "vec_id", "embedding", edges, k = 2)
+    val mined = Similarity.hardNegativesIndexed(vecs, "vec_id", "embedding",
+      edges, k = 2, tablePrefix = "hn_ivf_spec", nprobe = 2)
+    assert(mined.exceptAll(brute).isEmpty && brute.exceptAll(mined).isEmpty,
+      s"indexed mining must equal brute at full probe:\n" +
+        s"mined=${mined.collect().mkString(",")}\nbrute=${brute.collect().mkString(",")}")
+    // anchorPred batches anchors on the indexed path too
+    val batch = Similarity.hardNegativesIndexed(vecs, "vec_id", "embedding",
+        edges, k = 2, tablePrefix = "hn_ivf_spec", nprobe = 2,
+        anchorPred = col("query_id") === 1L)
+      .select("query_id").as[Long].collect().toSet
+    assert(batch == Set(1L), batch.toString)
   }
 
   test("brute-force top-k ranks by cosine with id tie-break, excludes self") {

@@ -488,7 +488,7 @@ class OperatorsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val tk = CrossHash.tokens(col("text"))
     val terms = Seq("spark", "query", "join", "stream")
-    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+    TextIndex.Suffixes
       .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_spec$sfx"))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_spec", buckets = 4)
 
@@ -532,7 +532,7 @@ class OperatorsSpec extends SparkSpec {
       (5L, "table and hash far apart")                           // 0 hits
     ).toDF("doc_id", "text")
     val tk = CrossHash.tokens(col("text"))
-    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+    TextIndex.Suffixes
       .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_ph_spec$sfx"))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_ph_spec", buckets = 2)
 
@@ -574,7 +574,7 @@ class OperatorsSpec extends SparkSpec {
       (5L, "nothing shared at all")
     ).toDF("doc_id", "text")
     val tk = CrossHash.tokens(col("text"))
-    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+    TextIndex.Suffixes
       .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_el_spec$sfx"))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_el_spec", buckets = 2)
 
@@ -620,7 +620,7 @@ class OperatorsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val tk = CrossHash.tokens(col("text"))
     val terms = Seq("spark", "query", "join", "stream")
-    Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
+    TextIndex.Suffixes
       .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_del_spec$sfx"))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_del_spec", buckets = 2)
 
@@ -650,10 +650,17 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(resurrect.getMessage.contains("tombstoned id 2"), resurrect.getMessage)
 
-    // vacuum: fold the tombstones out; the probe must be unchanged
+    // vacuum: fold the tombstones out; the probe must be unchanged.
+    // Compaction now stages a fresh GENERATION and flips the pointer
+    // (no reader-blind rename window), so member tables resolve through
+    // activeTablePrefix afterwards.
     TextIndex.compactTextIndex(spark, "ti_del_spec")
-    assert(spark.table("ti_del_spec_tombstones").isEmpty)
-    assert(spark.table("ti_del_spec_postings")
+    val atp = graft.sources.Sinks.activeTablePrefix(spark, "ti_del_spec")
+    assert(atp == "ti_del_spec_g1", s"vacuum must advance the generation: $atp")
+    assert(!spark.catalog.tableExists("ti_del_spec_postings"),
+      "the pre-compaction generation must be retired")
+    assert(spark.table(s"${atp}_tombstones").isEmpty)
+    assert(spark.table(s"${atp}_postings")
       .filter(col("id") === 2L).isEmpty, "compaction must excise tombstoned postings")
     val afterCompact = TextIndex.bm25AgainstIndex(spark, "ti_del_spec", terms, 10)
       .select("id", "dl", "bm25")
@@ -677,10 +684,9 @@ class OperatorsSpec extends SparkSpec {
     val tk = CrossHash.tokens(col("text"))
     val terms = Seq("spark", "query")
     (Seq("ti_fk_spec", "ti_fk_spec_fork").flatMap(p =>
-        Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta", "_current")
-          .map(p + _)) ++
-      Seq("_postings", "_doclens", "_stats", "_tombstones", "_meta")
-        .map(s => s"ti_fk_spec_g1$s"))
+        (TextIndex.Suffixes :+ "_current").map(p + _)) ++
+      (TextIndex.Suffixes ++ Seq("_current")).flatMap(s =>
+        Seq(s"ti_fk_spec_g1$s", s"ti_fk_spec_g2$s")))
       .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_fk_spec", buckets = 2)
     val base = TextIndex.bm25AgainstIndex(spark, "ti_fk_spec", terms, 10)
@@ -703,5 +709,176 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "dl", "bm25")
     assert(rebuilt.exceptAll(base).count() > 0,
       "k1/b change must actually change the served scores")
+
+    // the param-only restamp: copies the generation, stamps fresh k1/b,
+    // flips the pointer — restoring the default params must reproduce
+    // the original scores bit-for-bit without any re-tokenization
+    val gen2 = TextIndex.restampTextIndex(spark, "ti_fk_spec", k1 = 1.2, b = 0.75)
+    assert(gen2 == 2L)
+    assert(!spark.catalog.tableExists("ti_fk_spec_g1_postings"),
+      "restamp must retire the previous generation")
+    val restamped = TextIndex.bm25AgainstIndex(spark, "ti_fk_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(restamped.exceptAll(base).isEmpty && base.exceptAll(restamped).isEmpty,
+      "restamp back to the original params must reproduce the original scores")
+  }
+
+  test("inverted text index: re-ingesting a LIVE id fails loudly (upsert-via-delete only)") {
+    val corpus = Seq(
+      (1L, "spark join words"), (2L, "query stream words")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    TextIndex.Suffixes
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_lv_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_lv_spec", buckets = 2)
+    // an overlapping batch under a NEW batchId redelivers doc 2 — the
+    // ledger can't catch it; the live-id guard must (a silent accept
+    // doubles doclens/stats and corrupts every matching score forever)
+    val collide = intercept[IllegalArgumentException] {
+      TextIndex.ingestIntoTextIndex(
+        corpus.filter(col("doc_id") === 2L), "doc_id", tk, "ti_lv_spec",
+        batchId = 7L)
+    }
+    assert(collide.getMessage.contains("already live")
+      && collide.getMessage.contains("2"), collide.getMessage)
+    // the rejected ingest must leave NO residue (guard runs before any
+    // append): the index still equals the clean one-shot scoring
+    val probe = TextIndex.bm25AgainstIndex(spark, "ti_lv_spec",
+        Seq("spark", "query", "words"), 10)
+      .select("id", "dl", "bm25")
+    val oneShot = Text.bm25(corpus, "doc_id", tk, Seq("spark", "query", "words"))
+      .select("id", "dl", "bm25")
+    assert(probe.exceptAll(oneShot).isEmpty && oneShot.exceptAll(probe).isEmpty)
+  }
+
+  test("inverted text index: stats repair closes the delete crash window") {
+    val corpus = Seq(
+      (1L, "spark join spark words"),
+      (2L, "query stream words here"),
+      (3L, "query spark stream words")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val terms = Seq("spark", "query", "stream")
+    TextIndex.Suffixes
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_rp_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_rp_spec", buckets = 2)
+    // stage deleteFromTextIndex's crash window: the tombstone append
+    // landed, the process died before the stats compensation — and the
+    // retried delete's idempotence anti-join skips the id, so nothing
+    // ever closes the gap on its own
+    Seq(2L).toDF("id").write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable("ti_rp_spec_tombstones")
+    // rows are already correct (doc 2 is invisible) but the scores use
+    // stale n_docs/avgdl — they must NOT yet equal the truth scoring
+    val truth = Text.bm25(corpus.filter(col("doc_id") =!= 2L), "doc_id", tk, terms)
+      .select("id", "dl", "bm25").localCheckpoint(true)
+    val stale = TextIndex.bm25AgainstIndex(spark, "ti_rp_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(stale.filter(col("id") === 2L).isEmpty, "tombstone hides the doc")
+    assert(stale.exceptAll(truth).count() > 0,
+      "fixture must actually exhibit the stats staleness")
+    // the repair verb detects the drift and replaces the partials
+    val audit = TextIndex.repairTextIndexStats(spark, "ti_rp_spec").head()
+    assert(audit.getAs[Boolean]("repaired"))
+    assert(audit.getAs[Long]("n_docs_stored") == 3L
+      && audit.getAs[Long]("n_docs_truth") == 2L, audit.toString)
+    val repaired = TextIndex.bm25AgainstIndex(spark, "ti_rp_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(repaired.exceptAll(truth).isEmpty && truth.exceptAll(repaired).isEmpty,
+      "post-repair scores must equal the doc-never-indexed scoring")
+    // no drift ⇒ the verb is a read-only detector
+    val clean = TextIndex.repairTextIndexStats(spark, "ti_rp_spec").head()
+    assert(!clean.getAs[Boolean]("repaired"), clean.toString)
+  }
+
+  test("inverted text index: MaxScore pruning is lossless and engages on a skewed bag") {
+    // 'noise' floods 9/10 documents (tiny idf ⇒ tiny upper bound);
+    // 'signal'/'gold' are rare and high-impact — the RAG bag shape the
+    // pruning exists for
+    val corpus = Seq(
+      (1L, "gold signal noise words here"),
+      (2L, "gold signal noise more here"),
+      (3L, "noise words filler here"), (4L, "noise filler words again"),
+      (5L, "noise more filler words"), (6L, "noise words filler here"),
+      (7L, "noise filler more words"), (8L, "noise words here filler"),
+      (9L, "noise filler words more"), (10L, "quiet empty page")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val bag = Seq("gold", "signal", "noise")
+    TextIndex.Suffixes
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_ms_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_ms_spec", buckets = 2)
+
+    val (prunedProbe, audit) =
+      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
+    val exhaustive = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
+    assert(prunedProbe.exceptAll(exhaustive).isEmpty
+      && exhaustive.exceptAll(prunedProbe).isEmpty,
+      "MaxScore top-k must equal the exhaustive top-k bit-for-bit")
+    assert(audit.theta.isDefined && audit.nEssential < audit.nTerms,
+      s"pruning must ENGAGE on this fixture: $audit")
+
+    // a uniform bag with a deep k establishes no useful floor — pruning
+    // declines and the probe still equals exhaustive (the safe fallback)
+    val (deep, deepAudit) =
+      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec",
+        Seq("words", "filler"), kTop = 10)
+    val deepExhaustive = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec",
+      Seq("words", "filler"), kTop = 10)
+    assert(deep.exceptAll(deepExhaustive).isEmpty
+      && deepExhaustive.exceptAll(deep).isEmpty)
+    assert(deepAudit.nEssential == deepAudit.nTerms, deepAudit.toString)
+
+    // deletes only LOOSEN the stored bounds (df lower bound shrinks by
+    // the tombstone count) — pruning stays lossless against the
+    // post-delete exhaustive scoring without any bound maintenance
+    // (here the seed set thins below kTop, exercising the safe fallback)
+    TextIndex.deleteFromTextIndex(spark, "ti_ms_spec", Seq(2L).toDF("doc_id"))
+    val (afterDel, _) =
+      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
+    val exhaustiveDel = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
+    assert(afterDel.exceptAll(exhaustiveDel).isEmpty
+      && exhaustiveDel.exceptAll(afterDel).isEmpty,
+      "MaxScore must stay lossless under tombstoned deletes")
+    // compaction re-tightens the bounds exactly; pruning re-engages at
+    // the k the surviving rare docs can still floor
+    TextIndex.compactTextIndex(spark, "ti_ms_spec")
+    val (afterCompact, compactAudit) =
+      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 1)
+    val exhaustiveCompact =
+      TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 1)
+    assert(afterCompact.exceptAll(exhaustiveCompact).isEmpty
+      && exhaustiveCompact.exceptAll(afterCompact).isEmpty)
+    assert(compactAudit.theta.isDefined
+      && compactAudit.nEssential < compactAudit.nTerms, compactAudit.toString)
+  }
+
+  test("inverted text index: filtered probe threads the common-term elision") {
+    // same fixture shape as the elision spec, plus an allowlist — the
+    // filtered probe restricts CANDIDATES while the elision restricts
+    // TERMS; both must compose (an unvetted bag behind a filter clause
+    // still needs the cost defense)
+    val corpus = Seq(
+      (1L, "signal noise filler words here"),
+      (2L, "noise filler other words"),
+      (3L, "noise words filler again"),
+      (4L, "noise and more filler"),
+      (5L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    TextIndex.Suffixes
+      .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_fe_spec$sfx"))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_fe_spec", buckets = 2)
+    val allowed = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = TextIndex.bm25FilteredAgainstIndex(spark, "ti_fe_spec",
+        Seq("signal", "noise"), allowed, kTop = 10, maxDfFrac = 0.5)
+      .select("id", "dl", "bm25")
+    // expected: 'noise' (df 0.8) elided, 'signal' kept, candidates 1–3 —
+    // i.e. the one-shot scoring of 'signal' restricted to the allowlist
+    val expect = Text.bm25(corpus, "doc_id", tk, Seq("signal"))
+      .join(allowed.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi")
+      .select("id", "dl", "bm25")
+    assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty,
+      "filtered probe must apply the same elision as the single probe")
   }
 }

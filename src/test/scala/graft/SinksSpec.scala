@@ -351,6 +351,58 @@ class SinksSpec extends SparkSpec {
     assert(sizes.max <= sizes.sum / sizes.length * 2)
   }
 
+  test("compaction reader gap: the rename swap has a blind window; the family cutover never does") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CrossHash
+    import graft.operators.TextIndex
+    // 1. compactTable's stage-then-two-renames: between the renames the
+    //    table name resolves to NOTHING — staged here explicitly. This is
+    //    why pointer-managed families must not compact through it.
+    Seq("cg_tbl", "cg_tbl__cold").foreach(Sinks.dropManagedTable(spark, _))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("cg_tbl")
+    spark.sql("ALTER TABLE cg_tbl RENAME TO cg_tbl__cold")
+    intercept[Exception] { spark.table("cg_tbl").count() } // the blind window
+    spark.sql("ALTER TABLE cg_tbl__cold RENAME TO cg_tbl")
+    assert(spark.table("cg_tbl").count() == 2)
+
+    // 2. compactFamilyCutover: a reader probing MID-STAGING (injected via
+    //    the _meta rewrite hook, which runs after every data table has
+    //    staged) still resolves the complete OLD generation — the pointer
+    //    flips only after the staging pass.
+    val corpus = Seq(
+      (1L, "spark join words"), (2L, "query stream words words")
+    ).toDF("doc_id", "text")
+    val tk = CrossHash.tokens(col("text"))
+    val terms = Seq("spark", "query", "words")
+    ((TextIndex.Suffixes :+ "_current").map("ti_cg_spec" + _) ++
+      TextIndex.Suffixes.map(s => s"ti_cg_spec_g1$s"))
+      .foreach(Sinks.dropManagedTable(spark, _))
+    TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_cg_spec", buckets = 2)
+    val before = TextIndex.bm25AgainstIndex(spark, "ti_cg_spec", terms, 10)
+      .select("id", "dl", "bm25").localCheckpoint(true)
+    var midRows: Long = -1L
+    val (gen, counts) = Sinks.compactFamilyCutover(
+      spark, "ti_cg_spec", TextIndex.Suffixes,
+      Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        "_meta" -> (df => {
+          val mid = TextIndex.bm25AgainstIndex(spark, "ti_cg_spec", terms, 10)
+            .select("id", "dl", "bm25")
+          midRows = mid.exceptAll(before).count() + before.exceptAll(mid).count()
+          df
+        })))
+    assert(midRows == 0L,
+      "a reader mid-compaction must resolve the complete old generation")
+    assert(gen == 1L && counts.contains("_postings"))
+    assert(Sinks.activeTablePrefix(spark, "ti_cg_spec") == "ti_cg_spec_g1")
+    assert(!spark.catalog.tableExists("ti_cg_spec_postings"),
+      "the old generation retires after the flip")
+    val after = TextIndex.bm25AgainstIndex(spark, "ti_cg_spec", terms, 10)
+      .select("id", "dl", "bm25")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "a pure copy-compaction must not change the served scores")
+  }
+
   test("zstd parquet is materially smaller than snappy on repetitive data") {
     import org.apache.spark.sql.functions._
     val df = (0 until 40000)
