@@ -730,23 +730,164 @@ object TextIndex {
     require(queryBags.nonEmpty && queryBags.values.forall(_.nonEmpty),
       "bm25BatchAgainstIndex: every query needs at least one term")
     require(kTop >= 1, s"kTop=$kTop must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
+    bm25BatchScores(spark, tablePrefix, queryBags, maxDfFrac, None)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select("query_id", "rank", "id", "dl", "bm25")
+  }
+
+  /** The batched probes' shared scoring plan: (query_id, id, dl, bm25)
+    * per bag and surviving matched document — the shared [[bm25Contribs]]
+    * body (same elision, arithmetic and determinism device as the single
+    * probe, so the shapes cannot drift) fanned out against the broadcast
+    * (query_id, term) pairs. `among`, when given, restricts the SCORED
+    * (query_id, id) pairs with a left-semi BEFORE the aggregation — the
+    * batched MaxScore's per-bag candidate bound.
+    */
+  private def bm25BatchScores(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryBags: Map[Long, Seq[String]],
+      maxDfFrac: Double,
+      among: Option[DataFrame]): DataFrame = {
     val allTerms = queryBags.values.flatten.toSeq.distinct
     val qt = spark.createDataFrame(
         queryBags.toSeq.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
       .toDF("query_id", "term")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
-    // the shared scoring body (same elision, arithmetic and determinism
-    // device as the single probe — the shapes cannot drift), fanned out
-    // per query bag and top-k'd per query
-    bm25Contribs(spark, tablePrefix, allTerms, maxDfFrac)
+    val fanned = bm25Contribs(spark, tablePrefix, allTerms, maxDfFrac)
       .join(broadcast(qt), "term")
+    among.fold(fanned)(ids =>
+        fanned.join(ids, Seq("query_id", "id"), "left_semi"))
       .groupBy("query_id", "id", "dl")
       .agg(round(sum(col("contrib").cast("decimal(28,14)")).cast("double") + 1e-9, 4)
         .as("bm25"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kTop)
-      .select("query_id", "rank", "id", "dl", "bm25")
+  }
+
+  /** Batched MaxScore — [[bm25MaxScoreAgainstIndex]]'s lossless pruning
+    * at the serving fan-in shape: N query bags answered with per-bag
+    * essential sets but SHARED passes (one bounds scan for the bag
+    * union, one θ pass scoring every bag's rarest-term candidates, one
+    * final pass over the per-bag essential candidates — the batch
+    * amortization [[bm25BatchAgainstIndex]] exists for, kept). Each
+    * bag's θ comes from its own rarest present term and prunes only that
+    * bag's terms, so a selective bag in the batch is never penalized by
+    * a stop-term-heavy sibling. Bags that establish no floor (θ
+    * undefined) keep every term — the safe fallback; if NO bag prunes,
+    * the whole batch falls back to the exhaustive batched probe.
+    *
+    * Returns exactly [[bm25BatchAgainstIndex]]'s shape — (query_id,
+    * rank, id, dl, bm25) — and must equal it bit-for-bit (the
+    * `tx_bm25_batch_maxscore` oracle is the exhaustive batch replay).
+    */
+  def bm25MaxScoreBatchAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryBags: Map[Long, Seq[String]],
+      kTop: Int): DataFrame =
+    bm25MaxScoreBatchWithAudit(spark, tablePrefix, queryBags, kTop)._1
+
+  /** [[bm25MaxScoreBatchAgainstIndex]] plus per-bag [[MaxScoreAudit]]s. */
+  def bm25MaxScoreBatchWithAudit(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryBags: Map[Long, Seq[String]],
+      kTop: Int): (DataFrame, Map[Long, MaxScoreAudit]) = {
+    require(queryBags.nonEmpty && queryBags.values.forall(_.nonEmpty),
+      "bm25MaxScoreBatchAgainstIndex: every query needs at least one term")
+    require(kTop >= 1, s"kTop=$kTop must be positive")
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val m = spark.table(s"${tp}_meta").head()
+    val (k1, b) = (m.getDouble(0), m.getDouble(1))
+    val statsRow = spark.table(s"${tp}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
+      .head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0,
+      s"bm25MaxScoreBatchAgainstIndex('$tablePrefix'): no live documents")
+    val tombCount = spark.table(s"${tp}_tombstones").count()
+    val allTerms = queryBags.values.flatten.toSeq.distinct
+    // ONE bounds scan for the whole batch's term union
+    val boundMap = spark.table(s"${tp}_maxscores")
+      .filter(col("term").isInCollection(allTerms))
+      .groupBy("term")
+      .agg(max("max_tf").as("max_tf"), sum("df").as("df"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ub(maxTf: Long, dfStored: Long): Double = {
+      val dfLb = math.max(0.5, math.min((dfStored - tombCount).toDouble, nDocs.toDouble))
+      val idfUb = math.log(1.0 + ((nDocs - dfLb) + 0.5) / (dfLb + 0.5))
+      idfUb * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+    }
+    // each bag's seed = its rarest PRESENT term
+    val seeds: Seq[(Long, String)] = queryBags.toSeq.flatMap { case (q, ts) =>
+      val present = ts.distinct.filter(boundMap.contains)
+      if (present.isEmpty) None
+      else Some(q -> present.minBy(t => (boundMap(t)._2, t)))
+    }
+    // ONE θ pass: exact full scores for every bag's seed candidates
+    val thetas: Map[Long, Double] =
+      if (seeds.isEmpty) Map.empty
+      else {
+        val seedCand = spark.table(s"${tp}_postings")
+          .filter(col("term").isInCollection(seeds.map(_._2).distinct))
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+          .join(broadcast(
+            spark.createDataFrame(seeds).toDF("query_id", "term")), "term")
+          .select("query_id", "id").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
+        bm25BatchScores(spark, tablePrefix, queryBags, 1.0, Some(seedCand))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === kTop)
+          .select("query_id", "bm25").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+    // per-bag essential split (same ascending-ub prefix + margin rule as
+    // the single probe)
+    val audits = queryBags.map { case (q, ts) =>
+      val present = ts.distinct.filter(boundMap.contains)
+      val sortedAsc = present
+        .map(t => (t, ub(boundMap(t)._1, boundMap(t)._2)))
+        .sortBy { case (t, u) => (u, t) }
+      var acc = 0.0
+      val pruned = scala.collection.mutable.ArrayBuffer.empty[String]
+      thetas.get(q).foreach { th =>
+        var i = 0
+        while (i < sortedAsc.length && acc + sortedAsc(i)._2 <= th - 1e-3) {
+          acc += sortedAsc(i)._2
+          pruned += sortedAsc(i)._1
+          i += 1
+        }
+      }
+      val essential = present.filterNot(pruned.contains)
+      q -> MaxScoreAudit(ts.distinct.length, essential.length,
+        thetas.get(q), acc, essential)
+    }
+    val anyPruned = audits.values.exists(a => a.nEssential < a.nTerms
+      && a.essentialTerms.nonEmpty)
+    val result =
+      if (!anyPruned)
+        bm25BatchAgainstIndex(spark, tablePrefix, queryBags, kTop)
+      else {
+        val essPairs = audits.toSeq.flatMap { case (q, a) =>
+          a.essentialTerms.map(t => (q, t))
+        }
+        val essCand = spark.table(s"${tp}_postings")
+          .filter(col("term").isInCollection(essPairs.map(_._2).distinct))
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+          .join(broadcast(
+            spark.createDataFrame(essPairs).toDF("query_id", "term")), "term")
+          .select("query_id", "id").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
+        bm25BatchScores(spark, tablePrefix, queryBags, 1.0, Some(essCand))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= kTop)
+          .select("query_id", "rank", "id", "dl", "bm25")
+      }
+    (result, audits)
   }
 
   /** Lazy probe plan for plan audits (PlanSpec pins bucket pruning on the

@@ -96,6 +96,15 @@ object TextQueries {
     */
   private[queries] val MaxScoreBag: Seq[String] = SkewBag :+ "zrarez"
 
+  /** Batched-MaxScore request: the full skewed bag, a purely organic bag
+    * (nothing plantable to prune — per-bag independence is the point),
+    * and the maximally selective rare+stop pair.
+    */
+  private[queries] val MsBatchBags: Map[Long, Seq[String]] = Map(
+    0L -> MaxScoreBag,
+    1L -> Seq("table", "row", "scan"),
+    2L -> Seq("zstopz", "zrarez"))
+
   /** Shared persisted index over [[skewedDocs]] (FULL corpus, default
     * scoring params) — probed read-only by the elision and MaxScore
     * certificates; built once per (session, corpus) like
@@ -514,6 +523,24 @@ object TextQueries {
       top.select(col("id").as("doc_id"), col("dl"), col("bm25"))
         .withColumn("pruned_ok",
           lit(audit.theta.isDefined && audit.nEssential < audit.nTerms))
+    }),
+
+    // Batched MaxScore — the serving fan-in with per-bag pruning but
+    // SHARED passes (one bounds scan, one θ pass, one final pass for the
+    // whole request batch). Per-bag independence matters: bag 0 and the
+    // rare+stop bag 2 must prune while the purely organic bag 1 scores
+    // whatever its own floor allows — and every bag's top-5 must equal
+    // the exhaustive batched scoring bit-for-bit, which is exactly what
+    // the oracle replays. The certificate pins that bags 0 and 2 engaged.
+    "tx_bm25_batch_maxscore" -> ((s, d) => {
+      val prefix = ensureSkewBase(s, d)
+      val (top, audits) =
+        TextIndex.bm25MaxScoreBatchWithAudit(s, prefix, MsBatchBags, kTop = 5)
+      top.withColumnRenamed("id", "doc_id")
+        .withColumn("pruned_ok", lit(
+          audits(0L).nEssential < audits(0L).nTerms &&
+            audits(2L).nEssential < audits(2L).nTerms))
+        .orderBy("query_id", "rank")
     }),
 
     // Exactly-once retrieval ingest under at-least-once delivery — the
@@ -1545,6 +1572,44 @@ object TextQueries {
         extraCols = ", TRUE AS pruned_ok",
         textSql = SkewTextSql,
         terms = MaxScoreBag),
+
+      // batched MaxScore: the exhaustive BATCH replay over the skewed
+      // corpus — per-bag pruning must change nothing
+      "tx_bm25_batch_maxscore" -> {
+        val qtVals = MsBatchBags.toSeq.sortBy(_._1).flatMap { case (q, ts) =>
+          ts.map(t => s"($q, '$t')")
+        }.mkString(", ")
+        s"""WITH qt(query_id, term) AS (VALUES $qtVals),
+           |t AS (
+           |  SELECT doc_id, regexp_split_to_array($SkewTextSql, '\\s+') AS toks
+           |  FROM documents),
+           |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+           |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+           |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (
+           |  SELECT doc_id, term, count(1) AS tf FROM tm
+           |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+           |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+           |c AS (
+           |  SELECT qt.query_id, tf.doc_id, dl,
+           |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+           |      * (tf::DOUBLE * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+           |      AS contrib
+           |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+           |    JOIN l USING (doc_id) CROSS JOIN st),
+           |s AS (
+           |  SELECT query_id, doc_id, dl,
+           |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+           |  FROM c GROUP BY query_id, doc_id, dl),
+           |r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+           |  FROM s)
+           |SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           |  doc_id, dl, bm25, TRUE AS pruned_ok
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
 
       // base + exactly-once day ingest = the full corpus; cert pinned TRUE
       "tx_bm25_ingest" -> bm25OracleSql("", extraCols = ", TRUE AS ingest_ok"),

@@ -818,6 +818,22 @@ class OperatorsSpec extends SparkSpec {
     assert(audit.theta.isDefined && audit.nEssential < audit.nTerms,
       s"pruning must ENGAGE on this fixture: $audit")
 
+    // BATCHED MaxScore: per-bag floors, shared passes — every bag's top-k
+    // must equal the exhaustive batched scoring (bag 1's organic floor
+    // may or may not prune; bag 2's term is absent and yields nothing —
+    // all three shapes stay lossless in one request)
+    val bags = Map(0L -> bag, 1L -> Seq("words", "filler"),
+      2L -> Seq("zzznope"))
+    val (btop, baudits) =
+      TextIndex.bm25MaxScoreBatchWithAudit(spark, "ti_ms_spec", bags, kTop = 2)
+    val bexh = TextIndex.bm25BatchAgainstIndex(spark, "ti_ms_spec", bags, kTop = 2)
+    assert(btop.exceptAll(bexh).isEmpty && bexh.exceptAll(btop).isEmpty,
+      "batched MaxScore must equal the exhaustive batched scoring")
+    assert(baudits(0L).theta.isDefined
+      && baudits(0L).nEssential < baudits(0L).nTerms,
+      s"the skewed bag must engage inside the batch: ${baudits(0L)}")
+    assert(baudits(2L).essentialTerms.isEmpty, baudits(2L).toString)
+
     // a uniform bag with a deep k establishes no useful floor — pruning
     // declines and the probe still equals exhaustive (the safe fallback)
     val (deep, deepAudit) =
