@@ -809,6 +809,21 @@ class OperatorsSpec extends SparkSpec {
       .foreach(sfx => graft.sources.Sinks.dropManagedTable(spark, s"ti_ms_spec$sfx"))
     TextIndex.writeTextIndex(corpus, "doc_id", tk, "ti_ms_spec", buckets = 2)
 
+    // the bounds table rides the postings' bucketing: the probe's bounds
+    // aggregation (group-by on the bucket column, term-restricted) is
+    // served by a bucket-PRUNED, shuffle-free bucketed scan — the exact
+    // plan shape bm25MaxScoreWithAudit's first step runs (a single term
+    // here: a bag covering every bucket rightly skips the marker)
+    val boundsPlan = spark.table("ti_ms_spec_maxscores")
+      .filter(col("term").isInCollection(Seq("gold")))
+      .groupBy("term")
+      .agg(max("max_tf").as("max_tf"), sum("df").as("df"))
+      .queryExecution.executedPlan.toString
+    val msSel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(boundsPlan)
+    assert(msSel.isDefined && msSel.get.group(1).toInt < msSel.get.group(2).toInt,
+      s"bounds scan must be bucket-pruned: ${msSel.map(_.matched)}")
+
     val (prunedProbe, audit) =
       TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
     val exhaustive = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
