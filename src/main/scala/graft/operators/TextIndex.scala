@@ -168,15 +168,26 @@ object TextIndex {
     val posts = postingsOf(newDocs, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // `_maxscores` lands BEFORE `_postings`: a crash between the two
+      // appends leaves bounds rows covering postings that never arrived —
+      // max_tf stale-HIGH, the direction the MaxScore upper bound
+      // tolerates (a ghost-high max_tf only loosens pruning). The reverse
+      // order left live postings with NO bounds row, and a term absent
+      // from `_maxscores` used to vanish from the essential-candidate
+      // set — a silent losslessness break (the probes now also guard
+      // that case live, see the orphan handling in [[termBounds]], so
+      // the ordering and the guard are independent defenses). Ghost df
+      // in the stale bounds never reaches scoring or pruning: probes
+      // compute per-term LIVE df from the postings themselves.
+      maxscoresOf(posts, batchId).write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${tp}_maxscores")
       posts.write.mode(SaveMode.Append)
         .bucketBy(buckets, "term").sortBy("term")
         .format("parquet").saveAsTable(s"${tp}_postings")
       lens.write.mode(SaveMode.Append)
         .bucketBy(buckets, "id").sortBy("id")
         .format("parquet").saveAsTable(s"${tp}_doclens")
-      maxscoresOf(posts, batchId).write.mode(SaveMode.Append)
-        .bucketBy(buckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(s"${tp}_maxscores")
       lens.agg(lit(batchId).as("batch_id"), count(lit(1)).as("n_docs"),
           coalesce(sum("dl"), lit(0L)).as("tot_dl"))
         .write.mode(SaveMode.Append)
@@ -249,18 +260,34 @@ object TextIndex {
     * delete's idempotence skip means a retry cannot close the gap).
     * Recomputes the truth from `_doclens` anti `_tombstones` (one
     * aggregation over narrow metadata tables — never the postings),
-    * compares against the summed partials, and on ANY drift replaces the
-    * partials with one fresh base row. Far cheaper than
-    * [[compactTextIndex]], which repairs the same staleness only as a
-    * side effect of a full postings rewrite.
+    * compares against the summed partials, and on ANY drift APPENDS one
+    * compensation partial closing the gap — never an in-place overwrite,
+    * so the repair itself has no crash window: a died append leaves the
+    * partials exactly as found (parquet commits are staged) and the verb
+    * is rerunnable; `_stats` can never transit through missing/empty.
+    * Far cheaper than [[compactTextIndex]], which repairs the same
+    * staleness only as a side effect of a full postings rewrite.
     *
-    * Returns a one-row audit frame
-    * (n_docs_stored, tot_dl_stored, n_docs_truth, tot_dl_truth, repaired)
-    * — run it with no drift and it is a read-only no-op (repaired =
-    * false), so schedulers can poll it as a drift detector.
+    * Also audits the `_maxscores` BOUNDS partials for missing terms —
+    * live postings with no bounds row, the residue of a pre-r12 ingest
+    * ordering (bounds now land before postings) or a lost bounds table.
+    * Missing rows are no longer a correctness hazard (the MaxScore
+    * probes treat such terms as unconditionally essential — see
+    * [[liveTermBounds]]), but they disable pruning for those terms; the
+    * repair recomputes the missing terms' partials exactly from their
+    * live postings and APPENDS them (same no-crash-window discipline).
+    * Stale-high max_tf/ghost df in EXISTING rows is deliberately out of
+    * scope — it is safe by construction and only [[compactTextIndex]]
+    * re-tightens it.
+    *
+    * Returns a one-row audit frame (n_docs_stored, tot_dl_stored,
+    * n_docs_truth, tot_dl_truth, bounds_missing, repaired) — run it with
+    * no drift and it is a read-only no-op (repaired = false), so
+    * schedulers can poll it as a drift detector.
     */
   def repairTextIndexStats(spark: SparkSession, tablePrefix: String): DataFrame = {
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val buckets = spark.table(s"${tp}_meta").head().getInt(2)
     val stored = spark.table(s"${tp}_stats")
       .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
       .head()
@@ -272,14 +299,30 @@ object TextIndex {
       stored.getLong(1) != truth.getLong(1)
     if (drifted)
       spark.range(1)
-        .select(lit(-1L).as("batch_id"), lit(truth.getLong(0)).as("n_docs"),
-          lit(truth.getLong(1)).as("tot_dl"))
-        .write.mode(SaveMode.Overwrite)
+        .select(lit(-3L).as("batch_id"),
+          lit(truth.getLong(0) - stored.getLong(0)).as("n_docs"),
+          lit(truth.getLong(1) - stored.getLong(1)).as("tot_dl"))
+        .write.mode(SaveMode.Append)
         .format("parquet").saveAsTable(s"${tp}_stats")
+    // bounds audit: one pass over the LIVE postings (term-keyed partial
+    // agg — map-side combine), anti the terms already bounded
+    val missingBounds = maxscoresOf(
+        spark.table(s"${tp}_postings")
+          .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti"), -3L)
+      .join(spark.table(s"${tp}_maxscores").select("term").distinct(),
+        Seq("term"), "left_anti")
+      .localCheckpoint(true)
+    val nMissing = missingBounds.count()
+    if (nMissing > 0)
+      missingBounds
+        .select("batch_id", "term", "max_tf", "df")
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${tp}_maxscores")
     spark.createDataFrame(Seq((stored.getLong(0), stored.getLong(1),
-        truth.getLong(0), truth.getLong(1), drifted)))
+        truth.getLong(0), truth.getLong(1), nMissing, drifted || nMissing > 0)))
       .toDF("n_docs_stored", "tot_dl_stored", "n_docs_truth", "tot_dl_truth",
-        "repaired")
+        "bounds_missing", "repaired")
   }
 
   /** Physical excision (the exactly-once scrub): rewrite postings and
@@ -532,29 +575,134 @@ object TextIndex {
 
   /** One MaxScore probe's pruning decisions — what the cost-defense
     * certificates and ScaleBench read: how many of the query's terms
-    * stayed essential, the score floor `theta` the non-essential prefix
-    * was pruned against (None = no floor was established, nothing
-    * pruned), and the summed upper bounds of the pruned terms.
+    * stayed essential, how many were actually PRUNED (`nPruned > 0` is
+    * the unambiguous "pruning engaged" signal — `nEssential < nTerms` is
+    * also true when a term is merely absent from the corpus), the score
+    * floor `theta` the non-essential prefix was pruned against (None =
+    * no floor was established — including when the adaptive gate skipped
+    * the θ phase entirely), and the summed upper bounds of the pruned
+    * terms.
     */
   final case class MaxScoreAudit(
       nTerms: Int,
       nEssential: Int,
+      nPruned: Int,
       theta: Option[Double],
       prunedUbSum: Double,
       essentialTerms: Seq[String])
+
+  /** Matched-postings floor below which the MaxScore probes skip the θ
+    * phase and answer exhaustively: the θ pass costs a fixed ~2 Spark
+    * jobs regardless of corpus size, so below ~10⁶ matched postings the
+    * pruned probe is SLOWER than exhaustive even though it cuts
+    * scorer-input rows ~8× (ScaleBench `maxscore`, both decades — the
+    * wall win is asymptotic). The estimate is Σ stored df over the bag's
+    * bounds partials — read from the same bucket-pruned ≤|bag|-row scan
+    * the probe needs anyway, so declining costs one metadata scan.
+    * Callers with a measured break-even of their own (or a certificate
+    * that must pin the pruning machinery) pass their own floor; 0 forces
+    * engagement.
+    */
+  val DefaultEngageMinPostings: Long = 1000000L
+
+  /** Per-probe term state for the MaxScore split, from TWO term-bounded
+    * scans:
+    *
+    *   - `maxTf`: stored max-tf per bounds row (bucket-pruned `_maxscores`
+    *     scan). Stale-HIGH is the only staleness the write orderings can
+    *     leave (ingest appends bounds BEFORE postings; deletes don't touch
+    *     them; compaction re-tightens) — safe for an upper bound.
+    *   - `liveDf`: EXACT live document frequency per term, computed from
+    *     the bag's own bucket-pruned postings anti the tombstones — never
+    *     trusted from the partials. This is what keeps the bounds TIGHT
+    *     under deletes (r11 verdict: the global tombstone-count
+    *     subtraction disengaged pruning after ANY delete; per-term truth
+    *     keeps it engaged when the deleted docs don't contain the bag's
+    *     terms) and IMMUNE to bounds-row staleness (ghost df from a
+    *     crashed ingest never reaches idf). Costs one pass over the bag's
+    *     matched postings — the same rows the final pass reads for live
+    *     df anyway, and it only runs once the adaptive gate has decided
+    *     the probe is large enough for pruning to pay.
+    *   - `orphans`: terms with live postings but NO bounds row (the
+    *     pre-reorder ingest crash residue, or a bounds table lost
+    *     mid-repair). No upper bound exists for them, so they are
+    *     unconditionally ESSENTIAL — a document matching only an orphan
+    *     term always reaches the scorer, which is what keeps the probe
+    *     lossless under ANY `_maxscores` corruption (the r11 ADVICE
+    *     break: such terms used to vanish from the candidate set).
+    */
+  private final case class TermBounds(
+      maxTf: Map[String, Long],
+      liveDf: Map[String, Long],
+      orphans: Seq[String])
+
+  private def liveTermBounds(
+      spark: SparkSession,
+      tp: String,
+      terms: Seq[String],
+      maxTf: Map[String, Long]): TermBounds = {
+    val live = spark.table(s"${tp}_postings")
+      .filter(col("term").isInCollection(terms))
+      .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TermBounds(maxTf, live,
+      live.keys.filterNot(maxTf.contains).toSeq.sorted)
+  }
+
+  /** BM25 per-term score upper bound at EXACT live df and stored (possibly
+    * stale-high) max-tf: idf at the true df times the tf saturation at its
+    * dl-normalization minimum.
+    */
+  private def termUb(
+      maxTf: Long, liveDf: Long, nDocs: Long, k1: Double, b: Double): Double = {
+    val df = math.max(0.5, math.min(liveDf.toDouble, nDocs.toDouble))
+    val idf = math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))
+    idf * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+  }
+
+  /** The shared ascending-ub prefix split: the maximal prefix whose bound
+    * sum stays under θ − margin (10⁻³ dominates the round-4 score grid)
+    * is prunable. Returns (prunedTerms, prunedUbSum).
+    */
+  private def prunePrefix(
+      sortedAsc: Seq[(String, Double)],
+      theta: Option[Double]): (Seq[String], Double) = {
+    var acc = 0.0
+    val pruned = scala.collection.mutable.ArrayBuffer.empty[String]
+    theta.foreach { th =>
+      var i = 0
+      while (i < sortedAsc.length && acc + sortedAsc(i)._2 <= th - 1e-3) {
+        acc += sortedAsc(i)._2
+        pruned += sortedAsc(i)._1
+        i += 1
+      }
+    }
+    (pruned.toSeq, acc)
+  }
 
   /** BM25 top-k with MaxScore-shaped term pruning (Turtle & Flood 1995;
     * the WAND family's set-oriented adaptation) — LOSSLESS for top-k by
     * construction, the principled version of the `maxDfFrac` elision
     * (which changes scores; this never does):
     *
-    *   1. Per-term score UPPER BOUNDS from the `_maxscores` partials:
-    *      ub(t) = idf_ub(t) · max_tf·(k1+1) / (max_tf + k1·(1−b)) — the
-    *      dl-normalization at its minimum, idf at a df LOWER bound
-    *      (stored df − tombstone count; deletes only loosen bounds, so
-    *      a stale partial stays safe — compaction re-tightens).
+    *   0. ADAPTIVE ENGAGEMENT: the bounds scan's Σ stored df estimates
+    *      the matched postings; below `engageMinPostings` (default: the
+    *      measured break-even [[DefaultEngageMinPostings]]) the probe
+    *      answers exhaustively and skips every pruning job — the θ
+    *      phase's fixed cost only pays above the threshold.
+    *   1. Per-term score UPPER BOUNDS: ub(t) = idf(df_live) ·
+    *      max_tf·(k1+1) / (max_tf + k1·(1−b)) — the dl-normalization at
+    *      its minimum, max_tf from the `_maxscores` partials (only ever
+    *      stale-HIGH — safe), df_live computed EXACTLY from the bag's
+    *      own bucket-pruned postings (see [[liveTermBounds]] — this is
+    *      what keeps pruning engaged under deletes and bounds-partial
+    *      staleness). Terms with live postings but no bounds row are
+    *      unconditionally essential (losslessness under `_maxscores`
+    *      corruption).
     *   2. θ phase: EXACT full scores for the documents matching the
-    *      RAREST query term (smallest stored df — the cheapest candidate
+    *      RAREST query term (smallest live df — the cheapest candidate
     *      set); θ = the k-th best. Any k exact scores lower-bound the
     *      true k-th score.
     *   3. Essential split: sorted by ub ascending, the maximal prefix P
@@ -580,79 +728,121 @@ object TextIndex {
       spark: SparkSession,
       tablePrefix: String,
       queryTerms: Seq[String],
-      kTop: Int): DataFrame =
-    bm25MaxScoreWithAudit(spark, tablePrefix, queryTerms, kTop)._1
+      kTop: Int,
+      engageMinPostings: Long = DefaultEngageMinPostings): DataFrame =
+    bm25MaxScoreWithAudit(spark, tablePrefix, queryTerms, kTop,
+      engageMinPostings)._1
+
+  /** [[bm25MaxScoreAgainstIndex]] with a candidate FILTER — the RAG
+    * serving shape with the pruning kept: same Lucene semantics as
+    * [[bm25FilteredAgainstIndex]] (the filter restricts CANDIDATES,
+    * never statistics) and bit-for-bit equal to it. The composition is
+    * sound because both sides of the MaxScore argument survive the
+    * filter: θ is the k-th exact score of a SUBSET of the allowed
+    * documents (any k allowed scores lower-bound the allowed k-th), and
+    * the per-term upper bounds are corpus-global, so they bound every
+    * allowed document's contribution too.
+    */
+  def bm25MaxScoreFilteredAgainstIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      allowedIds: DataFrame,
+      kTop: Int,
+      engageMinPostings: Long = DefaultEngageMinPostings): (DataFrame, MaxScoreAudit) = {
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).cast("long").as("id")).distinct()
+    maxScoreProbe(spark, tablePrefix, queryTerms, kTop, engageMinPostings,
+      Some(allowed))
+  }
 
   /** [[bm25MaxScoreAgainstIndex]] plus its [[MaxScoreAudit]]. */
   def bm25MaxScoreWithAudit(
       spark: SparkSession,
       tablePrefix: String,
       queryTerms: Seq[String],
-      kTop: Int): (DataFrame, MaxScoreAudit) = {
+      kTop: Int,
+      engageMinPostings: Long = DefaultEngageMinPostings): (DataFrame, MaxScoreAudit) =
+    maxScoreProbe(spark, tablePrefix, queryTerms, kTop, engageMinPostings, None)
+
+  private def maxScoreProbe(
+      spark: SparkSession,
+      tablePrefix: String,
+      queryTerms: Seq[String],
+      kTop: Int,
+      engageMinPostings: Long,
+      allowed: Option[DataFrame]): (DataFrame, MaxScoreAudit) = {
     require(queryTerms.nonEmpty, "bm25MaxScoreAgainstIndex: no query terms")
     require(kTop >= 1, s"kTop=$kTop must be positive")
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val m = spark.table(s"${tp}_meta").head()
     val (k1, b) = (m.getDouble(0), m.getDouble(1))
-    val statsRow = spark.table(s"${tp}_stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
-      .head()
-    val nDocs = statsRow.getLong(0)
+    val nDocs = spark.table(s"${tp}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
     require(nDocs > 0,
       s"bm25MaxScoreAgainstIndex('$tablePrefix'): index holds no live documents")
-    val tombCount = spark.table(s"${tp}_tombstones").count()
+    val qTerms = queryTerms.distinct
+    def exhaustive(): DataFrame = allowed match {
+      case Some(ids) => bm25Scores(spark, tablePrefix, qTerms, 1.0)
+        .join(ids, Seq("id"), "left_semi")
+        .orderBy(col("bm25").desc, col("id")).limit(kTop)
+      case None => bm25AgainstIndex(spark, tablePrefix, qTerms, kTop)
+    }
     // per-term merged bound partials — bucket-pruned scan, ≤ |bag| rows
-    val bounds = spark.table(s"${tp}_maxscores")
-      .filter(col("term").isInCollection(queryTerms))
+    val boundRows = spark.table(s"${tp}_maxscores")
+      .filter(col("term").isInCollection(qTerms))
       .groupBy("term")
       .agg(max("max_tf").as("max_tf"), sum("df").as("df"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    def ub(maxTf: Long, dfStored: Long): Double = {
-      val dfLb = math.max(0.5, math.min((dfStored - tombCount).toDouble, nDocs.toDouble))
-      val idfUb = math.log(1.0 + ((nDocs - dfLb) + 0.5) / (dfLb + 0.5))
-      idfUb * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+    val estMatched = boundRows.map(_.getLong(2)).sum
+    if (estMatched < engageMinPostings) {
+      // below break-even: one metadata scan spent, every pruning job saved
+      val audit = MaxScoreAudit(qTerms.length, qTerms.length, 0, None, 0.0,
+        qTerms)
+      return (exhaustive(), audit)
     }
-    val terms = bounds.map { case (t, maxTf, df) => (t, df, ub(maxTf, df)) }
-    // θ phase off the rarest present term; absent terms prune for free
+    val tb = liveTermBounds(spark, tp, qTerms,
+      boundRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // live terms: >= 1 surviving posting. Bounded ones carry an ub;
+    // orphans are essential unconditionally.
+    val bounded = qTerms
+      .filter(t => tb.maxTf.contains(t) && tb.liveDf.getOrElse(t, 0L) > 0L)
+    // θ phase off the rarest live term (orphans are eligible seeds — a
+    // seed only needs live postings, not a bound)
+    val liveAll = bounded ++ tb.orphans.filter(qTerms.contains)
     val theta: Option[Double] =
-      if (terms.isEmpty) None
+      if (liveAll.isEmpty) None
       else {
-        val seed = terms.minBy { case (t, df, _) => (df, t) }._1
-        val seedIds = spark.table(s"${tp}_postings")
+        val seed = liveAll.minBy(t => (tb.liveDf(t), t))
+        val seedIds0 = spark.table(s"${tp}_postings")
           .filter(col("term") === seed)
           .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
           .select("id")
-        val top = bm25Scores(spark, tablePrefix, queryTerms, 1.0, Some(seedIds))
+        val seedIds = allowed.fold(seedIds0)(ids =>
+          seedIds0.join(ids, Seq("id"), "left_semi"))
+        val top = bm25Scores(spark, tablePrefix, qTerms, 1.0, Some(seedIds))
           .orderBy(col("bm25").desc, col("id"))
           .limit(kTop).collect()
         if (top.length < kTop) None else Some(top.last.getAs[Double]("bm25"))
       }
-    // maximal ascending-ub prefix whose bound sum stays under θ − margin
-    val sortedAsc = terms.sortBy { case (t, _, u) => (u, t) }
-    var acc = 0.0
-    val pruned = scala.collection.mutable.ArrayBuffer.empty[String]
-    theta.foreach { th =>
-      var i = 0
-      while (i < sortedAsc.length && acc + sortedAsc(i)._3 <= th - 1e-3) {
-        acc += sortedAsc(i)._3
-        pruned += sortedAsc(i)._1
-        i += 1
-      }
-    }
-    val essential = terms.map(_._1).filterNot(pruned.contains).toSeq
-    val audit = MaxScoreAudit(queryTerms.distinct.length, essential.length,
+    val sortedAsc = bounded
+      .map(t => (t, termUb(tb.maxTf(t), tb.liveDf(t), nDocs, k1, b)))
+      .sortBy { case (t, u) => (u, t) }
+    val (pruned, acc) = prunePrefix(sortedAsc, theta)
+    val essential =
+      bounded.filterNot(pruned.contains) ++ tb.orphans.filter(qTerms.contains)
+    val audit = MaxScoreAudit(qTerms.length, essential.length, pruned.length,
       theta, acc, essential)
     val result =
-      if (essential.isEmpty || pruned.isEmpty)
-        // nothing pruned (or nothing present): the exhaustive probe
-        bm25AgainstIndex(spark, tablePrefix, queryTerms, kTop)
+      if (essential.isEmpty || pruned.isEmpty) exhaustive()
       else {
-        val cands = spark.table(s"${tp}_postings")
+        val cands0 = spark.table(s"${tp}_postings")
           .filter(col("term").isInCollection(essential))
           .join(spark.table(s"${tp}_tombstones"), Seq("id"), "left_anti")
           .select("id").distinct()
-        bm25Scores(spark, tablePrefix, queryTerms, 1.0, Some(cands))
+        val cands = allowed.fold(cands0)(ids =>
+          cands0.join(ids, Seq("id"), "left_semi"))
+        bm25Scores(spark, tablePrefix, qTerms, 1.0, Some(cands))
           .orderBy(col("bm25").desc, col("id"))
           .limit(kTop)
       }
@@ -785,46 +975,59 @@ object TextIndex {
       spark: SparkSession,
       tablePrefix: String,
       queryBags: Map[Long, Seq[String]],
-      kTop: Int): DataFrame =
-    bm25MaxScoreBatchWithAudit(spark, tablePrefix, queryBags, kTop)._1
+      kTop: Int,
+      engageMinPostings: Long = DefaultEngageMinPostings): DataFrame =
+    bm25MaxScoreBatchWithAudit(spark, tablePrefix, queryBags, kTop,
+      engageMinPostings)._1
 
-  /** [[bm25MaxScoreBatchAgainstIndex]] plus per-bag [[MaxScoreAudit]]s. */
+  /** [[bm25MaxScoreBatchAgainstIndex]] plus per-bag [[MaxScoreAudit]]s.
+    * The adaptive gate is BATCH-level (Σ stored df over the bag union vs
+    * `engageMinPostings`) because the θ pass it guards is batch-shared;
+    * per-term live df, orphan handling and the essential split follow
+    * the single probe exactly (see [[liveTermBounds]]).
+    */
   def bm25MaxScoreBatchWithAudit(
       spark: SparkSession,
       tablePrefix: String,
       queryBags: Map[Long, Seq[String]],
-      kTop: Int): (DataFrame, Map[Long, MaxScoreAudit]) = {
+      kTop: Int,
+      engageMinPostings: Long = DefaultEngageMinPostings): (DataFrame, Map[Long, MaxScoreAudit]) = {
     require(queryBags.nonEmpty && queryBags.values.forall(_.nonEmpty),
       "bm25MaxScoreBatchAgainstIndex: every query needs at least one term")
     require(kTop >= 1, s"kTop=$kTop must be positive")
     val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
     val m = spark.table(s"${tp}_meta").head()
     val (k1, b) = (m.getDouble(0), m.getDouble(1))
-    val statsRow = spark.table(s"${tp}_stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("tot_dl"), lit(0L)))
-      .head()
-    val nDocs = statsRow.getLong(0)
+    val nDocs = spark.table(s"${tp}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
     require(nDocs > 0,
       s"bm25MaxScoreBatchAgainstIndex('$tablePrefix'): no live documents")
-    val tombCount = spark.table(s"${tp}_tombstones").count()
     val allTerms = queryBags.values.flatten.toSeq.distinct
     // ONE bounds scan for the whole batch's term union
-    val boundMap = spark.table(s"${tp}_maxscores")
+    val boundRows = spark.table(s"${tp}_maxscores")
       .filter(col("term").isInCollection(allTerms))
       .groupBy("term")
       .agg(max("max_tf").as("max_tf"), sum("df").as("df"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    def ub(maxTf: Long, dfStored: Long): Double = {
-      val dfLb = math.max(0.5, math.min((dfStored - tombCount).toDouble, nDocs.toDouble))
-      val idfUb = math.log(1.0 + ((nDocs - dfLb) + 0.5) / (dfLb + 0.5))
-      idfUb * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+    val estMatched = boundRows.map(_.getLong(2)).sum
+    if (estMatched < engageMinPostings) {
+      val audits = queryBags.map { case (q, ts) =>
+        q -> MaxScoreAudit(ts.distinct.length, ts.distinct.length, 0, None,
+          0.0, ts.distinct)
+      }
+      return (bm25BatchAgainstIndex(spark, tablePrefix, queryBags, kTop),
+        audits)
     }
-    // each bag's seed = its rarest PRESENT term
+    val tb = liveTermBounds(spark, tp, allTerms,
+      boundRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    def liveOf(ts: Seq[String]): Seq[String] =
+      ts.distinct.filter(t => tb.liveDf.getOrElse(t, 0L) > 0L)
+    // each bag's seed = its rarest LIVE term (exact live df; orphans are
+    // eligible seeds)
     val seeds: Seq[(Long, String)] = queryBags.toSeq.flatMap { case (q, ts) =>
-      val present = ts.distinct.filter(boundMap.contains)
-      if (present.isEmpty) None
-      else Some(q -> present.minBy(t => (boundMap(t)._2, t)))
+      val live = liveOf(ts)
+      if (live.isEmpty) None
+      else Some(q -> live.minBy(t => (tb.liveDf(t), t)))
     }
     // ONE θ pass: exact full scores for every bag's seed candidates
     val thetas: Map[Long, Double] =
@@ -845,28 +1048,19 @@ object TextIndex {
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       }
     // per-bag essential split (same ascending-ub prefix + margin rule as
-    // the single probe)
+    // the single probe); per-bag orphans stay essential unconditionally
     val audits = queryBags.map { case (q, ts) =>
-      val present = ts.distinct.filter(boundMap.contains)
-      val sortedAsc = present
-        .map(t => (t, ub(boundMap(t)._1, boundMap(t)._2)))
+      val live = liveOf(ts)
+      val (bounded, orphans) = live.partition(tb.maxTf.contains)
+      val sortedAsc = bounded
+        .map(t => (t, termUb(tb.maxTf(t), tb.liveDf(t), nDocs, k1, b)))
         .sortBy { case (t, u) => (u, t) }
-      var acc = 0.0
-      val pruned = scala.collection.mutable.ArrayBuffer.empty[String]
-      thetas.get(q).foreach { th =>
-        var i = 0
-        while (i < sortedAsc.length && acc + sortedAsc(i)._2 <= th - 1e-3) {
-          acc += sortedAsc(i)._2
-          pruned += sortedAsc(i)._1
-          i += 1
-        }
-      }
-      val essential = present.filterNot(pruned.contains)
-      q -> MaxScoreAudit(ts.distinct.length, essential.length,
+      val (pruned, acc) = prunePrefix(sortedAsc, thetas.get(q))
+      val essential = bounded.filterNot(pruned.contains) ++ orphans
+      q -> MaxScoreAudit(ts.distinct.length, essential.length, pruned.length,
         thetas.get(q), acc, essential)
     }
-    val anyPruned = audits.values.exists(a => a.nEssential < a.nTerms
-      && a.essentialTerms.nonEmpty)
+    val anyPruned = audits.values.exists(_.nPruned > 0)
     val result =
       if (!anyPruned)
         bm25BatchAgainstIndex(spark, tablePrefix, queryBags, kTop)

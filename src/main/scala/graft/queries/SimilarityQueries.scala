@@ -354,10 +354,16 @@ object SimilarityQueries {
           nprobe = IvfFilteredNprobe,
           candidateFilter = col("neighbor_id") % 3 === 0)
         .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+      // the sparse tier rides the MaxScore FILTERED probe (r11 verdict
+      // #6): lossless pruning composed with the candidate filter, so the
+      // exact-fusion oracle is unchanged — green proves the composition.
+      // Forced engagement here for the same reason as tx_bm25_maxscore
+      // (the adaptive default would rightly decline at bench scale).
       val sparseServed = rankSparse(
-        TextIndex.bm25FilteredAgainstIndex(s, TextQueries.ensureTextBase(s, d),
-            TextQueries.BmQueryTerms,
-            docsAll.filter(col("doc_id") % 3 === 0).select("doc_id"), kTop = 50)
+        TextIndex.bm25MaxScoreFilteredAgainstIndex(
+            s, TextQueries.ensureTextBase(s, d), TextQueries.BmQueryTerms,
+            docsAll.filter(col("doc_id") % 3 === 0).select("doc_id"),
+            kTop = 50, engageMinPostings = 0L)._1
           .localCheckpoint(true))
       val served = fuse(denseServed, sparseServed)
         .select(col("doc_id"), lit(1).as("hit"))

@@ -643,9 +643,13 @@ object StreamQueries {
       }
       val prefix = s"mh_stream_del_${ScratchKeys.forPath(d)}"
       // four streamed deletions = four generation cutovers — scrub the
-      // pointer and old generations so a rerun resolves fresh
+      // pointer and old generations so a rerun resolves fresh. maxGen is
+      // EXPLICIT with headroom over the fixture's cutover count: at the
+      // default (4) this fixture sat exactly at the boundary, and adding
+      // one more streamed batch would leave a stale g5 the fresh-JVM
+      // fallback scan in activeTablePrefix could mis-resolve on a rerun
       graft.sources.Sinks.dropTableFamily(s, prefix,
-        Seq("_bands", "_sigs", "_meta"))
+        Seq("_bands", "_sigs", "_meta"), maxGen = 12)
       val corpusSigs = DedupQueries.minhashSigsFrame(s, d)
       Dedup.writeMinhashIndex(
         corpusSigs.filter(col("id") % 10 =!= 0), prefix, buckets = 8, k = 16, bands = 4)

@@ -729,18 +729,31 @@ object ScaleBench {
       val full = TextIndex.bm25AgainstIndex(spark, prefix, bag, 20)
         .localCheckpoint(true)
       val tFull = (System.nanoTime() - t0) / 1e9
+      // FORCED engagement: the asymptotic path — θ phase always paid,
+      // scorer-input rows cut by the essential-candidate restriction
       val t1 = System.nanoTime()
-      val (pruned, audit) = TextIndex.bm25MaxScoreWithAudit(spark, prefix, bag, 20)
+      val (pruned, audit) = TextIndex.bm25MaxScoreWithAudit(
+        spark, prefix, bag, 20, engageMinPostings = 0L)
       val prunedM = pruned.localCheckpoint(true)
       val tPruned = (System.nanoTime() - t1) / 1e9
-      val equal = prunedM.exceptAll(full).isEmpty && full.exceptAll(prunedM).isEmpty
+      // ADAPTIVE default: below the measured break-even the gate must
+      // decline (≈ exhaustive wall time — the no-regression point); at
+      // corpora past DefaultEngageMinPostings matched postings it engages
+      val t2 = System.nanoTime()
+      val (adaptive, aAudit) =
+        TextIndex.bm25MaxScoreWithAudit(spark, prefix, bag, 20)
+      val adaptiveM = adaptive.localCheckpoint(true)
+      val tAdaptive = (System.nanoTime() - t2) / 1e9
+      val equal = prunedM.exceptAll(full).isEmpty && full.exceptAll(prunedM).isEmpty &&
+        adaptiveM.exceptAll(full).isEmpty && full.exceptAll(adaptiveM).isEmpty
       val post = spark.table(s"${prefix}_postings")
       val matched = post.filter(col("term").isInCollection(bag)).count()
       val cands = post.filter(col("term").isInCollection(audit.essentialTerms))
         .select("id").distinct()
       val scored = post.filter(col("term").isInCollection(bag))
         .join(cands, Seq("id"), "left_semi").count()
-      println(f"MAXSCORE $tag%-8s full $tFull%6.2f s  pruned $tPruned%6.2f s  " +
+      println(f"MAXSCORE $tag%-8s full $tFull%6.2f s  forced $tPruned%6.2f s  " +
+        f"adaptive $tAdaptive%6.2f s (engaged=${aAudit.nPruned > 0})  " +
         f"essential ${audit.nEssential}/${audit.nTerms}  " +
         f"postings->scorer $scored%8d of $matched%8d (${100.0 * scored / matched}%5.1f%%)  " +
         f"lossless=$equal")
