@@ -534,6 +534,77 @@ object Text {
           / sum("tf")) + 1e-9, 4).as("nll"))
   }
 
+  /** Per-document bigram NLL under an interpolated KNESER-NEY LM — the
+    * CCNet-style perplexity quality filter the add-one [[bigramNll]]
+    * approximates (Ney, Essen & Kneser 1994; Chen & Goodman 1999 §2.7 is
+    * the exact formulation used):
+    *
+    *   P(b | a) = max(c(a,b) − D, 0)/c(a·) + D·N1+(a·)/c(a·) · P_cont(b)
+    *   P_cont(b) = N1+(·b) / N1+(··)      (continuation probability)
+    *   D = n1 / (n1 + 2·n2)               (the closed-form discount)
+    *
+    * where c(a·) is the predecessor sum, N1+(a·)/N1+(·b) count distinct
+    * successors/predecessors, N1+(··) the distinct bigram types, and
+    * n1/n2 the bigram types with count 1/2. Scored on the training
+    * corpus itself every doc bigram has c(a,b) ≥ 1, and the interpolated
+    * continuation mass keeps every probability strictly positive, so no
+    * add-k floor is needed — this is the principled discount: a once-seen
+    * bigram's probability leans on how PROMISCUOUS its successor is
+    * (distinct predecessors), not on its raw count, which is exactly
+    * what separates fluent-but-rare phrasing from pasted noise.
+    *
+    * Every ingredient is a plain aggregation over the bigram-type table
+    * (continuation counts are `count(1)` group-bys — never a second
+    * corpus scan), and the discount arithmetic is fixed-order double ops
+    * over exact integer counts, so a SQL oracle replays it term for term
+    * (the [[bigramNll]] decimal-sum + round-4 determinism recipe).
+    *
+    * Output (id, n_bigrams, nll), docs with < 2 tokens emit no row —
+    * exactly [[bigramNll]]'s shape, so the two signals diff directly.
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), toks.as("tk"))
+    val bi = t.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+          element_at(col("tk"), i + 2).as("b")))).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bi.groupBy("id", "a", "b").agg(count(lit(1)).as("tf"))
+    val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
+    // one pass over the TYPE table per statistic family: predecessor
+    // sums + distinct-successor counts keyed by a, distinct-predecessor
+    // counts keyed by b, and the global type/discount tallies (broadcast)
+    val ca = cab.groupBy("a")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
+    val nb = cab.groupBy("b").agg(count(lit(1)).as("nb"))
+    val glob = cab.agg(count(lit(1)).as("n_types"),
+      coalesce(sum(when(col("cab") === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("cab") === 2, 1L)), lit(0L)).as("n2"))
+    tf.join(cab, Seq("a", "b")).join(ca, Seq("a")).join(nb, Seq("b"))
+      .crossJoin(broadcast(glob))
+      // a corpus with NO once- or twice-seen bigram types (synthetic
+      // small-vocabulary corpora at scale) has no discount mass to
+      // estimate — D = 0 degenerates KN to the ML bigram model, which is
+      // the correct limit (and the n1+2·n2 denominator would be 0)
+      .withColumn("d", when(col("n1") + lit(2L) * col("n2") === 0L, lit(0.0))
+        .otherwise(col("n1").cast("double")
+          / (col("n1") + lit(2L) * col("n2")).cast("double")))
+      .withColumn("pml",
+        greatest(col("cab").cast("double") - col("d"), lit(0.0))
+          / col("ca").cast("double"))
+      .withColumn("lam", col("d") * col("n1a").cast("double")
+        / col("ca").cast("double"))
+      .withColumn("pcont",
+        col("nb").cast("double") / col("n_types").cast("double"))
+      .withColumn("contrib", col("tf").cast("double")
+        * -log(col("pml") + col("lam") * col("pcont")))
+      .groupBy("id")
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
+          / sum("tf")) + 1e-9, 4).as("nll"))
+  }
+
   /** Boilerplate-gram coverage — the df-ranked blocklist form of CCNet/
     * RefinedWeb boilerplate removal, adapted to corpora without line
     * structure: the `topK` word-n-grams by document frequency (ties broken
@@ -687,5 +758,146 @@ object Text {
     words.withColumn("syms",
       aggregate(typedlit(ms), chars,
         (syms, m) => mergeFold(syms, m.getField("_1"), m.getField("_2"))))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018) —
+    * BPE's production sibling: instead of greedy merges, a PIECE
+    * vocabulary with probabilities, trained by EM and applied by Viterbi
+    * segmentation. This is the hard-EM (Viterbi-EM) variant: the E-step
+    * segments every distinct word under the current piece log-probs (the
+    * classic lattice DP, run as a row-local [[viterbiFold]] — the same
+    * fold shape as [[mergeFold]]), the M-step re-estimates piece
+    * probabilities from frequency-weighted usage counts (one
+    * vocabulary-table aggregation). Hard-EM keeps every step an exact
+    * integer/argmax computation, which is what lets a SQL oracle replay
+    * the ENTIRE training — seed, both EM rounds, final probabilities —
+    * and hash-match it (the soft-EM forward-backward marginals have no
+    * bit-exact SQL twin; same trade the k-means queries make vs the IVF
+    * trainer).
+    *
+    * Determinism devices:
+    *   - log-probs are INTEGER-scaled: lp = floor(ln(cnt/tot)·10⁷ + 0.5
+    *     + 10⁻³) — every DP sum and comparison is exact BIGINT
+    *     arithmetic, so engines cannot drift (the only double op is the
+    *     one ln per piece, nudged off grid boundaries like every rounded
+    *     aggregate in this repo);
+    *   - Viterbi tie-break: higher score, then FEWER pieces, then the
+    *     earliest candidate in shortest-piece-first order — pinned in
+    *     [[viterbiFold]] and replayed by the oracle's CASE chain.
+    *
+    * Seeding: all single characters (coverage guarantee) plus the top
+    * `seedMulti` substrings of length 2..`maxPieceLen` by
+    * frequency-weighted occurrence count (cnt desc, piece) — the
+    * suffix-array seed of the paper collapsed to the substring-count
+    * form a relational engine computes in one explode+aggregate.
+    * Round-1 Viterbi reaches every word through the single chars;
+    * round r+1's vocabulary is exactly the pieces round r USED, so
+    * reachability is invariant across rounds.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count
+    * aggregation); every EM round runs over the distinct-word table
+    * (vocabulary-sized) with a row-local DP and one aggregation — the
+    * same "train on word counts" shape production SentencePiece uses.
+    * The piece table is tokenizer-parameter-scale and collects to the
+    * driver per round (the [[bpeEncodeWords]] merge-table precedent).
+    *
+    * Returns (pieces, segs): the final piece table (piece, cnt, lp) —
+    * usage counts and integer-scaled log-probs of the final
+    * distribution — and the final word segmentation table (word, freq,
+    * n_pieces, segs); callers join `segs` back to the corpus to encode
+    * (the distinct-word trick — the corpus never re-scans).
+    */
+  def ulmTrain(
+      df: DataFrame,
+      textCol: Column,
+      maxPieceLen: Int = 4,
+      seedMulti: Int = 60,
+      rounds: Int = 2): (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && seedMulti >= 0 && rounds >= 1,
+      s"ulmTrain(maxPieceLen=$maxPieceLen, seedMulti=$seedMulti, rounds=$rounds)")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(tokens(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val subs = words.select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          k => col("word").substr(i, k))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    var pieces = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedMulti))
+      .localCheckpoint(true)
+    var segs: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val lpMap = piecesWithLp(pieces).select("piece", "lp").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      segs = words.withColumn("vit",
+          element_at(viterbiFold(col("word"), lpMap, maxPieceLen),
+            length(col("word")) + 1))
+        .select(col("word"), col("freq"),
+          col("vit.np").cast("long").as("n_pieces"), col("vit.segs").as("segs"))
+        .localCheckpoint(true)
+      pieces = segs.select(col("freq"), explode(col("segs")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .localCheckpoint(true)
+    }
+    (piecesWithLp(pieces), segs)
+  }
+
+  /** Integer-scaled log-probs for a (piece, cnt) table: lp =
+    * floor(ln(cnt/Σcnt)·10⁷ + 0.5 + 10⁻³) — the one double op of the
+    * ULM trainer, immediately snapped to the BIGINT grid.
+    */
+  private def piecesWithLp(pieces: DataFrame): DataFrame = {
+    val tot = broadcast(pieces.agg(sum("cnt").as("tot")))
+    pieces.crossJoin(tot)
+      .select(col("piece"), col("cnt"),
+        floor(log(col("cnt").cast("double") / col("tot").cast("double"))
+          * lit(1e7) + lit(0.5) + lit(1e-3)).cast("long").as("lp"))
+  }
+
+  /** The ULM Viterbi lattice DP as one row-local fold: accumulator
+    * acc[j+1] = best (score, n_pieces, segmentation) over the word's
+    * first j characters, NULL when unreachable. Step i extends from
+    * acc[i−k+1] with the length-k piece ending at i (k = 1..maxPieceLen,
+    * piece must be in the vocabulary), choosing by score desc, then
+    * n_pieces asc, then the SHORTEST extending piece (candidates are
+    * evaluated k-ascending and only a strictly better one replaces).
+    * Integer scores — every comparison exact.
+    */
+  private def viterbiFold(
+      word: Column,
+      lp: Map[String, Long],
+      maxPieceLen: Int): Column = {
+    val lpLit = typedlit(lp)
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("s"), lit(0).as("np"),
+        array().cast("array<string>").as("segs"))),
+      (acc, i) => {
+        val cands = (1 to maxPieceLen).map { k =>
+          val piece = word.substr(i - k + 1, lit(k))
+          val prev = element_at(acc, i - k + 1)
+          val plp = element_at(lpLit, piece)
+          when(i >= k && plp.isNotNull && prev.isNotNull,
+            struct(
+              (prev.getField("s") + plp).as("s"),
+              (prev.getField("np") + 1).as("np"),
+              concat(prev.getField("segs"), array(piece)).as("segs")))
+        }
+        val best = cands.reduce { (selCol, c) =>
+          when(c.isNull, selCol)
+            .when(selCol.isNull, c)
+            .when(c.getField("s") > selCol.getField("s")
+              || (c.getField("s") === selCol.getField("s")
+                && c.getField("np") < selCol.getField("np")), c)
+            .otherwise(selCol)
+        }
+        concat(acc, array(best))
+      })
   }
 }

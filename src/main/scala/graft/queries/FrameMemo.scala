@@ -42,4 +42,21 @@ private[queries] object FrameMemo {
         df
     }
   }
+
+  /** Seed an entry directly — for builders that produce SEVERAL frames in
+    * one run (the secondary frames land under their own keys so a later
+    * [[getOrCompute]] won't re-run the shared build).
+    */
+  def put(s: SparkSession, key: String, df: DataFrame): Unit = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
+        cache.put(s, m)
+      }
+      m
+    }
+    perSession.put(key, new java.lang.ref.SoftReference(df))
+  }
 }

@@ -28,6 +28,24 @@ object TextQueries {
       Text.bpeMerges(docs(s, d), col("text"), nMerges = 6)
     }
 
+  /** Shared ULM training run (2 Viterbi-EM rounds, maxPieceLen=4, 60
+    * multi-char seeds) — `tx_ulm_vocab` reads the piece table,
+    * `tx_ulm_encode` the word segmentation table; memoized so the pair
+    * trains once per (session, corpus) like [[bpeMerges6]].
+    */
+  private[queries] def ulm2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pieces = FrameMemo.getOrCompute(s, s"ulm2_pieces:$d") {
+      val (p, w) = Text.ulmTrain(docs(s, d), col("text"),
+        maxPieceLen = 4, seedMulti = 60, rounds = 2)
+      FrameMemo.put(s, s"ulm2_segs:$d", w)
+      p
+    }
+    (pieces, FrameMemo.getOrCompute(s, s"ulm2_segs:$d") {
+      Text.ulmTrain(docs(s, d), col("text"),
+        maxPieceLen = 4, seedMulti = 60, rounds = 2)._2
+    })
+  }
+
   private def toks = CrossHash.tokens(col("text"))
 
   /** Shared persisted inverted-index BASE (the 75% corpus at the serving
@@ -516,13 +534,19 @@ object TextQueries {
     // certificate column additionally pins that pruning ENGAGED (a
     // never-pruning implementation would pass the rows but fail the
     // audit).
+    // engageMinPostings = 0 FORCES the θ phase: this certificate proves
+    // the pruning MACHINERY (lossless + actually engaged — nPruned > 0
+    // is the unambiguous signal; nEssential < nTerms is also true for a
+    // merely-absent term). The adaptive default gate is proven
+    // separately (OperatorsSpec equality on both sides of the
+    // threshold; ScaleBench `maxscore` measures the break-even).
     "tx_bm25_maxscore" -> ((s, d) => {
       val prefix = ensureSkewBase(s, d)
-      val (top, audit) =
-        TextIndex.bm25MaxScoreWithAudit(s, prefix, MaxScoreBag, kTop = 20)
+      val (top, audit) = TextIndex.bm25MaxScoreWithAudit(
+        s, prefix, MaxScoreBag, kTop = 20, engageMinPostings = 0L)
       top.select(col("id").as("doc_id"), col("dl"), col("bm25"))
         .withColumn("pruned_ok",
-          lit(audit.theta.isDefined && audit.nEssential < audit.nTerms))
+          lit(audit.theta.isDefined && audit.nPruned > 0))
     }),
 
     // Batched MaxScore — the serving fan-in with per-bag pruning but
@@ -534,12 +558,11 @@ object TextQueries {
     // the oracle replays. The certificate pins that bags 0 and 2 engaged.
     "tx_bm25_batch_maxscore" -> ((s, d) => {
       val prefix = ensureSkewBase(s, d)
-      val (top, audits) =
-        TextIndex.bm25MaxScoreBatchWithAudit(s, prefix, MsBatchBags, kTop = 5)
+      val (top, audits) = TextIndex.bm25MaxScoreBatchWithAudit(
+        s, prefix, MsBatchBags, kTop = 5, engageMinPostings = 0L)
       top.withColumnRenamed("id", "doc_id")
         .withColumn("pruned_ok", lit(
-          audits(0L).nEssential < audits(0L).nTerms &&
-            audits(2L).nEssential < audits(2L).nTerms))
+          audits(0L).nPruned > 0 && audits(2L).nPruned > 0))
         .orderBy("query_id", "rank")
     }),
 
@@ -744,6 +767,16 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Interpolated Kneser-Ney bigram NLL — the CCNet-style perplexity
+    // quality filter the add-one ladder approximates: closed-form
+    // discount D = n1/(n1+2·n2), continuation probabilities from
+    // distinct-predecessor counts. The oracle replays every count table
+    // and the discount arithmetic term for term.
+    "tx_kn_nll" -> ((s, d) =>
+      Text.knBigramNll(docs(s, d), "doc_id", toks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -822,6 +855,35 @@ object TextQueries {
         .select(explode(col("syms")).as("sym"), col("freq"))
         .groupBy("sym").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("sym")).limit(30)
+    }),
+
+    // Unigram-LM (SentencePiece) tokenizer TRAINING — BPE's production
+    // sibling: substring-seeded piece vocabulary, two hard-EM rounds
+    // (Viterbi E-step as a row-local lattice fold over the distinct-word
+    // table, count M-step), integer-scaled log-probs so every DP
+    // comparison is exact BIGINT arithmetic. The oracle replays the
+    // WHOLE training — seed selection, both EM rounds' per-word Viterbi
+    // recursions, the final distribution — so a tie-break or discount
+    // drift anywhere in the chain hash-mismatches. Output: the top-30
+    // pieces of the final vocabulary by usage (piece, cnt, lp).
+    "tx_ulm_vocab" -> ((s, d) =>
+      ulm2(s, d)._1
+        .orderBy(col("cnt").desc, col("piece")).limit(30)),
+
+    // Unigram-LM encoding — token counting under the TRAINED piece
+    // model (the Viterbi twin of tx_bpe_encode): per-document word and
+    // subtoken counts from the final EM round's segmentation table,
+    // joined back to the corpus on the distinct-word key.
+    "tx_ulm_encode" -> ((s, d) => {
+      val enc = ulm2(s, d)._2.select("word", "n_pieces")
+      docs(s, d).select(col("doc_id"), explode(toks).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subtoks"))
+        .withColumn("subtok_ratio",
+          round(col("n_subtoks").cast("double") / col("n_words") + 1e-9, 4))
+        .orderBy("doc_id")
     }),
 
     // PMI word co-occurrence: which token pairs appear in the same
@@ -1159,6 +1221,117 @@ object TextQueries {
        |GROUP BY sym
        |ORDER BY cnt DESC, sym
        |LIMIT 30""".stripMargin
+
+  /** Generated unigram-LM oracle: full replay of `Text.ulmTrain` — the
+    * substring seed (all single chars + top-60 multis), and per EM round
+    * the Viterbi lattice DP as a per-word position recursion carrying
+    * the whole best-prefix array (candidates = the ≤4 pieces ending at
+    * the new position, folded with the same score-desc / n_pieces-asc /
+    * shortest-first rule as `Text.viterbiFold`) followed by the count
+    * M-step. Integer-scaled log-probs make every DP sum/comparison exact
+    * BIGINT arithmetic on both engines. MATERIALIZED discipline as in
+    * [[bpeChainSql]].
+    */
+  private def ulmChainSql(rounds: Int): String = {
+    // floor-snapped integer log-prob of a (piece, cnt) table `src`
+    def pcSql(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM $src)::DOUBLE)
+         |    * 10000000 + 0.5 + 0.001)::BIGINT AS lp
+         |  FROM $src)""".stripMargin
+    // one fold step of the candidate-selection CASE chain
+    def fold(a: String, b: String): String =
+      s"""CASE WHEN $b IS NULL THEN $a WHEN $a IS NULL THEN $b
+         |       WHEN $b.s > $a.s OR ($b.s = $a.s AND $b.np < $a.np) THEN $b
+         |       ELSE $a END""".stripMargin
+    def viterbi(r: Int, pc: String): String = {
+      val cands = (1 to 4).map { k =>
+        val lo = s"a.pos + ${2 - k}"
+        s"""      CASE WHEN p$k.piece IS NOT NULL AND a.acc[$lo] IS NOT NULL
+           |           THEN {'s': a.acc[$lo].s + p$k.lp,
+           |                 'np': a.acc[$lo].np + 1,
+           |                 'segs': a.acc[$lo].segs || [p$k.piece]} END AS c$k"""
+          .stripMargin
+      }.mkString(",\n")
+      val joins = (1 to 4).map { k =>
+        val guard = if (k == 1) "" else s"a.pos >= ${k - 1} AND "
+        s"    LEFT JOIN $pc p$k ON $guard" +
+          s"p$k.piece = a.word[a.pos + ${2 - k} : a.pos + 1]"
+      }.mkString("\n")
+      s"""v$r AS (
+         |  SELECT word, freq, 0 AS pos,
+         |    [{'s': 0::BIGINT, 'np': 0, 'segs': CAST([] AS VARCHAR[])}] AS acc
+         |  FROM w
+         |  UNION ALL
+         |  SELECT word, freq, pos + 1 AS pos,
+         |    acc || [${fold("sel3", "c4")}] AS acc
+         |  FROM (
+         |  SELECT word, freq, pos, acc, ${fold("sel2", "c3")} AS sel3, c4
+         |  FROM (
+         |  SELECT word, freq, pos, acc, ${fold("c1", "c2")} AS sel2, c3, c4
+         |  FROM (
+         |    SELECT a.word, a.freq, a.pos, a.acc,
+         |$cands
+         |    FROM v$r a
+         |$joins
+         |    WHERE a.pos < len(a.word)) l0) l1) l2),
+         |f$r AS MATERIALIZED (
+         |  SELECT word, freq, acc[len(word) + 1] AS fin
+         |  FROM v$r WHERE pos = len(word)),
+         |cnt$r AS MATERIALIZED (
+         |  SELECT piece, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT f.freq, unnest(f.fin.segs) AS piece FROM f$r f) u
+         |  GROUP BY piece)""".stripMargin
+    }
+    val roundSql = (1 to rounds).map(r =>
+      viterbi(r, s"pc${r - 1}") +
+        (if (r < rounds) ",\n" + pcSql(s"pc$r", s"cnt$r") else "")
+    ).mkString(",\n")
+    s"""WITH RECURSIVE
+       |w AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |    FROM documents) u
+       |  WHERE word <> '' GROUP BY word),
+       |sub AS (
+       |  SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+       |    SELECT w.freq, w.word[i : i + k - 1] AS piece
+       |    FROM w, unnest(range(1, len(word) + 1)) u(i), unnest(range(1, 5)) v(k)
+       |    WHERE i + k - 1 <= len(word)) p
+       |  GROUP BY piece),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  FROM (SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+       |        ORDER BY cnt DESC, piece LIMIT 60)),
+       |${pcSql("pc0", "seed")},
+       |$roundSql""".stripMargin
+  }
+
+  private def ulmVocabOracle(rounds: Int): String =
+    s"""${ulmChainSql(rounds)},
+       |${"pcF AS MATERIALIZED ("}
+       |  SELECT piece, floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM cnt$rounds)::DOUBLE)
+       |    * 10000000 + 0.5 + 0.001)::BIGINT AS lp
+       |  FROM cnt$rounds)
+       |SELECT piece, cnt, lp
+       |FROM cnt$rounds JOIN pcF USING (piece)
+       |ORDER BY cnt DESC, piece
+       |LIMIT 30""".stripMargin
+
+  private def ulmEncodeOracle(rounds: Int): String =
+    s"""${ulmChainSql(rounds)},
+       |enc AS (SELECT word, fin.np::BIGINT AS n_pieces FROM f$rounds),
+       |dt AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents)
+       |SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(n_pieces)::BIGINT AS n_subtoks,
+       |  round(sum(n_pieces)::DOUBLE / count(*) + 0.000000001, 4) AS subtok_ratio
+       |FROM dt JOIN enc USING (word)
+       |WHERE word <> ''
+       |GROUP BY dt.doc_id
+       |ORDER BY dt.doc_id""".stripMargin
 
   /** Shared CTE chain replaying [[graft.operators.Multimodal.imageAHash]]
     * over base + single-pixel-perturbed twin populations: ids/g/s/lm/t/
@@ -1767,6 +1940,42 @@ object TextQueries {
            |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // Mirrors Text.knBigramNll: same count tables as tx_bigram_nll's
+      // oracle plus the Kneser-Ney machinery — distinct-successor/
+      // predecessor counts off the bigram TYPE table, the closed-form
+      // discount, and the interpolated probability assembled in the
+      // identical fixed order of double ops.
+      "tx_kn_nll" ->
+        s"""$toksCte,
+           |bi AS (
+           |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+           |  FROM t, unnest(range(1, len(toks))) AS u(i)
+           |  WHERE len(toks) >= 2),
+           |tf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+           |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM tf GROUP BY a, b),
+           |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
+           |       FROM cab GROUP BY a),
+           |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
+           |kn AS (SELECT count(1)::BIGINT AS n_types,
+           |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
+           |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
+           |  FROM cab),
+           |disc AS (SELECT *,
+           |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+           |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
+           |  FROM kn),
+           |c AS (
+           |  SELECT doc_id, tf,
+           |    tf::DOUBLE * -ln(
+           |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
+           |      + (d * n1a::DOUBLE / ca::DOUBLE)
+           |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
+           |  FROM tf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
+           |  CROSS JOIN disc)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       "tx_boilerplate" ->
         s"""$toksCte,
            |g AS (
@@ -1808,6 +2017,11 @@ object TextQueries {
       "tx_bpe_encode" -> bpeEncodeOracle(6),
 
       "tx_bpe_vocab" -> bpeVocabOracle(6),
+
+      // Full unigram-LM training replays: seed + 2 Viterbi-EM rounds —
+      // see ulmChainSql.
+      "tx_ulm_vocab" -> ulmVocabOracle(2),
+      "tx_ulm_encode" -> ulmEncodeOracle(2),
 
       "tx_pmi" ->
         s"""$toksCte,

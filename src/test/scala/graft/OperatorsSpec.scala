@@ -251,6 +251,61 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains(3L), "a one-token doc has no bigrams and no row")
   }
 
+  test("Text.knBigramNll: hand-computed interpolated Kneser-Ney bigram LM") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b c a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // bigram types: c(a,b)=3, c(b,a)=1, c(b,c)=2, c(c,a)=1
+    //   n1 = 2 (ba, ca), n2 = 1 (bc)  =>  D = 2/(2+2) = 0.5
+    //   predecessor sums: c(a·)=3 (N1+=1), c(b·)=3 (N1+=2), c(c·)=1 (N1+=1)
+    //   continuation: N1+(·b)=1, N1+(·a)=2, N1+(·c)=1 over N1+(··)=4
+    // P(b|a) = 2.5/3 + 0.5·(1/3)·(1/4) = 0.875
+    // P(a|b) = 0.5/3 + 0.5·(2/3)·(2/4) = 1/3
+    // P(c|b) = 1.5/3 + 0.5·(2/3)·(1/4) = 7/12
+    // P(a|c) = 0.5/1 + 0.5·(1/1)·(2/4) = 0.75
+    val out = Text.knBigramNll(docs, "doc_id", CrossHash.tokens(col("text")))
+      .select("id", "n_bigrams", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, r4((2 * -math.log(0.875) + -math.log(1.0 / 3)) / 3))))
+    assert(out(2L) == ((2L, r4((-math.log(0.875) + -math.log(7.0 / 12)) / 2))))
+    assert(out(3L) == ((2L, r4((-math.log(7.0 / 12) + -math.log(0.75)) / 2))))
+    assert(!out.contains(4L), "a one-token doc has no bigrams and no row")
+    // every probability is strictly positive and the interpolation keeps
+    // the rare bigrams ABOVE their discounted ML mass alone — the
+    // continuation term is doing its job on this fixture
+    assert(out(1L)._2 > 0 && out(3L)._2 > 0)
+  }
+
+  test("Text.ulmTrain: hand-computed Viterbi-EM rounds, piece dropout, encode") {
+    // words: abab(1), ab(1), ababcd(2), cd(1) — chosen so round 2 FLIPS a
+    // segmentation: under seed counts [abab] beats [ab,ab] (one rare piece
+    // over two), but after round-1 reweighting 'ab' (used by 3 words)
+    // outweighs 'abab' (used by 1) and round 2 segments abab as [ab,ab],
+    // dropping 'abab' from the final vocabulary — the EM pruning at work.
+    val docs = Seq((1L, "abab ab"), (2L, "ababcd"), (3L, "cd ababcd"),
+      (4L, "ababcd")).toDF("doc_id", "text")
+    val (pieces, segs) = Text.ulmTrain(docs, col("text"),
+      maxPieceLen = 4, seedMulti = 60, rounds = 2)
+    def lpOf(cnt: Long, tot: Long): Long =
+      math.floor(math.log(cnt.toDouble / tot.toDouble) * 1e7 + 0.5 + 1e-3).toLong
+    // final M-step counts: ab = 2 (from abab) + 1 (ab) + 3 (ababcd×3) = 6,
+    // abcd = 3, cd = 1; tot = 10
+    val vocab = pieces.select("piece", "cnt", "lp").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(vocab == Map(
+      "ab" -> ((6L, lpOf(6, 10))),
+      "abcd" -> ((3L, lpOf(3, 10))),
+      "cd" -> ((1L, lpOf(1, 10)))), vocab.toString)
+    val seg = segs.select("word", "n_pieces", "segs")
+      .as[(String, Long, Seq[String])].collect().map(r => r._1 -> r).toMap
+    assert(seg("abab") == (("abab", 2L, Seq("ab", "ab"))),
+      s"round 2 must re-segment abab through the reweighted 'ab': ${seg("abab")}")
+    assert(seg("ababcd") == (("ababcd", 2L, Seq("ab", "abcd"))))
+    assert(seg("ab") == (("ab", 1L, Seq("ab"))))
+    assert(seg("cd") == (("cd", 1L, Seq("cd"))))
+  }
+
   test("Text.boilerplateCoverage: top-K df blocklist with lexicographic ties") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
@@ -824,14 +879,26 @@ class OperatorsSpec extends SparkSpec {
     assert(msSel.isDefined && msSel.get.group(1).toInt < msSel.get.group(2).toInt,
       s"bounds scan must be bucket-pruned: ${msSel.map(_.matched)}")
 
-    val (prunedProbe, audit) =
-      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
+    val (prunedProbe, audit) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 2, engageMinPostings = 0L)
     val exhaustive = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
     assert(prunedProbe.exceptAll(exhaustive).isEmpty
       && exhaustive.exceptAll(prunedProbe).isEmpty,
       "MaxScore top-k must equal the exhaustive top-k bit-for-bit")
-    assert(audit.theta.isDefined && audit.nEssential < audit.nTerms,
+    assert(audit.theta.isDefined && audit.nPruned > 0,
       s"pruning must ENGAGE on this fixture: $audit")
+
+    // the ADAPTIVE gate: this fixture's Σ stored df is far below the
+    // default break-even, so the default-parameter probe must DECLINE
+    // pruning (nPruned = 0, θ never computed) and still return the same
+    // rows — equality on BOTH sides of the threshold
+    val (gated, gatedAudit) =
+      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
+    assert(gated.exceptAll(exhaustive).isEmpty
+      && exhaustive.exceptAll(gated).isEmpty,
+      "below the engagement floor the probe must equal exhaustive")
+    assert(gatedAudit.nPruned == 0 && gatedAudit.theta.isEmpty,
+      s"the adaptive gate must decline on a tiny probe: $gatedAudit")
 
     // BATCHED MaxScore: per-bag floors, shared passes — every bag's top-k
     // must equal the exhaustive batched scoring (bag 1's organic floor
@@ -839,34 +906,64 @@ class OperatorsSpec extends SparkSpec {
     // all three shapes stay lossless in one request)
     val bags = Map(0L -> bag, 1L -> Seq("words", "filler"),
       2L -> Seq("zzznope"))
-    val (btop, baudits) =
-      TextIndex.bm25MaxScoreBatchWithAudit(spark, "ti_ms_spec", bags, kTop = 2)
+    val (btop, baudits) = TextIndex.bm25MaxScoreBatchWithAudit(
+      spark, "ti_ms_spec", bags, kTop = 2, engageMinPostings = 0L)
     val bexh = TextIndex.bm25BatchAgainstIndex(spark, "ti_ms_spec", bags, kTop = 2)
     assert(btop.exceptAll(bexh).isEmpty && bexh.exceptAll(btop).isEmpty,
       "batched MaxScore must equal the exhaustive batched scoring")
-    assert(baudits(0L).theta.isDefined
-      && baudits(0L).nEssential < baudits(0L).nTerms,
+    assert(baudits(0L).theta.isDefined && baudits(0L).nPruned > 0,
       s"the skewed bag must engage inside the batch: ${baudits(0L)}")
     assert(baudits(2L).essentialTerms.isEmpty, baudits(2L).toString)
+    // the batch-level adaptive gate declines the same way
+    val (bgated, bgatedAudits) =
+      TextIndex.bm25MaxScoreBatchWithAudit(spark, "ti_ms_spec", bags, kTop = 2)
+    assert(bgated.exceptAll(bexh).isEmpty && bexh.exceptAll(bgated).isEmpty)
+    assert(bgatedAudits.values.forall(_.nPruned == 0))
+
+    // FILTERED MaxScore: candidate filter composed with the pruning —
+    // must equal the filtered exhaustive probe bit-for-bit (Lucene
+    // semantics: the filter restricts candidates, never statistics)
+    // kTop = 1: the allowlist thins the rare seed's candidates to one
+    // doc, so a deeper k would (rightly) establish no floor
+    val allowSet = Seq(1L, 3L, 5L, 7L, 9L).toDF("id")
+    val (fprobe, faudit) = TextIndex.bm25MaxScoreFilteredAgainstIndex(
+      spark, "ti_ms_spec", bag, allowSet, kTop = 1, engageMinPostings = 0L)
+    val fexh = TextIndex.bm25FilteredAgainstIndex(
+      spark, "ti_ms_spec", bag, allowSet, kTop = 1)
+    assert(fprobe.exceptAll(fexh).isEmpty && fexh.exceptAll(fprobe).isEmpty,
+      "filtered MaxScore must equal the filtered exhaustive probe")
+    assert(faudit.theta.isDefined, faudit.toString)
 
     // a uniform bag with a deep k establishes no useful floor — pruning
     // declines and the probe still equals exhaustive (the safe fallback)
-    val (deep, deepAudit) =
-      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec",
-        Seq("words", "filler"), kTop = 10)
+    val (deep, deepAudit) = TextIndex.bm25MaxScoreWithAudit(spark,
+      "ti_ms_spec", Seq("words", "filler"), kTop = 10, engageMinPostings = 0L)
     val deepExhaustive = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec",
       Seq("words", "filler"), kTop = 10)
     assert(deep.exceptAll(deepExhaustive).isEmpty
       && deepExhaustive.exceptAll(deep).isEmpty)
-    assert(deepAudit.nEssential == deepAudit.nTerms, deepAudit.toString)
+    assert(deepAudit.nPruned == 0, deepAudit.toString)
 
-    // deletes only LOOSEN the stored bounds (df lower bound shrinks by
-    // the tombstone count) — pruning stays lossless against the
-    // post-delete exhaustive scoring without any bound maintenance
-    // (here the seed set thins below kTop, exercising the safe fallback)
+    // deleting docs that DON'T contain the bag's terms must not loosen
+    // the bag's bounds: per-term live df is computed from the bag's own
+    // postings, so pruning stays ENGAGED (the r11 global tombstone-count
+    // subtraction disengaged it here)
+    TextIndex.deleteFromTextIndex(spark, "ti_ms_spec", Seq(10L).toDF("doc_id"))
+    val (afterUnrel, unrelAudit) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 2, engageMinPostings = 0L)
+    val exhaustiveUnrel =
+      TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
+    assert(afterUnrel.exceptAll(exhaustiveUnrel).isEmpty
+      && exhaustiveUnrel.exceptAll(afterUnrel).isEmpty)
+    assert(unrelAudit.theta.isDefined && unrelAudit.nPruned > 0,
+      s"an unrelated delete must keep pruning engaged: $unrelAudit")
+
+    // deleting a doc that DOES match thins the rare terms' live df —
+    // pruning stays lossless with no bound maintenance (here the seed
+    // set thins below kTop, exercising the safe fallback)
     TextIndex.deleteFromTextIndex(spark, "ti_ms_spec", Seq(2L).toDF("doc_id"))
-    val (afterDel, _) =
-      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 2)
+    val (afterDel, _) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 2, engageMinPostings = 0L)
     val exhaustiveDel = TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 2)
     assert(afterDel.exceptAll(exhaustiveDel).isEmpty
       && exhaustiveDel.exceptAll(afterDel).isEmpty,
@@ -874,14 +971,47 @@ class OperatorsSpec extends SparkSpec {
     // compaction re-tightens the bounds exactly; pruning re-engages at
     // the k the surviving rare docs can still floor
     TextIndex.compactTextIndex(spark, "ti_ms_spec")
-    val (afterCompact, compactAudit) =
-      TextIndex.bm25MaxScoreWithAudit(spark, "ti_ms_spec", bag, kTop = 1)
+    val (afterCompact, compactAudit) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 1, engageMinPostings = 0L)
     val exhaustiveCompact =
       TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 1)
     assert(afterCompact.exceptAll(exhaustiveCompact).isEmpty
       && exhaustiveCompact.exceptAll(afterCompact).isEmpty)
-    assert(compactAudit.theta.isDefined
-      && compactAudit.nEssential < compactAudit.nTerms, compactAudit.toString)
+    assert(compactAudit.theta.isDefined && compactAudit.nPruned > 0,
+      compactAudit.toString)
+
+    // the ORPHAN guard (r11 ADVICE medium): a term with live postings but
+    // no `_maxscores` row — the pre-reorder ingest-crash residue — must
+    // stay unconditionally essential, so documents matching ONLY that
+    // term still reach the scorer. Stage the corruption by rewriting the
+    // bounds table without the rare terms' rows, then repair it.
+    val tpNow = graft.sources.Sinks.activeTablePrefix(spark, "ti_ms_spec")
+    val keptBounds = spark.table(s"${tpNow}_maxscores")
+      .filter(!col("term").isInCollection(Seq("gold", "signal")))
+      .localCheckpoint(true)
+    keptBounds.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(2, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${tpNow}_maxscores")
+    val (orphaned, orphanAudit) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 1, engageMinPostings = 0L)
+    val exhaustiveOrphan =
+      TextIndex.bm25AgainstIndex(spark, "ti_ms_spec", bag, kTop = 1)
+    assert(orphaned.exceptAll(exhaustiveOrphan).isEmpty
+      && exhaustiveOrphan.exceptAll(orphaned).isEmpty,
+      "a missing bounds row must never drop a live term's documents")
+    assert(Seq("gold", "signal").forall(orphanAudit.essentialTerms.contains),
+      s"orphan terms must be unconditionally essential: $orphanAudit")
+    // the repair verb restores the missing bounds rows (append-only — no
+    // crash window) and pruning re-engages on the repaired index
+    val bAudit = TextIndex.repairTextIndexStats(spark, "ti_ms_spec").head()
+    assert(bAudit.getAs[Long]("bounds_missing") == 2L
+      && bAudit.getAs[Boolean]("repaired"), bAudit.toString)
+    val (repairedProbe, repairedAudit) = TextIndex.bm25MaxScoreWithAudit(
+      spark, "ti_ms_spec", bag, kTop = 1, engageMinPostings = 0L)
+    assert(repairedProbe.exceptAll(exhaustiveOrphan).isEmpty
+      && exhaustiveOrphan.exceptAll(repairedProbe).isEmpty)
+    assert(repairedAudit.nPruned > 0 && repairedAudit.theta.isDefined,
+      s"pruning must re-engage after the bounds repair: $repairedAudit")
   }
 
   test("inverted text index: filtered probe threads the common-term elision") {
