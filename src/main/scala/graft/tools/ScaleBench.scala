@@ -762,6 +762,38 @@ object ScaleBench {
     measure("x10", scaleDir)
   }
 
+  /** Round-12: LM-operator decade points — Kneser-Ney bigram scoring and
+    * unigram-LM tokenizer training at ×1 and ×10. Expected shape: KN is
+    * bigram-type-table aggregations + term-keyed joins (near-linear in
+    * corpus tokens); ULM trains on the DISTINCT-WORD table, and the ×10
+    * rotation corpus inflates the vocabulary ~5× (the copy-unique
+    * rewritten tokens), so its exponent is against vocabulary growth,
+    * not corpus rows — the "train on word counts" scale argument
+    * measured.
+    */
+  private def runLm(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Text
+    def measure(tag: String, dir: String): Unit = {
+      spark.catalog.clearCache()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val knRows = Text.knBigramNll(docs, "doc_id",
+        graft.functions.CrossHash.tokens(col("text"))).count()
+      val tKn = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val (pieces, segs) = Text.ulmTrain(docs, col("text"),
+        maxPieceLen = 4, seedMulti = 60, rounds = 2)
+      val nPieces = pieces.count()
+      val nWords = segs.count()
+      val tUlm = (System.nanoTime() - t1) / 1e9
+      println(f"LM $tag%-8s kn_nll $tKn%7.2f s ($knRows%8d docs)  " +
+        f"ulm_train $tUlm%7.2f s ($nWords%8d words -> $nPieces%6d pieces)")
+    }
+    measure("x1", src)
+    measure("x10", scaleDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -934,6 +966,11 @@ object ScaleBench {
     }
     if (which == "maxscore") {
       runMaxScore(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "lm") {
+      runLm(spark, src, scaleDir)
       spark.stop()
       return
     }
