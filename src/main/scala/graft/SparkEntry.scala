@@ -78,6 +78,7 @@ object SparkEntry {
       "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
       "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
       "tx_bm25_elided", "tx_bm25_maxscore", "tx_bm25_batch_maxscore",
+      "tx_ulm_serving",
       "tx_phrase_search", "tx_postings_stats", "tx_near_search",
       "sim_hard_negatives", "sim_rag_retrieve") ++
       queries.keySet.filter(_.startsWith("st_"))

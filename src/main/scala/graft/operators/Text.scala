@@ -860,6 +860,75 @@ object Text {
           * lit(1e7) + lit(0.5) + lit(1e-3)).cast("long").as("lp"))
   }
 
+  private[graft] val UlmSuffixes = Seq("_pieces", "_meta")
+
+  /** Persist a trained unigram-LM tokenizer — the EIGHTH persisted family
+    * (after minhash/gram/IVF/IVF-PQ/k-means/linear/text): in production a
+    * tokenizer is trained once and FROZEN; every downstream job encodes
+    * against the stored artifact, never a retrain. `_pieces` is the
+    * (piece, cnt, lp) vocabulary ([[ulmTrain]]'s first return),
+    * tokenizer-parameter-scale; `_meta` (max_piece_len) lands LAST as the
+    * completeness marker, the family discipline.
+    */
+  def writeUlmModel(
+      pieces: DataFrame,
+      tablePrefix: String,
+      maxPieceLen: Int): Unit = {
+    val spark = pieces.sparkSession
+    pieces.select("piece", "cnt", "lp")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_pieces")
+    spark.createDataFrame(Seq(Tuple1(maxPieceLen))).toDF("max_piece_len")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Retrain-and-cutover — the blue/green contract every persisted family
+    * carries (stage `_g<N+1>`, flip the pointer, retire). Returns the new
+    * generation.
+    */
+  def rebuildUlmModel(
+      df: DataFrame,
+      textCol: Column,
+      tablePrefix: String,
+      maxPieceLen: Int = 4,
+      seedMulti: Int = 60,
+      rounds: Int = 2): Long =
+    graft.sources.Sinks.rebuildCutover(df.sparkSession, tablePrefix,
+      UlmSuffixes) { g =>
+      writeUlmModel(ulmTrain(df, textCol, maxPieceLen, seedMulti, rounds)._1,
+        g, maxPieceLen)
+    }
+
+  /** Encode a distinct-word frame against a PERSISTED tokenizer — the
+    * serving half of the train/serve split: generation-resolved, the
+    * stored pieces collect to the driver (tokenizer-parameter-scale, the
+    * [[bpeEncodeWords]] merge-table precedent) and the same row-local
+    * [[viterbiFold]] used in training segments each word, so encoding the
+    * training corpus reproduces training's segmentation table exactly
+    * (the property the serving certificates pin). Words the frozen
+    * vocabulary cannot reach (an unseen character) return NULL
+    * `n_pieces`/`segs` — the caller owns the OOV policy (production
+    * tokenizers byte-fall-back; this corpus-trained model surfaces the
+    * gap instead of hiding it). Returns `words` plus (n_pieces, segs).
+    */
+  def encodeAgainstUlmModel(
+      words: DataFrame,
+      wordCol: String,
+      tablePrefix: String): DataFrame = {
+    val spark = words.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val maxLen = spark.table(s"${tp}_meta").head().getInt(0)
+    val lp = spark.table(s"${tp}_pieces").select("piece", "lp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.withColumn("__vit",
+        element_at(viterbiFold(col(wordCol), lp, maxLen),
+          length(col(wordCol)) + 1))
+      .withColumn("n_pieces", col("__vit.np").cast("long"))
+      .withColumn("segs", col("__vit.segs"))
+      .drop("__vit")
+  }
+
   /** The ULM Viterbi lattice DP as one row-local fold: accumulator
     * acc[j+1] = best (score, n_pieces, segmentation) over the word's
     * first j characters, NULL when unreachable. Step i extends from

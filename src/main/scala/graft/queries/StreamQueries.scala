@@ -1106,6 +1106,82 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed tokenizer serving: the unigram-LM piece model is trained
+    // once and PERSISTED (writeUlmModel — the eighth persisted family),
+    // then the corpus streams in four micro-batches, each batch's words
+    // encoded in foreachBatch against the STORED pieces (the same
+    // Viterbi fold as training, generation-resolved). Encoding is
+    // per-word under a frozen vocabulary, so the drained per-doc counts
+    // must equal the one-shot encode EXACTLY (serve_ok pins row parity +
+    // 4 batches), and the oracle replays the FULL EM training — a stored
+    // model diverging from the trained pieces hash-mismatches.
+    "st_ulm_serving_parity" -> ((s, d) => {
+      import graft.operators.Text
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = fixtureDir("ulmserve", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"ulm_stream_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.UlmSuffixes)
+      val (pieces, _) = TextQueries.ulm2(s, d)
+      Text.writeUlmModel(pieces, prefix, maxPieceLen = 4)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ulm_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) => {
+              val words = batch.toDF()
+                .select(col("doc_id"),
+                  explode(graft.functions.CrossHash.tokens(col("text"))).as("word"))
+                .filter(col("word") =!= "")
+              // encode the batch's DISTINCT words once, join back — the
+              // distinct-word serving trick at micro-batch grain
+              val enc = Text.encodeAgainstUlmModel(
+                  words.select("word").distinct(), "word", prefix)
+                .select("word", "n_pieces").localCheckpoint(true)
+              words.join(enc, "word")
+                .groupBy("doc_id")
+                .agg(count(lit(1)).as("n_words"),
+                  sum("n_pieces").as("n_subtoks"))
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        // one-shot side: the serving query's own aggregation through the
+        // same persisted model
+        val words = docs
+          .select(col("doc_id"),
+            explode(graft.functions.CrossHash.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+        val enc = Text.encodeAgainstUlmModel(
+            words.select("word").distinct(), "word", prefix)
+          .select("word", "n_pieces").localCheckpoint(true)
+        val oneShot = words.join(enc, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subtoks"))
+        val served = streamed.select("doc_id", "n_words", "n_subtoks")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("subtok_ratio",
+            round(col("n_subtoks").cast("double") / col("n_words") + 1e-9, 4))
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select("doc_id", "n_words", "n_subtoks", "subtok_ratio", "serve_ok")
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -1598,6 +1674,12 @@ object StreamQueries {
          |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
          |       s7 >= 0.5 AS pred_keep, TRUE AS serve_ok
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // full EM-training replay (TextQueries.ulmChainSql): the streamed
+    // per-doc counts under the PERSISTED piece model must equal the
+    // training-corpus encode exactly
+    "st_ulm_serving_parity" ->
+      TextQueries.ulmEncodeOracle(2, extraCols = ",\n  TRUE AS serve_ok"),
 
     "st_ann_index_parity" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

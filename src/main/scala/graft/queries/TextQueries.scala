@@ -886,6 +886,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Persisted-tokenizer SERVING — the eighth persisted family's
+    // write -> reopen -> encode-from-stored round trip: the trained piece
+    // table lands on disk (writeUlmModel), the corpus's distinct words
+    // are encoded against the STORED artifact (generation-resolved, same
+    // Viterbi fold as training), and serve_ok pins that the served
+    // segmentation table is row-identical to the in-session trainer's.
+    // The oracle replays the full training, so a model table that stored
+    // drifted log-probs (or a serving fold that diverged from training)
+    // hash-mismatches the doc-level counts too.
+    "tx_ulm_serving" -> ((s, d) => {
+      val prefix = s"ulm_serve_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.UlmSuffixes)
+      val (pieces, segs) = ulm2(s, d)
+      Text.writeUlmModel(pieces, prefix, maxPieceLen = 4)
+      val words = docs(s, d).select(explode(toks).as("word"))
+        .filter(col("word") =!= "").distinct()
+      // vocabulary-sized; materialized before the explode-join like
+      // tx_bpe_vocab (the projection-boundary discipline)
+      val enc = Text.encodeAgainstUlmModel(words, "word", prefix)
+        .localCheckpoint(true)
+      val trained = segs.select("word", "n_pieces", "segs")
+      val served = enc.select("word", "n_pieces", "segs")
+      val parity = served.exceptAll(trained).isEmpty &&
+        trained.exceptAll(served).isEmpty
+      docs(s, d).select(col("doc_id"), explode(toks).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc.select("word", "n_pieces"), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subtoks"))
+        .withColumn("subtok_ratio",
+          round(col("n_subtoks").cast("double") / col("n_words") + 1e-9, 4))
+        .withColumn("serve_ok", lit(parity))
+        .orderBy("doc_id")
+    }),
+
     // PMI word co-occurrence: which token pairs appear in the same
     // document far more than chance — the collocation statistic behind
     // phrase mining and tokenizer-merge candidates. Scale shape: the
@@ -1319,7 +1354,7 @@ object TextQueries {
        |ORDER BY cnt DESC, piece
        |LIMIT 30""".stripMargin
 
-  private def ulmEncodeOracle(rounds: Int): String =
+  private[queries] def ulmEncodeOracle(rounds: Int, extraCols: String = ""): String =
     s"""${ulmChainSql(rounds)},
        |enc AS (SELECT word, fin.np::BIGINT AS n_pieces FROM f$rounds),
        |dt AS (
@@ -1327,7 +1362,7 @@ object TextQueries {
        |  FROM documents)
        |SELECT dt.doc_id, count(*)::BIGINT AS n_words,
        |  sum(n_pieces)::BIGINT AS n_subtoks,
-       |  round(sum(n_pieces)::DOUBLE / count(*) + 0.000000001, 4) AS subtok_ratio
+       |  round(sum(n_pieces)::DOUBLE / count(*) + 0.000000001, 4) AS subtok_ratio$extraCols
        |FROM dt JOIN enc USING (word)
        |WHERE word <> ''
        |GROUP BY dt.doc_id
@@ -2022,6 +2057,11 @@ object TextQueries {
       // see ulmChainSql.
       "tx_ulm_vocab" -> ulmVocabOracle(2),
       "tx_ulm_encode" -> ulmEncodeOracle(2),
+      // the persisted-model serving path must be row-identical to the
+      // one-shot (the oracle replays the training; serve_ok pins the
+      // write -> reopen -> encode-from-stored round trip)
+      "tx_ulm_serving" -> ulmEncodeOracle(2,
+        extraCols = ",\n  TRUE AS serve_ok"),
 
       "tx_pmi" ->
         s"""$toksCte,

@@ -306,6 +306,51 @@ class OperatorsSpec extends SparkSpec {
     assert(seg("cd") == (("cd", 1L, Seq("cd"))))
   }
 
+  test("persisted ULM model: stored-piece serving parity, rebuild cutover, OOV contract") {
+    val docs = Seq((1L, "abab ab"), (2L, "ababcd"), (3L, "cd ababcd"),
+      (4L, "ababcd")).toDF("doc_id", "text")
+    val (pieces, segs) = Text.ulmTrain(docs, col("text"),
+      maxPieceLen = 4, seedMulti = 60, rounds = 2)
+    graft.sources.Sinks.dropTableFamily(spark, "ulm_spec", Text.UlmSuffixes)
+    Text.writeUlmModel(pieces, "ulm_spec", maxPieceLen = 4)
+    // serving the training vocabulary reproduces the trainer's
+    // segmentation table exactly (the frozen-artifact contract)
+    val words = segs.select("word")
+    val served = Text.encodeAgainstUlmModel(words, "word", "ulm_spec")
+      .select("word", "n_pieces", "segs")
+    val trained = segs.select("word", "n_pieces", "segs")
+    assert(served.exceptAll(trained).isEmpty && trained.exceptAll(served).isEmpty,
+      "stored-model encode must equal the in-session trainer's segmentation")
+    // a word the frozen vocabulary cannot reach (unseen char) is NULL —
+    // the surfaced-OOV contract, never a silent wrong segmentation
+    val oov = Text.encodeAgainstUlmModel(
+      Seq("abxq").toDF("word"), "word", "ulm_spec")
+    assert(oov.filter(col("n_pieces").isNull).count() == 1L, "OOV must be NULL")
+    // blue/green rebuild: retrain with rounds = 1 cuts over to a new
+    // generation whose VOCABULARY is round-1's — 'abab' survives there
+    // (the round-2 M-step had dropped it), so the active piece table
+    // proves the pointer flipped
+    val preVocab = spark.table(
+        graft.sources.Sinks.activeTablePrefix(spark, "ulm_spec") + "_pieces")
+      .select("piece").as[String].collect().toSet
+    assert(!preVocab.contains("abab"), preVocab.toString)
+    val gen = Text.rebuildUlmModel(docs, col("text"), "ulm_spec",
+      maxPieceLen = 4, seedMulti = 60, rounds = 1)
+    assert(gen == 1L, s"first cutover must stage generation 1, got $gen")
+    val postVocab = spark.table(
+        graft.sources.Sinks.activeTablePrefix(spark, "ulm_spec") + "_pieces")
+      .select("piece").as[String].collect().toSet
+    assert(postVocab.contains("abab"),
+      s"the rebuilt generation must carry round-1's vocabulary: $postVocab")
+    // the serving fold under the round-1 model still picks the higher-
+    // probability split — 'ab' (count 4) outweighs the kept 'abab'
+    // (count 1): a stored piece is a CANDIDATE, not a guarantee
+    val g1 = Text.encodeAgainstUlmModel(
+        Seq("abab").toDF("word"), "word", "ulm_spec")
+      .select("segs").as[Seq[String]].head()
+    assert(g1 == Seq("ab", "ab"), g1.toString)
+  }
+
   test("Text.boilerplateCoverage: top-K df blocklist with lexicographic ties") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
