@@ -376,6 +376,79 @@ object SimilarityQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // BATCHED hybrid retrieval — the production serving fan-in for RAG:
+    // N user queries (each an embedding anchor + a term bag) answered in
+    // ONE pass per tier — one brute/IVF dense pass over all anchors, one
+    // batched BM25 probe over the bag union (the amortization
+    // bm25BatchAgainstIndex exists for), per-query RRF fusion. Emitted
+    // rows are the EXACTLY-fused per-query top-15 (brute dense × one-shot
+    // BM25 per bag — fully SQL-replayable); the SERVED composition (IVF
+    // batch probe off the shared dense base + batched BM25 off the shared
+    // inverted base, fused identically) contributes `rag_recall_ok`: the
+    // MINIMUM per-query top-15 overlap must clear RagFusionRecallFloor,
+    // so one starved query in the batch fails the certificate even if the
+    // batch average looks fine.
+    "sim_rag_batch" -> ((s, d) => {
+      import graft.functions.CrossHash
+      import graft.operators.{Text, TextIndex}
+      val e = emb(s, d)
+      val corpus75 = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 4 =!= 3)
+      val anchors = e.filter(col("vec_id") < 3)
+      val bags = TextQueries.BmBatchBags
+      def fuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))
+        dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 15).drop("rk")
+      }
+      // EXACT sides: all three anchors in one brute pass; one-shot BM25
+      // per bag over the indexed (%4<>3) corpus, ranked per query
+      val denseExact = Similarity.bruteForceTopK(
+          anchors, e, "vec_id", "embedding", k = 50)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("id"))
+      val sparseExact = bags.toSeq.map { case (q, ts) =>
+          Text.bm25(corpus75, "doc_id", CrossHash.tokens(col("text")), ts)
+            .withColumn("query_id", lit(q))
+        }.reduce(_ unionByName _)
+        .withColumn("sparse_rank", row_number().over(wS).cast("long"))
+        .filter(col("sparse_rank") <= 50)
+        .select(col("query_id"), col("id").as("doc_id"), col("sparse_rank"))
+        .localCheckpoint(true)
+      val exact = fuse(denseExact, sparseExact).localCheckpoint(true)
+      // SERVED sides: both tiers probe their shared persisted indexes,
+      // each in ONE batch pass
+      val denseServed = Similarity.ivfTopKAgainstIndex(anchors,
+          ensureIvfBase(s, d), "vec_id", "embedding", k = 50,
+          nprobe = IvfFilteredNprobe)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+      val sparseServed = TextIndex.bm25BatchAgainstIndex(
+          s, TextQueries.ensureTextBase(s, d), bags, kTop = 50)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("rank").as("sparse_rank"))
+      val served = fuse(denseServed, sparseServed)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      val perQ = Window.partitionBy("query_id")
+      val all = Window.partitionBy(lit(1))
+      exact.join(served, Seq("query_id", "doc_id"), "left")
+        .withColumn("q_overlap",
+          sum(coalesce(col("hit"), lit(0))).over(perQ).cast("double")
+            / count(lit(1)).over(perQ))
+        .withColumn("rag_recall_ok",
+          min(col("q_overlap")).over(all) >= RagFusionRecallFloor)
+        .select("query_id", "doc_id", "dense_rank", "sparse_rank", "rrf",
+          "rag_recall_ok")
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
     // Hyperplane-LSH ANN: 4 tables × 4 planes, candidates from bucket
     // collisions, exact cosine re-rank, top-3.
     "sim_knn_lsh" -> ((s, d) => {
@@ -1121,6 +1194,70 @@ object SimilarityQueries {
          |  FROM dr FULL OUTER JOIN sr USING (doc_id))
          |SELECT doc_id, dense_rank, sparse_rank, rrf, TRUE AS rag_recall_ok FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the exactly-fused BATCHED retrieval: per-query brute dense over all
+    // anchors, per-bag BM25 over the indexed (%4<>3) corpus via a
+    // (query_id, term) bag table, identical RRF arithmetic, per-query
+    // top-15; the served-path min-overlap certificate is pinned TRUE
+    "sim_rag_batch" -> {
+      val bagRows = TextQueries.BmBatchBags.toSeq.sortBy(_._1)
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val allTerms = TextQueries.BmBatchBags.values.flatten.toSeq.distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 3),
+         |dsc AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |dr AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)::BIGINT
+         |      AS dense_rank
+         |  FROM dsc QUALIFY dense_rank <= 50),
+         |bagt AS (
+         |  SELECT query_id::BIGINT AS query_id, term
+         |  FROM (VALUES $bagRows) v(query_id, term)),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents WHERE doc_id % 4 <> 3),
+         |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+         |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+         |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (
+         |  SELECT doc_id, term, count(1) AS tf FROM tm
+         |  WHERE term IN ($allTerms)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT bg.query_id, tf.doc_id, dl,
+         |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         |      * (tf::DOUBLE * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+         |      AS contrib
+         |  FROM tf JOIN bagt bg USING (term) JOIN df USING (term)
+         |  JOIN l USING (doc_id) CROSS JOIN st),
+         |bs AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+         |  FROM c GROUP BY query_id, doc_id),
+         |sr AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id)::BIGINT
+         |      AS sparse_rank
+         |  FROM bs QUALIFY sparse_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+         |    coalesce(dr.doc_id, sr.doc_id) AS doc_id, dense_rank, sparse_rank,
+         |    round(coalesce(1.0 / (60.0 + dense_rank), 0.0)
+         |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
+         |  FROM dr FULL OUTER JOIN sr USING (query_id, doc_id))
+         |SELECT query_id, doc_id, dense_rank, sparse_rank, rrf,
+         |  TRUE AS rag_recall_ok
+         |FROM f
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) <= 15
+         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+    },
 
     "sim_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
