@@ -79,6 +79,7 @@ object SparkEntry {
       "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
       "tx_bm25_elided", "tx_bm25_maxscore", "tx_bm25_batch_maxscore",
       "tx_ulm_serving",
+      "tx_kn_serving", "tx_kn_ingest", "tx_kn_delete",
       "tx_phrase_search", "tx_postings_stats", "tx_near_search",
       "sim_hard_negatives", "sim_rag_retrieve", "sim_rag_batch") ++
       queries.keySet.filter(_.startsWith("st_"))

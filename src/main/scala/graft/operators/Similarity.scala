@@ -44,6 +44,78 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversification pass a RAG serving stack runs between retrieval
+    * and the context window: from a per-query CANDIDATE set, greedily pick
+    * `kSel` documents maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+    *
+    * so near-duplicate passages don't crowd out coverage (the first pick
+    * is pure relevance — the penalty over an empty selected set is 0).
+    *
+    * Candidates arrive as a frame (query_id, doc_id, emb, rel) so the
+    * generation tier is the caller's choice: brute top-N for the exact/
+    * oracle path, an IVF probe at scale — MMR itself never touches the
+    * corpus. Cost is serving-sized and corpus-independent: one
+    * (queries × N²) pairwise-cosine table built once, then `kSel` rounds
+    * of anti-join + max-aggregation over the (queries × N) candidate
+    * frame, each a handful of narrow kilobyte-scale jobs
+    * (localCheckpointed per round, the CC/BPE round-loop discipline).
+    *
+    * Determinism: rel is expected pre-rounded (7dp, as bruteForceTopK and
+    * the IVF probes emit); pairwise cosines round to 7dp before the max;
+    * the mmr score rounds to 7dp before the argmax, which breaks ties by
+    * doc_id — so no cross-engine double noise can flip a pick and the
+    * DuckDB oracle replays every round exactly.
+    *
+    * Output: (query_id, step, doc_id, rel, pen, mmr), steps 1..kSel in
+    * selection order.
+    */
+  def mmrSelect(candidates: DataFrame, kSel: Int, lambda: Double): DataFrame = {
+    require(kSel >= 1, s"kSel=$kSel must be >= 1")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda=$lambda must be in (0, 1]")
+    val cand = candidates.select("query_id", "doc_id", "emb", "rel")
+      .localCheckpoint(true)
+    val pair = cand.as("a")
+      .join(cand.as("b"),
+        col("a.query_id") === col("b.query_id")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        round(dotD(col("a.emb"), col("b.emb"))
+          / (l2Norm(col("a.emb")) * l2Norm(col("b.emb"))), 7).as("sim"))
+      .localCheckpoint(true)
+    var selected = cand.select("query_id", "doc_id").limit(0)
+    val picks = Seq.newBuilder[DataFrame]
+    for (t <- 1 to kSel) {
+      val pen = pair
+        .join(selected.withColumnRenamed("doc_id", "j"), Seq("query_id", "j"))
+        .groupBy(col("query_id"), col("i").as("doc_id"))
+        .agg(max("sim").as("pen"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("doc_id"))
+      val pick = cand.join(selected, Seq("query_id", "doc_id"), "left_anti")
+        .join(pen, Seq("query_id", "doc_id"), "left")
+        .withColumn("pen", coalesce(col("pen"), lit(0.0)))
+        // the house +1e-9 nudge before rounding: the score is compared
+        // across engines, and a product landing exactly on a half-digit
+        // boundary rounds differently in BigDecimal-HALF_UP vs float
+        // rounding; the shift is monotone so the argmax never changes
+        .withColumn("mmr", round(
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen")
+            + lit(1e-9), 7))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("step"), col("doc_id"),
+          col("rel"), col("pen"), col("mmr"))
+        .localCheckpoint(true)
+      picks += pick
+      selected = selected.unionByName(pick.select("query_id", "doc_id"))
+        .localCheckpoint(true)
+    }
+    picks.result().reduce(_ unionByName _)
+  }
+
   /** Exact top-k neighbors for each row of `queries` against `corpus`,
     * excluding self-matches. Queries are broadcast (bounded query set);
     * ranking is (cosine desc, neighbor id asc) with the cosine rounded to

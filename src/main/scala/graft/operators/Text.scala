@@ -563,25 +563,54 @@ object Text {
     * exactly [[bigramNll]]'s shape, so the two signals diff directly.
     */
   def knBigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val tf = bigramTf(docs, idCol, toks)
+    val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
+    knScoreAgainstStats(tf, cab).drop("n_oov")
+  }
+
+  /** Per-document bigram term frequencies (id, a, b, tf) — the shared
+    * front half of KN training AND serving; docs with < 2 tokens emit no
+    * row.
+    */
+  private def bigramTf(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
     val t = docs.select(col(idCol).as("id"), toks.as("tk"))
-    val bi = t.filter(size(col("tk")) >= 2)
+    t.filter(size(col("tk")) >= 2)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("tk")) - 2),
         i => struct(element_at(col("tk"), i + 1).as("a"),
           element_at(col("tk"), i + 2).as("b")))).as("bg"))
       .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val tf = bi.groupBy("id", "a", "b").agg(count(lit(1)).as("tf"))
-    val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
-    // one pass over the TYPE table per statistic family: predecessor
-    // sums + distinct-successor counts keyed by a, distinct-predecessor
-    // counts keyed by b, and the global type/discount tallies (broadcast)
+      .groupBy("id", "a", "b").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The KN scoring back half, shared by [[knBigramNll]] (stats from the
+    * scored docs themselves) and [[scoreAgainstKnModel]] (stats from a
+    * persisted family): every per-(a)/(b)/global statistic derives from
+    * the bigram TYPE table `cab` alone — one pass per statistic family:
+    * predecessor sums + distinct-successor counts keyed by a,
+    * distinct-predecessor counts keyed by b, and the global type/discount
+    * tallies (broadcast).
+    *
+    * Bigrams ABSENT from `cab` (possible only when serving docs outside
+    * the trained corpus) are surfaced, not hidden: they contribute
+    * nothing to the mean, and `n_oov` counts their occurrences — the
+    * caller owns the OOV policy, the [[encodeAgainstUlmModel]] contract.
+    * When every bigram is in-stats (all this suite's serving queries)
+    * the output is bit-identical to [[knBigramNll]].
+    *
+    * Output (id, n_bigrams, n_oov, nll); nll is NULL for a doc whose
+    * every bigram is OOV.
+    */
+  private def knScoreAgainstStats(tf: DataFrame, cabStats: DataFrame): DataFrame = {
+    val cab = cabStats
     val ca = cab.groupBy("a")
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
     val nb = cab.groupBy("b").agg(count(lit(1)).as("nb"))
     val glob = cab.agg(count(lit(1)).as("n_types"),
       coalesce(sum(when(col("cab") === 1, 1L)), lit(0L)).as("n1"),
       coalesce(sum(when(col("cab") === 2, 1L)), lit(0L)).as("n2"))
-    tf.join(cab, Seq("a", "b")).join(ca, Seq("a")).join(nb, Seq("b"))
+    tf.join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left").join(nb, Seq("b"), "left")
       .crossJoin(broadcast(glob))
       // a corpus with NO once- or twice-seen bigram types (synthetic
       // small-vocabulary corpora at scale) has no discount mass to
@@ -597,12 +626,14 @@ object Text {
         / col("ca").cast("double"))
       .withColumn("pcont",
         col("nb").cast("double") / col("n_types").cast("double"))
-      .withColumn("contrib", col("tf").cast("double")
-        * -log(col("pml") + col("lam") * col("pcont")))
+      .withColumn("contrib", when(col("cab").isNotNull, col("tf").cast("double")
+        * -log(col("pml") + col("lam") * col("pcont"))))
       .groupBy("id")
       .agg(sum("tf").cast("long").as("n_bigrams"),
+        coalesce(sum(when(col("cab").isNull, col("tf"))), lit(0L))
+          .cast("long").as("n_oov"),
         round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
-          / sum("tf")) + 1e-9, 4).as("nll"))
+          / sum(when(col("cab").isNotNull, col("tf")))) + 1e-9, 4).as("nll"))
   }
 
   /** Boilerplate-gram coverage — the df-ranked blocklist form of CCNet/
@@ -928,6 +959,135 @@ object Text {
       .withColumn("segs", col("__vit.segs"))
       .drop("__vit")
   }
+
+  private[graft] val KnSuffixes = Seq("_cab", "_meta")
+
+  /** Persist a Kneser-Ney bigram LM as the NINTH persisted family — the
+    * KenLM-artifact shape of a curation pipeline: the LM trains once over
+    * the corpus and every downstream quality-filter pass scores against
+    * the stored statistics, never a retrain. The entire model state is
+    * ONE table: `_cab` holds (a, b, cab) bigram-type count PARTIALS,
+    * append-only — every other KN statistic (predecessor sums,
+    * continuation counts, the discount) derives from the folded type
+    * table at serve time with type-table-sized aggregations (the `_stats`
+    * discipline: mutations append deltas, readers fold). `_meta`
+    * (kn_order) lands LAST as the completeness marker.
+    *
+    * At 100 TB the corpus pass happens exactly once, here; ingest passes
+    * only over NEW docs; delete appends NEGATIVE deltas and never touches
+    * the corpus — and because count folding is exact integer arithmetic,
+    * a fold after any verb sequence is BIT-IDENTICAL to a retrain on the
+    * surviving docs (the lifecycle queries' oracles prove it).
+    */
+  def writeKnModel(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = docs.sparkSession
+    bigramTf(docs, idCol, toks)
+      .groupBy("a", "b").agg(sum("tf").as("cab"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_cab")
+    spark.createDataFrame(Seq(Tuple1(2))).toDF("kn_order")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Fold new documents into a persisted KN model: ONE pass over the new
+    * docs, appending their bigram-type counts as delta rows — no read of
+    * the existing partials, no retrain. Serving's fold makes the merged
+    * statistics exactly what a full retrain over old+new would compute.
+    */
+  def ingestIntoKnModel(
+      newDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = newDocs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    bigramTf(newDocs, idCol, toks)
+      .groupBy("a", "b").agg(sum("tf").as("cab"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(s"${tp}_cab")
+  }
+
+  /** Remove documents from a persisted KN model by appending NEGATIVE
+    * count deltas (one pass over the removed docs only). The serving fold
+    * drops types whose folded count reaches zero, so post-delete scores
+    * are bit-identical to a retrain without those docs — curation's
+    * right-to-forget verb at LM-statistics cost, not corpus cost.
+    */
+  def deleteFromKnModel(
+      removedDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = removedDocs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    bigramTf(removedDocs, idCol, toks)
+      .groupBy("a", "b").agg((-sum("tf")).as("cab"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(s"${tp}_cab")
+  }
+
+  /** Score a document frame against a PERSISTED KN model — the serving
+    * half of the train/serve split: generation-resolved, the `_cab`
+    * partials fold to the live type table (exact integer sums; zeroed
+    * types drop out), every derived statistic recomputes from that fold,
+    * and the scoring arithmetic is [[knBigramNll]]'s to the last double
+    * op. Output (id, n_bigrams, n_oov, nll) — see
+    * [[knScoreAgainstStats]] for the OOV contract.
+    */
+  def scoreAgainstKnModel(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): DataFrame = {
+    val spark = docs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val cab = spark.table(s"${tp}_cab")
+      .groupBy("a", "b").agg(sum("cab").as("cab"))
+      .filter(col("cab") > 0)
+    knScoreAgainstStats(bigramTf(docs, idCol, toks), cab)
+  }
+
+  /** Compact the KN family's append-only partials: fold `_cab` to one row
+    * per live bigram type (dropping zeroed types) and stage the result as
+    * a NEW GENERATION — a reader resolves a complete family at every
+    * instant, the compactFamilyCutover contract. Scores are unchanged by
+    * construction (the serving fold of the compacted table is the
+    * identity); what changes is the fold's input size, which otherwise
+    * grows with every ingest/delete delta batch forever. No corpus
+    * access — the whole verb is type-table-sized.
+    */
+  def compactKnModel(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val folded = spark.table(s"${tp}_cab")
+      .groupBy("a", "b").agg(sum("cab").as("cab"))
+      .filter(col("cab") > 0)
+      .localCheckpoint(true) // sever from the tables the cutover retires
+    val order = spark.table(s"${tp}_meta").head().getInt(0)
+    graft.sources.Sinks.rebuildCutover(spark, tablePrefix, KnSuffixes) { g =>
+      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${g}_cab")
+      spark.createDataFrame(Seq(Tuple1(order))).toDF("kn_order")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${g}_meta")
+    }
+  }
+
+  /** Retrain-and-cutover for the KN family — the blue/green contract
+    * every persisted family carries. Returns the new generation.
+    */
+  def rebuildKnModel(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Long =
+    graft.sources.Sinks.rebuildCutover(docs.sparkSession, tablePrefix,
+      KnSuffixes) { g => writeKnModel(docs, idCol, toks, g) }
 
   /** The ULM Viterbi lattice DP as one row-local fold: accumulator
     * acc[j+1] = best (score, n_pieces, segmentation) over the word's

@@ -449,6 +449,31 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // MMR diversification (Carbonell & Goldstein 1998) — the re-rank pass
+    // between retrieval and the context window: per query, greedily pick
+    // 8 of the top-20 candidates maximizing λ·rel − (1−λ)·max-sim-to-
+    // selected (λ=0.7), so near-duplicate passages don't crowd out
+    // coverage. Candidates here are brute top-20 (the oracle-replayable
+    // tier — at scale the same operator consumes an IVF probe's
+    // candidates); every pick of every round is replayed exactly by the
+    // oracle's hand-unrolled step CTEs.
+    "sim_rag_mmr" -> ((s, d) => {
+      import graft.functions.CrossHash.{dotD, l2Norm}
+      val e = emb(s, d)
+      val q = queriesOf(e)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+      val wN = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id"))
+      val cand = broadcast(q).join(c, col("query_id") =!= col("doc_id"))
+        .withColumn("rel", round(dotD(col("qe"), col("emb"))
+          / (l2Norm(col("qe")) * l2Norm(col("emb"))), 7))
+        .withColumn("__rn", row_number().over(wN)).filter(col("__rn") <= 20)
+        .select("query_id", "doc_id", "emb", "rel")
+      Similarity.mmrSelect(cand, kSel = 8, lambda = 0.7)
+        .orderBy("query_id", "step")
+    }),
+
     // Hyperplane-LSH ANN: 4 tables × 4 planes, candidates from bucket
     // collisions, exact cosine re-rank, top-3.
     "sim_knn_lsh" -> ((s, d) => {
@@ -1103,6 +1128,58 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full MMR replay: brute top-20 candidates, the N² pairwise-cosine
+    // table, then all 8 greedy rounds hand-unrolled (penᵗ = max sim to
+    // the selected set, pkᵗ = the argmax pick, selᵗ = the growing
+    // selection) — every constant forced ::DOUBLE so DuckDB's decimal
+    // literals can't diverge from the JVM double arithmetic.
+    "sim_rag_mmr" -> {
+      val steps = (1 to 8).map { t =>
+        s"""pen$t AS MATERIALIZED (
+           |  SELECT p.query_id, p.i AS doc_id, max(p.sim) AS pen
+           |  FROM pair p JOIN sel${t - 1} s
+           |    ON p.query_id = s.query_id AND p.j = s.doc_id
+           |  GROUP BY p.query_id, p.i),
+           |pk$t AS MATERIALIZED (
+           |  SELECT query_id, $t::BIGINT AS step, doc_id, rel, pen, mmr
+           |  FROM (
+           |    SELECT c.query_id, c.doc_id, c.rel,
+           |      coalesce(n.pen, 0.0::DOUBLE) AS pen,
+           |      round(0.7::DOUBLE * c.rel
+           |        - (1.0::DOUBLE - 0.7::DOUBLE) * coalesce(n.pen, 0.0::DOUBLE)
+           |        + 0.000000001, 7) AS mmr
+           |    FROM cand c
+           |    ANTI JOIN sel${t - 1} e
+           |      ON e.query_id = c.query_id AND e.doc_id = c.doc_id
+           |    LEFT JOIN pen$t n
+           |      ON n.query_id = c.query_id AND n.doc_id = c.doc_id) z
+           |  QUALIFY row_number()
+           |    OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) = 1),
+           |sel$t AS MATERIALIZED (SELECT query_id, doc_id FROM sel${t - 1}
+           |  UNION ALL SELECT query_id, doc_id FROM pk$t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT query_id, vec_id AS doc_id, embedding AS emb,
+         |    ${cosSql("qe", "embedding")} AS rel
+         |  FROM q JOIN e ON vec_id <> query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, doc_id, emb, rel FROM sc
+         |  QUALIFY row_number()
+         |    OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) <= 20),
+         |pair AS MATERIALIZED (
+         |  SELECT a.query_id, a.doc_id AS i, b.doc_id AS j,
+         |    ${cosSql("a.emb", "b.emb")} AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+         |sel0 AS MATERIALIZED (SELECT query_id, doc_id FROM cand WHERE 1 = 0),
+         |$steps
+         |SELECT * FROM (
+         |  ${(1 to 8).map(t => s"SELECT * FROM pk$t").mkString(" UNION ALL ")})
+         |ORDER BY query_id, step""".stripMargin
+    },
 
     "sim_rrf_fusion" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

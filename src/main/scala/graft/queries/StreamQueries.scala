@@ -1182,6 +1182,58 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed KN-LM serving: the ninth family's streaming twin — the
+    // bigram-count model trains once and PERSISTS (writeKnModel), then
+    // the corpus streams in four micro-batches, each batch scored in
+    // foreachBatch against the STORED statistics (generation-resolved
+    // fold, tx_kn_nll's arithmetic). Per-doc scores depend only on the
+    // doc's own bigrams + the frozen stats, so the drained scores must
+    // equal the one-shot serving pass EXACTLY (serve_ok pins row parity
+    // + 4 batches) and the oracle replays the full corpus chain.
+    "st_kn_serving_parity" -> ((s, d) => {
+      import graft.operators.Text
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val toks = graft.functions.CrossHash.tokens(col("text"))
+      val splitDir = fixtureDir("knserve", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"knlm_stream_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
+      Text.writeKnModel(docs, "doc_id", toks, prefix)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_kn_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) => {
+              Text.scoreAgainstKnModel(batch.toDF(), "doc_id", toks, prefix)
+                .withColumnRenamed("id", "doc_id")
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        val oneShot = Text.scoreAgainstKnModel(docs, "doc_id", toks, prefix)
+          .withColumnRenamed("id", "doc_id").localCheckpoint(true)
+        val served = streamed.select("doc_id", "n_bigrams", "n_oov", "nll")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select("doc_id", "n_bigrams", "n_oov", "nll", "serve_ok")
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed IVF-PQ index maintenance: st_ann_index_parity extended to
     // the code tier — each micro-batch appends under the FROZEN coarse
     // quantizer AND PQ codebooks (appendToIvfPqIndex), so four streamed
@@ -1700,6 +1752,12 @@ object StreamQueries {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
         |  TRUE AS ivf_recall_ok, TRUE AS index_ok
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // tx_kn_serving's full-corpus chain over ALL docs, serve_ok pinned
+    // TRUE: streamed per-batch scoring against the frozen stats must be
+    // row-identical to the one-shot pass.
+    "st_kn_serving_parity" ->
+      TextQueries.knServeSql("", "", ",\n  TRUE AS serve_ok"),
 
     // d_incremental_clusters' full-recompute oracle verbatim: four
     // composed label updates must equal the one-shot day update.

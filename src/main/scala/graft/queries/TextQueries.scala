@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.operators.{LinearModel, Multimodal, Text, TextIndex}
+import graft.operators.{LinearModel, Multimodal, Sampling, Text, TextIndex}
 import graft.sources.Tables
 
 /** Text-analysis + multimodal-plumbing tier over `documents`: language ID,
@@ -777,6 +777,92 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // DoReMi domain mixture weights (Xie et al. 2023): per-domain excess
+    // loss = mean clip(unigram NLL − KN bigram NLL, 0) — the weak-proxy
+    // vs strong-reference gap from this suite's own LM scorers — then 10
+    // multiplicative-weights rounds with uniform smoothing; the paper
+    // trains on the time-averaged weights (alpha_avg). The oracle replays
+    // BOTH per-doc NLL chains, the per-domain excess aggregation, and all
+    // ten MW rounds (recursive CTE over the pivoted 5-domain weight row).
+    "tx_doremi_weights" -> ((s, d) => {
+      val dd = docs(s, d)
+      val u = Text.unigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("unll"))
+      val kn = Text.knBigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("knll"))
+      val ex = u.join(kn, Seq("id"))
+        .join(dd.select(col("doc_id").as("id"), col("lang").as("domain")),
+          Seq("id"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(greatest(col("unll") - col("knll"), lit(0.0))
+              .cast("decimal(28,14)")).cast("double")
+            / count(lit(1))).as("lam"))
+        .localCheckpoint(true) // 5 rows — both consumers below reuse it
+      Sampling.doremiMixture(ex.select("domain", "lam"),
+          eta = 10.0, smooth = 0.1, rounds = 10)
+        .join(ex.select("domain", "n_docs"), Seq("domain"))
+        .select(col("domain"), col("n_docs"),
+          round(col("lam") + 1e-9, 7).as("lam_excess"),
+          round(col("alpha_final") + 1e-9, 7).as("alpha_final"),
+          round(col("alpha_avg") + 1e-9, 7).as("alpha_avg"))
+        .orderBy("domain")
+    }),
+
+    // Persisted KN-LM SERVING — the ninth family's write -> reopen ->
+    // score-from-stored round trip (the KenLM-artifact shape): the bigram
+    // count partials land on disk (writeKnModel), the % 7 slice scores
+    // against the STORED statistics (generation-resolved fold, same
+    // arithmetic as tx_kn_nll to the last double op), and the oracle
+    // recomputes the full-corpus chain for the slice — a stored partial
+    // that drifted from the corpus counts hash-mismatches.
+    "tx_kn_serving" -> ((s, d) => {
+      val prefix = s"knlm_serve_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
+      Text.writeKnModel(docs(s, d), "doc_id", toks, prefix)
+      Text.scoreAgainstKnModel(docs(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // KN-LM INGEST-fold ≡ retrain: train on two-thirds of the corpus,
+    // fold the remaining third in as append-only count deltas (one pass
+    // over the NEW docs only), score — the oracle is the FULL-corpus
+    // chain, so green proves the delta fold is bit-identical to a
+    // retrain over old+new.
+    "tx_kn_ingest" -> ((s, d) => {
+      val prefix = s"knlm_ing_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
+      Text.writeKnModel(docs(s, d).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", toks, prefix)
+      Text.ingestIntoKnModel(docs(s, d).filter(col("doc_id") % 3 === 0),
+        "doc_id", toks, prefix)
+      Text.scoreAgainstKnModel(docs(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // KN-LM DELETE ≡ retrain-without: train on everything, append
+    // NEGATIVE deltas for the % 5 slice (right-to-forget at LM-statistics
+    // cost — the corpus is never rescanned), score the surviving slice.
+    // The oracle computes the chain over the corpus WITHOUT the deleted
+    // docs, so green proves zeroed types drop out of every derived
+    // statistic (type counts, continuation counts, the discount itself).
+    "tx_kn_delete" -> ((s, d) => {
+      val prefix = s"knlm_del_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
+      Text.writeKnModel(docs(s, d), "doc_id", toks, prefix)
+      Text.deleteFromKnModel(docs(s, d).filter(col("doc_id") % 5 === 0),
+        "doc_id", toks, prefix)
+      Text.scoreAgainstKnModel(
+          docs(s, d).filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -1521,6 +1607,51 @@ object TextQueries {
        |SELECT doc_id, dl, dsir_w$extraCols FROM wts
        |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Generated KN serving-chain oracle: the tx_kn_nll replay with the
+    * STATS corpus and the SCORED slice parameterized — every KN-family
+    * lifecycle verb (serve / ingest-fold / delete) promises exactly
+    * "bit-identical to the chain over the right corpus, scored on the
+    * right slice", so all three queries share this builder. n_oov is
+    * 0 by construction (each scored doc lives inside the stats corpus)
+    * and the literal pin makes a serving-side OOV regression loud.
+    */
+  private[queries] def knServeSql(
+      statsWhere: String,
+      scoreWhere: String,
+      extraCols: String = ""): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2),
+       |btf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+       |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM btf$statsWhere GROUP BY a, b),
+       |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
+       |       FROM cab GROUP BY a),
+       |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
+       |kg AS (SELECT count(1)::BIGINT AS n_types,
+       |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
+       |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
+       |  FROM cab),
+       |disc AS (SELECT *,
+       |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+       |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
+       |  FROM kg),
+       |stf AS (SELECT * FROM btf$scoreWhere),
+       |c AS (
+       |  SELECT doc_id, tf,
+       |    tf::DOUBLE * -ln(
+       |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
+       |      + (d * n1a::DOUBLE / ca::DOUBLE)
+       |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
+       |  FROM stf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
+       |  CROSS JOIN disc)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams, 0::BIGINT AS n_oov,
+       |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = {
     val toksCte =
       """WITH t AS (
@@ -2010,6 +2141,119 @@ object TextQueries {
            |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
            |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // The three KN-family lifecycle oracles: serving and ingest-fold
+      // both promise full-corpus statistics (green ingest = delta fold ≡
+      // retrain); delete promises the retrain-without-the-slice chain.
+      "tx_kn_serving" -> knServeSql("", " WHERE doc_id % 7 = 0"),
+      "tx_kn_ingest" -> knServeSql("", " WHERE doc_id % 7 = 0"),
+      "tx_kn_delete" -> knServeSql(" WHERE doc_id % 5 <> 0",
+        " WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0"),
+
+      // Full DoReMi replay: both per-doc NLL chains (the tx_unigram_nll
+      // and tx_kn_nll oracles verbatim, renamed CTEs), the per-domain
+      // excess-loss aggregation (exact DECIMAL sum), then all 10
+      // multiplicative-weights rounds as ONE recursive CTE over the
+      // pivoted 5-domain weight row (the classifier GD-replay idiom —
+      // per-round normalization is the same left-associated
+      // DECIMAL(28,14) chain Spark's order-free decimal sum computes).
+      "tx_doremi_weights" -> {
+        def upd(a: String, l: String) = s"$a * (1.0 + 10.0 * $l)"
+        val doms = Seq("de" -> "lde", "en" -> "len_", "es" -> "les",
+          "fr" -> "lfr", "zh" -> "lzh")
+        val pCols = doms.map { case (g, l) => s"a$g * (1.0 + 10.0 * $l) AS p$g" }
+          .mkString(",\n           |        ")
+        val sSum = doms.map { case (g, l) =>
+          s"CAST(${upd(s"a$g", l)} AS DECIMAL(28,14))" }
+          .mkString("(", "\n           |          + ", ")::DOUBLE AS s")
+        val nCols = doms.map { case (g, _) =>
+          s"(1.0 - 0.1) * (p$g / s) + (0.1 / 5.0) AS n$g" }
+          .mkString(",\n           |      ")
+        val lamPiv = doms.map { case (g, l) =>
+          s"max(CASE WHEN domain = '$g' THEN lam END) AS $l" }
+          .mkString(",\n           |  ")
+        val unpiv = doms.map { case (g, _) =>
+          s"SELECT '$g' AS domain, a$g AS alpha, r$g AS ravg FROM fin" }
+          .mkString("\n           |  UNION ALL ")
+        s"""WITH RECURSIVE t AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+           |  FROM documents),
+           |utm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |utf AS (SELECT doc_id, term, count(1) AS tf FROM utm GROUP BY doc_id, term),
+           |ucf AS (SELECT term, sum(tf)::BIGINT AS cf FROM utf GROUP BY term),
+           |utot AS (SELECT sum(cf)::BIGINT AS tot FROM ucf),
+           |uc AS (
+           |  SELECT doc_id, tf, tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
+           |  FROM utf JOIN ucf USING (term) CROSS JOIN utot),
+           |ud AS (
+           |  SELECT doc_id,
+           |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS unll
+           |  FROM uc GROUP BY doc_id),
+           |bi AS (
+           |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+           |  FROM t, unnest(range(1, len(toks))) AS u(i)
+           |  WHERE len(toks) >= 2),
+           |btf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+           |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM btf GROUP BY a, b),
+           |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
+           |       FROM cab GROUP BY a),
+           |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
+           |kg AS (SELECT count(1)::BIGINT AS n_types,
+           |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
+           |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
+           |  FROM cab),
+           |disc AS (SELECT *,
+           |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+           |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
+           |  FROM kg),
+           |kc AS (
+           |  SELECT doc_id, tf,
+           |    tf::DOUBLE * -ln(
+           |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
+           |      + (d * n1a::DOUBLE / ca::DOUBLE)
+           |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
+           |  FROM btf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
+           |  CROSS JOIN disc),
+           |kd AS (
+           |  SELECT doc_id,
+           |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS knll
+           |  FROM kc GROUP BY doc_id),
+           |ex AS (
+           |  SELECT lang AS domain, count(1)::BIGINT AS n_docs,
+           |    sum(greatest(unll - knll, 0.0)::DECIMAL(28,14))::DOUBLE / count(1) AS lam
+           |  FROM ud JOIN kd USING (doc_id) JOIN t USING (doc_id)
+           |  GROUP BY lang),
+           |lp AS (SELECT
+           |  $lamPiv
+           |  FROM ex),
+           |mw(it, ade, aen, aes, afr, azh, rde, ren, res, rfr, rzh) AS (
+           |  -- anchor literals TYPE the recursive columns: a bare 0.0 is
+           |  -- DECIMAL(2,1) in DuckDB and would silently round every
+           |  -- accumulated iterate to one decimal place
+           |  SELECT 0, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
+           |         (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
+           |         0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1, nde, nen, nes, nfr, nzh,
+           |    rde + nde, ren + nen, res + nes, rfr + nfr, rzh + nzh
+           |  FROM (
+           |    SELECT it, rde, ren, res, rfr, rzh,
+           |      $nCols
+           |    FROM (
+           |      SELECT it, rde, ren, res, rfr, rzh,
+           |        $pCols,
+           |        $sSum
+           |      FROM mw, lp WHERE it < 10) z1) z2),
+           |fin AS (SELECT * FROM mw WHERE it = 10),
+           |fw AS (
+           |  $unpiv)
+           |SELECT domain, n_docs,
+           |  round(lam + 0.000000001, 7) AS lam_excess,
+           |  round(alpha + 0.000000001, 7) AS alpha_final,
+           |  round(ravg / 10.0 + 0.000000001, 7) AS alpha_avg
+           |FROM ex JOIN fw USING (domain)
+           |ORDER BY domain""".stripMargin
+      },
 
       "tx_boilerplate" ->
         s"""$toksCte,

@@ -794,6 +794,45 @@ object ScaleBench {
     measure("x10", scaleDir)
   }
 
+  /** KN persisted-family lifecycle cost at two decades: build (the one
+    * corpus pass), serve off the stored stats, ingest of a ~10% delta
+    * (must cost delta-scale, not corpus-scale), and the full retrain the
+    * delta fold replaces — the build-once / fold-forever argument
+    * measured rather than asserted.
+    */
+  private def runKnFamily(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Text
+    val toks = graft.functions.CrossHash.tokens(col("text"))
+    def measure(tag: String, dir: String): Unit = {
+      spark.catalog.clearCache()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val prefix = s"sb_knf_$tag"
+      graft.sources.Sinks.dropTableFamily(spark, prefix, Text.KnSuffixes)
+      val t0 = System.nanoTime()
+      Text.writeKnModel(docs, "doc_id", toks, prefix)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val served = Text.scoreAgainstKnModel(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", toks, prefix).count()
+      val tServe = (System.nanoTime() - t1) / 1e9
+      // a ~10% "new" slice under fresh ids: the delta pass the fold buys
+      val delta = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+      val t2 = System.nanoTime()
+      Text.ingestIntoKnModel(delta, "doc_id", toks, prefix)
+      val tIngest = (System.nanoTime() - t2) / 1e9
+      graft.sources.Sinks.dropTableFamily(spark, s"${prefix}_rt", Text.KnSuffixes)
+      val t3 = System.nanoTime()
+      Text.writeKnModel(docs.unionByName(delta), "doc_id", toks, s"${prefix}_rt")
+      val tRetrain = (System.nanoTime() - t3) / 1e9
+      println(f"KNFAM $tag%-4s build $tBuild%7.2f s  serve $tServe%6.2f s " +
+        f"($served%6d docs)  ingest(10%%) $tIngest%6.2f s  " +
+        f"retrain $tRetrain%7.2f s  ingest/retrain ${tIngest / tRetrain}%5.2f")
+    }
+    measure("x1", src)
+    measure("x10", scaleDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -971,6 +1010,11 @@ object ScaleBench {
     }
     if (which == "lm") {
       runLm(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "knfamily") {
+      runKnFamily(spark, src, scaleDir)
       spark.stop()
       return
     }

@@ -224,6 +224,37 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("Sampling.doremiMixture: hand-computed multiplicative-weights rounds") {
+    // two domains: "web" has excess loss 0.5 (headroom), "code" has 0
+    // (the proxy already matches the reference there)
+    val ex = Seq(("web", 0.5), ("code", 0.0)).toDF("domain", "lam")
+    val out = Sampling.doremiMixture(ex, eta = 1.0, smooth = 0.2, rounds = 2)
+      .select("domain", "lam", "alpha_final", "alpha_avg")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // replay the exact operator arithmetic: per-round (1 + η·λ) scaling,
+    // DECIMAL(28,14) normalization sum (HALF_UP, order-free), uniform mix
+    def dec14(x: Double) =
+      BigDecimal(x).setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    val lam = Map("web" -> 0.5, "code" -> 0.0)
+    var a = Map("web" -> 0.5, "code" -> 0.5)
+    var r = Map("web" -> 0.0, "code" -> 0.0)
+    for (_ <- 1 to 2) {
+      val ap = a.map { case (k, v) => k -> v * (1.0 + 1.0 * lam(k)) }
+      val s = (dec14(ap("web")) + dec14(ap("code"))).toDouble
+      a = ap.map { case (k, v) => k -> ((1.0 - 0.2) * (v / s) + 0.2 / 2.0) }
+      r = r.map { case (k, v) => k -> (v + a(k)) }
+    }
+    // round 1: ap=(0.75, 0.5), s=1.25 → α=(0.58, 0.42); round 2:
+    // ap=(0.87, 0.42), s=1.29 → α=(0.8·(29/43)+0.1, 0.8·(14/43)+0.1)
+    assert(math.abs(a("web") - (0.8 * 29 / 43.0 + 0.1)) < 1e-12)
+    assert(out("web") == (("web", 0.5, a("web"), r("web") / 2.0)))
+    assert(out("code") == (("code", 0.0, a("code"), r("code") / 2.0)))
+    // the headroom domain is upweighted; the saturated one decays toward
+    // the smoothing floor — and the time average lags the final iterate
+    assert(a("web") > 0.6 && a("code") < 0.4)
+    assert(r("web") / 2.0 < a("web") && r("code") / 2.0 > a("code"))
+  }
+
   test("Text.unigramNll: hand-computed corpus LM mean negative log-likelihood") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1, total=5
@@ -275,6 +306,89 @@ class OperatorsSpec extends SparkSpec {
     // the rare bigrams ABOVE their discounted ML mass alone — the
     // continuation term is doing its job on this fixture
     assert(out(1L)._2 > 0 && out(3L)._2 > 0)
+  }
+
+  test("Text KN model family: serve ≡ in-memory, ingest-fold ≡ retrain, " +
+      "delete ≡ retrain-without, OOV surfaced") {
+    val toks = CrossHash.tokens(col("text"))
+    val all = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b c a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_bigrams", "n_oov", "nll")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+    def reference(statsDocs: org.apache.spark.sql.DataFrame,
+        ids: Set[Long]): Set[(Long, Long, Long, Option[Double])] =
+      Text.knBigramNll(statsDocs, "doc_id", toks)
+        .filter(col("id").isin(ids.toSeq: _*))
+        .select(col("id"), col("n_bigrams"), lit(0L).as("n_oov"), col("nll"))
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+
+    // serve from the stored family ≡ the in-memory scorer
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn_f", Text.KnSuffixes)
+    Text.writeKnModel(all, "doc_id", toks, "t_kn_f")
+    assert(rows(Text.scoreAgainstKnModel(all, "doc_id", toks, "t_kn_f"))
+      == reference(all, Set(1L, 2L, 3L)))
+
+    // ingest-fold: train on docs 1-2, fold 3-4 in — scores must equal the
+    // full-corpus model (delta fold ≡ retrain)
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn_i", Text.KnSuffixes)
+    Text.writeKnModel(all.filter(col("doc_id") <= 2), "doc_id", toks, "t_kn_i")
+    Text.ingestIntoKnModel(all.filter(col("doc_id") > 2), "doc_id", toks, "t_kn_i")
+    assert(rows(Text.scoreAgainstKnModel(all, "doc_id", toks, "t_kn_i"))
+      == reference(all, Set(1L, 2L, 3L)))
+
+    // delete: negative deltas for doc 2 — surviving docs score exactly as
+    // a retrain without it (type (a,c->b? ) counts, continuation counts
+    // and the discount all shift)
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn_d", Text.KnSuffixes)
+    Text.writeKnModel(all, "doc_id", toks, "t_kn_d")
+    Text.deleteFromKnModel(all.filter(col("doc_id") === 2), "doc_id", toks, "t_kn_d")
+    val survivors = all.filter(col("doc_id") =!= 2)
+    assert(rows(Text.scoreAgainstKnModel(survivors, "doc_id", toks, "t_kn_d"))
+      == reference(survivors, Set(1L, 3L)))
+
+    // compaction: folds base + negative-delta rows to one live row per
+    // type behind a generation cutover — scores unchanged, partials shrunk
+    val before = spark.table("t_kn_d_cab").count()
+    val gen = Text.compactKnModel(spark, "t_kn_d")
+    assert(gen == 1L)
+    assert(spark.table("t_kn_d_g1_cab").count() < before)
+    assert(rows(Text.scoreAgainstKnModel(survivors, "doc_id", toks, "t_kn_d"))
+      == reference(survivors, Set(1L, 3L)))
+
+    // OOV surfacing: unseen bigrams contribute nothing and are counted;
+    // a doc with NO in-stats bigram gets a NULL nll, not a fake score
+    val oov = Seq((9L, "a z"), (10L, "a b z z")).toDF("doc_id", "text")
+    val scored = rows(Text.scoreAgainstKnModel(oov, "doc_id", toks, "t_kn_f"))
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(9L) == ((1L, 1L, None)))
+    // doc 10: bigrams ab (in-stats), bz, zz (OOV) -> nll over ab alone
+    val pAb = 0.875 // P(b|a) from the fixture above
+    def r4(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored(10L) == ((3L, 2L, Some(r4(-math.log(pAb))))))
+  }
+
+  test("Similarity.mmrSelect: hand-computed greedy diversification") {
+    // candidates for one query: d1/d2 are exact duplicates (pair cos 1),
+    // d3 is orthogonal — pure-relevance ranking would pick d1 then d2;
+    // MMR (λ=0.7) must pick d1, then d3 (d2's duplicate penalty drops it
+    // to 0.7·0.9 − 0.3·1 = 0.33 < 0.35), then d2 last
+    val cand = Seq(
+      (100L, 1L, Seq(1.0f, 0.0f), 0.95),
+      (100L, 2L, Seq(1.0f, 0.0f), 0.9),
+      (100L, 3L, Seq(0.0f, 1.0f), 0.5)
+    ).toDF("query_id", "doc_id", "emb", "rel")
+    val out = Similarity.mmrSelect(cand, kSel = 3, lambda = 0.7)
+      .select("step", "doc_id", "pen", "mmr")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    def r7(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((1L, 1L, 0.0, r7(0.7 * 0.95))))
+    assert(out(1) == ((2L, 3L, 0.0, r7(0.7 * 0.5))))
+    // d2's penalty is its cosine to selected d1 (an exact duplicate -> 1)
+    assert(out(2) == ((3L, 2L, 1.0, r7(0.7 * 0.9 - (1.0 - 0.7) * 1.0))))
   }
 
   test("Text.ulmTrain: hand-computed Viterbi-EM rounds, piece dropout, encode") {
