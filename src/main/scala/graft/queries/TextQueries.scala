@@ -809,6 +809,40 @@ object TextQueries {
         .orderBy("domain")
     }),
 
+    // The DoReMi mixture REALIZED as training data: the learned
+    // time-averaged weights (rounded 7dp, floored to permille — exact on
+    // both engines) become the budget sampler's mixture, the budget is
+    // 40% of corpus character units in exact integer arithmetic, and
+    // membership is the salted-hash rule — so the optimized mixture turns
+    // into a reproducible sampled corpus in one composition, and the
+    // oracle replays NLLs -> MW rounds -> rates -> every membership test.
+    "tx_doremi_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val u = Text.unigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("unll"))
+      val kn = Text.knBigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("knll"))
+      val ex = u.join(kn, Seq("id"))
+        .join(dd.select(col("doc_id").as("id"), col("lang").as("domain")),
+          Seq("id"))
+        .groupBy("domain")
+        .agg((sum(greatest(col("unll") - col("knll"), lit(0.0))
+            .cast("decimal(28,14)")).cast("double")
+          / count(lit(1))).as("lam"))
+        .localCheckpoint(true)
+      val wp = Sampling.doremiMixture(ex, eta = 10.0, smooth = 0.1, rounds = 10)
+        .select(col("domain"), round(col("alpha_avg") + lit(1e-9), 7).as("aw"))
+        .collect() // 5 rows — the mixture is model-sized
+        .map(r => r.getString(0) -> (r.getDouble(1) * 1000).toInt).toMap
+      val tot = dd.agg(sum("n_chars")).head().getLong(0)
+      val budget = (tot - tot % 5) / 5 * 2 // 40% of units, exact integers
+      Sampling.budgetMixtureSample(dd, col("lang"),
+          col("doc_id").cast("string"), col("n_chars"), wp, budget,
+          salt = "doremi_v1")
+        .select("doc_id", "lang", "n_chars", "group_units", "rate_permille")
+        .orderBy("doc_id")
+    }),
+
     // Persisted KN-LM SERVING — the ninth family's write -> reopen ->
     // score-from-stored round trip (the KenLM-artifact shape): the bigram
     // count partials land on disk (writeKnModel), the % 7 slice scores
@@ -1652,6 +1686,108 @@ object TextQueries {
        |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The shared DoReMi replay chain: both per-doc NLL chains (the
+    * tx_unigram_nll and tx_kn_nll oracles verbatim, renamed CTEs), the
+    * per-domain excess-loss aggregation `ex` (exact DECIMAL sum), then
+    * all 10 multiplicative-weights rounds as ONE recursive CTE over the
+    * pivoted 5-domain weight row (the classifier GD-replay idiom —
+    * per-round normalization is the same left-associated DECIMAL(28,14)
+    * chain Spark's order-free decimal sum computes), unpivoted back to
+    * rows as `fw(domain, alpha, ravg)`. Consumers append their final
+    * SELECT (the weights query) or further CTEs (the sampler).
+    */
+  private lazy val doremiChainSql: String = {
+    def upd(a: String, l: String) = s"$a * (1.0 + 10.0 * $l)"
+    val doms = Seq("de" -> "lde", "en" -> "len_", "es" -> "les",
+      "fr" -> "lfr", "zh" -> "lzh")
+    val pCols = doms.map { case (g, l) => s"a$g * (1.0 + 10.0 * $l) AS p$g" }
+      .mkString(",\n       |        ")
+    val sSum = doms.map { case (g, l) =>
+      s"CAST(${upd(s"a$g", l)} AS DECIMAL(28,14))" }
+      .mkString("(", "\n       |          + ", ")::DOUBLE AS s")
+    val nCols = doms.map { case (g, _) =>
+      s"(1.0 - 0.1) * (p$g / s) + (0.1 / 5.0) AS n$g" }
+      .mkString(",\n       |      ")
+    val lamPiv = doms.map { case (g, l) =>
+      s"max(CASE WHEN domain = '$g' THEN lam END) AS $l" }
+      .mkString(",\n       |  ")
+    val unpiv = doms.map { case (g, _) =>
+      s"SELECT '$g' AS domain, a$g AS alpha, r$g AS ravg FROM fin" }
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |utm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |utf AS (SELECT doc_id, term, count(1) AS tf FROM utm GROUP BY doc_id, term),
+       |ucf AS (SELECT term, sum(tf)::BIGINT AS cf FROM utf GROUP BY term),
+       |utot AS (SELECT sum(cf)::BIGINT AS tot FROM ucf),
+       |uc AS (
+       |  SELECT doc_id, tf, tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
+       |  FROM utf JOIN ucf USING (term) CROSS JOIN utot),
+       |ud AS (
+       |  SELECT doc_id,
+       |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS unll
+       |  FROM uc GROUP BY doc_id),
+       |bi AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2),
+       |btf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+       |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM btf GROUP BY a, b),
+       |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
+       |       FROM cab GROUP BY a),
+       |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
+       |kg AS (SELECT count(1)::BIGINT AS n_types,
+       |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
+       |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
+       |  FROM cab),
+       |disc AS (SELECT *,
+       |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+       |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
+       |  FROM kg),
+       |kc AS (
+       |  SELECT doc_id, tf,
+       |    tf::DOUBLE * -ln(
+       |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
+       |      + (d * n1a::DOUBLE / ca::DOUBLE)
+       |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
+       |  FROM btf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
+       |  CROSS JOIN disc),
+       |kd AS (
+       |  SELECT doc_id,
+       |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS knll
+       |  FROM kc GROUP BY doc_id),
+       |ex AS (
+       |  SELECT lang AS domain, count(1)::BIGINT AS n_docs,
+       |    sum(greatest(unll - knll, 0.0)::DECIMAL(28,14))::DOUBLE / count(1) AS lam
+       |  FROM ud JOIN kd USING (doc_id) JOIN t USING (doc_id)
+       |  GROUP BY lang),
+       |lp AS (SELECT
+       |  $lamPiv
+       |  FROM ex),
+       |mw(it, ade, aen, aes, afr, azh, rde, ren, res, rfr, rzh) AS (
+       |  -- anchor literals TYPE the recursive columns: a bare 0.0 is
+       |  -- DECIMAL(2,1) in DuckDB and would silently round every
+       |  -- accumulated iterate to one decimal place
+       |  SELECT 0, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
+       |         (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
+       |         0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+       |  UNION ALL
+       |  SELECT it + 1, nde, nen, nes, nfr, nzh,
+       |    rde + nde, ren + nen, res + nes, rfr + nfr, rzh + nzh
+       |  FROM (
+       |    SELECT it, rde, ren, res, rfr, rzh,
+       |      $nCols
+       |    FROM (
+       |      SELECT it, rde, ren, res, rfr, rzh,
+       |        $pCols,
+       |        $sSum
+       |      FROM mw, lp WHERE it < 10) z1) z2),
+       |fin AS (SELECT * FROM mw WHERE it = 10),
+       |fw AS (
+       |  $unpiv)""".stripMargin
+  }
+
   val oracles: Map[String, String] = {
     val toksCte =
       """WITH t AS (
@@ -2157,103 +2293,39 @@ object TextQueries {
       // pivoted 5-domain weight row (the classifier GD-replay idiom —
       // per-round normalization is the same left-associated
       // DECIMAL(28,14) chain Spark's order-free decimal sum computes).
-      "tx_doremi_weights" -> {
-        def upd(a: String, l: String) = s"$a * (1.0 + 10.0 * $l)"
-        val doms = Seq("de" -> "lde", "en" -> "len_", "es" -> "les",
-          "fr" -> "lfr", "zh" -> "lzh")
-        val pCols = doms.map { case (g, l) => s"a$g * (1.0 + 10.0 * $l) AS p$g" }
-          .mkString(",\n           |        ")
-        val sSum = doms.map { case (g, l) =>
-          s"CAST(${upd(s"a$g", l)} AS DECIMAL(28,14))" }
-          .mkString("(", "\n           |          + ", ")::DOUBLE AS s")
-        val nCols = doms.map { case (g, _) =>
-          s"(1.0 - 0.1) * (p$g / s) + (0.1 / 5.0) AS n$g" }
-          .mkString(",\n           |      ")
-        val lamPiv = doms.map { case (g, l) =>
-          s"max(CASE WHEN domain = '$g' THEN lam END) AS $l" }
-          .mkString(",\n           |  ")
-        val unpiv = doms.map { case (g, _) =>
-          s"SELECT '$g' AS domain, a$g AS alpha, r$g AS ravg FROM fin" }
-          .mkString("\n           |  UNION ALL ")
-        s"""WITH RECURSIVE t AS (
-           |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
-           |  FROM documents),
-           |utm AS (SELECT doc_id, unnest(toks) AS term FROM t),
-           |utf AS (SELECT doc_id, term, count(1) AS tf FROM utm GROUP BY doc_id, term),
-           |ucf AS (SELECT term, sum(tf)::BIGINT AS cf FROM utf GROUP BY term),
-           |utot AS (SELECT sum(cf)::BIGINT AS tot FROM ucf),
-           |uc AS (
-           |  SELECT doc_id, tf, tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
-           |  FROM utf JOIN ucf USING (term) CROSS JOIN utot),
-           |ud AS (
-           |  SELECT doc_id,
-           |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS unll
-           |  FROM uc GROUP BY doc_id),
-           |bi AS (
-           |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
-           |  FROM t, unnest(range(1, len(toks))) AS u(i)
-           |  WHERE len(toks) >= 2),
-           |btf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
-           |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM btf GROUP BY a, b),
-           |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
-           |       FROM cab GROUP BY a),
-           |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
-           |kg AS (SELECT count(1)::BIGINT AS n_types,
-           |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
-           |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
-           |  FROM cab),
-           |disc AS (SELECT *,
-           |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
-           |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
-           |  FROM kg),
-           |kc AS (
-           |  SELECT doc_id, tf,
-           |    tf::DOUBLE * -ln(
-           |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
-           |      + (d * n1a::DOUBLE / ca::DOUBLE)
-           |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
-           |  FROM btf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
-           |  CROSS JOIN disc),
-           |kd AS (
-           |  SELECT doc_id,
-           |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS knll
-           |  FROM kc GROUP BY doc_id),
-           |ex AS (
-           |  SELECT lang AS domain, count(1)::BIGINT AS n_docs,
-           |    sum(greatest(unll - knll, 0.0)::DECIMAL(28,14))::DOUBLE / count(1) AS lam
-           |  FROM ud JOIN kd USING (doc_id) JOIN t USING (doc_id)
-           |  GROUP BY lang),
-           |lp AS (SELECT
-           |  $lamPiv
-           |  FROM ex),
-           |mw(it, ade, aen, aes, afr, azh, rde, ren, res, rfr, rzh) AS (
-           |  -- anchor literals TYPE the recursive columns: a bare 0.0 is
-           |  -- DECIMAL(2,1) in DuckDB and would silently round every
-           |  -- accumulated iterate to one decimal place
-           |  SELECT 0, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
-           |         (1.0/5.0)::DOUBLE, (1.0/5.0)::DOUBLE,
-           |         0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
-           |  UNION ALL
-           |  SELECT it + 1, nde, nen, nes, nfr, nzh,
-           |    rde + nde, ren + nen, res + nes, rfr + nfr, rzh + nzh
-           |  FROM (
-           |    SELECT it, rde, ren, res, rfr, rzh,
-           |      $nCols
-           |    FROM (
-           |      SELECT it, rde, ren, res, rfr, rzh,
-           |        $pCols,
-           |        $sSum
-           |      FROM mw, lp WHERE it < 10) z1) z2),
-           |fin AS (SELECT * FROM mw WHERE it = 10),
-           |fw AS (
-           |  $unpiv)
+      "tx_doremi_weights" ->
+        s"""$doremiChainSql
            |SELECT domain, n_docs,
            |  round(lam + 0.000000001, 7) AS lam_excess,
            |  round(alpha + 0.000000001, 7) AS alpha_final,
            |  round(ravg / 10.0 + 0.000000001, 7) AS alpha_avg
            |FROM ex JOIN fw USING (domain)
-           |ORDER BY domain""".stripMargin
-      },
+           |ORDER BY domain""".stripMargin,
+
+      // The DoReMi mixture REALIZED: the learned time-averaged weights
+      // (rounded, floored to permille) drive the deterministic budget
+      // sampler over the same corpus — optimize the mixture, then sample
+      // it. The oracle replays the whole pipeline: both NLL chains, the
+      // ten MW rounds, the permille/rate integer arithmetic, and the
+      // salted-hash membership test of every emitted row.
+      "tx_doremi_sample" ->
+        s"""$doremiChainSql,
+           |aw AS (
+           |  SELECT domain, floor(round(ravg / 10.0 + 0.000000001, 7) * 1000)::INT AS wp
+           |  FROM fw),
+           |gu AS (SELECT lang, sum(n_chars)::BIGINT AS group_units
+           |       FROM documents GROUP BY lang),
+           |tt AS (SELECT sum(n_chars)::BIGINT AS tot FROM documents),
+           |bg AS (SELECT ((tot - tot % 5) // 5 * 2)::BIGINT AS budget FROM tt),
+           |rt AS (
+           |  SELECT lang, group_units,
+           |    least(1000, (budget * wp) // group_units)::INT AS rate_permille
+           |  FROM gu JOIN aw ON aw.domain = gu.lang CROSS JOIN bg)
+           |SELECT d.doc_id, d.lang, d.n_chars, rt.group_units, rt.rate_permille
+           |FROM documents d JOIN rt USING (lang)
+           |WHERE (('0x' || substr(md5('doremi_v1:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
+           |  < rt.rate_permille
+           |ORDER BY d.doc_id""".stripMargin,
 
       "tx_boilerplate" ->
         s"""$toksCte,
