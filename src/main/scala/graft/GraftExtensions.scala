@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcEnds, DotProductD, H60}
+import graft.functions.{AhoCounts, CdcEnds, DotProductD, H60}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so they are usable from both the Column API and
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H60].getName, "graft_h60"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         H60(children(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_aho"),
+      new ExpressionInfo(classOf[AhoCounts].getName, "graft_aho"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AhoCounts(children(0), children(1))))
     e.injectFunction((
       FunctionIdentifier("graft_cdc_ends"),
       new ExpressionInfo(classOf[CdcEnds].getName, "graft_cdc_ends"),

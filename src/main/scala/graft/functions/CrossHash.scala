@@ -135,6 +135,35 @@ object CrossHash {
 
   def l2Norm(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Per-pattern substring-occurrence counts as `array<int>` (position i
+    * = occurrences of `patterns(i)`, OVERLAPPING matches included — the
+    * Aho–Corasick match set). Resolves to the native automaton expression
+    * [[AhoCounts]] when [[graft.GraftExtensions]] is registered —
+    * O(|text| + matches) per row regardless of pattern count, the
+    * blocklist-scan scale path; falls back to a per-pattern position scan
+    * (O(|text| · patterns), the readable spec of the semantics and the
+    * formulation the DuckDB oracle mirrors).
+    */
+  def ahoCounts(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    if (hasNativeFunction("graft_aho"))
+      call_function("graft_aho", text, typedlit(patterns))
+    else ahoCountsFold(text, patterns)
+  }
+
+  /** Pre-promotion formulation of [[ahoCounts]]: for each pattern, count
+    * the start positions where the length-|p| slice equals it. Kept as
+    * the executable spec and for sessions without GraftExtensions.
+    */
+  def ahoCountsFold(text: Column, patterns: Seq[String]): Column =
+    array(patterns.map { p =>
+      when(length(text) >= p.length,
+        size(filter(sequence(lit(1), length(text) - (p.length - 1)),
+          i => text.substr(i, lit(p.length)) === p)))
+        .otherwise(0)
+    }: _*)
+
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (l2Norm(a) * l2Norm(b))
 

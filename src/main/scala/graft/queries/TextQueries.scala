@@ -907,6 +907,33 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Multi-pattern blocklist scan — the contamination/banned-phrase
+    // primitive at its real shape: ONE automaton pass per document counts
+    // every occurrence (overlapping included) of every pattern, O(text +
+    // matches) per row no matter how many patterns are loaded (a regex
+    // alternation or per-pattern contains() is O(text × patterns) and
+    // collapses at 10⁵ patterns). Patterns here are the corpus's top-10
+    // bigram phrases (tx_ngram_freq's statistic — blocklist-sized,
+    // collected like a broadcast); the oracle replays the same counts by
+    // per-pattern position scan, so the automaton's match semantics are
+    // hash-proven against the naive spec.
+    "tx_blocklist_scan" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pats = dd.withColumn("__tk", toks)
+        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(10)
+        .collect().map(_.getString(0)).toSeq
+      dd.select(col("doc_id"),
+          posexplode(CrossHash.ahoCounts(col("text"), pats))
+            .as(Seq("pid", "cnt")))
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("n_occurrences"),
+          sum(when(col("cnt") > 0, 1).otherwise(0)).cast("long")
+            .as("n_patterns_hit"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus n-gram frequency table — the training-data corpus statistic:
     // top word bigrams by count, ties broken lexicographically.
     "tx_ngram_freq" -> ((s, d) =>
@@ -2396,6 +2423,31 @@ object TextQueries {
            |SELECT a, b, n_ab,
            |  round(ln((n_ab * n_docs) / (df_a * df_b)) + 0.000000001, 4) AS pmi
            |FROM p, n ORDER BY n_ab DESC, a, b LIMIT 25""".stripMargin,
+
+      // Per-pattern position scan replaying the automaton's match set
+      // exactly: count start positions where the length-|p| slice equals
+      // the pattern — overlapping matches included, the Aho–Corasick
+      // semantics.
+      "tx_blocklist_scan" ->
+        s"""$toksCte,
+           |g AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |  FROM t),
+           |top AS (
+           |  SELECT gram FROM (
+           |    SELECT gram, count(1) AS n FROM g GROUP BY gram
+           |    ORDER BY n DESC, gram LIMIT 10)),
+           |m AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN length(text) >= length(gram)
+           |      THEN len(list_filter(range(1, length(text) - length(gram) + 2),
+           |        i -> substr(text, i, length(gram)) = gram))
+           |      ELSE 0 END AS cnt
+           |  FROM t CROSS JOIN top)
+           |SELECT doc_id, sum(cnt)::BIGINT AS n_occurrences,
+           |  sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_patterns_hit
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "tx_ngram_freq" ->
         s"""$toksCte,

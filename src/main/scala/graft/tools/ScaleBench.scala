@@ -833,6 +833,41 @@ object ScaleBench {
     measure("x10", scaleDir)
   }
 
+  /** Blocklist-scan cost vs PATTERN COUNT at fixed corpus (sf0.1): the
+    * Aho–Corasick expression must stay flat as patterns grow (one state
+    * transition per character), while the position-scan fold — the naive
+    * per-pattern formulation every regex-alternation pipeline degrades
+    * to — grows linearly. The fold at 1000 patterns is omitted by
+    * design: it is the projected ~10× of its 100-pattern point, and
+    * that's the cliff the automaton exists to remove.
+    */
+  private def runAho(spark: SparkSession, src: String): Unit = {
+    import graft.functions.CrossHash
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .localCheckpoint(true)
+    val toks = CrossHash.tokens(col("text"))
+    val grams = docs
+      .select(explode(CrossHash.wordShingles(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(1000)
+      .collect().map(_.getString(0)).toSeq
+    def time(tag: String, counts: org.apache.spark.sql.Column): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      docs.select(aggregate(counts, lit(0L), (a, v) => a + v).as("s"))
+        .agg(sum("s")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(10, 100, 1000).foreach { n =>
+      val p = grams.take(n)
+      val tN = time(s"native$n", CrossHash.ahoCounts(col("text"), p))
+      val tF = if (n <= 100)
+        f"${time(s"fold$n", CrossHash.ahoCountsFold(col("text"), p))}%7.2f s"
+      else "   (omitted: ~10x of fold100)"
+      println(f"AHO patterns=$n%4d  automaton $tN%7.2f s  fold $tF")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1015,6 +1050,11 @@ object ScaleBench {
     }
     if (which == "knfamily") {
       runKnFamily(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "aho") {
+      runAho(spark, src)
       spark.stop()
       return
     }

@@ -369,6 +369,34 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(10L) == ((3L, 2L, Some(r4(-math.log(pAb))))))
   }
 
+  test("AhoCounts: automaton hand-counts; native ≡ position-scan fold") {
+    import graft.functions.AhoAutomaton
+    val pats = Seq("ab", "aba", "b", "中文")
+    // "ababa": ab ends at 2,4; aba ends at 3,5 (OVERLAPPING — the match
+    // the naive leftmost-nonoverlap scan misses); b ends at 2,4
+    val auto = new AhoAutomaton(pats.toArray)
+    assert(auto.countAll("ababa").toSeq == Seq(2, 2, 2, 0))
+    assert(auto.countAll("xx中文中文x").toSeq == Seq(0, 0, 0, 2))
+    assert(auto.countAll("").toSeq == Seq(0, 0, 0, 0))
+    assert(auto.countAll("b").toSeq == Seq(0, 0, 1, 0))
+    // nested patterns: "aba" contains "ab" and "b" — the dictionary-
+    // suffix chain must emit all three at their shared end positions
+    assert(auto.countAll("aba").toSeq == Seq(1, 1, 1, 0))
+    // the session registers GraftExtensions, so ahoCounts resolves to the
+    // native expression; the HOF fold is the executable spec — row-for-row
+    // equality IS the automaton's correctness proof over real data shapes
+    val df = Seq((1L, "ababa"), (2L, "xx中文中文x"), (3L, "a"), (4L, "babab"))
+      .toDF("id", "text")
+    val nat = df.select(col("id"),
+      CrossHash.ahoCounts(col("text"), pats).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val fold = df.select(col("id"),
+      CrossHash.ahoCountsFold(col("text"), pats).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(nat == fold, s"native $nat vs fold $fold")
+    assert(nat(4L) == Seq(2, 1, 3, 0))
+  }
+
   test("Similarity.mmrSelect: hand-computed greedy diversification") {
     // candidates for one query: d1/d2 are exact duplicates (pair cos 1),
     // d3 is orthogonal — pure-relevance ranking would pick d1 then d2;
