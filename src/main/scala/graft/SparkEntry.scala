@@ -81,6 +81,7 @@ object SparkEntry {
       "tx_ulm_serving",
       "tx_kn_serving", "tx_kn_ingest", "tx_kn_delete",
       "tx_phrase_search", "tx_postings_stats", "tx_near_search",
-      "sim_hard_negatives", "sim_rag_retrieve", "sim_rag_batch") ++
+      "sim_hard_negatives", "sim_rag_retrieve", "sim_rag_batch",
+      "sim_rag_mmr") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

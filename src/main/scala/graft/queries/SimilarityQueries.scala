@@ -142,6 +142,22 @@ object SimilarityQueries {
     * the worst measured point, same policy as the sibling floors.
     */
   val IvfFilteredNprobe = 8
+
+  /** Floor for the served-MMR selected-set overlap certificate
+    * (sim_rag_mmr): measured min per-query overlap at probe depth 20 /
+    * nprobe 8 — see the dated BASELINE.md note for the measured values
+    * at both SFs.
+    */
+  val MmrRecallFloor = 0.70
+
+  /** Probe depth for sim_rag_mmr's served candidate generation: MMR's
+    * greedy chain AMPLIFIES a missed candidate (one absent strong pick
+    * reroutes every later step), so the served tier probes deeper than
+    * the fusion queries — measured: nprobe 8 min-overlap 0.50, nprobe 12
+    * reads min 0.75 / mean 0.99 at sf0.1 — the 0.70 floor leaves one
+    * step of margin under the measured minimum (dated BASELINE.md note).
+    */
+  val MmrNprobe = 12
   val IvfFilteredRecallFloor = 0.85
 
   /** Production-shaped serving certificate: `sim_knn_ivf_sqrtn` rebuilds
@@ -463,14 +479,40 @@ object SimilarityQueries {
       val q = queriesOf(e)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
-      val wN = Window.partitionBy("query_id")
-        .orderBy(col("rel").desc, col("doc_id"))
-      val cand = broadcast(q).join(c, col("query_id") =!= col("doc_id"))
+      def withRel(df: DataFrame): DataFrame = df
         .withColumn("rel", round(dotD(col("qe"), col("emb"))
           / (l2Norm(col("qe")) * l2Norm(col("emb"))), 7))
+      val wN = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id"))
+      val cand = withRel(broadcast(q).join(c, col("query_id") =!= col("doc_id")))
         .withColumn("__rn", row_number().over(wN)).filter(col("__rn") <= 20)
         .select("query_id", "doc_id", "emb", "rel")
-      Similarity.mmrSelect(cand, kSel = 8, lambda = 0.7)
+      val exact = Similarity.mmrSelect(cand, kSel = 8, lambda = 0.7)
+        .localCheckpoint(true)
+      // the SERVED tier: the same MMR pass over candidates from the
+      // shared persisted IVF base (probe depth 20) — the corpus-scale
+      // candidate generator the operator contract names. mmr_recall_ok
+      // certifies the MINIMUM per-query selected-set overlap vs the
+      // exact-candidate selection.
+      val servedCand = withRel(
+        Similarity.ivfTopKAgainstIndex(e.filter(col("vec_id") % 50 === 0),
+            ensureIvfBase(s, d), "vec_id", "embedding", k = 20,
+            nprobe = MmrNprobe)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+          .join(c, "doc_id").join(broadcast(q), "query_id"))
+        .select("query_id", "doc_id", "emb", "rel")
+      val served = Similarity.mmrSelect(servedCand, kSel = 8, lambda = 0.7)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      val perQ = Window.partitionBy("query_id")
+      val all = Window.partitionBy(lit(1))
+      exact.join(served, Seq("query_id", "doc_id"), "left")
+        .withColumn("q_overlap",
+          sum(coalesce(col("hit"), lit(0))).over(perQ).cast("double")
+            / count(lit(1)).over(perQ))
+        .withColumn("mmr_recall_ok",
+          min(col("q_overlap")).over(all) >= MmrRecallFloor)
+        .select("query_id", "step", "doc_id", "rel", "pen", "mmr",
+          "mmr_recall_ok")
         .orderBy("query_id", "step")
     }),
 
@@ -1176,7 +1218,8 @@ object SimilarityQueries {
          |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
          |sel0 AS MATERIALIZED (SELECT query_id, doc_id FROM cand WHERE 1 = 0),
          |$steps
-         |SELECT * FROM (
+         |SELECT query_id, step, doc_id, rel, pen, mmr, TRUE AS mmr_recall_ok
+         |FROM (
          |  ${(1 to 8).map(t => s"SELECT * FROM pk$t").mkString(" UNION ALL ")})
          |ORDER BY query_id, step""".stripMargin
     },
