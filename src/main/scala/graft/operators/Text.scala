@@ -960,6 +960,88 @@ object Text {
       .drop("__vit")
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM NLL — [[knBigramNll]] taken to the
+    * order production perplexity filters actually run (CCNet's KenLM is
+    * this same recursion two levels deeper): the top level discounts raw
+    * trigram counts, and BOTH lower levels use CONTINUATION counts (how
+    * many distinct contexts a gram completes), the Chen & Goodman
+    * discipline that separates fluent-but-rare phrasing from pasted
+    * boilerplate:
+    *
+    *   P(c|a,b)  = max(c(abc)−D₃,0)/c(ab·) + D₃·N1+(ab·)/c(ab·) · P(c|b)
+    *   P(c|b)    = max(N1+(·bc)−D₂,0)/N1+(·b·)
+    *                 + D₂·N1+(b·)/N1+(·b·) · P_cont(c)
+    *   P_cont(c) = N1+(·c) / N1+(··)
+    *
+    * with per-order closed-form discounts D = n1/(n1+2·n2) computed from
+    * that order's count-of-count tallies (raw trigram counts for D₃,
+    * continuation counts for D₂), degenerating to 0 when the order has no
+    * once/twice-seen types (the ML limit, as in the bigram scorer). All
+    * lower-order statistics derive from the trigram TYPE table alone —
+    * each a single type-table-sized aggregation — and the arithmetic is
+    * fixed-order double ops over exact integer counts, so the oracle
+    * replays it term for term.
+    *
+    * Output (id, n_trigrams, nll); docs with < 3 tokens emit no row.
+    */
+  def knTrigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), toks.as("tk"))
+    val tf = t.filter(size(col("tk")) >= 3)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 3),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+          element_at(col("tk"), i + 2).as("b"),
+          element_at(col("tk"), i + 3).as("c")))).as("tg"))
+      .select(col("id"), col("tg.a").as("a"), col("tg.b").as("b"),
+        col("tg.c").as("c"))
+      .groupBy("id", "a", "b", "c").agg(count(lit(1)).as("tf"))
+    val cabc = tf.groupBy("a", "b", "c").agg(sum("tf").as("cabc"))
+    val ab = cabc.groupBy("a", "b")
+      .agg(sum("cabc").as("cab2"), count(lit(1)).as("n3a"))
+    val g3 = cabc.agg(
+      coalesce(sum(when(col("cabc") === 1, 1L)), lit(0L)).as("n1_3"),
+      coalesce(sum(when(col("cabc") === 2, 1L)), lit(0L)).as("n2_3"))
+    // continuation table: N1+(·bc) = distinct predecessors per (b,c) —
+    // every lower-order statistic below derives from THIS table
+    val cont = cabc.groupBy("b", "c").agg(count(lit(1)).as("nbc"))
+    val bmid = cont.groupBy("b")
+      .agg(sum("nbc").as("nbdot"), count(lit(1)).as("nbmid"))
+    val g2 = cont.agg(
+      coalesce(sum(when(col("nbc") === 1, 1L)), lit(0L)).as("n1_2"),
+      coalesce(sum(when(col("nbc") === 2, 1L)), lit(0L)).as("n2_2"))
+    val cc = cont.groupBy("c").agg(count(lit(1)).as("ncc"))
+    val gBg = cont.agg(count(lit(1)).as("nbg"))
+    tf.join(cabc, Seq("a", "b", "c")).join(ab, Seq("a", "b"))
+      .join(cont, Seq("b", "c")).join(bmid, Seq("b")).join(cc, Seq("c"))
+      .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
+      .crossJoin(broadcast(gBg))
+      .withColumn("d3",
+        when(col("n1_3") + lit(2L) * col("n2_3") === 0L, lit(0.0))
+          .otherwise(col("n1_3").cast("double")
+            / (col("n1_3") + lit(2L) * col("n2_3")).cast("double")))
+      .withColumn("d2",
+        when(col("n1_2") + lit(2L) * col("n2_2") === 0L, lit(0.0))
+          .otherwise(col("n1_2").cast("double")
+            / (col("n1_2") + lit(2L) * col("n2_2")).cast("double")))
+      .withColumn("pcont",
+        col("ncc").cast("double") / col("nbg").cast("double"))
+      .withColumn("pmid",
+        greatest(col("nbc").cast("double") - col("d2"), lit(0.0))
+          / col("nbdot").cast("double")
+          + (col("d2") * col("nbmid").cast("double")
+            / col("nbdot").cast("double")) * col("pcont"))
+      .withColumn("contrib", col("tf").cast("double")
+        * -log(
+          greatest(col("cabc").cast("double") - col("d3"), lit(0.0))
+            / col("cab2").cast("double")
+          + (col("d3") * col("n3a").cast("double")
+            / col("cab2").cast("double")) * col("pmid")))
+      .groupBy("id")
+      .agg(sum("tf").cast("long").as("n_trigrams"),
+        round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
+          / sum("tf")) + 1e-9, 4).as("nll"))
+  }
+
   private[graft] val KnSuffixes = Seq("_cab", "_meta")
 
   /** Persist a Kneser-Ney bigram LM as the NINTH persisted family — the

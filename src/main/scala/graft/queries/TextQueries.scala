@@ -843,6 +843,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney TRIGRAM NLL — the recursion at the order
+    // production perplexity filters run (CCNet's KenLM shape): raw-count
+    // discounting at the top, continuation counts at both lower levels,
+    // per-order closed-form discounts. Docs with < 3 tokens emit no row.
+    "tx_kn3_nll" -> ((s, d) =>
+      Text.knTrigramNll(docs(s, d), "doc_id", toks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Persisted KN-LM SERVING — the ninth family's write -> reopen ->
     // score-from-stored round trip (the KenLM-artifact shape): the bigram
     // count partials land on disk (writeKnModel), the % 7 slice scores
@@ -2304,6 +2313,58 @@ object TextQueries {
            |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
            |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Mirrors Text.knTrigramNll: the trigram TYPE table feeds every
+      // statistic — (a,b) predecessor sums, the (b,c) continuation table
+      // (from which the mid denominators, the bottom continuation
+      // probabilities, AND the D2 count-of-counts all derive), and the
+      // two per-order discounts — assembled in the identical fixed order
+      // of double ops.
+      "tx_kn3_nll" ->
+        s"""$toksCte,
+           |tg AS (
+           |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+           |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+           |  WHERE len(toks) >= 3),
+           |tf AS (SELECT doc_id, a, b, c, count(1) AS tf FROM tg
+           |       GROUP BY doc_id, a, b, c),
+           |cabc AS (SELECT a, b, c, sum(tf)::BIGINT AS cabc FROM tf GROUP BY a, b, c),
+           |ab AS (SELECT a, b, sum(cabc)::BIGINT AS cab2, count(1)::BIGINT AS n3a
+           |       FROM cabc GROUP BY a, b),
+           |g3 AS (SELECT
+           |    coalesce(sum(CASE WHEN cabc = 1 THEN 1 END), 0)::BIGINT AS n1_3,
+           |    coalesce(sum(CASE WHEN cabc = 2 THEN 1 END), 0)::BIGINT AS n2_3
+           |  FROM cabc),
+           |cont AS (SELECT b, c, count(1)::BIGINT AS nbc FROM cabc GROUP BY b, c),
+           |bmid AS (SELECT b, sum(nbc)::BIGINT AS nbdot, count(1)::BIGINT AS nbmid
+           |         FROM cont GROUP BY b),
+           |g2 AS (SELECT
+           |    coalesce(sum(CASE WHEN nbc = 1 THEN 1 END), 0)::BIGINT AS n1_2,
+           |    coalesce(sum(CASE WHEN nbc = 2 THEN 1 END), 0)::BIGINT AS n2_2
+           |  FROM cont),
+           |cc AS (SELECT c, count(1)::BIGINT AS ncc FROM cont GROUP BY c),
+           |gbg AS (SELECT count(1)::BIGINT AS nbg FROM cont),
+           |dd AS (SELECT
+           |    CASE WHEN n1_3 + 2 * n2_3 = 0 THEN 0.0
+           |         ELSE n1_3::DOUBLE / (n1_3 + 2 * n2_3)::DOUBLE END AS d3,
+           |    CASE WHEN n1_2 + 2 * n2_2 = 0 THEN 0.0
+           |         ELSE n1_2::DOUBLE / (n1_2 + 2 * n2_2)::DOUBLE END AS d2,
+           |    nbg
+           |  FROM g3 CROSS JOIN g2 CROSS JOIN gbg),
+           |x AS (
+           |  SELECT doc_id, tf,
+           |    tf::DOUBLE * -ln(
+           |      greatest(cabc::DOUBLE - d3, 0) / cab2::DOUBLE
+           |      + (d3 * n3a::DOUBLE / cab2::DOUBLE)
+           |        * (greatest(nbc::DOUBLE - d2, 0) / nbdot::DOUBLE
+           |          + (d2 * nbmid::DOUBLE / nbdot::DOUBLE)
+           |            * (ncc::DOUBLE / nbg::DOUBLE))) AS contrib
+           |  FROM tf JOIN cabc USING (a, b, c) JOIN ab USING (a, b)
+           |  JOIN cont USING (b, c) JOIN bmid USING (b) JOIN cc USING (c)
+           |  CROSS JOIN dd)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+           |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
+           |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // The three KN-family lifecycle oracles: serving and ingest-fold
       // both promise full-corpus statistics (green ingest = delta fold ≡

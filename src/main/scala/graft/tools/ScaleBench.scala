@@ -829,6 +829,14 @@ object ScaleBench {
         f"($served%6d docs)  ingest(10%%) $tIngest%6.2f s  " +
         f"retrain $tRetrain%7.2f s  ingest/retrain ${tIngest / tRetrain}%5.2f")
     }
+    // untimed warm pass: JVM/codegen/parquet-footer costs would otherwise
+    // land on the x1 build and invert the decade comparison
+    graft.sources.Sinks.dropTableFamily(spark, "sb_knf_warm", Text.KnSuffixes)
+    Text.writeKnModel(spark.read.parquet(s"$src/documents.parquet"),
+      "doc_id", toks, "sb_knf_warm")
+    Text.scoreAgainstKnModel(
+      spark.read.parquet(s"$src/documents.parquet").limit(50),
+      "doc_id", toks, "sb_knf_warm").count()
     measure("x1", src)
     measure("x10", scaleDir)
   }

@@ -308,6 +308,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._2 > 0 && out(3L)._2 > 0)
   }
 
+  test("Text.knTrigramNll: hand-computed interpolated trigram KN") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    // trigram types: abc=2, bca=1, cab=1, abd=1
+    //   n1=3, n2=1 => D3 = 3/5 = 0.6
+    //   contexts: (a,b): c(ab·)=3, N1+=2; (b,c): 1,1; (c,a): 1,1
+    // continuation rows (b,c)/(c,a)/(a,b)/(b,d) all N1+(·xy)=1
+    //   => D2 = 4/(4+0) = 1; every N1+(·x·) fold: b->(2,2), c->(1,1),
+    //      a->(1,1); P_cont = 1/4 for every token; P_mid = 0.25 everywhere
+    // P(c|a,b) = 1.4/3 + (0.6·2/3)·0.25; P(d|a,b) = 0.4/3 + (0.6·2/3)·0.25
+    // P(a|b,c) = 0.4/1 + (0.6·1/1)·0.25 = 0.55 = P(b|c,a)
+    val out = Text.knTrigramNll(docs, "doc_id", CrossHash.tokens(col("text")))
+      .select("id", "n_trigrams", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pCab = (2.0 - 0.6) / 3.0 + (0.6 * 2.0 / 3.0) * 0.25
+    val pDab = (1.0 - 0.6) / 3.0 + (0.6 * 2.0 / 3.0) * 0.25
+    assert(out(1L) ==
+      ((4L, r4((2 * -math.log(pCab) + 2 * -math.log(0.55)) / 4))))
+    assert(out(2L) == ((1L, r4(-math.log(pDab)))))
+    assert(!out.contains(3L), "a two-token doc has no trigrams and no row")
+    // the top-order discount bites: the twice-seen trigram scores better
+    // than the once-seen one in the same context
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("Text KN model family: serve ≡ in-memory, ingest-fold ≡ retrain, " +
       "delete ≡ retrain-without, OOV surfaced") {
     val toks = CrossHash.tokens(col("text"))
