@@ -476,9 +476,25 @@ object Text {
     * Output (id, n_tokens, nll), nll rounded to 4 decimals.
     */
   def unigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
-    val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+    val tf = unigramTf(docs, idCol, toks)
+    unigramScoreAgainstStats(tf, tf.groupBy("term").agg(sum("tf").as("cf")))
+  }
+
+  /** Per-document term frequencies (id, term, tf) — the shared front half
+    * of unigram scoring, so serving can score a batch against FROZEN
+    * corpus statistics (the [[knScoreAgainstStats]] split one order down).
+    */
+  private[graft] def unigramTf(
+      docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    docs.select(col(idCol).as("id"), explode(toks).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+
+  /** Score a per-doc tf frame against a (term, cf) statistics table —
+    * the corpus total derives from the stats table itself, so the whole
+    * frozen artifact is ONE table (the `_cab` discipline).
+    */
+  private[graft] def unigramScoreAgainstStats(
+      tf: DataFrame, cf: DataFrame): DataFrame = {
     val tot = cf.agg(sum("cf").as("tot"))
     tf.join(cf, "term").crossJoin(broadcast(tot))
       .withColumn("contrib",

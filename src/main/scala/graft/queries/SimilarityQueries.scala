@@ -446,8 +446,14 @@ object SimilarityQueries {
           nprobe = IvfFilteredNprobe)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("dense_rank"))
-      val sparseServed = TextIndex.bm25BatchAgainstIndex(
-          s, TextQueries.ensureTextBase(s, d), bags, kTop = 50)
+      // the sparse tier rides the BATCHED MaxScore probe (the r11 #6
+      // composition completed at the batch grain): lossless pruning with
+      // per-bag essential sets over ONE shared bounds/θ pass, so the
+      // exact-fusion oracle is unchanged — green proves the composition.
+      // Forced engagement for the same reason as tx_bm25_batch_maxscore.
+      val sparseServed = TextIndex.bm25MaxScoreBatchAgainstIndex(
+          s, TextQueries.ensureTextBase(s, d), bags, kTop = 50,
+          engageMinPostings = 0L)
         .select(col("query_id"), col("id").as("doc_id"),
           col("rank").as("sparse_rank"))
       val served = fuse(denseServed, sparseServed)

@@ -1182,6 +1182,86 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed DoReMi mixture maintenance: the reference models FREEZE
+    // first (the KN family build + the unigram (term, cf) table persisted
+    // as the frozen artifacts), then the corpus streams in four
+    // micro-batches, each scored in foreachBatch against the FROZEN stats
+    // and reduced to per-domain (Σ excess as DECIMAL(28,14), n) partials —
+    // exact and order-free, so the drained fold feeds the multiplicative-
+    // weights rounds the IDENTICAL λ the one-shot query computes, and the
+    // final mixture must match tx_doremi_weights row for row (serve_ok
+    // pins parity + 4 batches; the oracle replays the whole chain).
+    "st_doremi_parity" -> ((s, d) => {
+      import graft.operators.{Sampling, Text}
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val toks = graft.functions.CrossHash.tokens(col("text"))
+      val splitDir = fixtureDir("doremi", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val knPrefix = s"doremi_kn_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, knPrefix, Text.KnSuffixes)
+      Text.writeKnModel(docs, "doc_id", toks, knPrefix)
+      val cfTable = s"doremi_cf_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropManagedTable(s, cfTable)
+      Text.unigramTf(docs, "doc_id", toks)
+        .groupBy("term").agg(sum("tf").as("cf"))
+        .write.mode("overwrite").format("parquet").saveAsTable(cfTable)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dor_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) => {
+              val b = batch.toDF().localCheckpoint(true)
+              val u = Text.unigramScoreAgainstStats(
+                  Text.unigramTf(b, "doc_id", toks), s.table(cfTable))
+                .select(col("id"), col("nll").as("unll"))
+              val k = Text.scoreAgainstKnModel(b, "doc_id", toks, knPrefix)
+                .select(col("id"), col("nll").as("knll"))
+              u.join(k, Seq("id"))
+                .join(b.select(col("doc_id").as("id"),
+                  col("lang").as("domain")), Seq("id"))
+                .groupBy("domain")
+                .agg(sum(greatest(col("unll") - col("knll"), lit(0.0))
+                    .cast("decimal(28,14)")).as("sx"),
+                  count(lit(1)).as("n"))
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val partials = s.read.parquet(resultsDir).localCheckpoint(true)
+        val ex = partials.groupBy("domain")
+          .agg((sum("sx").cast("double") / sum("n")).as("lam"),
+            sum("n").as("n_docs"))
+          .localCheckpoint(true)
+        val streamed = Sampling.doremiMixture(ex.select("domain", "lam"),
+            eta = 10.0, smooth = 0.1, rounds = 10)
+          .join(ex.select("domain", "n_docs"), Seq("domain"))
+          .select(col("domain"), col("n_docs"),
+            round(col("lam") + 1e-9, 7).as("lam_excess"),
+            round(col("alpha_final") + 1e-9, 7).as("alpha_final"),
+            round(col("alpha_avg") + 1e-9, 7).as("alpha_avg"))
+          .localCheckpoint(true)
+        val oneShot = TextQueries.queries("tx_doremi_weights")(s, d)
+          .localCheckpoint(true)
+        val parity = streamed.count() == oneShot.count() &&
+          streamed.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(streamed).isEmpty
+        val batches = partials.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .orderBy("domain")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed KN-LM serving: the ninth family's streaming twin — the
     // bigram-count model trains once and PERSISTS (writeKnModel), then
     // the corpus streams in four micro-batches, each batch scored in
@@ -1758,6 +1838,19 @@ object StreamQueries {
     // row-identical to the one-shot pass.
     "st_kn_serving_parity" ->
       TextQueries.knServeSql("", "", ",\n  TRUE AS serve_ok"),
+
+    // tx_doremi_weights' full replay with serve_ok pinned TRUE: the
+    // drained decimal partials fold to the identical lambda, so the
+    // streamed mixture must equal the one-shot chain exactly.
+    "st_doremi_parity" ->
+      s"""${TextQueries.doremiChainSql}
+         |SELECT domain, n_docs,
+         |  round(lam + 0.000000001, 7) AS lam_excess,
+         |  round(alpha + 0.000000001, 7) AS alpha_final,
+         |  round(ravg / 10.0 + 0.000000001, 7) AS alpha_avg,
+         |  TRUE AS serve_ok
+         |FROM ex JOIN fw USING (domain)
+         |ORDER BY domain""".stripMargin,
 
     // d_incremental_clusters' full-recompute oracle verbatim: four
     // composed label updates must equal the one-shot day update.

@@ -1732,7 +1732,7 @@ object TextQueries {
     * rows as `fw(domain, alpha, ravg)`. Consumers append their final
     * SELECT (the weights query) or further CTEs (the sampler).
     */
-  private lazy val doremiChainSql: String = {
+  private[queries] lazy val doremiChainSql: String = {
     def upd(a: String, l: String) = s"$a * (1.0 + 10.0 * $l)"
     val doms = Seq("de" -> "lde", "en" -> "len_", "es" -> "les",
       "fr" -> "lfr", "zh" -> "lzh")
