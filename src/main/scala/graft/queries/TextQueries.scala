@@ -324,6 +324,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Calibration audit for the quality classifier — the reliability
+    // diagram a model-based filter needs before its scores can gate data
+    // (a miscalibrated filter silently shifts the kept distribution):
+    // predicted scores bucket into deciles, each bin reports mean
+    // prediction vs empirical positive rate and their gap, plus the
+    // expected calibration error (ECE, the n-weighted mean gap). The
+    // oracle replays the full 50-round GD training and every bin stat.
+    "tx_clf_calibration" -> ((s, d) => {
+      val feats = classifierFeatures(s, d)
+      val scored = LinearModel.scoreSquashedLinear(
+        feats, ClfXCols, classifierWeights(s, d))
+      val agg = scored
+        .withColumn("bin",
+          least(floor(col("score") * 10 + lit(1e-9)), lit(9L)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round((sum(col("score").cast("decimal(28,14)")).cast("double")
+            / count(lit(1))) + 1e-9, 7).as("avg_pred"),
+          round((sum(col("y").cast("decimal(28,14)")).cast("double")
+            / count(lit(1))) + 1e-9, 7).as("pos_rate"))
+        .withColumn("gap",
+          round(abs(col("avg_pred") - col("pos_rate")) + 1e-9, 7))
+      val all = Window.partitionBy(lit(1))
+      agg.withColumn("ece", round(
+          (sum((col("gap") * col("n")).cast("decimal(28,14)")).over(all)
+            .cast("double") / sum(col("n")).over(all)) + 1e-9, 7))
+        .orderBy("bin")
+    }),
+
     // Held-out generalization check — the train/eval split discipline:
     // the probe trains on doc_id % 5 != 0 ONLY and scores the unseen
     // fifth; `holdout_acc_ok` certifies held-out agreement >= 0.8
@@ -1848,6 +1877,29 @@ object TextQueries {
            |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
            |       s7 >= 0.5 AS pred_keep, (y = 1.0) AS is_good
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // the full GD replay + the binning/ECE arithmetic: bins from the
+      // nudged floor of s7*10 (both engines floor the same double), bin
+      // stats as exact decimal sums, ECE from the ROUNDED gaps
+      "tx_clf_calibration" ->
+        s"""$classifierCtes,
+           |cb AS (
+           |  SELECT doc_id, y, s7,
+           |    least(CAST(floor(s7 * 10 + 0.000000001) AS BIGINT), 9) AS bin
+           |  FROM sc),
+           |ca AS (
+           |  SELECT bin, count(1)::BIGINT AS n,
+           |    round((sum(s7::DECIMAL(28,14))::DOUBLE / count(1)) + 0.000000001, 7) AS avg_pred,
+           |    round((sum(y::DECIMAL(28,14))::DOUBLE / count(1)) + 0.000000001, 7) AS pos_rate
+           |  FROM cb GROUP BY bin),
+           |cg AS (SELECT *,
+           |    round(abs(avg_pred - pos_rate) + 0.000000001, 7) AS gap
+           |  FROM ca),
+           |ce AS (SELECT sum((gap * n)::DECIMAL(28,14))::DOUBLE / sum(n) AS ece_raw
+           |       FROM cg)
+           |SELECT bin, n, avg_pred, pos_rate, gap,
+           |  round(ece_raw + 0.000000001, 7) AS ece
+           |FROM cg CROSS JOIN ce ORDER BY bin""".stripMargin,
 
       // train on 4/5, score the unseen fifth; the certificate is
       // pinned TRUE — a sub-floor held-out accuracy hash-mismatches
