@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AhoCounts, CdcEnds, DotProductD, H60}
+import graft.functions.{AhoCounts, AhoSpans, CdcEnds, DotProductD, H60}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so they are usable from both the Column API and
@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AhoCounts].getName, "graft_aho"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AhoCounts(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_aho_spans"),
+      new ExpressionInfo(classOf[AhoSpans].getName, "graft_aho_spans"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AhoSpans(children(0), children(1))))
     e.injectFunction((
       FunctionIdentifier("graft_cdc_ends"),
       new ExpressionInfo(classOf[CdcEnds].getName, "graft_cdc_ends"),

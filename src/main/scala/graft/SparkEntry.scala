@@ -74,12 +74,13 @@ object SparkEntry {
       "sim_knn_ivf_delete",
       "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_ivfpq_ingest",
       "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete",
-      "tx_clf_holdout",
+      "tx_clf_holdout", "tx_clf_calibrated",
       "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
       "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
       "tx_bm25_elided", "tx_bm25_maxscore", "tx_bm25_batch_maxscore",
       "tx_ulm_serving",
       "tx_kn_serving", "tx_kn_ingest", "tx_kn_delete",
+      "tx_kn3_serving", "tx_kn3_ingest", "tx_kn3_delete",
       "tx_phrase_search", "tx_postings_stats", "tx_near_search",
       "sim_hard_negatives", "sim_rag_retrieve", "sim_rag_batch",
       "sim_rag_mmr") ++

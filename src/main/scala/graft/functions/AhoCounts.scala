@@ -28,6 +28,7 @@ final class AhoAutomaton(patterns: Array[String]) extends Serializable {
   require(patterns.forall(_.nonEmpty), "empty-string pattern")
 
   val nPatterns: Int = patterns.length
+  private val patLens: Array[Int] = patterns.map(_.length)
 
   // goto trie --------------------------------------------------------
   private val children = scala.collection.mutable.ArrayBuffer(
@@ -99,6 +100,85 @@ final class AhoAutomaton(patterns: Array[String]) extends Serializable {
   /** Codegen entry point: counts boxed as Catalyst array data. */
   def countAllAsArrayData(text: UTF8String): ArrayData =
     new GenericArrayData(countAll(text.toString))
+
+  /** Every match over `text` as a (start, len) span — 1-based UTF-16
+    * start position, length in code units; overlapping and nested
+    * matches each emit their own span. Sorted by (start asc, len asc),
+    * the exact order the fold formulation's `array_sort` over
+    * (start, len) structs produces, so the two dispatch targets stay
+    * element-identical. Same single automaton pass as [[countAll]].
+    */
+  def spansAll(text: String): Array[(Int, Int)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !children(s).containsKey(ch)) s = fail(s)
+      if (children(s).containsKey(ch)) s = children(s).get(ch)
+      var o = if (endsArr(s).nonEmpty) s else outLink(s)
+      while (o != -1) {
+        val pids = endsArr(o)
+        var j = 0
+        while (j < pids.length) {
+          val len = patLens(pids(j))
+          buf += ((i - len + 2, len)) // end index i (0-based) → 1-based start
+          j += 1
+        }
+        o = outLink(o)
+      }
+      i += 1
+    }
+    buf.sortInPlaceBy(x => (x._1, x._2)).toArray
+  }
+
+  /** Codegen entry point: spans boxed as Catalyst (start, len) rows. */
+  def spansAllAsArrayData(text: UTF8String): ArrayData =
+    new GenericArrayData(spansAll(text.toString).map { case (st, ln) =>
+      org.apache.spark.sql.catalyst.InternalRow(st, ln)
+    }.toArray[Any])
+}
+
+/** Shared analysis-time validation of the `(text, patterns)` signature the
+  * two automaton expressions take: string text, a foldable non-empty
+  * array<string> literal with non-null, non-empty, BMP-only patterns.
+  */
+private[functions] object AhoPatternCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def check(prettyName: String, text: Expression,
+      patterns: Expression): TypeCheckResult = {
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string text argument, got ${text.dataType}")
+    else if (!patterns.foldable ||
+        !patterns.dataType.isInstanceOf[ArrayType] ||
+        patterns.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a foldable array<string> pattern literal")
+    else {
+      // the literal is foldable, so validate its VALUE here too — a NULL,
+      // empty-string, or empty-array pattern set would otherwise surface
+      // as an NPE/require inside a task at first eval instead of an
+      // analysis-time error (a SQL call like graft_aho(t, array('')))
+      val arr = patterns.eval().asInstanceOf[ArrayData]
+      if (arr == null || arr.numElements() == 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a non-empty, non-null pattern array")
+      else {
+        val vals = Array.tabulate(arr.numElements())(i =>
+          if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString)
+        if (vals.exists(v => v == null || v.isEmpty))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName patterns must be non-null, non-empty strings")
+        else if (vals.exists(v => v.codePointCount(0, v.length) != v.length))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName patterns must be BMP-only (the automaton matches " +
+              "UTF-16 code units; the fold formulation slices by codepoint)")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
 }
 
 /** `graft_aho(text, patterns)` — per-pattern occurrence counts as
@@ -120,18 +200,8 @@ case class AhoCounts(text: Expression, patterns: Expression)
 
   override def nullable: Boolean = text.nullable
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (text.dataType != StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_aho expects a string text argument, got ${text.dataType}")
-    else if (!patterns.foldable ||
-        !patterns.dataType.isInstanceOf[ArrayType] ||
-        patterns.dataType.asInstanceOf[ArrayType].elementType != StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_aho expects a foldable array<string> pattern literal")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    AhoPatternCheck.check(prettyName, text, patterns)
 
   @transient private lazy val automaton: AhoAutomaton = {
     val arr = patterns.eval().asInstanceOf[ArrayData]
@@ -150,6 +220,56 @@ case class AhoCounts(text: Expression, patterns: Expression)
       classOf[AhoAutomaton].getName)
     nullSafeCodeGen(ctx, ev, (t, _) =>
       s"${ev.value} = $autoRef.countAllAsArrayData($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, patterns = newRight)
+}
+
+/** `graft_aho_spans(text, patterns)` — every match as a
+  * `array<struct<start:int,len:int>>` span (1-based start, overlapping
+  * and nested matches included), sorted by (start, len): the ACTING form
+  * of the blocklist scan — [[AhoCounts]] tells a pipeline HOW MUCH is
+  * blocklisted, this tells it WHERE, which is what the excision verb
+  * ([[graft.operators.Text.exciseSpans]]) consumes. Same once-per-plan
+  * automaton, same single pass per row. The portable formulation this
+  * must match element for element is [[CrossHash.ahoSpansFold]]'s
+  * per-pattern position scan under the identical (start, len) sort.
+  */
+case class AhoSpans(text: Expression, patterns: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = patterns
+
+  override def prettyName: String = "graft_aho_spans"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = text.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    AhoPatternCheck.check(prettyName, text, patterns)
+
+  @transient private lazy val automaton: AhoAutomaton = {
+    val arr = patterns.eval().asInstanceOf[ArrayData]
+    new AhoAutomaton(Array.tabulate(arr.numElements())(i =>
+      arr.getUTF8String(i).toString))
+  }
+
+  override protected def nullSafeEval(t: Any, pats: Any): Any =
+    automaton.spansAllAsArrayData(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val autoRef = ctx.addReferenceObj("ahoAutomaton", automaton,
+      classOf[AhoAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $autoRef.spansAllAsArrayData($t);")
   }
 
   override protected def withNewChildrenInternal(

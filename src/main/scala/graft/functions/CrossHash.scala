@@ -145,24 +145,76 @@ object CrossHash {
     * formulation the DuckDB oracle mirrors).
     */
   def ahoCounts(text: Column, patterns: Seq[String]): Column = {
-    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
-      "patterns must be non-empty strings")
+    requireBmpPatterns(patterns)
     if (hasNativeFunction("graft_aho"))
       call_function("graft_aho", text, typedlit(patterns))
     else ahoCountsFold(text, patterns)
+  }
+
+  /** Shared precondition of the two [[ahoCounts]] formulations: non-empty
+    * BMP-only patterns. The native automaton matches UTF-16 code units
+    * while the fold formulation slices by CODEPOINT (Spark's substr), so
+    * an astral (non-BMP) pattern would make the two diverge — rejected
+    * here rather than silently dispatching to different semantics.
+    */
+  private[graft] def requireBmpPatterns(patterns: Seq[String]): Unit = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    val astral = patterns.filter(p => p.codePointCount(0, p.length) != p.length)
+    require(astral.isEmpty,
+      s"patterns must be BMP-only (UTF-16 length == codepoint length); " +
+        s"got astral pattern(s): ${astral.take(3).mkString(", ")}")
   }
 
   /** Pre-promotion formulation of [[ahoCounts]]: for each pattern, count
     * the start positions where the length-|p| slice equals it. Kept as
     * the executable spec and for sessions without GraftExtensions.
     */
-  def ahoCountsFold(text: Column, patterns: Seq[String]): Column =
+  def ahoCountsFold(text: Column, patterns: Seq[String]): Column = {
+    requireBmpPatterns(patterns)
     array(patterns.map { p =>
       when(length(text) >= p.length,
         size(filter(sequence(lit(1), length(text) - (p.length - 1)),
           i => text.substr(i, lit(p.length)) === p)))
         .otherwise(0)
     }: _*)
+  }
+
+  /** Every blocklist match as a (start, len) span — `array<struct<start:
+    * int,len:int>>`, 1-based starts, overlapping/nested matches each
+    * emitting their own span, sorted by (start, len). The ACTING sibling
+    * of [[ahoCounts]]: [[graft.operators.Text.exciseSpans]] consumes the
+    * spans to remove or redact the matched regions. Resolves to the
+    * native automaton expression [[AhoSpans]] (one pass per row) when
+    * [[graft.GraftExtensions]] is registered; falls back to the
+    * per-pattern position scan, the readable spec the DuckDB oracle
+    * mirrors.
+    */
+  def ahoSpans(text: Column, patterns: Seq[String]): Column = {
+    requireBmpPatterns(patterns)
+    if (hasNativeFunction("graft_aho_spans"))
+      call_function("graft_aho_spans", text, typedlit(patterns))
+    else ahoSpansFold(text, patterns)
+  }
+
+  /** Pre-promotion formulation of [[ahoSpans]]: per-pattern position
+    * scan emitting (start, len) structs, sorted by (start, len) — the
+    * executable spec of the span semantics.
+    */
+  def ahoSpansFold(text: Column, patterns: Seq[String]): Column = {
+    requireBmpPatterns(patterns)
+    // the short-text branch must be an EMPTY typed array, not NULL —
+    // flatten propagates a null element to a null result
+    val spanType = "array<struct<start:int,len:int>>"
+    array_sort(flatten(array(patterns.map { p =>
+      when(length(text) >= p.length,
+        transform(
+          filter(sequence(lit(1), length(text) - (p.length - 1)),
+            i => text.substr(i, lit(p.length)) === p),
+          i => struct(i.cast("int").as("start"), lit(p.length).as("len"))))
+        .otherwise(array().cast(spanType))
+    }: _*)))
+  }
 
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (l2Norm(a) * l2Norm(b))

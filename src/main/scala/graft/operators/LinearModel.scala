@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed linear classifier training + scoring — the
@@ -103,6 +104,89 @@ object LinearModel {
       predCol: String = "pred"): DataFrame = {
     val s = round(squash(margin(xCols.map(col), w)), 7)
     feats.withColumn(scoreCol, s).withColumn(predCol, col(scoreCol) >= 0.5)
+  }
+
+  /** Isotonic-regression calibration fit (pool-adjacent-violators; Ayer
+    * et al. 1955, Zadrozny & Elkan 2002) — the calibration pass a
+    * model-based quality filter needs before its scores can gate data as
+    * KEEP PROBABILITIES (the `tx_clf_calibration` audit measures the
+    * distortion; this removes it): given per-score-level label
+    * statistics, fit the least-squares MONOTONE map score → P(y=1).
+    *
+    * Computed via the minimax closed form of the PAV solution
+    * (Robertson, Wright & Dykstra 1988, eq. 1.9–1.13):
+    *
+    *   cal(i) = min_{k ≥ i} max_{j ≤ i} mean(y over levels j..k)
+    *
+    * which replays as pure relational algebra — integer prefix sums over
+    * the level table, one (j ≤ k) pair frame, a running max per k, a min
+    * per i — instead of the sequential pooling stack, so a second SQL
+    * engine reproduces it bit-for-bit: every interval mean is ONE double
+    * division of exact integer sums (identical across engines), and
+    * max/min comparisons on identical doubles are exact. This is the
+    * same "replace the sequential algorithm by its closed form" device
+    * as the classifier's recursive-CTE GD replay.
+    *
+    * Input `levels`: (lvl: double — the DISTINCT score level, n: long —
+    * rows at that level, pos: long — positives at that level). Output:
+    * (lvl, cal) with cal the fitted monotone probability, UNROUNDED
+    * (callers round for presentation; comparisons happen on the exact
+    * doubles).
+    *
+    * Scale shape: the level table is bounded by the score grid (4-decimal
+    * levels → ≤ 10001 rows) regardless of corpus size, so the O(m²) pair
+    * frame is CONSTANT-bounded and corpus-independent — only the
+    * upstream level aggregation scans the data. The windows partition by
+    * a constant because m is model-sized, the same single-partition
+    * discipline as the MW/GD weight frames.
+    */
+  def isotonicFit(levels: DataFrame): DataFrame = {
+    val one = Window.partitionBy(lit(1)).orderBy("lvl")
+    val cum = one.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val li = levels
+      .select(col("lvl"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"))
+      .withColumn("i", row_number().over(one))
+      .withColumn("cn", sum("n").over(cum))
+      .withColumn("cpos", sum("pos").over(cum))
+      .localCheckpoint(true) // level-table-sized; feeds two join sides
+    val a = li.select(col("i").as("ji"), col("lvl"),
+      (col("cn") - col("n")).as("cn0"), (col("cpos") - col("pos")).as("cpos0"))
+    val b = li.select(col("i").as("ki"), col("cn").as("cnk"),
+      col("cpos").as("cposk"))
+    val wk = Window.partitionBy("ki").orderBy("ji")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.join(b, col("ji") <= col("ki"))
+      .withColumn("mn", (col("cposk") - col("cpos0")).cast("double")
+        / (col("cnk") - col("cn0")).cast("double"))
+      .withColumn("mxv", max("mn").over(wk))
+      .groupBy("ji", "lvl").agg(min("mxv").as("cal"))
+      .select("lvl", "cal")
+  }
+
+  /** Apply a fitted isotonic map as a STEP FUNCTION: each row's score
+    * level maps to the calibrated value of the greatest fitted level
+    * ≤ it, clamping below the smallest level to the first value (scores
+    * above the largest level take its value by the same rule). The map
+    * is level-table-sized, so both joins broadcast; `lvlCol` must be on
+    * the same rounded grid the fit was built from.
+    */
+  def isotonicApply(
+      scored: DataFrame,
+      lvlCol: String,
+      fit: DataFrame,
+      outCol: String = "cal_score"): DataFrame = {
+    val keys = scored.columns.map(col)
+    val calL = fit.select(col("lvl").as("__clvl"), col("cal").as("__cal"))
+      .localCheckpoint(true)
+    val first = calL.orderBy("__clvl").limit(1)
+      .select(col("__cal").as("__cal0"))
+    scored.join(broadcast(calL), col("__clvl") <= col(lvlCol), "left")
+      .groupBy(keys.toSeq: _*)
+      .agg(max_by(col("__cal"), col("__clvl")).as("__calm"))
+      .crossJoin(broadcast(first))
+      .withColumn(outCol, coalesce(col("__calm"), col("__cal0")))
+      .drop("__calm", "__cal0")
   }
 
   import org.apache.spark.sql.{SaveMode, SparkSession}

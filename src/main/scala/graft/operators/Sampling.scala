@@ -206,8 +206,19 @@ object Sampling {
     require(smooth >= 0 && smooth < 1, s"smooth=$smooth must be in [0, 1)")
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val base = excess.select(col("domain"), col("lam")).localCheckpoint(true)
-    val k = base.count().toDouble
+    // k derives from the row count, and every per-round constant (the
+    // uniform init 1/k, the smoothing floor c/k) assumes one row per
+    // domain — a duplicated domain would silently skew both and emit
+    // duplicate output rows, so fail fast (the frame is k rows; both
+    // counts are trivial)
+    val (k, kd) = {
+      val r = base.agg(count(lit(1)), countDistinct(col("domain"))).head()
+      (r.getLong(0).toDouble, r.getLong(1))
+    }
     require(k >= 1, "excess frame must have at least one domain row")
+    require(k == kd.toDouble,
+      s"excess frame has ${k.toLong} rows but $kd distinct domains — " +
+        "one (domain, lam) row per domain required")
     var w = base
       .withColumn("alpha", lit(1.0) / lit(k))
       .withColumn("ravg", lit(0.0))

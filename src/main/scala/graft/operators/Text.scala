@@ -478,6 +478,7 @@ object Text {
   def unigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
     val tf = unigramTf(docs, idCol, toks)
     unigramScoreAgainstStats(tf, tf.groupBy("term").agg(sum("tf").as("cf")))
+      .drop("n_oov")
   }
 
   /** Per-document term frequencies (id, term, tf) — the shared front half
@@ -492,18 +493,28 @@ object Text {
   /** Score a per-doc tf frame against a (term, cf) statistics table —
     * the corpus total derives from the stats table itself, so the whole
     * frozen artifact is ONE table (the `_cab` discipline).
+    *
+    * Terms ABSENT from the stats table (possible only when serving docs
+    * outside the frozen corpus) are surfaced, not hidden — the
+    * [[knScoreAgainstStats]] OOV contract one order down: they contribute
+    * nothing to the mean, `n_oov` counts their occurrences, `n_tokens`
+    * still counts every token, and `nll` is NULL for a fully-OOV doc.
+    * When every term is in-stats (all this suite's serving queries) the
+    * output is bit-identical to the old inner-join formulation.
     */
   private[graft] def unigramScoreAgainstStats(
       tf: DataFrame, cf: DataFrame): DataFrame = {
     val tot = cf.agg(sum("cf").as("tot"))
-    tf.join(cf, "term").crossJoin(broadcast(tot))
-      .withColumn("contrib",
+    tf.join(cf, Seq("term"), "left").crossJoin(broadcast(tot))
+      .withColumn("contrib", when(col("cf").isNotNull,
         col("tf").cast("double")
-          * -log(col("cf").cast("double") / col("tot").cast("double")))
+          * -log(col("cf").cast("double") / col("tot").cast("double"))))
       .groupBy("id")
       .agg(sum("tf").cast("long").as("n_tokens"),
+        coalesce(sum(when(col("cf").isNull, col("tf"))), lit(0L))
+          .cast("long").as("n_oov"),
         round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
-          / sum("tf")) + 1e-9, 4).as("nll"))
+          / sum(when(col("cf").isNotNull, col("tf")))) + 1e-9, 4).as("nll"))
   }
 
   /** Per-document bigram language-model NLL with add-one smoothing —
@@ -1001,8 +1012,18 @@ object Text {
     * Output (id, n_trigrams, nll); docs with < 3 tokens emit no row.
     */
   def knTrigramNll(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val tf = trigramTf(docs, idCol, toks)
+    val cabc = tf.groupBy("a", "b", "c").agg(sum("tf").as("cabc"))
+    knTrigramScoreAgainstStats(tf, cabc).drop("n_oov")
+  }
+
+  /** Per-document trigram term frequencies (id, a, b, c, tf) — the shared
+    * front half of trigram-KN training AND serving ([[bigramTf]] one
+    * order up); docs with < 3 tokens emit no row.
+    */
+  private def trigramTf(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
     val t = docs.select(col(idCol).as("id"), toks.as("tk"))
-    val tf = t.filter(size(col("tk")) >= 3)
+    t.filter(size(col("tk")) >= 3)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("tk")) - 3),
         i => struct(element_at(col("tk"), i + 1).as("a"),
@@ -1011,7 +1032,20 @@ object Text {
       .select(col("id"), col("tg.a").as("a"), col("tg.b").as("b"),
         col("tg.c").as("c"))
       .groupBy("id", "a", "b", "c").agg(count(lit(1)).as("tf"))
-    val cabc = tf.groupBy("a", "b", "c").agg(sum("tf").as("cabc"))
+  }
+
+  /** The trigram-KN scoring back half, shared by [[knTrigramNll]] (stats
+    * from the scored docs themselves) and [[scoreAgainstKn3Model]] (stats
+    * from the persisted family): every statistic of every order derives
+    * from the trigram TYPE table `cabcStats` alone. Trigrams ABSENT from
+    * the stats (serving docs outside the trained corpus) follow the
+    * [[knScoreAgainstStats]] OOV contract: they contribute nothing to
+    * the mean, `n_oov` counts their occurrences, and nll is NULL for a
+    * fully-OOV doc. Output (id, n_trigrams, n_oov, nll).
+    */
+  private def knTrigramScoreAgainstStats(
+      tf: DataFrame, cabcStats: DataFrame): DataFrame = {
+    val cabc = cabcStats
     val ab = cabc.groupBy("a", "b")
       .agg(sum("cabc").as("cab2"), count(lit(1)).as("n3a"))
     val g3 = cabc.agg(
@@ -1027,8 +1061,9 @@ object Text {
       coalesce(sum(when(col("nbc") === 2, 1L)), lit(0L)).as("n2_2"))
     val cc = cont.groupBy("c").agg(count(lit(1)).as("ncc"))
     val gBg = cont.agg(count(lit(1)).as("nbg"))
-    tf.join(cabc, Seq("a", "b", "c")).join(ab, Seq("a", "b"))
-      .join(cont, Seq("b", "c")).join(bmid, Seq("b")).join(cc, Seq("c"))
+    tf.join(cabc, Seq("a", "b", "c"), "left").join(ab, Seq("a", "b"), "left")
+      .join(cont, Seq("b", "c"), "left").join(bmid, Seq("b"), "left")
+      .join(cc, Seq("c"), "left")
       .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
       .crossJoin(broadcast(gBg))
       .withColumn("d3",
@@ -1046,17 +1081,52 @@ object Text {
           / col("nbdot").cast("double")
           + (col("d2") * col("nbmid").cast("double")
             / col("nbdot").cast("double")) * col("pcont"))
-      .withColumn("contrib", col("tf").cast("double")
-        * -log(
-          greatest(col("cabc").cast("double") - col("d3"), lit(0.0))
-            / col("cab2").cast("double")
-          + (col("d3") * col("n3a").cast("double")
-            / col("cab2").cast("double")) * col("pmid")))
+      .withColumn("contrib", when(col("cabc").isNotNull,
+        col("tf").cast("double")
+          * -log(
+            greatest(col("cabc").cast("double") - col("d3"), lit(0.0))
+              / col("cab2").cast("double")
+            + (col("d3") * col("n3a").cast("double")
+              / col("cab2").cast("double")) * col("pmid"))))
       .groupBy("id")
       .agg(sum("tf").cast("long").as("n_trigrams"),
+        coalesce(sum(when(col("cabc").isNull, col("tf"))), lit(0L))
+          .cast("long").as("n_oov"),
         round((sum(col("contrib").cast("decimal(28,14)")).cast("double")
-          / sum("tf")) + 1e-9, 4).as("nll"))
+          / sum(when(col("cabc").isNotNull, col("tf")))) + 1e-9, 4).as("nll"))
   }
+
+  /** Excise every character covered by a span set from `text` — the
+    * blocklist-removal verb ([[graft.functions.CrossHash.ahoSpans]]
+    * emits the spans; this acts on them): the union of the (start, len)
+    * intervals is removed and the surviving regions concatenate in
+    * order. Row-local O(matches) fold, no shuffle: the accumulator
+    * carries (merged end so far, output prefix); each span — spans MUST
+    * be sorted by (start, len), which ahoSpans guarantees — appends the
+    * gap before it (if any) and extends the merged end, and the
+    * finalizer appends the tail after the last covered position. A doc
+    * with no matches reproduces its text BYTE-IDENTICALLY
+    * (substr(1, len) of an untouched accumulator). Positions are
+    * 1-based codepoints (substr semantics) == UTF-16 units for BMP text,
+    * the [[graft.functions.AhoAutomaton]] contract.
+    */
+  def exciseSpans(text: Column, spans: Column): Column =
+    aggregate(
+      spans,
+      struct(lit(0).as("pe"), lit("").as("out")),
+      (acc, sp) => {
+        val pe = acc.getField("pe")
+        val st = sp.getField("start")
+        val ln = sp.getField("len")
+        struct(
+          greatest(pe, st + ln - 1).as("pe"),
+          concat(acc.getField("out"),
+            when(st > pe, text.substr(pe + 1, st - pe - 1))
+              .otherwise(lit(""))).as("out"))
+      },
+      acc => concat(acc.getField("out"),
+        text.substr(acc.getField("pe") + 1,
+          length(text) - acc.getField("pe"))))
 
   private[graft] val KnSuffixes = Seq("_cab", "_meta")
 
@@ -1186,6 +1256,121 @@ object Text {
       tablePrefix: String): Long =
     graft.sources.Sinks.rebuildCutover(docs.sparkSession, tablePrefix,
       KnSuffixes) { g => writeKnModel(docs, idCol, toks, g) }
+
+  private[graft] val Kn3Suffixes = Seq("_cabc", "_meta")
+
+  /** Persist a Kneser-Ney TRIGRAM LM as the TENTH persisted family — the
+    * order CCNet/KenLM-style perplexity filters actually run (order ≥ 3):
+    * same artifact shape as the bigram family ([[writeKnModel]]) one
+    * order up. The entire model state is ONE table: `_cabc` holds
+    * (a, b, c, cabc) trigram-type count PARTIALS, append-only — every
+    * derived statistic of every order ((a,b) predecessor sums, the (b,c)
+    * continuation table, both per-order discounts, the bottom-level
+    * continuation probabilities) recomputes from the folded type table at
+    * serve time with type-table-sized aggregations. `_meta` (kn_order=3)
+    * lands LAST as the completeness marker.
+    *
+    * The integer-delta algebra is identical to the bigram family's: a
+    * fold after any ingest/delete sequence is BIT-IDENTICAL to a retrain
+    * on the surviving docs, which the lifecycle queries' oracles prove.
+    */
+  def writeKn3Model(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = docs.sparkSession
+    trigramTf(docs, idCol, toks)
+      .groupBy("a", "b", "c").agg(sum("tf").as("cabc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_cabc")
+    spark.createDataFrame(Seq(Tuple1(3))).toDF("kn_order")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Fold new documents into a persisted trigram-KN model — ONE pass over
+    * the new docs appending positive type-count deltas ([[ingestIntoKnModel]]
+    * one order up).
+    */
+  def ingestIntoKn3Model(
+      newDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = newDocs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    trigramTf(newDocs, idCol, toks)
+      .groupBy("a", "b", "c").agg(sum("tf").as("cabc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(s"${tp}_cabc")
+  }
+
+  /** Remove documents from a persisted trigram-KN model by appending
+    * NEGATIVE count deltas; the serving fold drops zeroed types from
+    * every derived statistic of every order ([[deleteFromKnModel]]'s
+    * right-to-forget contract at trigram-statistics cost).
+    */
+  def deleteFromKn3Model(
+      removedDocs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Unit = {
+    val spark = removedDocs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    trigramTf(removedDocs, idCol, toks)
+      .groupBy("a", "b", "c").agg((-sum("tf")).as("cabc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(s"${tp}_cabc")
+  }
+
+  /** Score a document frame against a PERSISTED trigram-KN model —
+    * generation-resolved, partials folded to the live type table (exact
+    * integer sums; zeroed types drop out), every derived statistic
+    * recomputed from the fold, scoring arithmetic [[knTrigramNll]]'s to
+    * the last double op. Output (id, n_trigrams, n_oov, nll).
+    */
+  def scoreAgainstKn3Model(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): DataFrame = {
+    val spark = docs.sparkSession
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val cabc = spark.table(s"${tp}_cabc")
+      .groupBy("a", "b", "c").agg(sum("cabc").as("cabc"))
+      .filter(col("cabc") > 0)
+    knTrigramScoreAgainstStats(trigramTf(docs, idCol, toks), cabc)
+  }
+
+  /** Compact the trigram family's append-only partials into a staged new
+    * generation — [[compactKnModel]]'s contract on the `_cabc` table.
+    */
+  def compactKn3Model(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val folded = spark.table(s"${tp}_cabc")
+      .groupBy("a", "b", "c").agg(sum("cabc").as("cabc"))
+      .filter(col("cabc") > 0)
+      .localCheckpoint(true) // sever from the tables the cutover retires
+    val order = spark.table(s"${tp}_meta").head().getInt(0)
+    graft.sources.Sinks.rebuildCutover(spark, tablePrefix, Kn3Suffixes) { g =>
+      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${g}_cabc")
+      spark.createDataFrame(Seq(Tuple1(order))).toDF("kn_order")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${g}_meta")
+    }
+  }
+
+  /** Retrain-and-cutover for the trigram-KN family. */
+  def rebuildKn3Model(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      tablePrefix: String): Long =
+    graft.sources.Sinks.rebuildCutover(docs.sparkSession, tablePrefix,
+      Kn3Suffixes) { g => writeKn3Model(docs, idCol, toks, g) }
 
   /** The ULM Viterbi lattice DP as one row-local fold: accumulator
     * acc[j+1] = best (score, n_pieces, segmentation) over the word's

@@ -30,7 +30,19 @@ private[graft] object SharedFrames {
     "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
     "kmeans_k8_i2" -> (SimilarityQueries.kmeansAssignFrame _),
     "bpe_merges6" -> (TextQueries.bpeMerges6 _),
+    // the ULM trainer memo (pieces + segmentations), the frozen DoReMi
+    // reference artifacts (full-corpus KN base + unigram cf), and the
+    // per-doc NLL pair frame: without these the 2-round Viterbi-EM train
+    // and the LM stats builds land on st_ulm_serving_parity /
+    // st_kn_serving_parity / st_doremi_parity as first-consumer cost —
+    // the exact misattribution this registry exists to kill
+    "ulm2" -> ((s: SparkSession, d: String) => TextQueries.ulm2(s, d)._2),
+    "kn_base" -> (TextQueries.knBaseFrame _),
+    "kn3_base" -> (TextQueries.kn3BaseFrame _),
+    "unigram_cf" -> (TextQueries.unigramCfFrame _),
+    "doremi_nll" -> (TextQueries.doremiNllFrame _),
     "clf_weights" -> (TextQueries.classifierWeightsFrame _),
+    "clf_holdout_weights" -> (TextQueries.holdoutWeightsFrame _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))
 

@@ -1200,14 +1200,12 @@ object StreamQueries {
         docs.repartition(4, col("doc_id"))
           .write.mode("overwrite").parquet(out.toString)
       }
-      val knPrefix = s"doremi_kn_${ScratchKeys.forPath(d)}"
-      graft.sources.Sinks.dropTableFamily(s, knPrefix, Text.KnSuffixes)
-      Text.writeKnModel(docs, "doc_id", toks, knPrefix)
-      val cfTable = s"doremi_cf_${ScratchKeys.forPath(d)}"
-      graft.sources.Sinks.dropManagedTable(s, cfTable)
-      Text.unigramTf(docs, "doc_id", toks)
-        .groupBy("term").agg(sum("tf").as("cf"))
-        .write.mode("overwrite").format("parquet").saveAsTable(cfTable)
+      // the frozen reference artifacts are the SHARED bases (prewarmed
+      // through SharedFrames), so this query measures the four scoring
+      // drains + the MW fold — not the reference-model training that
+      // used to land here as first-consumer cost
+      val knPrefix = TextQueries.ensureKnBase(s, d)
+      val cfStats = TextQueries.unigramCfFrame(s, d)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_dor_")
       val resultsDir = s"$scratch/results"
       try {
@@ -1220,7 +1218,7 @@ object StreamQueries {
                 bid: Long) => {
               val b = batch.toDF().localCheckpoint(true)
               val u = Text.unigramScoreAgainstStats(
-                  Text.unigramTf(b, "doc_id", toks), s.table(cfTable))
+                  Text.unigramTf(b, "doc_id", toks), cfStats)
                 .select(col("id"), col("nll").as("unll"))
               val k = Text.scoreAgainstKnModel(b, "doc_id", toks, knPrefix)
                 .select(col("id"), col("nll").as("knll"))
@@ -1279,9 +1277,10 @@ object StreamQueries {
         docs.repartition(4, col("doc_id"))
           .write.mode("overwrite").parquet(out.toString)
       }
-      val prefix = s"knlm_stream_${ScratchKeys.forPath(d)}"
-      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
-      Text.writeKnModel(docs, "doc_id", toks, prefix)
+      // scores against the SHARED persisted full-corpus base (prewarmed
+      // through SharedFrames) — the query measures streamed serving, not
+      // the model build
+      val prefix = TextQueries.ensureKnBase(s, d)
       val scratch = java.nio.file.Files.createTempDirectory("graft_stream_kn_")
       val resultsDir = s"$scratch/results"
       try {
@@ -1310,6 +1309,56 @@ object StreamQueries {
         oneShot
           .withColumn("serve_ok", lit(parity && batches == 4L))
           .select("doc_id", "n_bigrams", "n_oov", "nll", "serve_ok")
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
+    // Streamed TRIGRAM KN-LM serving — the tenth family's streaming twin
+    // (st_kn_serving_parity one order up): the corpus streams in four
+    // micro-batches, each scored in foreachBatch against the SHARED
+    // persisted trigram base (generation-resolved fold, tx_kn3_nll's
+    // arithmetic). Per-doc scores depend only on the doc's own trigrams
+    // + the frozen stats, so the drained scores must equal the one-shot
+    // serving pass EXACTLY (serve_ok pins row parity + 4 batches) and
+    // the oracle replays the full corpus chain.
+    "st_kn3_serving_parity" -> ((s, d) => {
+      import graft.operators.Text
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val toks = graft.functions.CrossHash.tokens(col("text"))
+      val splitDir = fixtureDir("kn3serve", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = TextQueries.ensureKn3Base(s, d)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_kn3_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) => {
+              Text.scoreAgainstKn3Model(batch.toDF(), "doc_id", toks, prefix)
+                .withColumnRenamed("id", "doc_id")
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(resultsDir): Unit
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        val oneShot = Text.scoreAgainstKn3Model(docs, "doc_id", toks, prefix)
+          .withColumnRenamed("id", "doc_id").localCheckpoint(true)
+        val served = streamed.select("doc_id", "n_trigrams", "n_oov", "nll")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select("doc_id", "n_trigrams", "n_oov", "nll", "serve_ok")
           .orderBy("doc_id")
       } finally deleteRecursively(scratch)
     }),
@@ -1838,6 +1887,12 @@ object StreamQueries {
     // row-identical to the one-shot pass.
     "st_kn_serving_parity" ->
       TextQueries.knServeSql("", "", ",\n  TRUE AS serve_ok"),
+
+    // tx_kn3_serving's full-corpus chain over ALL docs, serve_ok pinned
+    // TRUE — the tenth family's streamed scoring must be row-identical
+    // to the one-shot pass.
+    "st_kn3_serving_parity" ->
+      TextQueries.kn3ServeSql("", "", ",\n  TRUE AS serve_ok"),
 
     // tx_doremi_weights' full replay with serve_ok pinned TRUE: the
     // drained decimal partials fold to the identical lambda, so the

@@ -48,6 +48,71 @@ object TextQueries {
 
   private def toks = CrossHash.tokens(col("text"))
 
+  /** Shared persisted FULL-CORPUS KN bigram model — the frozen reference
+    * LM the streaming serving/DoReMi twins score against. Built once per
+    * (session, corpus) and prewarmed through [[SharedFrames]] so the
+    * training pass lands on `shared_frame_builds`, not on whichever
+    * streaming parity runs first (the round-8 first-consumer-attribution
+    * lesson). The lifecycle queries (`tx_kn_serving`/`_ingest`/`_delete`)
+    * keep their own prefixes — they test the WRITE verbs themselves.
+    */
+  private[queries] def ensureKnBase(s: SparkSession, d: String): String = {
+    val prefix = s"knlm_base_${ScratchKeys.forPath(d)}"
+    IndexMemo.ensure(s, s"knlm_base:$d") {
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.KnSuffixes)
+      Text.writeKnModel(docs(s, d), "doc_id", toks, prefix)
+    }
+    prefix
+  }
+
+  private[queries] def knBaseFrame(s: SparkSession, d: String): DataFrame =
+    s.table(s"${ensureKnBase(s, d)}_meta")
+
+  /** Shared persisted full-corpus TRIGRAM KN model — the tenth family's
+    * frozen streaming-serving base, same attribution discipline as
+    * [[ensureKnBase]].
+    */
+  private[queries] def ensureKn3Base(s: SparkSession, d: String): String = {
+    val prefix = s"kn3_base_${ScratchKeys.forPath(d)}"
+    IndexMemo.ensure(s, s"kn3_base:$d") {
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.Kn3Suffixes)
+      Text.writeKn3Model(docs(s, d), "doc_id", toks, prefix)
+    }
+    prefix
+  }
+
+  private[queries] def kn3BaseFrame(s: SparkSession, d: String): DataFrame =
+    s.table(s"${ensureKn3Base(s, d)}_meta")
+
+  /** Frozen full-corpus unigram (term, cf) statistics — the second
+    * reference artifact of the DoReMi chain, memoized for the same
+    * attribution reason as [[ensureKnBase]].
+    */
+  private[queries] def unigramCfFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"unigram_cf:$d") {
+      Text.unigramTf(docs(s, d), "doc_id", toks)
+        .groupBy("term").agg(sum("tf").as("cf"))
+        .localCheckpoint(true)
+    }
+
+  /** Per-document (id, unll, knll, domain) — both DoReMi NLL chains plus
+    * the lang domain label, computed once per (session, corpus): the
+    * weights query, the realized sampler, the topic variant, and the
+    * streaming parity's one-shot side all consume this frame.
+    */
+  private[queries] def doremiNllFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"doremi_nll:$d") {
+      val dd = docs(s, d)
+      val u = Text.unigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("unll"))
+      val kn = Text.knBigramNll(dd, "doc_id", toks)
+        .select(col("id"), col("nll").as("knll"))
+      u.join(kn, Seq("id"))
+        .join(dd.select(col("doc_id").as("id"), col("lang").as("domain")),
+          Seq("id"))
+        .localCheckpoint(true)
+    }
+
   /** Shared persisted inverted-index BASE (the 75% corpus at the serving
     * scoring params k1=1.2/b=0.75): `tx_bm25_indexed` probes it
     * read-only; the mutating verb trials (`tx_bm25_ingest`,
@@ -212,6 +277,24 @@ object TextQueries {
     classifierWeightsFrame(s, d).orderBy("j").select("w")
       .collect().map(_.getDouble(0)).toSeq
 
+  /** The HOLDOUT-trained weights (doc_id % 5 ≠ 0 only), memoized like
+    * [[classifierWeightsFrame]]: `tx_clf_holdout` and the calibration
+    * pair train once between them, and the 50-round GD lands on the
+    * shared-frame entry.
+    */
+  private[queries] def holdoutWeightsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"clf_holdout_weights:$d") {
+      val w = LinearModel.trainSquashedLinear(
+        classifierFeatures(s, d).filter(col("doc_id") % 5 =!= 0),
+        ClfXCols, "y", ClfLr, ClfIters)
+      s.createDataFrame(w.toSeq.zipWithIndex.map { case (v, j) => (j, v) })
+        .toDF("j", "w").localCheckpoint(true)
+    }
+
+  private[queries] def holdoutWeights(s: SparkSession, d: String): Seq[Double] =
+    holdoutWeightsFrame(s, d).orderBy("j").select("w")
+      .collect().map(_.getDouble(0)).toSeq
+
   /** Oracle fragment: the full GD replay as ONE recursive CTE over the
     * weight row (the q_pagerank iteration idiom — a per-round CTE chain
     * hits DuckDB's binder recursion ceiling and its CTE-inlining blowup
@@ -353,6 +436,65 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // CALIBRATED classifier scoring — the fix the calibration audit
+    // demanded (tx_clf_calibration measured ECE 0.260/0.238: scores
+    // compress toward 0.5 under the exp-free link): fit isotonic
+    // regression (PAV, via its relational minimax closed form) on the
+    // TRAIN split's (4-decimal score level → empirical positive rate)
+    // table, then score the held-out fifth through the calibrated step
+    // map. Reported per held-out decile-of-calibrated-score: bin stats,
+    // the post-calibration ECE, the RAW-score ECE on the same split, and
+    // `improved` = calibrated < raw — the certificate that the fitted
+    // map actually moves scores onto the probability scale. The oracle
+    // replays the full holdout GD training, the level aggregation, the
+    // complete PAV minimax, the step-map application, and both ECE
+    // chains.
+    "tx_clf_calibrated" -> ((s, d) => {
+      val feats = classifierFeatures(s, d)
+      val w = holdoutWeights(s, d)
+      val train = feats.filter(col("doc_id") % 5 =!= 0)
+      val test = feats.filter(col("doc_id") % 5 === 0)
+      val levels = LinearModel.scoreSquashedLinear(train, ClfXCols, w)
+        .select(round(col("score") + 1e-9, 4).as("lvl"), col("y"))
+        .groupBy("lvl")
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+      val fit = LinearModel.isotonicFit(levels).localCheckpoint(true)
+      val scoredTest = LinearModel.scoreSquashedLinear(test, ClfXCols, w)
+        .select(col("doc_id"), col("y"), col("score"),
+          round(col("score") + 1e-9, 4).as("lvl"))
+      val applied = LinearModel.isotonicApply(scoredTest, "lvl", fit)
+        .withColumn("cal7", round(col("cal_score") + 1e-9, 7))
+        .localCheckpoint(true) // feeds both ECE chains below
+      def eceOf(df: DataFrame, scoreC: String): DataFrame = df
+        .withColumn("bin",
+          least(floor(col(scoreC) * 10 + lit(1e-9)), lit(9L)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round((sum(col(scoreC).cast("decimal(28,14)")).cast("double")
+            / count(lit(1))) + 1e-9, 7).as("avg_pred"),
+          round((sum(col("y").cast("decimal(28,14)")).cast("double")
+            / count(lit(1))) + 1e-9, 7).as("pos_rate"))
+        .withColumn("gap",
+          round(abs(col("avg_pred") - col("pos_rate")) + 1e-9, 7))
+      def eceScalar(bins: DataFrame): Double = bins.agg(round(
+        (sum((col("gap") * col("n")).cast("decimal(28,14)")).cast("double")
+          / sum(col("n"))) + 1e-9, 7)).head().getDouble(0)
+      val calBins = eceOf(applied, "cal7").localCheckpoint(true)
+      val eceCal = eceScalar(calBins)
+      val eceRaw = eceScalar(eceOf(applied, "score"))
+      // `improved` pins TRUE in the oracle (the holdout_acc_ok idiom): a
+      // calibration pass that fails to beat the raw-score ECE goes RED,
+      // not quietly false-and-green
+      calBins
+        .withColumnRenamed("avg_pred", "avg_cal")
+        .withColumn("ece_cal", lit(eceCal))
+        .withColumn("ece_raw", lit(eceRaw))
+        .withColumn("improved", lit(eceCal < eceRaw))
+        .select("bin", "n", "avg_cal", "pos_rate", "gap",
+          "ece_cal", "ece_raw", "improved")
+        .orderBy("bin")
+    }),
+
     // Held-out generalization check — the train/eval split discipline:
     // the probe trains on doc_id % 5 != 0 ONLY and scores the unseen
     // fifth; `holdout_acc_ok` certifies held-out agreement >= 0.8
@@ -361,10 +503,9 @@ object TextQueries {
     // replays the split, the 50 train rounds, and the test scoring.
     "tx_clf_holdout" -> ((s, d) => {
       val feats = classifierFeatures(s, d)
-      val train = feats.filter(col("doc_id") % 5 =!= 0)
       val test = feats.filter(col("doc_id") % 5 === 0)
-      val w = LinearModel.trainSquashedLinear(train, ClfXCols, "y", ClfLr, ClfIters)
-      val scored = LinearModel.scoreSquashedLinear(test, ClfXCols, w.toSeq)
+      val w = holdoutWeights(s, d)
+      val scored = LinearModel.scoreSquashedLinear(test, ClfXCols, w)
         .select(col("doc_id"),
           round(col("score") + 1e-9, 4).as("score"),
           col("pred").as("pred_keep"),
@@ -814,14 +955,7 @@ object TextQueries {
     // BOTH per-doc NLL chains, the per-domain excess aggregation, and all
     // ten MW rounds (recursive CTE over the pivoted 5-domain weight row).
     "tx_doremi_weights" -> ((s, d) => {
-      val dd = docs(s, d)
-      val u = Text.unigramNll(dd, "doc_id", toks)
-        .select(col("id"), col("nll").as("unll"))
-      val kn = Text.knBigramNll(dd, "doc_id", toks)
-        .select(col("id"), col("nll").as("knll"))
-      val ex = u.join(kn, Seq("id"))
-        .join(dd.select(col("doc_id").as("id"), col("lang").as("domain")),
-          Seq("id"))
+      val ex = doremiNllFrame(s, d)
         .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"),
           (sum(greatest(col("unll") - col("knll"), lit(0.0))
@@ -847,13 +981,7 @@ object TextQueries {
     // oracle replays NLLs -> MW rounds -> rates -> every membership test.
     "tx_doremi_sample" -> ((s, d) => {
       val dd = docs(s, d)
-      val u = Text.unigramNll(dd, "doc_id", toks)
-        .select(col("id"), col("nll").as("unll"))
-      val kn = Text.knBigramNll(dd, "doc_id", toks)
-        .select(col("id"), col("nll").as("knll"))
-      val ex = u.join(kn, Seq("id"))
-        .join(dd.select(col("doc_id").as("id"), col("lang").as("domain")),
-          Seq("id"))
+      val ex = doremiNllFrame(s, d)
         .groupBy("domain")
         .agg((sum(greatest(col("unll") - col("knll"), lit(0.0))
             .cast("decimal(28,14)")).cast("double")
@@ -935,6 +1063,59 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Persisted TRIGRAM KN-LM SERVING — the TENTH family's write ->
+    // reopen -> score-from-stored round trip at the order production
+    // perplexity filters actually run (CCNet/KenLM run order ≥ 3): the
+    // trigram-type count partials land on disk (writeKn3Model), the % 7
+    // slice scores against the STORED statistics (generation-resolved
+    // fold, tx_kn3_nll's arithmetic to the last double op), and the
+    // oracle recomputes the full-corpus chain for the slice.
+    "tx_kn3_serving" -> ((s, d) => {
+      val prefix = s"kn3_serve_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.Kn3Suffixes)
+      Text.writeKn3Model(docs(s, d), "doc_id", toks, prefix)
+      Text.scoreAgainstKn3Model(docs(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Trigram-KN INGEST-fold ≡ retrain (the tx_kn_ingest idiom one order
+    // up): train on two-thirds, fold the last third in as append-only
+    // type-count deltas, score — the oracle is the FULL-corpus chain, so
+    // green proves the delta fold is bit-identical to a retrain through
+    // every derived statistic of every order.
+    "tx_kn3_ingest" -> ((s, d) => {
+      val prefix = s"kn3_ing_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.Kn3Suffixes)
+      Text.writeKn3Model(docs(s, d).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", toks, prefix)
+      Text.ingestIntoKn3Model(docs(s, d).filter(col("doc_id") % 3 === 0),
+        "doc_id", toks, prefix)
+      Text.scoreAgainstKn3Model(docs(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Trigram-KN DELETE ≡ retrain-without: negative deltas for the % 5
+    // slice, score the surviving slice; the oracle computes the chain
+    // WITHOUT the deleted docs — zeroed trigram types must drop out of
+    // the (a,b) sums, the (b,c) continuation table, the bottom-level
+    // continuation counts, and both discounts.
+    "tx_kn3_delete" -> ((s, d) => {
+      val prefix = s"kn3_del_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.Kn3Suffixes)
+      Text.writeKn3Model(docs(s, d), "doc_id", toks, prefix)
+      Text.deleteFromKn3Model(docs(s, d).filter(col("doc_id") % 5 === 0),
+        "doc_id", toks, prefix)
+      Text.scoreAgainstKn3Model(
+          docs(s, d).filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0),
+          "doc_id", toks, prefix)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -969,6 +1150,32 @@ object TextQueries {
         .agg(sum("cnt").cast("long").as("n_occurrences"),
           sum(when(col("cnt") > 0, 1).otherwise(0)).cast("long")
             .as("n_patterns_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Blocklist EXCISION — the scan made to act (r12 verdict #5): the
+    // automaton emits every match as a (start, len) span and the excision
+    // fold removes the UNION of the covered character intervals, leaving
+    // untouched documents byte-identical. Same top-10 bigram-phrase
+    // blocklist as tx_blocklist_scan; the oracle replays the per-pattern
+    // position scan and the span removal as a covered-position anti-join
+    // with ordered reassembly — a span merge that dropped or doubled one
+    // character anywhere hash-mismatches.
+    "tx_blocklist_scrub" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pats = dd.withColumn("__tk", toks)
+        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(10)
+        .collect().map(_.getString(0)).toSeq
+      dd.select(col("doc_id"), col("text"),
+          CrossHash.ahoSpans(col("text"), pats).as("__sp"))
+        .select(col("doc_id"),
+          Text.exciseSpans(col("text"), col("__sp")).as("clean_text"),
+          size(col("__sp")).cast("long").as("n_matches"),
+          length(col("text")).cast("long").as("__n0"))
+        .withColumn("n_removed_chars", col("__n0") - length(col("clean_text")))
+        .select("doc_id", "clean_text", "n_matches", "n_removed_chars")
         .orderBy("doc_id")
     }),
 
@@ -1751,6 +1958,64 @@ object TextQueries {
        |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Generated TRIGRAM-KN serving-chain oracle — [[knServeSql]] one order
+    * up: the tx_kn3_nll replay with the STATS corpus and the SCORED slice
+    * parameterized, shared by the three tenth-family lifecycle queries
+    * and the streaming parity. n_oov is pinned 0 for the same reason.
+    */
+  private[queries] def kn3ServeSql(
+      statsWhere: String,
+      scoreWhere: String,
+      extraCols: String = ""): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+       |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+       |  WHERE len(toks) >= 3),
+       |ttf AS (SELECT doc_id, a, b, c, count(1) AS tf FROM tg
+       |        GROUP BY doc_id, a, b, c),
+       |cabc AS (SELECT a, b, c, sum(tf)::BIGINT AS cabc FROM ttf$statsWhere
+       |         GROUP BY a, b, c),
+       |ab AS (SELECT a, b, sum(cabc)::BIGINT AS cab2, count(1)::BIGINT AS n3a
+       |       FROM cabc GROUP BY a, b),
+       |g3 AS (SELECT
+       |    coalesce(sum(CASE WHEN cabc = 1 THEN 1 END), 0)::BIGINT AS n1_3,
+       |    coalesce(sum(CASE WHEN cabc = 2 THEN 1 END), 0)::BIGINT AS n2_3
+       |  FROM cabc),
+       |cont AS (SELECT b, c, count(1)::BIGINT AS nbc FROM cabc GROUP BY b, c),
+       |bmid AS (SELECT b, sum(nbc)::BIGINT AS nbdot, count(1)::BIGINT AS nbmid
+       |         FROM cont GROUP BY b),
+       |g2 AS (SELECT
+       |    coalesce(sum(CASE WHEN nbc = 1 THEN 1 END), 0)::BIGINT AS n1_2,
+       |    coalesce(sum(CASE WHEN nbc = 2 THEN 1 END), 0)::BIGINT AS n2_2
+       |  FROM cont),
+       |cc AS (SELECT c, count(1)::BIGINT AS ncc FROM cont GROUP BY c),
+       |gbg AS (SELECT count(1)::BIGINT AS nbg FROM cont),
+       |dd AS (SELECT
+       |    CASE WHEN n1_3 + 2 * n2_3 = 0 THEN 0.0
+       |         ELSE n1_3::DOUBLE / (n1_3 + 2 * n2_3)::DOUBLE END AS d3,
+       |    CASE WHEN n1_2 + 2 * n2_2 = 0 THEN 0.0
+       |         ELSE n1_2::DOUBLE / (n1_2 + 2 * n2_2)::DOUBLE END AS d2,
+       |    nbg
+       |  FROM g3 CROSS JOIN g2 CROSS JOIN gbg),
+       |stf AS (SELECT * FROM ttf$scoreWhere),
+       |x AS (
+       |  SELECT doc_id, tf,
+       |    tf::DOUBLE * -ln(
+       |      greatest(cabc::DOUBLE - d3, 0) / cab2::DOUBLE
+       |      + (d3 * n3a::DOUBLE / cab2::DOUBLE)
+       |        * (greatest(nbc::DOUBLE - d2, 0) / nbdot::DOUBLE
+       |          + (d2 * nbmid::DOUBLE / nbdot::DOUBLE)
+       |            * (ncc::DOUBLE / nbg::DOUBLE))) AS contrib
+       |  FROM stf JOIN cabc USING (a, b, c) JOIN ab USING (a, b)
+       |  JOIN cont USING (b, c) JOIN bmid USING (b) JOIN cc USING (c)
+       |  CROSS JOIN dd)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_trigrams, 0::BIGINT AS n_oov,
+       |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The shared DoReMi replay chain: both per-doc NLL chains (the
     * tx_unigram_nll and tx_kn_nll oracles verbatim, renamed CTEs), the
     * per-domain excess-loss aggregation `ex` (exact DECIMAL sum), then
@@ -1900,6 +2165,94 @@ object TextQueries {
            |SELECT bin, n, avg_pred, pos_rate, gap,
            |  round(ece_raw + 0.000000001, 7) AS ece
            |FROM cg CROSS JOIN ce ORDER BY bin""".stripMargin,
+
+      // The calibrated-scoring replay: holdout GD (classifierHoldoutCtes
+      // gives sc = test scores; mtr/sctr re-derive the TRAIN scores under
+      // the same final weights), the 4-decimal level table with integer
+      // (n, pos) stats, the COMPLETE PAV fit via its minimax closed form
+      // (every interval mean one double division of exact integer prefix
+      // sums — li/pr/mx/calt), the step-map application (arg_max over
+      // levels ≤ the score, clamped to the first level), and both ECE
+      // chains over the held-out fifth. `improved` is pinned TRUE.
+      "tx_clf_calibrated" ->
+        s"""$classifierHoldoutCtes,
+           |mtr AS (
+           |  SELECT f.doc_id, f.y,
+           |    (((f.x1 * fw.w1) + (f.x2 * fw.w2)) + (f.x3 * fw.w3))
+           |      + (f.x4 * fw.w4) AS m
+           |  FROM f, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $ClfIters) fw),
+           |sctr AS (
+           |  SELECT doc_id, y,
+           |    round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s7
+           |  FROM mtr),
+           |lv AS (
+           |  SELECT round(s7 + 0.000000001, 4) AS lvl,
+           |    count(1)::BIGINT AS n, sum(y)::BIGINT AS pos
+           |  FROM sctr GROUP BY 1),
+           |li AS MATERIALIZED (
+           |  SELECT lvl, n, pos,
+           |    row_number() OVER (ORDER BY lvl) AS i,
+           |    sum(n) OVER (ORDER BY lvl
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           |    sum(pos) OVER (ORDER BY lvl
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+           |  FROM lv),
+           |pr AS MATERIALIZED (
+           |  SELECT a.i AS ji, a.lvl AS lvl, b.i AS ki,
+           |    (b.cpos - (a.cpos - a.pos))::DOUBLE
+           |      / (b.cn - (a.cn - a.n))::DOUBLE AS mn
+           |  FROM li a JOIN li b ON a.i <= b.i),
+           |mx AS (
+           |  SELECT ji, lvl,
+           |    max(mn) OVER (PARTITION BY ki ORDER BY ji
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mxv
+           |  FROM pr),
+           |calt AS MATERIALIZED (
+           |  SELECT ji, lvl, min(mxv) AS cal FROM mx GROUP BY ji, lvl),
+           |c0 AS (SELECT cal AS cal0 FROM calt ORDER BY lvl LIMIT 1),
+           |ste AS (SELECT doc_id, y, s7, round(s7 + 0.000000001, 4) AS lvl
+           |        FROM sc),
+           |ap AS MATERIALIZED (
+           |  SELECT t.doc_id, any_value(t.y) AS y, any_value(t.s7) AS s7,
+           |    round(coalesce(arg_max(c.cal, c.lvl), (SELECT cal0 FROM c0))
+           |      + 0.000000001, 7) AS cal7
+           |  FROM ste t LEFT JOIN calt c ON c.lvl <= t.lvl
+           |  GROUP BY t.doc_id),
+           |cb AS (
+           |  SELECT doc_id, y, cal7,
+           |    least(CAST(floor(cal7 * 10 + 0.000000001) AS BIGINT), 9) AS bin
+           |  FROM ap),
+           |cba AS (
+           |  SELECT bin, count(1)::BIGINT AS n,
+           |    round((sum(cal7::DECIMAL(28,14))::DOUBLE / count(1))
+           |      + 0.000000001, 7) AS avg_cal,
+           |    round((sum(y::DECIMAL(28,14))::DOUBLE / count(1))
+           |      + 0.000000001, 7) AS pos_rate
+           |  FROM cb GROUP BY bin),
+           |cg AS (SELECT *,
+           |    round(abs(avg_cal - pos_rate) + 0.000000001, 7) AS gap
+           |  FROM cba),
+           |ce AS (SELECT round((sum((gap * n)::DECIMAL(28,14))::DOUBLE / sum(n))
+           |    + 0.000000001, 7) AS ece_cal FROM cg),
+           |rb AS (
+           |  SELECT doc_id, y, s7,
+           |    least(CAST(floor(s7 * 10 + 0.000000001) AS BIGINT), 9) AS bin
+           |  FROM ap),
+           |rba AS (
+           |  SELECT bin, count(1)::BIGINT AS n,
+           |    round((sum(s7::DECIMAL(28,14))::DOUBLE / count(1))
+           |      + 0.000000001, 7) AS avg_pred,
+           |    round((sum(y::DECIMAL(28,14))::DOUBLE / count(1))
+           |      + 0.000000001, 7) AS pos_rate
+           |  FROM rb GROUP BY bin),
+           |rg AS (SELECT bin, n,
+           |    round(abs(avg_pred - pos_rate) + 0.000000001, 7) AS gap
+           |  FROM rba),
+           |re AS (SELECT round((sum((gap * n)::DECIMAL(28,14))::DOUBLE / sum(n))
+           |    + 0.000000001, 7) AS ece_raw FROM rg)
+           |SELECT bin, n, avg_cal, pos_rate, gap, ece_cal, ece_raw,
+           |  TRUE AS improved
+           |FROM cg CROSS JOIN ce CROSS JOIN re ORDER BY bin""".stripMargin,
 
       // train on 4/5, score the unseen fifth; the certificate is
       // pinned TRUE — a sub-floor held-out accuracy hash-mismatches
@@ -2426,6 +2779,14 @@ object TextQueries {
       "tx_kn_delete" -> knServeSql(" WHERE doc_id % 5 <> 0",
         " WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0"),
 
+      // The tenth-family (trigram KN) lifecycle oracles — same promises
+      // one order up: serving and ingest-fold read the full-corpus
+      // chain, delete the retrain-without-the-slice chain.
+      "tx_kn3_serving" -> kn3ServeSql("", " WHERE doc_id % 7 = 0"),
+      "tx_kn3_ingest" -> kn3ServeSql("", " WHERE doc_id % 7 = 0"),
+      "tx_kn3_delete" -> kn3ServeSql(" WHERE doc_id % 5 <> 0",
+        " WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0"),
+
       // Full DoReMi replay: both per-doc NLL chains (the tx_unigram_nll
       // and tx_kn_nll oracles verbatim, renamed CTEs), the per-domain
       // excess-loss aggregation (exact DECIMAL sum), then all 10
@@ -2561,6 +2922,46 @@ object TextQueries {
            |SELECT doc_id, sum(cnt)::BIGINT AS n_occurrences,
            |  sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_patterns_hit
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // The excision replay: the same top-10 blocklist and per-pattern
+      // position scan as tx_blocklist_scan, every match expanded to its
+      // covered positions, kept characters reassembled in order
+      // (string_agg ORDER BY position) — the relational spec of the
+      // interval-union removal the Spark fold performs row-locally.
+      "tx_blocklist_scrub" ->
+        s"""$toksCte,
+           |g AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |  FROM t),
+           |top AS (
+           |  SELECT gram FROM (
+           |    SELECT gram, count(1) AS n FROM g GROUP BY gram
+           |    ORDER BY n DESC, gram LIMIT 10)),
+           |sp AS MATERIALIZED (
+           |  SELECT t.doc_id, i AS s, i + length(gram) - 1 AS e
+           |  FROM t CROSS JOIN top,
+           |    unnest(list_filter(range(1, length(text) - length(gram) + 2),
+           |      i -> substr(text, i, length(gram)) = gram)) AS u(i)),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p
+           |  FROM sp, unnest(range(s, e + 1)) AS r(p)),
+           |ch AS (
+           |  SELECT doc_id, i, substr(text, i, 1) AS chr
+           |  FROM t, unnest(range(1, length(text) + 1)) AS r(i)),
+           |kept AS (
+           |  SELECT ch.doc_id, string_agg(chr, '' ORDER BY i) AS clean_text
+           |  FROM ch ANTI JOIN cov ON ch.doc_id = cov.doc_id AND ch.i = cov.p
+           |  GROUP BY ch.doc_id),
+           |cnt AS (SELECT doc_id, count(1)::BIGINT AS n_matches
+           |        FROM sp GROUP BY doc_id)
+           |SELECT t.doc_id,
+           |  coalesce(k.clean_text, '') AS clean_text,
+           |  coalesce(c.n_matches, 0)::BIGINT AS n_matches,
+           |  (length(t.text) - length(coalesce(k.clean_text, '')))::BIGINT
+           |    AS n_removed_chars
+           |FROM t LEFT JOIN kept k USING (doc_id) LEFT JOIN cnt c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
 
       "tx_ngram_freq" ->
         s"""$toksCte,

@@ -864,7 +864,9 @@ object ScaleBench {
       val t0 = System.nanoTime()
       docs.select(aggregate(counts, lit(0L), (a, v) => a + v).as("s"))
         .agg(sum("s")).head()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"AHO   $tag%-10s $sec%7.2f s")
+      sec
     }
     Seq(10, 100, 1000).foreach { n =>
       val p = grams.take(n)

@@ -424,6 +424,29 @@ class OperatorsSpec extends SparkSpec {
     assert(nat(4L) == Seq(2, 1, 3, 0))
   }
 
+  test("AhoSpans + exciseSpans: span emission, native ≡ fold, interval-union removal") {
+    import graft.functions.AhoAutomaton
+    val pats = Seq("ab", "aba", "b")
+    val auto = new AhoAutomaton(pats.toArray)
+    // "ababa": overlapping + nested matches, sorted by (start, len)
+    assert(auto.spansAll("ababa").toSeq ==
+      Seq((1, 2), (1, 3), (2, 1), (3, 2), (3, 3), (4, 1)))
+    val df = Seq((1L, "ababa"), (2L, "xxabcyy"), (3L, "zzz"), (4L, ""),
+      (5L, "ab zab")).toDF("id", "text")
+    val nat = df.select(col("id"), CrossHash.ahoSpans(col("text"), pats).as("s"))
+    val fold = df.select(col("id"), CrossHash.ahoSpansFold(col("text"), pats).as("s"))
+    assert(nat.exceptAll(fold).isEmpty && fold.exceptAll(nat).isEmpty,
+      "native spans must equal the position-scan fold element for element")
+    // excision removes the UNION of covered intervals; untouched docs
+    // (incl. the empty string) come back byte-identical
+    val clean = df.select(col("id"),
+        graft.operators.Text.exciseSpans(col("text"),
+          CrossHash.ahoSpans(col("text"), pats)).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(clean == Map(1L -> "", 2L -> "xxcyy", 3L -> "zzz", 4L -> "",
+      5L -> " z"), clean.toString)
+  }
+
   test("Similarity.mmrSelect: hand-computed greedy diversification") {
     // candidates for one query: d1/d2 are exact duplicates (pair cos 1),
     // d3 is orthogonal — pure-relevance ranking would pick d1 then d2;
@@ -657,6 +680,26 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LinearModel.trainSquashedLinear(df, Seq("x1"), "y", lr = 1.0, iters = 0)
     }
+  }
+
+  test("isotonic calibration: PAV pooling via the minimax closed form + step apply") {
+    // level means [0, 1, 0, 1, 1] — the middle violator pair pools to
+    // (2+0)/(2+2) = 0.5, the classic adjacent-violators case
+    val levels = Seq((0.1, 2L, 0L), (0.2, 2L, 2L), (0.3, 2L, 0L),
+      (0.4, 1L, 1L), (0.5, 1L, 1L)).toDF("lvl", "n", "pos")
+    val fit = LinearModel.isotonicFit(levels)
+    val m = fit.as[(Double, Double)].collect().toMap
+    assert(m == Map(0.1 -> 0.0, 0.2 -> 0.5, 0.3 -> 0.5, 0.4 -> 1.0, 0.5 -> 1.0),
+      m.toString)
+    // partition invariance: prefix sums ride explicit windows, not input order
+    val fitRep = LinearModel.isotonicFit(levels.repartition(7))
+    assert(fitRep.as[(Double, Double)].collect().toMap == m)
+    // step application: exact level, between levels (floor level), below
+    // the smallest level (clamps to the first fitted value)
+    val scored = Seq((1L, 0.25), (2L, 0.05), (3L, 0.4)).toDF("id", "lvl")
+    val ap = LinearModel.isotonicApply(scored, "lvl", fit)
+      .select("id", "cal_score").as[(Long, Double)].collect().toMap
+    assert(ap == Map(1L -> 0.5, 2L -> 0.0, 3L -> 1.0), ap.toString)
   }
 
   test("persisted linear model: name-bound serving parity and blue/green rebuild") {
