@@ -83,6 +83,6 @@ object SparkEntry {
       "tx_kn3_serving", "tx_kn3_ingest", "tx_kn3_delete",
       "tx_phrase_search", "tx_postings_stats", "tx_near_search",
       "sim_hard_negatives", "sim_rag_retrieve", "sim_rag_batch",
-      "sim_rag_mmr") ++
+      "sim_rag_mmr", "sim_rag_batch_mmr") ++
       queries.keySet.filter(_.startsWith("st_"))
 }

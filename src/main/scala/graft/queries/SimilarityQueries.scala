@@ -160,6 +160,18 @@ object SimilarityQueries {
   val MmrNprobe = 12
   val IvfFilteredRecallFloor = 0.85
 
+  /** Minimum per-query selected-set overlap for the full batched chain
+    * (`sim_rag_batch_mmr`: batched fusion → MMR) vs the exact-chain
+    * selection. The candidate tier is the fused top-15 (sparse side
+    * EXACT via MaxScore's lossless pruning; dense side ANN), so the only
+    * loss is dense-probe recall amplified by the greedy chain — measured
+    * min per-query overlap 0.875 / 0.875 / 1.000 at sf0.001 / 0.01 /
+    * 0.1 (tools/ProfileScratch ragbatchmmr, 2026-08-16; dated note in
+    * BASELINE.md); floor ~0.125 under the worst measured point, the
+    * sibling floors' policy.
+    */
+  val RagBatchMmrFloor = 0.75
+
   /** Production-shaped serving certificate: `sim_knn_ivf_sqrtn` rebuilds
     * the index at nlist = ⌈√N⌉ — the config the "nlist grows ~√N at
     * 100 TB" claim actually asserts — and probes at nprobe = ⌈3·nlist/8⌉
@@ -230,6 +242,101 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 7)"
 
+  /** Hand-unrolled MMR greedy rounds (λ=0.7) as step CTEs penᵗ/pkᵗ/selᵗ
+    * over caller-defined `cand(query_id, doc_id, emb, rel)`,
+    * `pair(query_id, i, j, sim)` and `sel0` CTEs — shared by the
+    * `sim_rag_mmr` and `sim_rag_batch_mmr` oracles; every constant
+    * forced ::DOUBLE so DuckDB's decimal literals can't diverge from the
+    * JVM double arithmetic, every step MATERIALIZED so the t-fold
+    * self-reference doesn't inline exponentially.
+    */
+  /** The batched hybrid-retrieval replay chain ending in
+    * `f(query_id, doc_id, dense_rank, sparse_rank, rrf)` — per-query
+    * brute dense over all anchors, per-bag BM25 over the indexed (%4<>3)
+    * corpus via a (query_id, term) bag table, identical RRF arithmetic —
+    * shared by the `sim_rag_batch` and `sim_rag_batch_mmr` oracles
+    * (mirroring [[ragBatchFused]]'s exact side).
+    */
+  private lazy val ragBatchChainSql: String = {
+    val bagRows = TextQueries.BmBatchBags.toSeq.sortBy(_._1)
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val allTerms = TextQueries.BmBatchBags.values.flatten.toSeq.distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 3),
+       |dsc AS (
+       |  SELECT q.query_id, e.vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |dr AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)::BIGINT
+       |      AS dense_rank
+       |  FROM dsc QUALIFY dense_rank <= 50),
+       |bagt AS (
+       |  SELECT query_id::BIGINT AS query_id, term
+       |  FROM (VALUES $bagRows) v(query_id, term)),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents WHERE doc_id % 4 <> 3),
+       |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+       |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
+       |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, count(1) AS tf FROM tm
+       |  WHERE term IN ($allTerms)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+       |c AS (
+       |  SELECT bg.query_id, tf.doc_id, dl,
+       |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+       |      * (tf::DOUBLE * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
+       |      AS contrib
+       |  FROM tf JOIN bagt bg USING (term) JOIN df USING (term)
+       |  JOIN l USING (doc_id) CROSS JOIN st),
+       |bs AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
+       |  FROM c GROUP BY query_id, doc_id),
+       |sr AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id)::BIGINT
+       |      AS sparse_rank
+       |  FROM bs QUALIFY sparse_rank <= 50),
+       |f AS (
+       |  SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+       |    coalesce(dr.doc_id, sr.doc_id) AS doc_id, dense_rank, sparse_rank,
+       |    round(coalesce(1.0 / (60.0 + dense_rank), 0.0)
+       |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
+       |  FROM dr FULL OUTER JOIN sr USING (query_id, doc_id))""".stripMargin
+  }
+
+  private def mmrStepsSql(kSel: Int): String = (1 to kSel).map { t =>
+    s"""pen$t AS MATERIALIZED (
+       |  SELECT p.query_id, p.i AS doc_id, max(p.sim) AS pen
+       |  FROM pair p JOIN sel${t - 1} s
+       |    ON p.query_id = s.query_id AND p.j = s.doc_id
+       |  GROUP BY p.query_id, p.i),
+       |pk$t AS MATERIALIZED (
+       |  SELECT query_id, $t::BIGINT AS step, doc_id, rel, pen, mmr
+       |  FROM (
+       |    SELECT c.query_id, c.doc_id, c.rel,
+       |      coalesce(n.pen, 0.0::DOUBLE) AS pen,
+       |      round(0.7::DOUBLE * c.rel
+       |        - (1.0::DOUBLE - 0.7::DOUBLE) * coalesce(n.pen, 0.0::DOUBLE)
+       |        + 0.000000001, 7) AS mmr
+       |    FROM cand c
+       |    ANTI JOIN sel${t - 1} e
+       |      ON e.query_id = c.query_id AND e.doc_id = c.doc_id
+       |    LEFT JOIN pen$t n
+       |      ON n.query_id = c.query_id AND n.doc_id = c.doc_id) z
+       |  QUALIFY row_number()
+       |    OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) = 1),
+       |sel$t AS MATERIALIZED (SELECT query_id, doc_id FROM sel${t - 1}
+       |  UNION ALL SELECT query_id, doc_id FROM pk$t)"""
+  }.mkString(",\n")
+
   /** Oracle CTE chain replaying [[Similarity.kmeansAssign]] (k=8,
     * iters=2) over the embeddings table: v (double vectors), c0 (seed
     * centroids = 8 smallest ids), a1/c1/a2/c2 (two Lloyd rounds), af
@@ -276,6 +383,70 @@ object SimilarityQueries {
        |a2 AS (${kmAssignSql("c1")}),
        |c2 AS (${kmUpdateSql("a2", "c1")}),
        |af AS (${kmAssignSql("c2")})""".stripMargin
+
+  /** The batched hybrid-retrieval chain shared by `sim_rag_batch` and
+    * `sim_rag_batch_mmr`: N query anchors + term bags answered in ONE
+    * pass per tier, fused per query with RRF, per-query top-15. Returns
+    * (exact, served): the EXACT side (brute dense × one-shot BM25 — the
+    * SQL-replayable oracle tier) localCheckpointed, and the SERVED side
+    * (IVF batch probe off the shared dense base × batched MaxScore off
+    * the shared inverted base, fused identically). Both frames carry
+    * (query_id, doc_id, dense_rank, sparse_rank, rrf).
+    */
+  private[graft] def ragBatchFused(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.CrossHash
+    import graft.operators.{Text, TextIndex}
+    val e = emb(s, d)
+    val corpus75 = Tables.load(s, d, "documents")
+      .filter(col("doc_id") % 4 =!= 3)
+    val anchors = e.filter(col("vec_id") < 3)
+    val bags = TextQueries.BmBatchBags
+    def fuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15).drop("rk")
+    }
+    // EXACT sides: all three anchors in one brute pass; one-shot BM25
+    // per bag over the indexed (%4<>3) corpus, ranked per query
+    val denseExact = Similarity.bruteForceTopK(
+        anchors, e, "vec_id", "embedding", k = 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("id"))
+    val sparseExact = bags.toSeq.map { case (q, ts) =>
+        Text.bm25(corpus75, "doc_id", CrossHash.tokens(col("text")), ts)
+          .withColumn("query_id", lit(q))
+      }.reduce(_ unionByName _)
+      .withColumn("sparse_rank", row_number().over(wS).cast("long"))
+      .filter(col("sparse_rank") <= 50)
+      .select(col("query_id"), col("id").as("doc_id"), col("sparse_rank"))
+      .localCheckpoint(true)
+    val exact = fuse(denseExact, sparseExact).localCheckpoint(true)
+    // SERVED sides: both tiers probe their shared persisted indexes,
+    // each in ONE batch pass
+    val denseServed = Similarity.ivfTopKAgainstIndex(anchors,
+        ensureIvfBase(s, d), "vec_id", "embedding", k = 50,
+        nprobe = IvfFilteredNprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    // the sparse tier rides the BATCHED MaxScore probe (the r11 #6
+    // composition completed at the batch grain): lossless pruning with
+    // per-bag essential sets over ONE shared bounds/θ pass, so the
+    // exact-fusion oracle is unchanged — green proves the composition.
+    // Forced engagement for the same reason as tx_bm25_batch_maxscore.
+    val sparseServed = TextIndex.bm25MaxScoreBatchAgainstIndex(
+        s, TextQueries.ensureTextBase(s, d), bags, kTop = 50,
+        engageMinPostings = 0L)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("rank").as("sparse_rank"))
+    (exact, fuse(denseServed, sparseServed))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -405,58 +576,8 @@ object SimilarityQueries {
     // so one starved query in the batch fails the certificate even if the
     // batch average looks fine.
     "sim_rag_batch" -> ((s, d) => {
-      import graft.functions.CrossHash
-      import graft.operators.{Text, TextIndex}
-      val e = emb(s, d)
-      val corpus75 = Tables.load(s, d, "documents")
-        .filter(col("doc_id") % 4 =!= 3)
-      val anchors = e.filter(col("vec_id") < 3)
-      val bags = TextQueries.BmBatchBags
-      def fuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("rrf").desc, col("doc_id"))
-        dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
-          .withColumn("rrf", round(
-            coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank")), lit(0.0)), 7))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 15).drop("rk")
-      }
-      // EXACT sides: all three anchors in one brute pass; one-shot BM25
-      // per bag over the indexed (%4<>3) corpus, ranked per query
-      val denseExact = Similarity.bruteForceTopK(
-          anchors, e, "vec_id", "embedding", k = 50)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank").as("dense_rank"))
-      val wS = Window.partitionBy("query_id")
-        .orderBy(col("bm25").desc, col("id"))
-      val sparseExact = bags.toSeq.map { case (q, ts) =>
-          Text.bm25(corpus75, "doc_id", CrossHash.tokens(col("text")), ts)
-            .withColumn("query_id", lit(q))
-        }.reduce(_ unionByName _)
-        .withColumn("sparse_rank", row_number().over(wS).cast("long"))
-        .filter(col("sparse_rank") <= 50)
-        .select(col("query_id"), col("id").as("doc_id"), col("sparse_rank"))
-        .localCheckpoint(true)
-      val exact = fuse(denseExact, sparseExact).localCheckpoint(true)
-      // SERVED sides: both tiers probe their shared persisted indexes,
-      // each in ONE batch pass
-      val denseServed = Similarity.ivfTopKAgainstIndex(anchors,
-          ensureIvfBase(s, d), "vec_id", "embedding", k = 50,
-          nprobe = IvfFilteredNprobe)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank").as("dense_rank"))
-      // the sparse tier rides the BATCHED MaxScore probe (the r11 #6
-      // composition completed at the batch grain): lossless pruning with
-      // per-bag essential sets over ONE shared bounds/θ pass, so the
-      // exact-fusion oracle is unchanged — green proves the composition.
-      // Forced engagement for the same reason as tx_bm25_batch_maxscore.
-      val sparseServed = TextIndex.bm25MaxScoreBatchAgainstIndex(
-          s, TextQueries.ensureTextBase(s, d), bags, kTop = 50,
-          engageMinPostings = 0L)
-        .select(col("query_id"), col("id").as("doc_id"),
-          col("rank").as("sparse_rank"))
-      val served = fuse(denseServed, sparseServed)
+      val (exact, servedFused) = ragBatchFused(s, d)
+      val served = servedFused
         .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
       val perQ = Window.partitionBy("query_id")
       val all = Window.partitionBy(lit(1))
@@ -469,6 +590,42 @@ object SimilarityQueries {
         .select("query_id", "doc_id", "dense_rank", "sparse_rank", "rrf",
           "rag_recall_ok")
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // The FULL batched serving chain — batched MaxScore sparse + IVF
+    // dense probes → per-query RRF fusion → MMR diversification — as ONE
+    // oracle-gated query (r12 verdict #6): the per-query fused top-15
+    // becomes the MMR candidate set (rel = the fused rrf score, emb
+    // joined from the embeddings table — candidates without an embedding
+    // drop on BOTH sides, consistently), λ=0.7, 8 picks. Emitted rows
+    // replay the EXACT chain end-to-end in the oracle; the SERVED
+    // chain's selections contribute `mmr_recall_ok`, the minimum
+    // per-query selected-set overlap vs the exact selection, floored at
+    // RagBatchMmrFloor.
+    "sim_rag_batch_mmr" -> ((s, d) => {
+      val (exactFused, servedFused) = ragBatchFused(s, d)
+      val c = emb(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+      def toCand(f: DataFrame): DataFrame = f
+        .select(col("query_id"), col("doc_id"), col("rrf").as("rel"))
+        .join(c, Seq("doc_id"))
+        .select("query_id", "doc_id", "emb", "rel")
+      val exact = Similarity.mmrSelect(toCand(exactFused), kSel = 8, lambda = 0.7)
+        .localCheckpoint(true)
+      val served = Similarity
+        .mmrSelect(toCand(servedFused), kSel = 8, lambda = 0.7)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      val perQ = Window.partitionBy("query_id")
+      val all = Window.partitionBy(lit(1))
+      exact.join(served, Seq("query_id", "doc_id"), "left")
+        .withColumn("q_overlap",
+          sum(coalesce(col("hit"), lit(0))).over(perQ).cast("double")
+            / count(lit(1)).over(perQ))
+        .withColumn("mmr_recall_ok",
+          min(col("q_overlap")).over(all) >= RagBatchMmrFloor)
+        .select("query_id", "step", "doc_id", "rel", "pen", "mmr",
+          "mmr_recall_ok")
+        .orderBy("query_id", "step")
     }),
 
     // MMR diversification (Carbonell & Goldstein 1998) — the re-rank pass
@@ -1183,30 +1340,7 @@ object SimilarityQueries {
     // selection) — every constant forced ::DOUBLE so DuckDB's decimal
     // literals can't diverge from the JVM double arithmetic.
     "sim_rag_mmr" -> {
-      val steps = (1 to 8).map { t =>
-        s"""pen$t AS MATERIALIZED (
-           |  SELECT p.query_id, p.i AS doc_id, max(p.sim) AS pen
-           |  FROM pair p JOIN sel${t - 1} s
-           |    ON p.query_id = s.query_id AND p.j = s.doc_id
-           |  GROUP BY p.query_id, p.i),
-           |pk$t AS MATERIALIZED (
-           |  SELECT query_id, $t::BIGINT AS step, doc_id, rel, pen, mmr
-           |  FROM (
-           |    SELECT c.query_id, c.doc_id, c.rel,
-           |      coalesce(n.pen, 0.0::DOUBLE) AS pen,
-           |      round(0.7::DOUBLE * c.rel
-           |        - (1.0::DOUBLE - 0.7::DOUBLE) * coalesce(n.pen, 0.0::DOUBLE)
-           |        + 0.000000001, 7) AS mmr
-           |    FROM cand c
-           |    ANTI JOIN sel${t - 1} e
-           |      ON e.query_id = c.query_id AND e.doc_id = c.doc_id
-           |    LEFT JOIN pen$t n
-           |      ON n.query_id = c.query_id AND n.doc_id = c.doc_id) z
-           |  QUALIFY row_number()
-           |    OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) = 1),
-           |sel$t AS MATERIALIZED (SELECT query_id, doc_id FROM sel${t - 1}
-           |  UNION ALL SELECT query_id, doc_id FROM pk$t)"""
-      }.mkString(",\n")
+      val steps = mmrStepsSql(8)
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
          |sc AS (
@@ -1325,65 +1459,37 @@ object SimilarityQueries {
     // anchors, per-bag BM25 over the indexed (%4<>3) corpus via a
     // (query_id, term) bag table, identical RRF arithmetic, per-query
     // top-15; the served-path min-overlap certificate is pinned TRUE
-    "sim_rag_batch" -> {
-      val bagRows = TextQueries.BmBatchBags.toSeq.sortBy(_._1)
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-        .mkString(", ")
-      val allTerms = TextQueries.BmBatchBags.values.flatten.toSeq.distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 3),
-         |dsc AS (
-         |  SELECT q.query_id, e.vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
-         |  FROM e, q WHERE e.vec_id <> q.query_id),
-         |dr AS (
-         |  SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)::BIGINT
-         |      AS dense_rank
-         |  FROM dsc QUALIFY dense_rank <= 50),
-         |bagt AS (
-         |  SELECT query_id::BIGINT AS query_id, term
-         |  FROM (VALUES $bagRows) v(query_id, term)),
-         |t AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
-         |  FROM documents WHERE doc_id % 4 <> 3),
-         |l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
-         |st AS (SELECT count(1) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM l),
-         |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         |tf AS (
-         |  SELECT doc_id, term, count(1) AS tf FROM tm
-         |  WHERE term IN ($allTerms)
-         |  GROUP BY doc_id, term),
-         |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
-         |c AS (
-         |  SELECT bg.query_id, tf.doc_id, dl,
-         |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-         |      * (tf::DOUBLE * 2.2)
-         |      / (tf + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot_dl::DOUBLE / n_docs)))
-         |      AS contrib
-         |  FROM tf JOIN bagt bg USING (term) JOIN df USING (term)
-         |  JOIN l USING (doc_id) CROSS JOIN st),
-         |bs AS (
-         |  SELECT query_id, doc_id,
-         |    round(sum(contrib::DECIMAL(28,14))::DOUBLE + 0.000000001, 4) AS bm25
-         |  FROM c GROUP BY query_id, doc_id),
-         |sr AS (
-         |  SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id)::BIGINT
-         |      AS sparse_rank
-         |  FROM bs QUALIFY sparse_rank <= 50),
-         |f AS (
-         |  SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
-         |    coalesce(dr.doc_id, sr.doc_id) AS doc_id, dense_rank, sparse_rank,
-         |    round(coalesce(1.0 / (60.0 + dense_rank), 0.0)
-         |        + coalesce(1.0 / (60.0 + sparse_rank), 0.0), 7) AS rrf
-         |  FROM dr FULL OUTER JOIN sr USING (query_id, doc_id))
+    "sim_rag_batch" ->
+      s"""$ragBatchChainSql
          |SELECT query_id, doc_id, dense_rank, sparse_rank, rrf,
          |  TRUE AS rag_recall_ok
          |FROM f
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) <= 15
-         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
-    },
+         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // the full batched chain — exact fusion top-15 as the MMR candidate
+    // set (rel = rrf, emb joined from embeddings — unembedded candidates
+    // drop on both sides), all 8 greedy rounds hand-unrolled; the
+    // served-chain min-overlap certificate is pinned TRUE
+    "sim_rag_batch_mmr" ->
+      s"""$ragBatchChainSql,
+         |fz AS MATERIALIZED (
+         |  SELECT query_id, doc_id, rrf FROM f
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) <= 15),
+         |cand AS MATERIALIZED (
+         |  SELECT fz.query_id, fz.doc_id, e.embedding AS emb, fz.rrf AS rel
+         |  FROM fz JOIN embeddings e ON e.vec_id = fz.doc_id),
+         |pair AS MATERIALIZED (
+         |  SELECT a.query_id, a.doc_id AS i, b.doc_id AS j,
+         |    ${cosSql("a.emb", "b.emb")} AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+         |sel0 AS MATERIALIZED (SELECT query_id, doc_id FROM cand WHERE 1 = 0),
+         |${mmrStepsSql(8)}
+         |SELECT query_id, step, doc_id, rel, pen, mmr, TRUE AS mmr_recall_ok
+         |FROM (
+         |  ${(1 to 8).map(t => s"SELECT * FROM pk$t").mkString(" UNION ALL ")})
+         |ORDER BY query_id, step""".stripMargin,
 
     "sim_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

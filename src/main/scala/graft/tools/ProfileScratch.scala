@@ -32,6 +32,38 @@ object ProfileScratch {
     val df = Tables.load(spark, d, "documents")
     df.count() // footer/page-cache warm
 
+    if (args.headOption.contains("ragbatchmmr")) {
+      // measure sim_rag_batch_mmr's served-vs-exact selected-set overlap
+      // (the number RagBatchMmrFloor gates) at the three verify SFs
+      import graft.operators.Similarity
+      import org.apache.spark.sql.DataFrame
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sf"
+        val (exactF, servedF) =
+          graft.queries.SimilarityQueries.ragBatchFused(spark, dir)
+        val c = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+        def toCand(f: DataFrame): DataFrame = f
+          .select(col("query_id"), col("doc_id"), col("rrf").as("rel"))
+          .join(c, Seq("doc_id"))
+          .select("query_id", "doc_id", "emb", "rel")
+        val ex = Similarity.mmrSelect(toCand(exactF), kSel = 8, lambda = 0.7)
+          .select("query_id", "doc_id")
+        val sv = Similarity.mmrSelect(toCand(servedF), kSel = 8, lambda = 0.7)
+          .select("query_id", "doc_id").withColumn("hit", lit(1))
+        val ov = ex.join(sv, Seq("query_id", "doc_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double")
+            / count(lit(1))).as("ov"))
+          .orderBy("query_id")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        println(s"RAGBATCHMMR $sf per-query overlap: " +
+          ov.map { case (q, o) => f"q$q=$o%.3f" }.mkString(" ") +
+          f"  min=${ov.map(_._2).min}%.3f")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("rag")) {
       // measure sim_rag_retrieve's served-vs-exact top-15 overlap (the
       // number RagFusionRecallFloor gates) at the three verify SFs —
