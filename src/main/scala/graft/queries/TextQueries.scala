@@ -972,6 +972,39 @@ object TextQueries {
         .orderBy("domain")
     }),
 
+    // TOPIC-conditioned DoReMi — the paper's actual setting (domains are
+    // unlabeled; Xie et al. cluster the corpus and reweight clusters):
+    // the k=8 k-means assignment over the documents' embeddings (the
+    // suite-shared exact-replay clustering) supplies the domain label in
+    // place of `lang`, then the identical excess-loss aggregation and 10
+    // multiplicative-weights rounds run over the 8 cluster-domains. The
+    // oracle replays the FULL composition — both Lloyd rounds, both NLL
+    // chains, the per-cluster excess aggregation, and all 10 MW rounds
+    // over the pivoted 8-domain weight row (an empty cluster would break
+    // the k=8 pivot loudly, by design). Docs without an embedding (none
+    // at the gated SFs' embedded slice) drop from the mixture on both
+    // sides consistently.
+    "tx_doremi_topic" -> ((s, d) => {
+      val cid = SimilarityQueries.kmeansAssignFrame(s, d)
+        .select(col("vec_id").as("id"), col("cid").cast("long").as("domain"))
+      val ex = doremiNllFrame(s, d).drop("domain")
+        .join(cid, Seq("id"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(greatest(col("unll") - col("knll"), lit(0.0))
+              .cast("decimal(28,14)")).cast("double")
+            / count(lit(1))).as("lam"))
+        .localCheckpoint(true) // 8 rows — both consumers below reuse it
+      Sampling.doremiMixture(ex.select("domain", "lam"),
+          eta = 10.0, smooth = 0.1, rounds = 10)
+        .join(ex.select("domain", "n_docs"), Seq("domain"))
+        .select(col("domain"), col("n_docs"),
+          round(col("lam") + 1e-9, 7).as("lam_excess"),
+          round(col("alpha_final") + 1e-9, 7).as("alpha_final"),
+          round(col("alpha_avg") + 1e-9, 7).as("alpha_avg"))
+        .orderBy("domain")
+    }),
+
     // The DoReMi mixture REALIZED as training data: the learned
     // time-averaged weights (rounded 7dp, floored to permille — exact on
     // both engines) become the budget sampler's mixture, the budget is
@@ -2118,6 +2151,108 @@ object TextQueries {
        |  $unpiv)""".stripMargin
   }
 
+  /** The TOPIC-conditioned DoReMi replay: the full k-means chain
+    * (SimilarityQueries.kmeansCtes — seeds, both Lloyd rounds, the final
+    * assignment `af`), both per-doc NLL chains (the [[doremiChainSql]]
+    * text verbatim), the per-CLUSTER excess-loss aggregation, then the
+    * 10 MW rounds as one recursive CTE over the pivoted 8-domain weight
+    * row — numeric cluster domains 1..8, uniform init (1.0/8.0)::DOUBLE
+    * and smoothing floor 0.1/8.0 (both exact: division by the
+    * power-of-two domain count is exact in binary, so the decimal
+    * literals land on the identical doubles the JVM computes).
+    */
+  private[queries] lazy val doremiTopicSql: String = {
+    val doms = (1 to 8).toSeq
+    val pCols = doms.map(c => s"a$c * (1.0 + 10.0 * l$c) AS p$c")
+      .mkString(",\n       |        ")
+    val sSum = doms.map(c => s"CAST(a$c * (1.0 + 10.0 * l$c) AS DECIMAL(28,14))")
+      .mkString("(", "\n       |          + ", ")::DOUBLE AS s")
+    val nCols = doms.map(c => s"(1.0 - 0.1) * (p$c / s) + (0.1 / 8.0) AS n$c")
+      .mkString(",\n       |      ")
+    val lamPiv = doms.map(c => s"max(CASE WHEN domain = $c THEN lam END) AS l$c")
+      .mkString(",\n       |  ")
+    val unpiv = doms.map(c =>
+        s"SELECT $c::BIGINT AS domain, a$c AS alpha, r$c AS ravg FROM fin")
+      .mkString("\n       |  UNION ALL ")
+    val aCols = doms.map(c => s"a$c").mkString(", ")
+    val rCols = doms.map(c => s"r$c").mkString(", ")
+    val initA = doms.map(_ => "(1.0/8.0)::DOUBLE").mkString(", ")
+    val initR = doms.map(_ => "0.0::DOUBLE").mkString(", ")
+    val stepA = doms.map(c => s"n$c").mkString(", ")
+    val stepR = doms.map(c => s"r$c + n$c").mkString(", ")
+    s"""WITH RECURSIVE ${SimilarityQueries.kmeansCtes},
+       |t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |utm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |utf AS (SELECT doc_id, term, count(1) AS tf FROM utm GROUP BY doc_id, term),
+       |ucf AS (SELECT term, sum(tf)::BIGINT AS cf FROM utf GROUP BY term),
+       |utot AS (SELECT sum(cf)::BIGINT AS tot FROM ucf),
+       |uc AS (
+       |  SELECT doc_id, tf, tf::DOUBLE * -ln(cf::DOUBLE / tot::DOUBLE) AS contrib
+       |  FROM utf JOIN ucf USING (term) CROSS JOIN utot),
+       |ud AS (
+       |  SELECT doc_id,
+       |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS unll
+       |  FROM uc GROUP BY doc_id),
+       |bi AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2),
+       |btf AS (SELECT doc_id, a, b, count(1) AS tf FROM bi GROUP BY doc_id, a, b),
+       |cab AS (SELECT a, b, sum(tf)::BIGINT AS cab FROM btf GROUP BY a, b),
+       |ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(1)::BIGINT AS n1a
+       |       FROM cab GROUP BY a),
+       |nb AS (SELECT b, count(1)::BIGINT AS nb FROM cab GROUP BY b),
+       |kg AS (SELECT count(1)::BIGINT AS n_types,
+       |    coalesce(sum(CASE WHEN cab = 1 THEN 1 END), 0)::BIGINT AS n1,
+       |    coalesce(sum(CASE WHEN cab = 2 THEN 1 END), 0)::BIGINT AS n2
+       |  FROM cab),
+       |disc AS (SELECT *,
+       |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+       |         ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END AS d
+       |  FROM kg),
+       |kc AS (
+       |  SELECT doc_id, tf,
+       |    tf::DOUBLE * -ln(
+       |      greatest(cab::DOUBLE - d, 0) / ca::DOUBLE
+       |      + (d * n1a::DOUBLE / ca::DOUBLE)
+       |        * (nb::DOUBLE / n_types::DOUBLE)) AS contrib
+       |  FROM btf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b)
+       |  CROSS JOIN disc),
+       |kd AS (
+       |  SELECT doc_id,
+       |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS knll
+       |  FROM kc GROUP BY doc_id),
+       |ex AS (
+       |  SELECT af.cid::BIGINT AS domain, count(1)::BIGINT AS n_docs,
+       |    sum(greatest(unll - knll, 0.0)::DECIMAL(28,14))::DOUBLE / count(1) AS lam
+       |  FROM ud JOIN kd USING (doc_id) JOIN af ON af.vec_id = ud.doc_id
+       |  GROUP BY af.cid),
+       |lp AS (SELECT
+       |  $lamPiv
+       |  FROM ex),
+       |mw(it, $aCols, $rCols) AS (
+       |  -- anchor literals TYPE the recursive columns (the doremiChainSql
+       |  -- note); 1.0/8.0 and 0.1/8.0 are exact in both decimal and binary
+       |  SELECT 0, $initA,
+       |         $initR
+       |  UNION ALL
+       |  SELECT it + 1, $stepA,
+       |    $stepR
+       |  FROM (
+       |    SELECT it, $rCols,
+       |      $nCols
+       |    FROM (
+       |      SELECT it, $rCols,
+       |        $pCols,
+       |        $sSum
+       |      FROM mw, lp WHERE it < 10) z1) z2),
+       |fin AS (SELECT * FROM mw WHERE it = 10),
+       |fw AS (
+       |  $unpiv)""".stripMargin
+  }
+
   val oracles: Map[String, String] = {
     val toksCte =
       """WITH t AS (
@@ -2796,6 +2931,18 @@ object TextQueries {
       // DECIMAL(28,14) chain Spark's order-free decimal sum computes).
       "tx_doremi_weights" ->
         s"""$doremiChainSql
+           |SELECT domain, n_docs,
+           |  round(lam + 0.000000001, 7) AS lam_excess,
+           |  round(alpha + 0.000000001, 7) AS alpha_final,
+           |  round(ravg / 10.0 + 0.000000001, 7) AS alpha_avg
+           |FROM ex JOIN fw USING (domain)
+           |ORDER BY domain""".stripMargin,
+
+      // Topic-conditioned DoReMi: the kmeans chain supplies the domain,
+      // everything downstream is the tx_doremi_weights replay over 8
+      // numeric cluster-domains.
+      "tx_doremi_topic" ->
+        s"""$doremiTopicSql
            |SELECT domain, n_docs,
            |  round(lam + 0.000000001, 7) AS lam_excess,
            |  round(alpha + 0.000000001, 7) AS alpha_final,
