@@ -841,6 +841,71 @@ object ScaleBench {
     measure("x10", scaleDir)
   }
 
+  /** Round-13: serving-chain decade points for the batched hybrid RAG
+    * tier. Two measurements: (1) the full chains (`sim_rag_batch` fused
+    * probes; `sim_rag_batch_mmr` = + MMR) at ×1/×10 corpus with the
+    * persisted bases prebuilt by an untimed warm pass — the corpus-
+    * scaling of the probe work; (2) `mmrSelect`'s OWN serving-shape
+    * scaling (queries × candidate depth) at fixed corpus, since MMR cost
+    * is (Q × N²) by construction and must be corpus-independent —
+    * linear in Q, ~quadratic in N, flat in corpus size.
+    */
+  private def runRagMmr(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    if (!new java.io.File(s"$scaleDir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), pmod(i + col("c") * 7, lit(64)) + 1))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      println(s"SCALE embeddings written to $scaleDir")
+    }
+    for (n <- Seq("sim_rag_batch", "sim_rag_batch_mmr")) {
+      // untimed warm pass per dir: builds the persisted bases (IVF +
+      // inverted index) and shared memos, so the timed pass measures
+      // the SERVING chain, not index construction
+      for (dir <- Seq(src, scaleDir))
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable => println(s"WARM $n $dir failed: $e") }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r1 = SparkEntry.queries(n)(spark, src).count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val r10 = SparkEntry.queries(n)(spark, scaleDir).count()
+      val t10 = (System.nanoTime() - t2) / 1e9
+      println(f"RAGMMR $n%-18s x1 $t1%7.2f s ($r1%6d rows)  x10 $t10%7.2f s " +
+        f"($r10%6d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
+    }
+    // mmrSelect serving shape at fixed corpus: Q anchors × N candidates
+    val e = spark.read.parquet(s"$src/embeddings.parquet").localCheckpoint(true)
+    def candSet(qMod: Long, n: Int): DataFrame = Similarity
+      .bruteForceTopK(e.filter(col("vec_id") % qMod === 0), e,
+        "vec_id", "embedding", k = n)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos").as("rel"))
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("emb")),
+        Seq("doc_id"))
+      .select("query_id", "doc_id", "emb", "rel")
+      .localCheckpoint(true)
+    for ((qMod, n, tag) <- Seq((200L, 20, "Q10xN20"), (50L, 20, "Q40xN20"),
+        (200L, 80, "Q10xN80"))) {
+      val cand = candSet(qMod, n)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = Similarity.mmrSelect(cand, kSel = 8, lambda = 0.7).count()
+      println(f"RAGMMR mmrSelect $tag%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+        f"($rows%5d rows)")
+    }
+  }
+
   /** Blocklist-scan cost vs PATTERN COUNT at fixed corpus (sf0.1): the
     * Aho–Corasick expression must stay flat as patterns grow (one state
     * transition per character), while the position-scan fold — the naive
@@ -1065,6 +1130,11 @@ object ScaleBench {
     }
     if (which == "aho") {
       runAho(spark, src)
+      spark.stop()
+      return
+    }
+    if (which == "ragmmr") {
+      runRagMmr(spark, src, scaleDir)
       spark.stop()
       return
     }

@@ -682,6 +682,64 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Text KN3 (trigram) model family: serve ≡ in-memory, ingest-fold ≡ retrain, " +
+      "delete ≡ retrain-without, compaction, OOV surfaced") {
+    val toks = CrossHash.tokens(col("text"))
+    val all = Seq((1L, "a b a b a"), (2L, "a b c d"), (3L, "b c a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_trigrams", "n_oov", "nll")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+    def reference(statsDocs: org.apache.spark.sql.DataFrame,
+        ids: Set[Long]): Set[(Long, Long, Long, Option[Double])] =
+      Text.knTrigramNll(statsDocs, "doc_id", toks)
+        .filter(col("id").isin(ids.toSeq: _*))
+        .select(col("id"), col("n_trigrams"), lit(0L).as("n_oov"), col("nll"))
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+
+    // serve from the stored family ≡ the in-memory scorer; a two-token
+    // doc has no trigrams and no row
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn3_f", Text.Kn3Suffixes)
+    Text.writeKn3Model(all, "doc_id", toks, "t_kn3_f")
+    assert(rows(Text.scoreAgainstKn3Model(all, "doc_id", toks, "t_kn3_f"))
+      == reference(all, Set(1L, 2L, 3L)))
+
+    // ingest-fold ≡ retrain over old+new
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn3_i", Text.Kn3Suffixes)
+    Text.writeKn3Model(all.filter(col("doc_id") <= 2), "doc_id", toks, "t_kn3_i")
+    Text.ingestIntoKn3Model(all.filter(col("doc_id") > 2), "doc_id", toks, "t_kn3_i")
+    assert(rows(Text.scoreAgainstKn3Model(all, "doc_id", toks, "t_kn3_i"))
+      == reference(all, Set(1L, 2L, 3L)))
+
+    // delete ≡ retrain-without: every derived statistic of every order
+    // (the (a,b) sums, the (b,c) continuation table, both discounts)
+    // must shift
+    graft.sources.Sinks.dropTableFamily(spark, "t_kn3_d", Text.Kn3Suffixes)
+    Text.writeKn3Model(all, "doc_id", toks, "t_kn3_d")
+    Text.deleteFromKn3Model(all.filter(col("doc_id") === 2), "doc_id", toks, "t_kn3_d")
+    val survivors = all.filter(col("doc_id") =!= 2)
+    assert(rows(Text.scoreAgainstKn3Model(survivors, "doc_id", toks, "t_kn3_d"))
+      == reference(survivors, Set(1L, 3L)))
+
+    // compaction: generation cutover, scores unchanged, partials shrunk
+    val before = spark.table("t_kn3_d_cabc").count()
+    val gen = Text.compactKn3Model(spark, "t_kn3_d")
+    assert(gen == 1L)
+    assert(spark.table("t_kn3_d_g1_cabc").count() < before)
+    assert(rows(Text.scoreAgainstKn3Model(survivors, "doc_id", toks, "t_kn3_d"))
+      == reference(survivors, Set(1L, 3L)))
+
+    // OOV surfacing: out-of-stats trigrams contribute nothing and are
+    // counted; a doc with NO in-stats trigram gets NULL nll
+    val oov = Seq((9L, "a b z"), (10L, "a b a b z z z")).toDF("doc_id", "text")
+    val scored = rows(Text.scoreAgainstKn3Model(oov, "doc_id", toks, "t_kn3_f"))
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(9L) == ((1L, 1L, None)))
+    // doc 10: aba, bab in-stats; abz, bzz, zzz OOV
+    assert(scored(10L)._1 == 5L && scored(10L)._2 == 3L
+      && scored(10L)._3.isDefined)
+  }
+
   test("isotonic calibration: PAV pooling via the minimax closed form + step apply") {
     // level means [0, 1, 0, 1, 1] — the middle violator pair pools to
     // (2+0)/(2+2) = 0.5, the classic adjacent-violators case
