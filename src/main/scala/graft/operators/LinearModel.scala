@@ -213,6 +213,54 @@ object LinearModel {
       .saveAsTable(s"${tablePrefix}_meta")
   }
 
+  private[graft] val CalSuffixes = Seq("_weights", "_cal", "_meta")
+
+  /** Persist a trained model WITH its isotonic calibration map — the
+    * serving artifact a probability-gating filter actually needs (raw
+    * squashed-linear scores are measurably miscalibrated; see the
+    * calibration audit): `_weights` as in [[writeLinearModel]], `_cal`
+    * ((lvl, cal) — the fitted step map from [[isotonicFit]], level
+    * grid = the score rounding the caller fit on), then `_meta` LAST as
+    * the completeness marker. Both artifacts are model-sized (d weights,
+    * grid-bounded levels), so serving broadcasts them.
+    */
+  def writeCalibratedLinearModel(
+      spark: SparkSession,
+      tablePrefix: String,
+      xCols: Seq[String],
+      w: Seq[Double],
+      fit: DataFrame): Unit = {
+    require(xCols.size == w.size && w.nonEmpty,
+      s"${xCols.size} feature names for ${w.size} weights")
+    spark.createDataFrame(w.indices.map(j => (j, xCols(j), w(j))))
+      .toDF("j", "feature", "w")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_weights")
+    fit.select(col("lvl"), col("cal"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_cal")
+    spark.createDataFrame(Seq(Tuple1(w.size))).toDF("d")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Score a batch against a PERSISTED calibrated model: the
+    * [[scoreAgainstLinearModel]] name-bound scoring plus the stored step
+    * map applied to the 4-decimal score level — output adds `lvl` and
+    * `cal_score` (unrounded; callers round for presentation). The
+    * calibrated score is what gates data as a keep PROBABILITY; `pred`
+    * stays the raw-score threshold gate the holdout certificate covers.
+    */
+  def scoreAgainstCalibratedModel(
+      feats: DataFrame,
+      tablePrefix: String): DataFrame = {
+    val spark = feats.sparkSession
+    val tp = Sinks.activeTablePrefix(spark, tablePrefix)
+    val scored = scoreAgainstLinearModel(feats, tablePrefix)
+      .withColumn("lvl", round(col("score") + 1e-9, 4))
+    isotonicApply(scored, "lvl", spark.table(s"${tp}_cal"))
+  }
+
   /** Retrain-and-cutover — identical blue/green contract to every other
     * persisted family (stage `_g<N+1>`, flip the pointer, retire).
     */

@@ -1128,6 +1128,55 @@ object Text {
         text.substr(acc.getField("pe") + 1,
           length(text) - acc.getField("pe"))))
 
+  /** REDACT every span-covered region instead of excising it — the
+    * [[piiScrub]] typed-placeholder discipline applied to blocklist
+    * matches: each maximal run of OVERLAPPING spans (spans sorted by
+    * (start, len), as [[graft.functions.CrossHash.ahoSpans]] emits them;
+    * a span starting at exactly prev-end+1 begins a NEW run) is replaced
+    * by one `placeholder`, so downstream consumers see that something
+    * was removed and how many regions there were, without the banned
+    * content. Same row-local O(matches) fold as [[exciseSpans]];
+    * untouched documents come back byte-identical.
+    */
+  def redactSpans(text: Column, spans: Column,
+      placeholder: String = "<BLOCKED>"): Column =
+    aggregate(
+      spans,
+      struct(lit(0).as("pe"), lit("").as("out")),
+      (acc, sp) => {
+        val pe = acc.getField("pe")
+        val st = sp.getField("start")
+        val ln = sp.getField("len")
+        struct(
+          greatest(pe, st + ln - 1).as("pe"),
+          concat(acc.getField("out"),
+            when(st > pe,
+              concat(text.substr(pe + 1, st - pe - 1), lit(placeholder)))
+              .otherwise(lit(""))).as("out"))
+      },
+      acc => concat(acc.getField("out"),
+        text.substr(acc.getField("pe") + 1,
+          length(text) - acc.getField("pe"))))
+
+  /** The number of maximal overlapping-span runs [[redactSpans]] would
+    * replace — the redacted-region count, by the same strictly-greater
+    * island rule, as one row-local fold.
+    */
+  def mergedSpanCount(spans: Column): Column =
+    aggregate(
+      spans,
+      struct(lit(0).as("pe"), lit(0L).as("n")),
+      (acc, sp) => {
+        val pe = acc.getField("pe")
+        val st = sp.getField("start")
+        val ln = sp.getField("len")
+        struct(
+          greatest(pe, st + ln - 1).as("pe"),
+          (acc.getField("n")
+            + when(st > pe, 1L).otherwise(0L)).as("n"))
+      },
+      acc => acc.getField("n"))
+
   private[graft] val KnSuffixes = Seq("_cab", "_meta")
 
   /** Persist a Kneser-Ney bigram LM as the NINTH persisted family — the

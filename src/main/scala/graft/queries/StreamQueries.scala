@@ -1106,6 +1106,66 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed CALIBRATED-classifier serving: the holdout-trained weights
+    // AND the isotonic step map freeze on disk
+    // (writeCalibratedLinearModel), then the corpus streams in four
+    // micro-batches, each featurized row-locally and scored through BOTH
+    // stored artifacts in foreachBatch — the raw score and the
+    // calibrated keep-probability come off disk per batch. Per-row
+    // scoring under frozen artifacts, so the drained union must equal
+    // the one-shot pass EXACTLY (serve_ok pins row parity + 4 batches);
+    // the oracle replays training, the PAV fit, and the step map over
+    // ALL docs.
+    "st_clf_cal_serving_parity" -> ((s, d) => {
+      import graft.operators.LinearModel
+      val docs = graft.sources.Tables.load(s, d, "documents")
+      val splitDir = fixtureDir("clfcal", d, "documents", "docsall4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val prefix = s"clf_cals_${ScratchKeys.forPath(d)}"
+      LinearModel.CalSuffixes
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(s, s"$prefix$sfx"))
+      LinearModel.writeCalibratedLinearModel(s, prefix, TextQueries.ClfXCols,
+        TextQueries.holdoutWeights(s, d), TextQueries.calibrationFitFrame(s, d))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cal_")
+      val resultsDir = s"$scratch/results"
+      try {
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(splitDir.toString).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              LinearModel.scoreAgainstCalibratedModel(
+                  TextQueries.classifierFeatureCols(batch.toDF()), prefix)
+                .select(col("doc_id"), col("score"), col("cal_score"),
+                  lit(bid).as("batch_id"))
+                .write.mode("append").parquet(resultsDir): Unit)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        val oneShot = LinearModel.scoreAgainstCalibratedModel(
+            TextQueries.classifierFeatures(s, d), prefix)
+          .select("doc_id", "score", "cal_score")
+          .localCheckpoint(true)
+        val served = streamed.drop("batch_id")
+        val parity = served.count() == oneShot.count() &&
+          served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
+        val batches = streamed.select("batch_id").distinct().count()
+        oneShot
+          .withColumn("serve_ok", lit(parity && batches == 4L))
+          .select(col("doc_id"),
+            round(col("score") + 1e-9, 4).as("score"),
+            round(col("cal_score") + 1e-9, 7).as("cal_score"),
+            col("serve_ok"))
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed tokenizer serving: the unigram-LM piece model is trained
     // once and PERSISTED (writeUlmModel — the eighth persisted family),
     // then the corpus streams in four micro-batches, each batch's words
@@ -1855,6 +1915,13 @@ object StreamQueries {
          |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
          |       s7 >= 0.5 AS pred_keep, TRUE AS serve_ok
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the full holdout-training + PAV-fit + step-map replay over ALL
+    // docs (train ∪ test), serve_ok pinned TRUE: four streamed batches
+    // through the persisted weights + calibration map must union to the
+    // one-shot pass.
+    "st_clf_cal_serving_parity" ->
+      TextQueries.clfCalAllDocsSql(",\n  TRUE AS serve_ok"),
 
     // full EM-training replay (TextQueries.ulmChainSql): the streamed
     // per-doc counts under the PERSISTED piece model must equal the

@@ -295,6 +295,24 @@ object TextQueries {
     holdoutWeightsFrame(s, d).orderBy("j").select("w")
       .collect().map(_.getDouble(0)).toSeq
 
+  /** The isotonic calibration map fitted on the TRAIN split's 4-decimal
+    * score levels under the holdout weights — memoized because three
+    * queries consume it (the calibrated audit, the persisted-serving
+    * round trip, and the streaming twin) and the fit is deterministic
+    * for (session, corpus). Grid-bounded (≤ 10⁴ levels), so the memo is
+    * model-sized.
+    */
+  private[queries] def calibrationFitFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"clf_cal_fit:$d") {
+      val levels = LinearModel.scoreSquashedLinear(
+          classifierFeatures(s, d).filter(col("doc_id") % 5 =!= 0),
+          ClfXCols, holdoutWeights(s, d))
+        .select(round(col("score") + 1e-9, 4).as("lvl"), col("y"))
+        .groupBy("lvl")
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+      LinearModel.isotonicFit(levels).localCheckpoint(true)
+    }
+
   /** Oracle fragment: the full GD replay as ONE recursive CTE over the
     * weight row (the q_pagerank iteration idiom — a per-round CTE chain
     * hits DuckDB's binder recursion ceiling and its CTE-inlining blowup
@@ -452,13 +470,8 @@ object TextQueries {
     "tx_clf_calibrated" -> ((s, d) => {
       val feats = classifierFeatures(s, d)
       val w = holdoutWeights(s, d)
-      val train = feats.filter(col("doc_id") % 5 =!= 0)
       val test = feats.filter(col("doc_id") % 5 === 0)
-      val levels = LinearModel.scoreSquashedLinear(train, ClfXCols, w)
-        .select(round(col("score") + 1e-9, 4).as("lvl"), col("y"))
-        .groupBy("lvl")
-        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
-      val fit = LinearModel.isotonicFit(levels).localCheckpoint(true)
+      val fit = calibrationFitFrame(s, d)
       val scoredTest = LinearModel.scoreSquashedLinear(test, ClfXCols, w)
         .select(col("doc_id"), col("y"), col("score"),
           round(col("score") + 1e-9, 4).as("lvl"))
@@ -493,6 +506,29 @@ object TextQueries {
         .select("bin", "n", "avg_cal", "pos_rate", "gap",
           "ece_cal", "ece_raw", "improved")
         .orderBy("bin")
+    }),
+
+    // Persisted CALIBRATED-classifier serving — the sixth family extended
+    // with its calibration artifact (write weights + `_cal` step map ->
+    // reopen -> score-from-stored): the held-out fifth scores against the
+    // STORED artifacts, so the raw score, the step-map lookup, and the
+    // calibrated probability all come off disk, generation-resolved. The
+    // oracle replays holdout training, the PAV fit, and the step-map
+    // application — a stored map drifting from the fitted one
+    // hash-mismatches.
+    "tx_clf_cal_serving" -> ((s, d) => {
+      val prefix = s"clf_cal_${ScratchKeys.forPath(d)}"
+      LinearModel.CalSuffixes
+        .foreach(sfx => graft.sources.Sinks.dropManagedTable(s, s"$prefix$sfx"))
+      LinearModel.writeCalibratedLinearModel(s, prefix, ClfXCols,
+        holdoutWeights(s, d), calibrationFitFrame(s, d))
+      LinearModel.scoreAgainstCalibratedModel(
+          classifierFeatures(s, d).filter(col("doc_id") % 5 === 0), prefix)
+        .select(col("doc_id"),
+          round(col("score") + 1e-9, 4).as("score"),
+          round(col("cal_score") + 1e-9, 7).as("cal_score"),
+          (col("y") === 1.0).as("is_good"))
+        .orderBy("doc_id")
     }),
 
     // Held-out generalization check — the train/eval split discipline:
@@ -1209,6 +1245,30 @@ object TextQueries {
           length(col("text")).cast("long").as("__n0"))
         .withColumn("n_removed_chars", col("__n0") - length(col("clean_text")))
         .select("doc_id", "clean_text", "n_matches", "n_removed_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Blocklist REDACTION — the third verb of the scan family (count /
+    // excise / redact): each maximal run of overlapping match spans is
+    // replaced by ONE `<BLOCKED>` placeholder (the piiScrub typed-
+    // placeholder discipline), so downstream consumers see where and how
+    // many regions were removed without the banned content. The oracle
+    // replays the position scan, the strictly-greater island rule over
+    // the (start, end)-sorted spans, and the ordered reassembly with the
+    // placeholder at each island start.
+    "tx_blocklist_redact" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pats = dd.withColumn("__tk", toks)
+        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(10)
+        .collect().map(_.getString(0)).toSeq
+      dd.select(col("doc_id"), col("text"),
+          CrossHash.ahoSpans(col("text"), pats).as("__sp"))
+        .select(col("doc_id"),
+          Text.redactSpans(col("text"), col("__sp")).as("red_text"),
+          Text.mergedSpanCount(col("__sp")).as("n_regions"),
+          size(col("__sp")).cast("long").as("n_matches"))
         .orderBy("doc_id")
     }),
 
@@ -1991,6 +2051,72 @@ object TextQueries {
        |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared calibrated-serving replay chain: holdout GD (the
+    * [[classifierHoldoutCtes]] tail gives `sc` = test scores; mtr/sctr
+    * re-derive the TRAIN scores under the same final weights), the
+    * 4-decimal level table with integer (n, pos) stats, the COMPLETE PAV
+    * fit via its minimax closed form (every interval mean one double
+    * division of exact integer prefix sums — li/pr/mx/calt), and the
+    * step-map application (arg_max over levels ≤ the score, clamped to
+    * the first level) over `applyFrom`, ending in
+    * `ap(doc_id, y, s7, cal7)`. `preCtes` interposes the score source
+    * (the streaming twin unions train + test into `sall`).
+    */
+  private def clfCalChainSql(applyFrom: String, preCtes: String = ""): String =
+    s"""$classifierHoldoutCtes,
+       |mtr AS (
+       |  SELECT f.doc_id, f.y,
+       |    (((f.x1 * fw.w1) + (f.x2 * fw.w2)) + (f.x3 * fw.w3))
+       |      + (f.x4 * fw.w4) AS m
+       |  FROM f, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $ClfIters) fw),
+       |sctr AS (
+       |  SELECT doc_id, y,
+       |    round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s7
+       |  FROM mtr),
+       |lv AS (
+       |  SELECT round(s7 + 0.000000001, 4) AS lvl,
+       |    count(1)::BIGINT AS n, sum(y)::BIGINT AS pos
+       |  FROM sctr GROUP BY 1),
+       |li AS MATERIALIZED (
+       |  SELECT lvl, n, pos,
+       |    row_number() OVER (ORDER BY lvl) AS i,
+       |    sum(n) OVER (ORDER BY lvl
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+       |    sum(pos) OVER (ORDER BY lvl
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+       |  FROM lv),
+       |pr AS MATERIALIZED (
+       |  SELECT a.i AS ji, a.lvl AS lvl, b.i AS ki,
+       |    (b.cpos - (a.cpos - a.pos))::DOUBLE
+       |      / (b.cn - (a.cn - a.n))::DOUBLE AS mn
+       |  FROM li a JOIN li b ON a.i <= b.i),
+       |mx AS (
+       |  SELECT ji, lvl,
+       |    max(mn) OVER (PARTITION BY ki ORDER BY ji
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mxv
+       |  FROM pr),
+       |calt AS MATERIALIZED (
+       |  SELECT ji, lvl, min(mxv) AS cal FROM mx GROUP BY ji, lvl),
+       |c0 AS (SELECT cal AS cal0 FROM calt ORDER BY lvl LIMIT 1),$preCtes
+       |ste AS (SELECT doc_id, y, s7, round(s7 + 0.000000001, 4) AS lvl
+       |        FROM $applyFrom),
+       |ap AS MATERIALIZED (
+       |  SELECT t.doc_id, any_value(t.y) AS y, any_value(t.s7) AS s7,
+       |    round(coalesce(arg_max(c.cal, c.lvl), (SELECT cal0 FROM c0))
+       |      + 0.000000001, 7) AS cal7
+       |  FROM ste t LEFT JOIN calt c ON c.lvl <= t.lvl
+       |  GROUP BY t.doc_id)""".stripMargin
+
+  /** The st_clf_cal_serving_parity oracle source: every doc (train ∪
+    * test) scored under the holdout weights, then calibrated.
+    */
+  private[queries] def clfCalAllDocsSql(extraCols: String): String =
+    s"""${clfCalChainSql("sall",
+        "\n       |sall AS (SELECT * FROM sctr UNION ALL SELECT * FROM sc),")}
+       |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
+       |  cal7 AS cal_score$extraCols
+       |FROM ap ORDER BY doc_id""".stripMargin
+
   /** Generated TRIGRAM-KN serving-chain oracle — [[knServeSql]] one order
     * up: the tx_kn3_nll replay with the STATS corpus and the SCORED slice
     * parameterized, shared by the three tenth-family lifecycle queries
@@ -2310,49 +2436,7 @@ object TextQueries {
       // levels ≤ the score, clamped to the first level), and both ECE
       // chains over the held-out fifth. `improved` is pinned TRUE.
       "tx_clf_calibrated" ->
-        s"""$classifierHoldoutCtes,
-           |mtr AS (
-           |  SELECT f.doc_id, f.y,
-           |    (((f.x1 * fw.w1) + (f.x2 * fw.w2)) + (f.x3 * fw.w3))
-           |      + (f.x4 * fw.w4) AS m
-           |  FROM f, (SELECT w1, w2, w3, w4 FROM gd WHERE it = $ClfIters) fw),
-           |sctr AS (
-           |  SELECT doc_id, y,
-           |    round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s7
-           |  FROM mtr),
-           |lv AS (
-           |  SELECT round(s7 + 0.000000001, 4) AS lvl,
-           |    count(1)::BIGINT AS n, sum(y)::BIGINT AS pos
-           |  FROM sctr GROUP BY 1),
-           |li AS MATERIALIZED (
-           |  SELECT lvl, n, pos,
-           |    row_number() OVER (ORDER BY lvl) AS i,
-           |    sum(n) OVER (ORDER BY lvl
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
-           |    sum(pos) OVER (ORDER BY lvl
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
-           |  FROM lv),
-           |pr AS MATERIALIZED (
-           |  SELECT a.i AS ji, a.lvl AS lvl, b.i AS ki,
-           |    (b.cpos - (a.cpos - a.pos))::DOUBLE
-           |      / (b.cn - (a.cn - a.n))::DOUBLE AS mn
-           |  FROM li a JOIN li b ON a.i <= b.i),
-           |mx AS (
-           |  SELECT ji, lvl,
-           |    max(mn) OVER (PARTITION BY ki ORDER BY ji
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mxv
-           |  FROM pr),
-           |calt AS MATERIALIZED (
-           |  SELECT ji, lvl, min(mxv) AS cal FROM mx GROUP BY ji, lvl),
-           |c0 AS (SELECT cal AS cal0 FROM calt ORDER BY lvl LIMIT 1),
-           |ste AS (SELECT doc_id, y, s7, round(s7 + 0.000000001, 4) AS lvl
-           |        FROM sc),
-           |ap AS MATERIALIZED (
-           |  SELECT t.doc_id, any_value(t.y) AS y, any_value(t.s7) AS s7,
-           |    round(coalesce(arg_max(c.cal, c.lvl), (SELECT cal0 FROM c0))
-           |      + 0.000000001, 7) AS cal7
-           |  FROM ste t LEFT JOIN calt c ON c.lvl <= t.lvl
-           |  GROUP BY t.doc_id),
+        s"""${clfCalChainSql("sc")},
            |cb AS (
            |  SELECT doc_id, y, cal7,
            |    least(CAST(floor(cal7 * 10 + 0.000000001) AS BIGINT), 9) AS bin
@@ -2388,6 +2472,16 @@ object TextQueries {
            |SELECT bin, n, avg_cal, pos_rate, gap, ece_cal, ece_raw,
            |  TRUE AS improved
            |FROM cg CROSS JOIN ce CROSS JOIN re ORDER BY bin""".stripMargin,
+
+      // The persisted calibrated-serving round trip: the same replay as
+      // tx_clf_calibrated through `ap`, reported per held-out doc — a
+      // stored weight or calibration row drifting from the trained/
+      // fitted artifacts hash-mismatches.
+      "tx_clf_cal_serving" ->
+        s"""${clfCalChainSql("sc")}
+           |SELECT doc_id, round(s7 + 0.000000001, 4) AS score,
+           |  cal7 AS cal_score, (y = 1.0) AS is_good
+           |FROM ap ORDER BY doc_id""".stripMargin,
 
       // train on 4/5, score the unseen fifth; the certificate is
       // pinned TRUE — a sub-floor held-out accuracy hash-mismatches
@@ -3108,6 +3202,59 @@ object TextQueries {
            |  (length(t.text) - length(coalesce(k.clean_text, '')))::BIGINT
            |    AS n_removed_chars
            |FROM t LEFT JOIN kept k USING (doc_id) LEFT JOIN cnt c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
+
+      // The redaction replay: position scan + the strictly-greater island
+      // rule over (start, end)-sorted spans (a window max over preceding
+      // rows), kept characters UNION island-start placeholders,
+      // reassembled in position order.
+      "tx_blocklist_redact" ->
+        s"""$toksCte,
+           |g AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |  FROM t),
+           |top AS (
+           |  SELECT gram FROM (
+           |    SELECT gram, count(1) AS n FROM g GROUP BY gram
+           |    ORDER BY n DESC, gram LIMIT 10)),
+           |sp AS MATERIALIZED (
+           |  SELECT t.doc_id, i AS s, i + length(gram) - 1 AS e
+           |  FROM t CROSS JOIN top,
+           |    unnest(list_filter(range(1, length(text) - length(gram) + 2),
+           |      i -> substr(text, i, length(gram)) = gram)) AS u(i)),
+           |spo AS (
+           |  SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+           |        ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      THEN 1 ELSE 0 END AS ni
+           |  FROM sp),
+           |marks AS (SELECT doc_id, s AS pos, '<BLOCKED>' AS chr
+           |          FROM spo WHERE ni = 1),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p
+           |  FROM sp, unnest(range(s, e + 1)) AS r(p)),
+           |ch AS (
+           |  SELECT doc_id, i AS pos, substr(text, i, 1) AS chr
+           |  FROM t, unnest(range(1, length(text) + 1)) AS r(i)),
+           |keptch AS (
+           |  SELECT ch.doc_id, ch.pos, ch.chr
+           |  FROM ch ANTI JOIN cov ON ch.doc_id = cov.doc_id AND ch.pos = cov.p),
+           |uni AS (SELECT * FROM keptch UNION ALL SELECT * FROM marks),
+           |red AS (
+           |  SELECT doc_id, string_agg(chr, '' ORDER BY pos) AS red_text
+           |  FROM uni GROUP BY doc_id),
+           |nreg AS (SELECT doc_id, sum(ni)::BIGINT AS n_regions
+           |         FROM spo GROUP BY doc_id),
+           |cnt AS (SELECT doc_id, count(1)::BIGINT AS n_matches
+           |        FROM sp GROUP BY doc_id)
+           |SELECT t.doc_id,
+           |  coalesce(r.red_text, '') AS red_text,
+           |  coalesce(g2.n_regions, 0)::BIGINT AS n_regions,
+           |  coalesce(c.n_matches, 0)::BIGINT AS n_matches
+           |FROM t LEFT JOIN red r USING (doc_id)
+           |LEFT JOIN nreg g2 USING (doc_id) LEFT JOIN cnt c USING (doc_id)
            |ORDER BY t.doc_id""".stripMargin,
 
       "tx_ngram_freq" ->

@@ -445,6 +445,18 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(clean == Map(1L -> "", 2L -> "xxcyy", 3L -> "zzz", 4L -> "",
       5L -> " z"), clean.toString)
+    // redaction: one placeholder per maximal OVERLAPPING-span run
+    // (doc 5's two runs are disjoint → two placeholders); untouched docs
+    // byte-identical; region counts match
+    val red = df.select(col("id"),
+        graft.operators.Text.redactSpans(col("text"),
+          CrossHash.ahoSpans(col("text"), pats), "<B>").as("r"),
+        graft.operators.Text.mergedSpanCount(
+          CrossHash.ahoSpans(col("text"), pats)).as("n"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(red == Map(1L -> (("<B>", 1L)), 2L -> (("xx<B>cyy", 1L)),
+      3L -> (("zzz", 0L)), 4L -> (("", 0L)), 5L -> (("<B> z<B>", 2L))),
+      red.toString)
   }
 
   test("Similarity.mmrSelect: hand-computed greedy diversification") {
