@@ -1185,6 +1185,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing — the tenth family composed into
+    // the curation decision it exists for (Wenzek et al. 2020 §4.3:
+    // score every document against the frozen LM, split the corpus into
+    // head/middle/tail by perplexity terciles, gate on the bucket): every
+    // scoreable doc scores against the SHARED persisted trigram-KN base,
+    // ranks by (nll asc, doc_id), and buckets at the rank-based tercile
+    // cuts ceil(n/3) / ceil(2n/3) — integer cuts on an exactly-ordered
+    // rank, so no quantile approximation is involved and the oracle
+    // replays the whole chain (stats fold, scoring, rank, cuts).
+    "tx_ppl_buckets" -> ((s, d) => {
+      val scored = Text.scoreAgainstKn3Model(docs(s, d), "doc_id", toks,
+          ensureKn3Base(s, d))
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(lit(1)).orderBy(col("nll"), col("doc_id"))
+      val all = Window.partitionBy(lit(1))
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(all))
+        .withColumn("bucket",
+          // integer `div`, not `/` (Spark's / on longs is double division)
+          when(col("rnk") <= expr("(__n + 2) div 3"), "head")
+            .when(col("rnk") <= expr("(__n * 2 + 2) div 3"), "middle")
+            .otherwise("tail"))
+        .select("doc_id", "n_trigrams", "nll", "rnk", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -2126,6 +2153,17 @@ object TextQueries {
       statsWhere: String,
       scoreWhere: String,
       extraCols: String = ""): String =
+    s"""${kn3ChainSql(statsWhere, scoreWhere)}
+       |SELECT doc_id, n_trigrams, n_oov, nll$extraCols
+       |FROM scd ORDER BY doc_id""".stripMargin
+
+  /** The chain half of [[kn3ServeSql]], ending in the per-doc score CTE
+    * `scd(doc_id, n_trigrams, n_oov, nll)` — the perplexity-bucketing
+    * oracle appends its rank/tercile tail to it.
+    */
+  private[queries] def kn3ChainSql(
+      statsWhere: String,
+      scoreWhere: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
        |  FROM documents),
@@ -2170,10 +2208,11 @@ object TextQueries {
        |            * (ncc::DOUBLE / nbg::DOUBLE))) AS contrib
        |  FROM stf JOIN cabc USING (a, b, c) JOIN ab USING (a, b)
        |  JOIN cont USING (b, c) JOIN bmid USING (b) JOIN cc USING (c)
-       |  CROSS JOIN dd)
-       |SELECT doc_id, sum(tf)::BIGINT AS n_trigrams, 0::BIGINT AS n_oov,
-       |  round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll$extraCols
-       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN dd),
+       |scd AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS n_trigrams, 0::BIGINT AS n_oov,
+       |    round((sum(contrib::DECIMAL(28,14))::DOUBLE / sum(tf)) + 0.000000001, 4) AS nll
+       |  FROM x GROUP BY doc_id)""".stripMargin
 
   /** The shared DoReMi replay chain: both per-doc NLL chains (the
     * tx_unigram_nll and tx_kn_nll oracles verbatim, renamed CTEs), the
@@ -3011,6 +3050,22 @@ object TextQueries {
       // The tenth-family (trigram KN) lifecycle oracles — same promises
       // one order up: serving and ingest-fold read the full-corpus
       // chain, delete the retrain-without-the-slice chain.
+      // The bucketing replay: the full-corpus kn3 chain, then the
+      // rank-based tercile cuts — integer division on an exactly-ordered
+      // (nll, doc_id) rank, no quantile approximation anywhere.
+      "tx_ppl_buckets" ->
+        s"""${kn3ChainSql("", "")},
+           |rk AS (
+           |  SELECT doc_id, n_trigrams, nll,
+           |    row_number() OVER (ORDER BY nll, doc_id)::BIGINT AS rnk,
+           |    count(1) OVER ()::BIGINT AS n
+           |  FROM scd)
+           |SELECT doc_id, n_trigrams, nll, rnk,
+           |  CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+           |       WHEN rnk <= (n * 2 + 2) // 3 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM rk ORDER BY doc_id""".stripMargin,
+
       "tx_kn3_serving" -> kn3ServeSql("", " WHERE doc_id % 7 = 0"),
       "tx_kn3_ingest" -> kn3ServeSql("", " WHERE doc_id % 7 = 0"),
       "tx_kn3_delete" -> kn3ServeSql(" WHERE doc_id % 5 <> 0",

@@ -741,6 +741,14 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(Text.scoreAgainstKn3Model(survivors, "doc_id", toks, "t_kn3_d"))
       == reference(survivors, Set(1L, 3L)))
 
+    // blue/green retrain: stage generation 2 over the FULL corpus (doc 2
+    // returns), flip the pointer — serving re-resolves through it and
+    // the deleted doc's statistics are back
+    val gen2 = Text.rebuildKn3Model(all, "doc_id", toks, "t_kn3_d")
+    assert(gen2 == 2L)
+    assert(rows(Text.scoreAgainstKn3Model(all, "doc_id", toks, "t_kn3_d"))
+      == reference(all, Set(1L, 2L, 3L)))
+
     // OOV surfacing: out-of-stats trigrams contribute nothing and are
     // counted; a doc with NO in-stats trigram gets NULL nll
     val oov = Seq((9L, "a b z"), (10L, "a b a b z z z")).toDF("doc_id", "text")
