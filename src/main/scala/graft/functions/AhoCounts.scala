@@ -19,9 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the pattern literal (executor-side on first eval, like a broadcast),
   * `Serializable` so the task closure ships it cheaply.
   *
-  * Matching is over UTF-16 code units; for BMP text (this corpus,
-  * including the zh documents) that coincides with the per-codepoint
-  * scan the DuckDB oracle replays via substr().
+  * Matching is over UTF-16 code units with BMP-only patterns (enforced
+  * by [[AhoPatternCheck]]); astral characters in the TEXT are harmless —
+  * no surrogate unit equals a BMP pattern char — and [[spansAll]] reports
+  * codepoint positions, so both match semantics and span offsets coincide
+  * with the per-codepoint scan the DuckDB oracle replays via substr()
+  * even on astral-bearing documents.
   */
 final class AhoAutomaton(patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty, "empty pattern set")
@@ -101,19 +104,28 @@ final class AhoAutomaton(patterns: Array[String]) extends Serializable {
   def countAllAsArrayData(text: UTF8String): ArrayData =
     new GenericArrayData(countAll(text.toString))
 
-  /** Every match over `text` as a (start, len) span — 1-based UTF-16
-    * start position, length in code units; overlapping and nested
-    * matches each emit their own span. Sorted by (start asc, len asc),
-    * the exact order the fold formulation's `array_sort` over
-    * (start, len) structs produces, so the two dispatch targets stay
-    * element-identical. Same single automaton pass as [[countAll]].
+  /** Every match over `text` as a (start, len) span — 1-based CODEPOINT
+    * start position (Spark `substr` semantics, so the excision/redaction
+    * folds slice correctly even when the document carries astral
+    * characters before a match), length in codepoints, which for the
+    * BMP-only patterns this automaton accepts equals the pattern's UTF-16
+    * length. Overlapping and nested matches each emit their own span.
+    * Sorted by (start asc, len asc), the exact order the fold
+    * formulation's `array_sort` over (start, len) structs produces, so
+    * the two dispatch targets stay element-identical — including on
+    * astral-bearing text, where the fold's substr scan is codepoint-based
+    * too. Same single automaton pass as [[countAll]]; the codepoint
+    * cursor just skips low surrogates (the second half of an astral
+    * pair), which no BMP pattern char can match.
     */
   def spansAll(text: String): Array[(Int, Int)] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var s = 0
     var i = 0
+    var cp = 0 // 1-based codepoint index of the unit at i (pairs count once)
     while (i < text.length) {
       val ch = text.charAt(i)
+      if (!Character.isLowSurrogate(ch)) cp += 1
       while (s != 0 && !children(s).containsKey(ch)) s = fail(s)
       if (children(s).containsKey(ch)) s = children(s).get(ch)
       var o = if (endsArr(s).nonEmpty) s else outLink(s)
@@ -122,7 +134,9 @@ final class AhoAutomaton(patterns: Array[String]) extends Serializable {
         var j = 0
         while (j < pids.length) {
           val len = patLens(pids(j))
-          buf += ((i - len + 2, len)) // end index i (0-based) → 1-based start
+          // match end sits at codepoint cp; the matched slice is all-BMP
+          // (it equals a BMP pattern), so its codepoint span is `len`
+          buf += ((cp - len + 1, len))
           j += 1
         }
         o = outLink(o)
@@ -228,8 +242,9 @@ case class AhoCounts(text: Expression, patterns: Expression)
 }
 
 /** `graft_aho_spans(text, patterns)` — every match as a
-  * `array<struct<start:int,len:int>>` span (1-based start, overlapping
-  * and nested matches included), sorted by (start, len): the ACTING form
+  * `array<struct<start:int,len:int>>` span (1-based CODEPOINT start,
+  * overlapping and nested matches included), sorted by (start, len): the
+  * ACTING form
   * of the blocklist scan — [[AhoCounts]] tells a pipeline HOW MUCH is
   * blocklisted, this tells it WHERE, which is what the excision verb
   * ([[graft.operators.Text.exciseSpans]]) consumes. Same once-per-plan

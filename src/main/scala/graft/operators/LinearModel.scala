@@ -170,23 +170,33 @@ object LinearModel {
     * above the largest level take its value by the same rule). The map
     * is level-table-sized, so both joins broadcast; `lvlCol` must be on
     * the same rounded grid the fit was built from.
+    *
+    * The level resolution groups by a synthetic per-row id, NOT by the
+    * input columns — duplicate input rows each keep their own output row
+    * and non-groupable column types (map, …) pass through untouched; the
+    * original columns ride the group as `first()` of values that are
+    * identical within it by construction (the non-equi join only
+    * replicates the row).
     */
   def isotonicApply(
       scored: DataFrame,
       lvlCol: String,
       fit: DataFrame,
       outCol: String = "cal_score"): DataFrame = {
-    val keys = scored.columns.map(col)
+    val keys = scored.columns.toSeq
     val calL = fit.select(col("lvl").as("__clvl"), col("cal").as("__cal"))
       .localCheckpoint(true)
-    val first = calL.orderBy("__clvl").limit(1)
+    val first0 = calL.orderBy("__clvl").limit(1)
       .select(col("__cal").as("__cal0"))
-    scored.join(broadcast(calL), col("__clvl") <= col(lvlCol), "left")
-      .groupBy(keys.toSeq: _*)
-      .agg(max_by(col("__cal"), col("__clvl")).as("__calm"))
-      .crossJoin(broadcast(first))
+    val aggs = keys.map(c => first(col(c)).as(c)) :+
+      max_by(col("__cal"), col("__clvl")).as("__calm")
+    scored.withColumn("__iso_rid", monotonically_increasing_id())
+      .join(broadcast(calL), col("__clvl") <= col(lvlCol), "left")
+      .groupBy(col("__iso_rid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(first0))
       .withColumn(outCol, coalesce(col("__calm"), col("__cal0")))
-      .drop("__calm", "__cal0")
+      .drop("__iso_rid", "__calm", "__cal0")
   }
 
   import org.apache.spark.sql.{SaveMode, SparkSession}

@@ -136,4 +136,59 @@ object Relational {
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(merge.head, merge.tail: _*)
+
+  /** EXACT global rank over a total order WITHOUT the single-partition
+    * window (`row_number() OVER (ORDER BY …)` funnels the whole corpus
+    * through one task — the textbook scale-killer a CCNet-style
+    * head/middle/tail cut would otherwise pay):
+    *
+    *   1. one approx-quantile pass picks `buckets`-1 value boundaries
+    *      (balance only — correctness never depends on where they fall);
+    *   2. the bucket id becomes a row-local pure function of the value
+    *      (count of boundaries ≤ v), so every downstream pass agrees on
+    *      the assignment with no reliance on a partitioner's sampling;
+    *   3. one aggregate pass counts rows per bucket; the cumulative
+    *      offsets (≤ `buckets` longs — driver/broadcast-sized) shift each
+    *      bucket's local `row_number` to the exact global rank;
+    *   4. one window per bucket — P independent ~n/P-row sorts, never a
+    *      corpus-wide one.
+    *
+    * The rank is exactly the rank a global `ORDER BY valueCol, tieCols`
+    * window would assign: buckets are value-monotone, equal values share a
+    * bucket, and the in-bucket window applies the tie-break. Requires
+    * (valueCol, tieCols) to be a total order (callers append a unique id)
+    * and `valueCol` non-null.
+    */
+  def globalRank(
+      df: DataFrame,
+      valueCol: String,
+      tieCols: Seq[String],
+      rankCol: String = "rnk",
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    val bounds: Array[Double] =
+      if (buckets == 1) Array.empty
+      else df.stat
+        .approxQuantile(valueCol,
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+    val withB =
+      if (bounds.isEmpty) df.withColumn("__gr_b", lit(0))
+      else df.withColumn("__gr_b",
+        size(filter(lit(bounds), b => b <= col(valueCol))))
+    val counts = withB.groupBy("__gr_b").agg(count(lit(1)).as("__gr_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (b, c) =>
+      val off = acc; acc += c; (b, off)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offRows.toDF("__gr_b", "__gr_off")
+    val w = Window.partitionBy(col("__gr_b"))
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    withB.join(broadcast(offDf), Seq("__gr_b"))
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__gr_off"))
+      .drop("__gr_b", "__gr_off")
+  }
 }

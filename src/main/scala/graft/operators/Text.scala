@@ -1107,8 +1107,10 @@ object Text {
     * finalizer appends the tail after the last covered position. A doc
     * with no matches reproduces its text BYTE-IDENTICALLY
     * (substr(1, len) of an untouched accumulator). Positions are
-    * 1-based codepoints (substr semantics) == UTF-16 units for BMP text,
-    * the [[graft.functions.AhoAutomaton]] contract.
+    * 1-based codepoints (substr semantics) — exactly what BOTH
+    * [[graft.functions.AhoAutomaton.spansAll]] dispatch targets emit, so
+    * the excision is offset-correct even on documents carrying astral
+    * characters before a match.
     */
   def exciseSpans(text: Column, spans: Column): Column =
     aggregate(

@@ -183,10 +183,13 @@ object DedupQueries {
     * d_minhash_lsh verifies and the cluster/survivor oracles close over
     * (package-visible: `st_dedup_index_parity`'s oracle closes over the
     * same pair set from StreamQueries).
+    *
+    * Split as `ToksBody` + [[MinhashPairsSansToks]] so composed oracles
+    * (d_curate_ccnet) can declare ONE shared `t` superset CTE and splice
+    * several chains behind it.
     */
-  private[queries] val MinhashPairsBody =
-    s"""$ToksBody,
-       |sh AS (
+  private[queries] val MinhashPairsSansToks =
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
        |  FROM t),
@@ -212,18 +215,23 @@ object DedupQueries {
        |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id),
        |pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.7)""".stripMargin
 
+  private[queries] val MinhashPairsBody = s"$ToksBody,\n$MinhashPairsSansToks"
+
   /** Transitive closure + min-representative over `pairs`, as a recursive
     * CTE chain ending in `rep(id, rep)` — the oracle twin of
-    * [[graft.operators.Dedup.connectedComponents]].
+    * [[graft.operators.Dedup.connectedComponents]]. [[ClusterRepSansToks]]
+    * is the same chain without the `t` CTE, for composed oracles.
     */
-  private[queries] val ClusterRepBody =
-    s"""$MinhashPairsBody,
+  private[queries] val ClusterRepSansToks =
+    s"""$MinhashPairsSansToks,
        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |walk AS (
        |  SELECT a AS id, b AS reach FROM edges
        |  UNION
        |  SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
        |rep AS (SELECT id, least(min(reach), id) AS rep FROM walk GROUP BY id)""".stripMargin
+
+  private[queries] val ClusterRepBody = s"$ToksBody,\n$ClusterRepSansToks"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

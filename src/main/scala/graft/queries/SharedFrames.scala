@@ -39,6 +39,11 @@ private[graft] object SharedFrames {
     "ulm2" -> ((s: SparkSession, d: String) => TextQueries.ulm2(s, d)._2),
     "kn_base" -> (TextQueries.knBaseFrame _),
     "kn3_base" -> (TextQueries.kn3BaseFrame _),
+    // the Wenzek scoring pass + bucket frame (consumed by tx_ppl_buckets
+    // AND d_curate_ccnet — without the prewarm the LM-scoring cost lands
+    // on whichever of the two runs first)
+    "kn3_scored_all" -> (TextQueries.kn3ScoredAllFrame _),
+    "ppl_buckets" -> (TextQueries.pplBucketsFrame _),
     "unigram_cf" -> (TextQueries.unigramCfFrame _),
     "doremi_nll" -> (TextQueries.doremiNllFrame _),
     "clf_weights" -> (TextQueries.classifierWeightsFrame _),

@@ -459,6 +459,35 @@ class OperatorsSpec extends SparkSpec {
       red.toString)
   }
 
+  test("AhoSpans on astral-bearing text: codepoint offsets, byte-exact excision") {
+    import graft.functions.AhoAutomaton
+    val pats = Seq("ab", "b")
+    // 😀 = U+1F600, TWO UTF-16 units but ONE codepoint: "x😀yab😀b" has
+    // "ab" at codepoint 4 and "b"s at codepoints 5 and 7 — a UTF-16
+    // offset would report 5/6/9 and make the excision slice mid-emoji
+    val auto = new AhoAutomaton(pats.toArray)
+    assert(auto.spansAll("x😀yab😀b").toSeq ==
+      Seq((4, 2), (5, 1), (7, 1)))
+    val df = Seq((1L, "x😀yab😀b"),
+      (2L, "😀😀"), (3L, "ab")).toDF("id", "text")
+    val nat = df.select(col("id"), CrossHash.ahoSpans(col("text"), pats).as("s"))
+    val fold = df.select(col("id"), CrossHash.ahoSpansFold(col("text"), pats).as("s"))
+    assert(nat.exceptAll(fold).isEmpty && fold.exceptAll(nat).isEmpty,
+      "native spans must stay codepoint-identical to the fold on astral text")
+    val clean = df.select(col("id"),
+        graft.operators.Text.exciseSpans(col("text"),
+          CrossHash.ahoSpans(col("text"), pats)).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(clean == Map(1L -> "x😀y😀", 2L -> "😀😀",
+      3L -> ""), clean.toString)
+    val red = df.select(col("id"),
+        graft.operators.Text.redactSpans(col("text"),
+          CrossHash.ahoSpans(col("text"), pats), "<B>").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(red == Map(1L -> "x😀y<B>😀<B>",
+      2L -> "😀😀", 3L -> "<B>"), red.toString)
+  }
+
   test("Similarity.mmrSelect: hand-computed greedy diversification") {
     // candidates for one query: d1/d2 are exact duplicates (pair cos 1),
     // d3 is orthogonal — pure-relevance ranking would pick d1 then d2;
@@ -778,6 +807,16 @@ class OperatorsSpec extends SparkSpec {
     val ap = LinearModel.isotonicApply(scored, "lvl", fit)
       .select("id", "cal_score").as[(Long, Double)].collect().toMap
     assert(ap == Map(1L -> 0.5, 2L -> 0.0, 3L -> 1.0), ap.toString)
+    // duplicate input rows must each keep their own output row (the apply
+    // groups by a synthetic row id, not by the input columns), and
+    // non-groupable column types must pass through
+    val dup = Seq((1L, 0.25), (1L, 0.25), (2L, 0.05)).toDF("id", "lvl")
+      .withColumn("m", map(lit("k"), col("id")))
+    val apDup = LinearModel.isotonicApply(dup, "lvl", fit)
+    assert(apDup.count() == 3L, "duplicate rows must not collapse")
+    assert(apDup.filter(col("id") === 1L && col("cal_score") === 0.5).count() == 2L)
+    assert(apDup.select(col("m")("k")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 2L), "map-typed columns must survive the apply")
   }
 
   test("persisted linear model: name-bound serving parity and blue/green rebuild") {
@@ -1376,5 +1415,21 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "dl", "bm25")
     assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty,
       "filtered probe must apply the same elision as the single probe")
+  }
+
+  test("globalRank equals the single-partition window rank, ties broken by id") {
+    import spark.implicits._
+    // heavy duplication so value-ties straddle would-be bucket boundaries,
+    // and a skewed tail so buckets are uneven
+    val rows = (1 to 500).map(i => ((i % 7).toDouble, i.toLong)) ++
+      (501 to 600).map(i => (42.0, i.toLong))
+    val df = rows.toDF("v", "id").repartition(8)
+    for (b <- Seq(1, 4, 32)) {
+      val got = Relational.globalRank(df, "v", Seq("id"), "rnk", buckets = b)
+        .select("v", "id", "rnk").as[(Double, Long, Long)].collect().toSet
+      val want = rows.sortBy { case (v, id) => (v, id) }.zipWithIndex
+        .map { case ((v, id), i) => (v, id, i + 1L) }.toSet
+      assert(got == want, s"buckets=$b: exact global rank mismatch")
+    }
   }
 }

@@ -175,6 +175,27 @@ class PlanSpec extends SparkSpec {
       s"packing must not funnel through one partition:\n$p")
   }
 
+  test("globalRank (the ppl-bucket rank) windows per value-bucket — no corpus-sized single-partition window") {
+    // audit the operator's lazy plan (tx_ppl_buckets memoizes the bucketed
+    // frame via localCheckpoint, whose plan is a materialized-RDD scan)
+    val base = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        (org.apache.spark.sql.functions.col("doc_id") % 97)
+          .cast("double").as("nll"))
+    val df = graft.operators.Relational
+      .globalRank(base, "nll", Seq("doc_id"), "rnk", buckets = 8)
+    val p = df.queryExecution.executedPlan.toString
+    // the exact rank must come from per-bucket windows + broadcast offsets,
+    // never row_number() OVER (ORDER BY …) whose physical form is an
+    // Exchange SinglePartition feeding one corpus-wide Window task
+    assert(!p.contains("SinglePartition"),
+      s"the rank must never funnel the corpus through one partition:\n$p")
+    assert("""windowspecdefinition\(__gr_b""".r.findFirstIn(p.toLowerCase).isDefined,
+      s"expected the window partitioned by the value bucket in:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must arrive via broadcast in:\n$p")
+  }
+
   test("two-stage ANN broadcasts the bounded query side; no cartesian product") {
     val p = plan("sim_knn_2stage")
     assert(p.contains("BroadcastNestedLoopJoin"),
