@@ -197,6 +197,33 @@ object CrossHash {
     else ahoSpansFold(text, patterns)
   }
 
+  /** Sanitize a CORPUS-DERIVED pattern list before it reaches the
+    * automaton: [[requireBmpPatterns]] throws at plan-build time on
+    * null/empty/astral patterns, which is right for a hand-written
+    * blocklist but wrong for collected grams (an all-astral or too-short
+    * corpus would abort the query where the oracle's position scan just
+    * matches nothing). Drops the unusable entries; callers pair it with
+    * [[ahoSpansSafe]]/[[ahoCountsSafe]] to tolerate the empty result.
+    */
+  def sanitizePatterns(patterns: Seq[String]): Seq[String] =
+    patterns.filter(p => p != null && p.nonEmpty &&
+      p.codePointCount(0, p.length) == p.length)
+
+  /** [[ahoSpans]] tolerant of an EMPTY pattern list (a fresh or fully
+    * excised blocklist): zero patterns mean zero matches, not an error.
+    */
+  def ahoSpansSafe(text: Column, patterns: Seq[String]): Column =
+    if (patterns.isEmpty) array().cast("array<struct<start:int,len:int>>")
+    else ahoSpans(text, patterns)
+
+  /** [[ahoCounts]] tolerant of an EMPTY pattern list — an empty counts
+    * array (no pattern positions), matching the per-pattern scan over
+    * zero patterns.
+    */
+  def ahoCountsSafe(text: Column, patterns: Seq[String]): Column =
+    if (patterns.isEmpty) array().cast("array<int>")
+    else ahoCounts(text, patterns)
+
   /** Pre-promotion formulation of [[ahoSpans]]: per-pattern position
     * scan emitting (start, len) structs, sorted by (start, len) — the
     * executable spec of the span semantics.

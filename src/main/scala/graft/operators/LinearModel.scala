@@ -92,6 +92,77 @@ object LinearModel {
     w
   }
 
+  /** Driver-side twin of [[trainSquashedLinear]] over a COLLECTED,
+    * size-capped training sample — BIT-IDENTICAL arithmetic, so the same
+    * SQL replay verifies either path: the margin is the identical
+    * left-associated double chain, each gradient term quantizes to
+    * DECIMAL(28,14) HALF_UP exactly like Spark's decimal cast
+    * (`BigDecimal.valueOf` is the same shortest-string conversion), the
+    * accumulation is exact decimal (order-free — the reason the house
+    * uses decimal sums), and the update is one double division.
+    *
+    * Exists because a k-feature GD round as a distributed aggregate pays
+    * Catalyst planning + codegen PER ITERATION — negligible at k=5,
+    * pathological at k=65 (seconds per round before any data is
+    * touched) — while the training sample of a distillation pass is
+    * bounded by design: CCNet trains its fastText gate on a fixed
+    * offline sample, not the corpus. `maxRows` makes that contract loud:
+    * a caller pointing this at an unbounded frame gets an error, not an
+    * OOM.
+    */
+  def trainSquashedLinearSampled(
+      feats: DataFrame,
+      xCols: Seq[String],
+      yCol: String,
+      lr: Double,
+      iters: Int,
+      maxRows: Long = 1000000L): Array[Double] = {
+    require(iters >= 1 && lr > 0, s"iters=$iters, lr=$lr must be positive")
+    val k = xCols.size
+    val rows = feats.select((xCols :+ yCol).map(col): _*)
+      .limit((maxRows + 1).toInt).collect()
+    require(rows.length <= maxRows,
+      s"trainSquashedLinearSampled: training frame exceeds maxRows=$maxRows " +
+        "— sample/cap it explicitly (the distillation contract) or use " +
+        "the distributed trainSquashedLinear")
+    require(rows.nonEmpty, "trainSquashedLinearSampled: empty feature frame")
+    rows.foreach { r =>
+      require(!(0 to k).exists(r.isNullAt),
+        s"trainSquashedLinearSampled: NULL in feature/label row $r")
+    }
+    val xs = rows.map(r => Array.tabulate(k)(r.getDouble))
+    val ys = rows.map(_.getDouble(k))
+    val n = rows.length
+    val w = Array.fill(k)(0.0)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(java.math.BigDecimal.ZERO)
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        var m = x(0) * w(0)
+        var j = 1
+        while (j < k) { m += x(j) * w(j); j += 1 }
+        val p = 0.5 + (0.5 * m) / (1.0 + math.abs(m))
+        val ds = 0.5 / ((1.0 + math.abs(m)) * (1.0 + math.abs(m)))
+        val err = p - ys(i)
+        j = 0
+        while (j < k) {
+          sums(j) = sums(j).add(java.math.BigDecimal
+            .valueOf((err * ds) * x(j))
+            .setScale(14, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        w(j) = w(j) - lr * (sums(j).doubleValue() / n)
+        j += 1
+      }
+    }
+    w
+  }
+
   /** Score rows under fixed weights: σ(margin) rounded to 7 decimals
     * BEFORE any comparison (the cross-engine ranking rule), plus the
     * thresholded prediction.

@@ -1423,6 +1423,115 @@ object Text {
     graft.sources.Sinks.rebuildCutover(docs.sparkSession, tablePrefix,
       Kn3Suffixes) { g => writeKn3Model(docs, idCol, toks, g) }
 
+  private[graft] val BlocklistSuffixes = Seq("_patterns", "_meta")
+
+  /** Persist a banned-phrase BLOCKLIST as the ELEVENTH persisted family —
+    * a production blocklist is a MAINTAINED artifact (legal take-downs,
+    * new contamination sources), not a per-query collect: `_patterns`
+    * holds (pattern, delta) membership partials, APPEND-ONLY — additions
+    * append +1 rows, take-downs append −1 rows, and serving folds
+    * `sum(delta) > 0` to the live set (the `_stats` discipline every
+    * count-partial family follows, so fold ≡ rebuild by exact integer
+    * arithmetic). The write verbs keep the fold 0/1-valued by reading the
+    * current live set first (pattern-table-sized — the one concession to
+    * set semantics), so re-adding a live pattern or deleting an absent
+    * one is a no-op, not a reference-count surprise. `_meta` lands LAST
+    * as the completeness marker. Every verb sanitizes its input
+    * ([[graft.functions.CrossHash.sanitizePatterns]]) so the serving
+    * automaton never sees an automaton-illegal pattern.
+    */
+  def writeBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      patterns: Seq[String]): Unit = {
+    import spark.implicits._
+    val pats = graft.functions.CrossHash.sanitizePatterns(patterns).distinct
+    pats.map(p => (p, 1L)).toDF("pattern", "delta")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_patterns")
+    spark.createDataFrame(Seq(Tuple1(pats.size))).toDF("n_seed")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Add patterns to a persisted blocklist: +1 delta rows for the
+    * sanitized additions not already live, appended to the ACTIVE
+    * generation — no rewrite of existing rows.
+    */
+  def ingestIntoBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      patterns: Seq[String]): Unit = {
+    import spark.implicits._
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val live = resolveFrom(spark, tp).toSet
+    val add = graft.functions.CrossHash.sanitizePatterns(patterns)
+      .distinct.filterNot(live)
+    if (add.nonEmpty)
+      add.map(p => (p, 1L)).toDF("pattern", "delta")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .saveAsTable(s"${tp}_patterns")
+  }
+
+  /** Take patterns DOWN from a persisted blocklist: −1 delta rows for the
+    * currently-live targets — the right-to-forget verb at
+    * pattern-table cost.
+    */
+  def deleteFromBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      patterns: Seq[String]): Unit = {
+    import spark.implicits._
+    val tp = graft.sources.Sinks.activeTablePrefix(spark, tablePrefix)
+    val live = resolveFrom(spark, tp).toSet
+    val del = patterns.distinct.filter(live)
+    if (del.nonEmpty)
+      del.map(p => (p, -1L)).toDF("pattern", "delta")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .saveAsTable(s"${tp}_patterns")
+  }
+
+  /** The live pattern set of a persisted blocklist, generation-resolved:
+    * fold the deltas, keep positives, return SORTED (deterministic
+    * automaton construction). Blocklist-sized collect — a broadcast-class
+    * artifact by definition.
+    */
+  def resolveBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Seq[String] =
+    resolveFrom(spark,
+      graft.sources.Sinks.activeTablePrefix(spark, tablePrefix))
+
+  private def resolveFrom(
+      spark: org.apache.spark.sql.SparkSession, tp: String): Seq[String] =
+    spark.table(s"${tp}_patterns")
+      .groupBy("pattern").agg(sum("delta").as("d"))
+      .filter(col("d") > 0)
+      .orderBy("pattern")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Compact the blocklist's append-only deltas to one +1 row per live
+    * pattern, staged as a NEW GENERATION (compactKnModel's contract: the
+    * resolved set is unchanged, the fold input stops growing).
+    */
+  def compactBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val live = resolveBlocklist(spark, tablePrefix)
+    graft.sources.Sinks.rebuildCutover(spark, tablePrefix,
+      BlocklistSuffixes) { g => writeBlocklist(spark, g, live) }
+  }
+
+  /** Replace-and-cutover for the blocklist family — the blue/green
+    * contract every persisted family carries. Returns the new generation.
+    */
+  def rebuildBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      patterns: Seq[String]): Long =
+    graft.sources.Sinks.rebuildCutover(spark, tablePrefix,
+      BlocklistSuffixes) { g => writeBlocklist(spark, g, patterns) }
+
   /** The ULM Viterbi lattice DP as one row-local fold: accumulator
     * acc[j+1] = best (score, n_pieces, segmentation) over the word's
     * first j characters, NULL when unreachable. Step i extends from

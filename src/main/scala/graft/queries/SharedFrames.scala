@@ -48,6 +48,8 @@ private[graft] object SharedFrames {
     "doremi_nll" -> (TextQueries.doremiNllFrame _),
     "clf_weights" -> (TextQueries.classifierWeightsFrame _),
     "clf_holdout_weights" -> (TextQueries.holdoutWeightsFrame _),
+    "langclf_feats" -> (TextQueries.langClfFeatures _),
+    "langclf_weights" -> (TextQueries.langClfWeightsFrame _),
     "clf_cal_fit" -> (TextQueries.calibrationFitFrame _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))

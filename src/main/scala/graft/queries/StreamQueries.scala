@@ -1166,6 +1166,80 @@ object StreamQueries {
       } finally deleteRecursively(scratch)
     }),
 
+    // Streamed BLOCKLIST rewrite — the span-rewrite verb's streaming twin
+    // (r13 verdict #3): the corpus-derived top-10 bigram blocklist
+    // freezes BEFORE the stream starts (collected once, embedded as the
+    // automaton literal — a blocklist is a broadcast-sized artifact),
+    // then the corpus streams in four micro-batches through the same
+    // ahoSpans + exciseSpans row-local fold the one-shot
+    // tx_blocklist_scrub runs. Stateless per-row rewrite under a frozen
+    // pattern set, so the drained union must equal the one-shot pass —
+    // the oracle IS the full excision replay (blocklistScrubSql).
+    "st_blocklist_parity" -> ((s, d) => {
+      val dd = graft.sources.Tables.load(s, d, "documents")
+      val pats = TextQueries.top10BigramBlocklist(s, d)
+      val splitDir = fixtureDir("blk", d, "documents", "docs4")
+      if (!fixtureReady(splitDir)) buildFixture(splitDir) { (out, _) =>
+        dd.select("doc_id", "text").repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(splitDir.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(splitDir.toString)
+      drain(TextQueries.blocklistScrub(stream, pats), "st_blocklist", "append")
+        .orderBy("doc_id")
+    }),
+
+    // Streamed blocklist INGEST — the 11th family's maintenance twin:
+    // seed the persisted blocklist with the first four live patterns,
+    // stream the remaining six (pattern rows, three micro-batches of
+    // two) through ingestIntoBlocklist in foreachBatch — each fold is an
+    // idempotent append (re-adding a live pattern is a no-op), so a
+    // batch retry cannot double-count — then serve the corpus scan from
+    // the RESOLVED generation. The final set equals
+    // tx_blocklist_serving's (top-12 minus the top-2 take-downs), so the
+    // oracle is the same relational replay; serve_ok pins batch count
+    // AND exact set parity with the one-shot lifecycle's resolve.
+    "st_blocklist_ingest_parity" -> ((s, d) => {
+      import graft.operators.Text
+      val finalSet = TextQueries.topBigramBlocklist(s, d, 12).drop(2)
+      val prefix = s"blk_st_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.BlocklistSuffixes)
+      Text.writeBlocklist(s, prefix, finalSet.take(4))
+      val rest = finalSet.drop(4)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_blk_")
+      try {
+        import s.implicits._
+        val patDir = s"$scratch/pats"
+        val batches = rest.grouped(2).toSeq
+        batches.foreach(ps =>
+          ps.toDF("pattern").coalesce(1)
+            .write.mode("append").parquet(patDir))
+        val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(s.read.parquet(patDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(patDir)
+            .writeStream
+            .option("checkpointLocation", s"$scratch/chk")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => {
+              Text.ingestIntoBlocklist(s, prefix,
+                batch.select("pattern").collect().map(_.getString(0)).toSeq)
+              seen.incrementAndGet(): Unit
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val resolved = Text.resolveBlocklist(s, prefix)
+        val ok = resolved == finalSet.sorted &&
+          seen.get() == batches.size.toLong
+        TextQueries.blocklistScan(
+            graft.sources.Tables.load(s, d, "documents"), resolved)
+          .withColumn("serve_ok", lit(ok))
+          .orderBy("doc_id")
+      } finally deleteRecursively(scratch)
+    }),
+
     // Streamed tokenizer serving: the unigram-LM piece model is trained
     // once and PERSISTED (writeUlmModel — the eighth persisted family),
     // then the corpus streams in four micro-batches, each batch's words
@@ -1922,6 +1996,15 @@ object StreamQueries {
     // one-shot pass.
     "st_clf_cal_serving_parity" ->
       TextQueries.clfCalAllDocsSql(",\n  TRUE AS serve_ok"),
+
+    // the streamed blocklist rewrite must drain to exactly the one-shot
+    // excision — tx_blocklist_scrub's replay verbatim
+    "st_blocklist_parity" -> TextQueries.blocklistScrubSql,
+
+    // the streamed ingest folds must resolve to the one-shot lifecycle's
+    // live set — tx_blocklist_serving's replay + the pinned certificate
+    "st_blocklist_ingest_parity" ->
+      TextQueries.blocklistServeSql(",\n  TRUE AS serve_ok"),
 
     // full EM-training replay (TextQueries.ulmChainSql): the streamed
     // per-doc counts under the PERSISTED piece model must equal the

@@ -121,6 +121,169 @@ object TextQueries {
         .localCheckpoint(true)
     }
 
+  private[queries] val LangBins = 64
+  private[queries] val LangSalt = 19 // all 16 lexicon words land in distinct bins
+  private[queries] val LangScale = 32.0
+  private[queries] val LangClfIters = 50
+  private[queries] val LangAgreeFloor = 0.7
+  private[queries] val LangXCols: Seq[String] =
+    "x0" +: (1 to LangBins).map(i => s"x$i")
+
+  /** The rule-based TEACHER labeler the langid classifier distills —
+    * tx_langid's exact scorer shape (lexicon hit-fraction, argmax with
+    * declaration-order tie-break), over four lexicon families with real
+    * corpus support. The natural-language lexicons can't serve as the
+    * teacher here: the synthetic corpus' `lang` column is provably
+    * INDEPENDENT of its text (per-lang rates of every non-English
+    * stopword measured 0.0 at all three SFs, 2026-08-16 — see
+    * BASELINE.md), so no model can beat the ~0.3 base rate against the
+    * label. The machinery — rule teacher → hashed-feature linear student
+    * → held-out agreement certificate — is exactly the CCNet/fastText
+    * distillation pipeline; only the lexicons are corpus-adapted.
+    */
+  private[queries] val Dialects: Seq[(String, Seq[String])] = Seq(
+    "joins" -> Seq("join", "merge", "hash", "key"),
+    "filters" -> Seq("filter", "scan", "sort", "order"),
+    "groups" -> Seq("group", "agg", "window", "batch"),
+    "tables" -> Seq("table", "row", "column", "line"))
+
+  /** Student features for the distilled langid classifier: x0 = 1 bias,
+    * x{b+1} = 32 × (centered fraction of the doc's tokens whose SALTED
+    * h60 hash lands in bin b) — the fastText hashing trick at a
+    * dimension the oracle replays exactly. Centering by the TRAIN-split
+    * bin means is what makes 50 full-batch GD rounds converge (the raw
+    * bias/bin scale mismatch stalls the optimizer — measured holdout
+    * agreement 0.27 uncentered vs 0.79–0.82 centered); the means are a
+    * model-sized aggregate, embedded like any broadcast constant.
+    * Everything is one row-local map pass over the corpus.
+    */
+  private[queries] def langClfFeatures(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"langclf_feats:$d") {
+      // hash each token ONCE into its bin id (one md5 per token), then
+      // the 64 bin counts are cheap integer filters over the id array —
+      // hashing inside each bin's filter would cost 64 md5s per token
+      val binned = docs(s, d).select(col("doc_id"), toks.as("__tk"))
+        .withColumn("__bins", transform(col("__tk"), t =>
+          pmod(CrossHash.h60Salted(LangSalt, t), lit(LangBins.toLong))))
+      val nTok = size(col("__tk")).cast("double")
+      val raw = (0 until LangBins).map { b =>
+        (size(filter(col("__bins"), v => v === b))
+          .cast("double") / nTok).as(s"r${b + 1}")
+      }
+      val dialScores = Dialects.map { case (name, lex) =>
+        name -> (size(filter(col("__tk"), t => array_contains(typedlit(lex), t)))
+          .cast("double") / nTok)
+      }.toMap
+      val best = greatest(Dialects.map(dd => dialScores(dd._1)): _*)
+      val teacher = Dialects.map(_._1).init.foldRight(
+          lit(Dialects.last._1)) { (name, rest) =>
+        when(dialScores(name) === best, lit(name)).otherwise(rest)
+      }
+      val withRaw = binned.select(
+          Seq(col("doc_id"), teacher.as("dialect")) ++ raw: _*)
+        .localCheckpoint(true)
+      // train-split bin means: exact decimal sums, one double division —
+      // the cross-engine mean device every replayed oracle uses
+      val muRow = withRaw.filter(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("n"),
+          (1 to LangBins).map(b =>
+            sum(col(s"r$b").cast("decimal(28,14)")).cast("double")
+              .as(s"s$b")): _*)
+        .head()
+      val n = muRow.getLong(0).toDouble
+      val xs = (1 to LangBins).map { b =>
+        (lit(LangScale) * (col(s"r$b") - lit(muRow.getDouble(b) / n)))
+          .as(s"x$b")
+      }
+      withRaw.select(
+          Seq(col("doc_id"), col("dialect"), lit(1.0).as("x0")) ++ xs: _*)
+        .localCheckpoint(true)
+    }
+
+  /** The four one-vs-rest weight vectors, trained on the %5≠0 split —
+    * memoized like the other training artifacts (shared-frame
+    * attribution) and collected model-sized.
+    */
+  private[queries] def langClfWeightsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"langclf_w:$d") {
+      val tr = langClfFeatures(s, d).filter(col("doc_id") % 5 =!= 0)
+      val rows = Dialects.flatMap { case (name, _) =>
+        // sampled (driver-side, bit-identical-arithmetic) trainer: 50
+        // rounds × 65 features as distributed aggregates would pay
+        // Catalyst planning per round; the distillation sample is
+        // bounded by design (see trainSquashedLinearSampled)
+        val w = LinearModel.trainSquashedLinearSampled(
+          tr.withColumn("y", when(col("dialect") === name, 1.0).otherwise(0.0)),
+          LangXCols, "y", lr = ClfLr, iters = LangClfIters)
+        w.zipWithIndex.map { case (wj, j) => (name, j, wj) }
+      }
+      import s.implicits._
+      rows.toDF("dialect", "j", "w").localCheckpoint(true)
+    }
+
+  private[queries] def langClfWeights(
+      s: SparkSession, d: String): Map[String, Seq[Double]] =
+    langClfWeightsFrame(s, d).collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+
+  /** The suite's corpus-derived blocklist: top-10 word-bigram phrases by
+    * count (ties lexicographic) — blocklist-sized, collected like a
+    * broadcast — SANITIZED to automaton-legal patterns (r13 ADVICE: a
+    * corpus yielding empty or astral grams would otherwise abort the
+    * query at plan-build time where the oracle's position scan just
+    * matches nothing).
+    */
+  private[queries] def top10BigramBlocklist(
+      s: SparkSession, d: String): Seq[String] =
+    topBigramBlocklist(s, d, 10)
+
+  /** Top-k variant — the serving/streaming lifecycle queries use k=12 so
+    * ingest (ranks 11–12) and take-down (ranks 1–2) both act on real
+    * entries. Returned IN RANK ORDER ((n desc, gram) — `take`/`drop`
+    * slice by rank).
+    */
+  private[queries] def topBigramBlocklist(
+      s: SparkSession, d: String, k: Int): Seq[String] =
+    CrossHash.sanitizePatterns(
+      docs(s, d).withColumn("__tk", toks)
+        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(k)
+        .collect().map(_.getString(0)).toSeq)
+
+  /** The blocklist occurrence scan over a documents-shaped frame — one
+    * automaton pass per row, per-doc totals. Shared by tx_blocklist_scan
+    * (inline top-10), tx_blocklist_serving (the persisted family's
+    * resolved set) and the streamed ingest parity.
+    */
+  private[queries] def blocklistScan(
+      dd: DataFrame, pats: Seq[String]): DataFrame =
+    dd.select(col("doc_id"),
+        posexplode(CrossHash.ahoCountsSafe(col("text"), pats))
+          .as(Seq("pid", "cnt")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_occurrences"),
+        sum(when(col("cnt") > 0, 1).otherwise(0)).cast("long")
+          .as("n_patterns_hit"))
+
+  /** The blocklist-excision rewrite over a documents-shaped frame — the
+    * stateless row-local transform tx_blocklist_scrub runs one-shot and
+    * st_blocklist_parity replays per micro-batch: automaton span
+    * emission, interval-union excision, removed-volume accounting.
+    */
+  private[queries] def blocklistScrub(
+      dd: DataFrame, pats: Seq[String]): DataFrame =
+    dd.select(col("doc_id"), col("text"),
+        CrossHash.ahoSpansSafe(col("text"), pats).as("__sp"))
+      .select(col("doc_id"),
+        Text.exciseSpans(col("text"), col("__sp")).as("clean_text"),
+        size(col("__sp")).cast("long").as("n_matches"),
+        length(col("text")).cast("long").as("__n0"))
+      .withColumn("n_removed_chars", col("__n0") - length(col("clean_text")))
+      .select("doc_id", "clean_text", "n_matches", "n_removed_chars")
+
   /** Frozen full-corpus unigram (term, cf) statistics — the second
     * reference artifact of the DoReMi chain, memoized for the same
     * attribution reason as [[ensureKnBase]].
@@ -448,6 +611,46 @@ object TextQueries {
           Text.langPredict(scores).as("pred_lang"),
           greatest(Text.langs.map(scores): _*).as("best_score"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Distilled language-ID CLASSIFIER (r13 verdict #6) — tx_langid's
+    // hand-rule scorer distilled into the CCNet-shaped TRAINED model:
+    // four one-vs-rest squashed-linear probes over salted hashed
+    // word-unigram bins (h60 mod 64, train-mean-centered — the fastText
+    // hashing trick at a dimension the oracle can replay), trained
+    // full-batch GD on the %5≠0 split only, argmax-served on the UNSEEN
+    // fifth with the declaration-order tie-break. The teacher is the
+    // lexicon rule in [[Dialects]] (the labeled `lang` column is
+    // provably text-independent in this corpus — see the Dialects doc).
+    // The oracle replays ALL FOUR GD chains (4 × 50 rounds × 65 weights
+    // as recursive CTEs), the centering, the scoring, and the argmax —
+    // the learned weights themselves are hash-verified. `agree_ok`
+    // certifies held-out teacher agreement ≥ 0.7 vs a ~0.3 base rate
+    // (measured 0.79/0.82/0.81 at the three SFs — the holdout_acc_ok
+    // idiom: a degenerate fit goes RED, not quietly green).
+    "tx_langid_clf" -> ((s, d) => {
+      val ws = langClfWeights(s, d)
+      val test = langClfFeatures(s, d).filter(col("doc_id") % 5 === 0)
+      val scores = Dialects.map { case (name, _) =>
+        name -> round(LinearModel.squash(
+          LinearModel.margin(LangXCols.map(col), ws(name))), 7)
+      }.toMap
+      val best = greatest(Dialects.map(dd => scores(dd._1)): _*)
+      val pred = Dialects.map(_._1).init.foldRight(
+          lit(Dialects.last._1)) { (name, rest) =>
+        when(scores(name) === best, lit(name)).otherwise(rest)
+      }
+      val scored = test.select(
+          col("doc_id"), col("dialect"),
+          pred.as("pred_dialect"),
+          best.as("best_score"))
+        .withColumn("is_match", col("pred_dialect") === col("dialect"))
+        .localCheckpoint(true) // feeds the certificate AND the output
+      val agree = scored
+        .agg(avg(when(col("is_match"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      scored.withColumn("agree_ok", lit(agree >= LangAgreeFloor))
         .orderBy("doc_id")
     }),
 
@@ -1254,6 +1457,48 @@ object TextQueries {
         .select("doc_id", "n_trigrams", "nll", "rnk", "bucket")
         .orderBy("doc_id")),
 
+    // The CCNet+ curation flagship (r13 verdict #2): d_curate's stages —
+    // MinHash-cluster dedup survivors, language allowlist, quality
+    // floor, PII-scrubbed fingerprint — COMPOSED with the two MODEL
+    // gates the last two rounds built: the Wenzek §4.3 perplexity gate
+    // (keep head+middle against the frozen trigram-KN family; the tail
+    // tercile is the likely-noise cut CCNet drops) and the calibrated
+    // keep-probability floor (isotonic-calibrated holdout classifier,
+    // P(keep) ≥ 0.5). Stage order is pinned by the composed oracle,
+    // which replays EVERYTHING in one WITH chain: minhash bands →
+    // transitive closure, the quality formula, the full trigram-KN
+    // chain + exact tercile rank, holdout GD training + PAV fit + step
+    // apply, then the gates. Every stage is row-local or a broadcast
+    // join against model-sized artifacts once the shared frames exist —
+    // the corpus is never shuffled beyond the dedup band join.
+    "d_curate_ccnet" -> ((s, d) => {
+      val surv = graft.operators.Dedup.keepSurvivors(
+        docs(s, d), "doc_id", DedupQueries.minhashPairEdges(s, d))
+      val gated = surv
+        .withColumn("tk", toks)
+        .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
+        .filter(col("lang").isin("en", "de", "es", "fr")
+          && col("quality") >= 0.5)
+      val ppl = pplBucketsFrame(s, d)
+        .filter(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("nll"), col("bucket"))
+      val cal = LinearModel.isotonicApply(
+          LinearModel.scoreSquashedLinear(
+              classifierFeatures(s, d), ClfXCols, holdoutWeights(s, d))
+            .select(col("doc_id"), col("score"),
+              round(col("score") + 1e-9, 4).as("lvl")),
+          "lvl", calibrationFitFrame(s, d))
+        .select(col("doc_id"),
+          round(col("cal_score") + 1e-9, 7).as("cal_keep"))
+        .filter(col("cal_keep") >= 0.5)
+      gated.join(ppl, Seq("doc_id")).join(cal, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          size(col("tk")).cast("long").as("n_tokens"), col("quality"),
+          col("nll"), col("bucket"), col("cal_keep"),
+          md5(Text.piiScrub(col("text"))).as("curated_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate-gram coverage: the top-500 word-3-grams by document
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
@@ -1274,20 +1519,27 @@ object TextQueries {
     // collected like a broadcast); the oracle replays the same counts by
     // per-pattern position scan, so the automaton's match semantics are
     // hash-proven against the naive spec.
-    "tx_blocklist_scan" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pats = dd.withColumn("__tk", toks)
-        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram")).limit(10)
-        .collect().map(_.getString(0)).toSeq
-      dd.select(col("doc_id"),
-          posexplode(CrossHash.ahoCounts(col("text"), pats))
-            .as(Seq("pid", "cnt")))
-        .groupBy("doc_id")
-        .agg(sum("cnt").cast("long").as("n_occurrences"),
-          sum(when(col("cnt") > 0, 1).otherwise(0)).cast("long")
-            .as("n_patterns_hit"))
+    "tx_blocklist_scan" -> ((s, d) =>
+      blocklistScan(docs(s, d), top10BigramBlocklist(s, d))
+        .orderBy("doc_id")),
+
+    // Blocklist SERVING — the persisted family exercised through its
+    // full lifecycle in one query (the tx_kn_serving idiom, r13 verdict
+    // #5): seed the ELEVENTH family with the top-10 phrase blocklist,
+    // INGEST two additions (ranks 11–12), take DOWN the top two (the
+    // legal-removal verb), then scan the corpus with the automaton built
+    // from the RESOLVED generation — ranks 3–12. The oracle recomputes
+    // the final set relationally (top-12 OFFSET 2) and replays the scan,
+    // so a resolve that leaked a deleted pattern or dropped an ingested
+    // one hash-mismatches.
+    "tx_blocklist_serving" -> ((s, d) => {
+      val prefix = s"blk_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.BlocklistSuffixes)
+      val top12 = topBigramBlocklist(s, d, 12)
+      Text.writeBlocklist(s, prefix, top12.take(10))
+      Text.ingestIntoBlocklist(s, prefix, top12.drop(10))
+      Text.deleteFromBlocklist(s, prefix, top12.take(2))
+      blocklistScan(docs(s, d), Text.resolveBlocklist(s, prefix))
         .orderBy("doc_id")
     }),
 
@@ -1299,23 +1551,9 @@ object TextQueries {
     // position scan and the span removal as a covered-position anti-join
     // with ordered reassembly — a span merge that dropped or doubled one
     // character anywhere hash-mismatches.
-    "tx_blocklist_scrub" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pats = dd.withColumn("__tk", toks)
-        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram")).limit(10)
-        .collect().map(_.getString(0)).toSeq
-      dd.select(col("doc_id"), col("text"),
-          CrossHash.ahoSpans(col("text"), pats).as("__sp"))
-        .select(col("doc_id"),
-          Text.exciseSpans(col("text"), col("__sp")).as("clean_text"),
-          size(col("__sp")).cast("long").as("n_matches"),
-          length(col("text")).cast("long").as("__n0"))
-        .withColumn("n_removed_chars", col("__n0") - length(col("clean_text")))
-        .select("doc_id", "clean_text", "n_matches", "n_removed_chars")
-        .orderBy("doc_id")
-    }),
+    "tx_blocklist_scrub" -> ((s, d) =>
+      blocklistScrub(docs(s, d), top10BigramBlocklist(s, d))
+        .orderBy("doc_id")),
 
     // Blocklist REDACTION — the third verb of the scan family (count /
     // excise / redact): each maximal run of overlapping match spans is
@@ -1326,14 +1564,9 @@ object TextQueries {
     // the (start, end)-sorted spans, and the ordered reassembly with the
     // placeholder at each island start.
     "tx_blocklist_redact" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pats = dd.withColumn("__tk", toks)
-        .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram")).limit(10)
-        .collect().map(_.getString(0)).toSeq
-      dd.select(col("doc_id"), col("text"),
-          CrossHash.ahoSpans(col("text"), pats).as("__sp"))
+      val pats = top10BigramBlocklist(s, d)
+      docs(s, d).select(col("doc_id"), col("text"),
+          CrossHash.ahoSpansSafe(col("text"), pats).as("__sp"))
         .select(col("doc_id"),
           Text.redactSpans(col("text"), col("__sp")).as("red_text"),
           Text.mergedSpanCount(col("__sp")).as("n_regions"),
@@ -2184,6 +2417,176 @@ object TextQueries {
        |  FROM ste t LEFT JOIN calt c ON c.lvl <= t.lvl
        |  GROUP BY t.doc_id)""".stripMargin
 
+  /** The tx_langid_clf replay: the salted word-bin projection, the
+    * lexicon-rule teacher label, the exact train-split centering, all
+    * FOUR one-vs-rest GD chains (recursive CTEs over the 65-weight rows
+    * — the gdCtes device generalized to k features and a per-dialect
+    * label), the 7dp-rounded scoring of the held-out fifth, and the
+    * declaration-order argmax. agree_ok pinned TRUE.
+    */
+  private def langClfSql: String = {
+    val k = LangBins + 1
+    val sig = "(0.5 + (0.5 * m) / (1.0 + abs(m)))"
+    val ds = "(0.5 / ((1.0 + abs(m)) * (1.0 + abs(m))))"
+    val lr = ClfLr.toString
+    val names = Dialects.map(_._1)
+    // bin ids computed ONCE per token (one md5), then 64 integer filters
+    // — a per-bin md5 would cost 64 hashes per token on 5k docs
+    val rdefs = (1 to LangBins).map { b =>
+      s"    len(list_filter(bins, v -> v = ${b - 1}))::DOUBLE / len(toks) AS r$b"
+    }.mkString(",\n")
+    val fdefs = Dialects.map { case (name, lex) =>
+      val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"    len(list_filter(toks, t -> list_contains($l, t)))::DOUBLE / len(toks) AS f_$name"
+    }.mkString(",\n")
+    val fCols = names.map(n => s"f_$n").mkString(", ")
+    val dialCase = names.init.map(n =>
+      s"WHEN f_$n = greatest($fCols) THEN '$n'")
+      .mkString("CASE ", " ", s" ELSE '${names.last}' END")
+    val sums = (1 to LangBins).map(b =>
+      s"    sum(CAST(r$b AS DECIMAL(28,14)))::DOUBLE AS s$b").mkString(",\n")
+    val xdefs = (1 to LangBins).map(b =>
+      s"    $LangScale * (r$b - (mu.s$b / mu.n)) AS x$b").mkString(",\n")
+    def marginOf(fAlias: String, wAlias: String): String =
+      (0 until k).map(j => s"($fAlias.x$j * $wAlias.w$j)")
+        .reduceLeft((a, b) => s"($a + $b)")
+    val wCols = (0 until k).map(j => s"w$j").mkString(", ")
+    val zeros = (0 until k).map(_ => "0.0::DOUBLE").mkString(", ")
+    def gdDialect(l: String): String = {
+      val grads = (0 until k).map { j =>
+        s"    w$j - $lr * (sum(CAST((($sig - y) * $ds) * x$j" +
+          s" AS DECIMAL(28,14)))::DOUBLE / count(*))"
+      }.mkString(",\n")
+      val gsel = (0 until k).map(j => s"gd_$l.w$j").mkString(", ")
+      val fsel = (0 until k).map(j => s"f.x$j").mkString(", ")
+      s"""gd_$l(it, $wCols) AS (
+         |  SELECT 0, $zeros
+         |  UNION ALL
+         |  SELECT it + 1,
+         |$grads
+         |  FROM (
+         |    SELECT gd_$l.it, $gsel, $fsel,
+         |      CASE WHEN f.dialect = '$l' THEN 1.0 ELSE 0.0 END AS y,
+         |      ${marginOf("f", s"gd_$l")} AS m
+         |    FROM gd_$l, lftr f WHERE gd_$l.it < $LangClfIters) z
+         |  GROUP BY it, $wCols),
+         |fw_$l AS (SELECT $wCols FROM gd_$l WHERE it = $LangClfIters),
+         |sc_$l AS (
+         |  SELECT doc_id, round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s_$l
+         |  FROM (SELECT f.doc_id, ${marginOf("f", "fw")} AS m
+         |        FROM lfte f, fw_$l fw) z)""".stripMargin
+    }
+    val scJoins = names.map(l => s"JOIN sc_$l USING (doc_id)").mkString(" ")
+    val sCols = names.map(l => s"s_$l").mkString(", ")
+    val argmax = names.init.map(l =>
+      s"WHEN s_$l = greatest($sCols) THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${names.last}' END")
+    s"""WITH RECURSIVE tt AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks,
+       |    list_transform(regexp_split_to_array(text, '\\s+'), t ->
+       |      ('0x' || substr(md5('$LangSalt:' || t), 1, 15))::BIGINT
+       |        % $LangBins) AS bins
+       |  FROM documents),
+       |lr0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$rdefs,
+       |$fdefs
+       |  FROM tt),
+       |lb AS MATERIALIZED (
+       |  SELECT *, $dialCase AS dialect FROM lr0),
+       |mu AS MATERIALIZED (
+       |  SELECT count(1) AS n,
+       |$sums
+       |  FROM lb WHERE doc_id % 5 <> 0),
+       |lf AS MATERIALIZED (
+       |  SELECT doc_id, dialect, 1.0::DOUBLE AS x0,
+       |$xdefs
+       |  FROM lb CROSS JOIN mu),
+       |lftr AS MATERIALIZED (SELECT * FROM lf WHERE doc_id % 5 <> 0),
+       |lfte AS MATERIALIZED (SELECT * FROM lf WHERE doc_id % 5 = 0),
+       |${names.map(gdDialect).mkString(",\n")}
+       |SELECT lfte.doc_id, lfte.dialect,
+       |  $argmax AS pred_dialect,
+       |  greatest($sCols) AS best_score,
+       |  ($argmax = lfte.dialect) AS is_match,
+       |  TRUE AS agree_ok
+       |FROM lfte $scJoins
+       |ORDER BY lfte.doc_id""".stripMargin
+  }
+
+  /** The blocklist-SERVING replay: the post-lifecycle live set (top-12
+    * bigram phrases minus the top-2 take-downs = LIMIT 10 OFFSET 2 on the
+    * same (n desc, gram) order) and the per-pattern position scan —
+    * shared by tx_blocklist_serving and the streamed ingest parity,
+    * whose resolved sets must coincide.
+    */
+  private[queries] def blocklistServeSql(extraCols: String = ""): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+       |  FROM t),
+       |top AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(1) AS n FROM g GROUP BY gram
+       |    ORDER BY n DESC, gram LIMIT 10 OFFSET 2)),
+       |m AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN length(text) >= length(gram)
+       |      THEN len(list_filter(range(1, length(text) - length(gram) + 2),
+       |        i -> substr(text, i, length(gram)) = gram))
+       |      ELSE 0 END AS cnt
+       |  FROM t CROSS JOIN top)
+       |SELECT doc_id, sum(cnt)::BIGINT AS n_occurrences,
+       |  sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_patterns_hit$extraCols
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The blocklist-excision replay: corpus top-10 bigram phrases, the
+    * per-pattern position scan, interval-union removal as a
+    * covered-position anti-join with ordered reassembly. Shared by
+    * tx_blocklist_scrub (one-shot) and st_blocklist_parity (the streamed
+    * rewrite must drain to the identical rows).
+    */
+  private[queries] lazy val blocklistScrubSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+      |  FROM t),
+      |top AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(1) AS n FROM g GROUP BY gram
+      |    ORDER BY n DESC, gram LIMIT 10)),
+      |sp AS MATERIALIZED (
+      |  SELECT t.doc_id, i AS s, i + length(gram) - 1 AS e
+      |  FROM t CROSS JOIN top,
+      |    unnest(list_filter(range(1, length(text) - length(gram) + 2),
+      |      i -> substr(text, i, length(gram)) = gram)) AS u(i)),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p
+      |  FROM sp, unnest(range(s, e + 1)) AS r(p)),
+      |ch AS (
+      |  SELECT doc_id, i, substr(text, i, 1) AS chr
+      |  FROM t, unnest(range(1, length(text) + 1)) AS r(i)),
+      |kept AS (
+      |  SELECT ch.doc_id, string_agg(chr, '' ORDER BY i) AS clean_text
+      |  FROM ch ANTI JOIN cov ON ch.doc_id = cov.doc_id AND ch.i = cov.p
+      |  GROUP BY ch.doc_id),
+      |cnt AS (SELECT doc_id, count(1)::BIGINT AS n_matches
+      |        FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(k.clean_text, '') AS clean_text,
+      |  coalesce(c.n_matches, 0)::BIGINT AS n_matches,
+      |  (length(t.text) - length(coalesce(k.clean_text, '')))::BIGINT
+      |    AS n_removed_chars
+      |FROM t LEFT JOIN kept k USING (doc_id) LEFT JOIN cnt c USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** The st_clf_cal_serving_parity oracle source: every doc (train ∪
     * test) scored under the holdout weights, then calibrated.
     */
@@ -2494,6 +2897,9 @@ object TextQueries {
            |SELECT doc_id, lang, $predSql AS pred_lang, best AS best_score,
            |       ($predSql = lang) AS is_match
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      // all five one-vs-rest GD chains + scoring + argmax, replayed
+      "tx_langid_clf" -> langClfSql,
 
       "tx_quality_classifier" ->
         s"""$classifierCtes
@@ -3129,6 +3535,60 @@ object TextQueries {
       "tx_kn3_delete" -> kn3ServeSql(" WHERE doc_id % 5 <> 0",
         " WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0"),
 
+      // The full CCNet+ pipeline in ONE replay: one shared `t` superset
+      // CTE, then the spliced sans-t chains — minhash bands + transitive
+      // closure (dedup survivors), the trigram-KN chain + exact tercile
+      // rank (the perplexity gate), holdout GD + PAV + step apply over
+      // all docs (the calibrated keep floor) — and the final gate SELECT.
+      "d_curate_ccnet" -> {
+        import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}
+        val head =
+          """WITH RECURSIVE t AS (
+            |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
+            |  FROM documents),
+            |""".stripMargin
+        val buckets =
+          """rk AS (
+            |  SELECT doc_id, nll,
+            |    row_number() OVER (ORDER BY nll, doc_id)::BIGINT AS rnk,
+            |    count(1) OVER ()::BIGINT AS n
+            |  FROM scd),
+            |bk AS (
+            |  SELECT doc_id, nll,
+            |    CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+            |         WHEN rnk <= (n * 2 + 2) // 3 THEN 'middle'
+            |         ELSE 'tail' END AS bucket
+            |  FROM rk),
+            |""".stripMargin
+        val gate =
+          s""",
+             |q AS (
+             |  SELECT doc_id, lang, text, len(toks)::BIGINT AS n_tokens,
+             |    round(
+             |      least(len(toks) / 50.0, 1.0) * 0.5
+             |      + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
+             |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
+             |              / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS quality
+             |  FROM t
+             |  WHERE NOT EXISTS (SELECT 1 FROM rep r
+             |                    WHERE r.id = t.doc_id AND r.rep < r.id))
+             |SELECT q.doc_id, q.lang, q.n_tokens, q.quality, bk.nll, bk.bucket,
+             |  ap.cal7 AS cal_keep,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(q.text,
+             |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+             |    '$PhoneRe', '<PHONE>', 'g')) AS curated_fp
+             |FROM q JOIN bk USING (doc_id) JOIN ap USING (doc_id)
+             |WHERE q.lang IN ('en', 'de', 'es', 'fr') AND q.quality >= 0.5
+             |  AND bk.bucket <> 'tail' AND ap.cal7 >= 0.5
+             |ORDER BY q.doc_id""".stripMargin
+        head + DedupQueries.ClusterRepSansToks + ",\n" +
+          kn3ChainSansT("", "") + ",\n" + buckets +
+          classifierCtesSansT(holdout = true) + ",\n" +
+          clfCalChainSansT("sall",
+            "\n       |sall AS (SELECT * FROM sctr UNION ALL SELECT * FROM sc),") +
+          gate
+      },
+
       // Full DoReMi replay: both per-doc NLL chains (the tx_unigram_nll
       // and tx_kn_nll oracles verbatim, renamed CTEs), the per-domain
       // excess-loss aggregation (exact DECIMAL sum), then all 10
@@ -3282,40 +3742,11 @@ object TextQueries {
       // covered positions, kept characters reassembled in order
       // (string_agg ORDER BY position) — the relational spec of the
       // interval-union removal the Spark fold performs row-locally.
-      "tx_blocklist_scrub" ->
-        s"""$toksCte,
-           |g AS (
-           |  SELECT unnest(list_transform(range(1, len(toks)),
-           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
-           |  FROM t),
-           |top AS (
-           |  SELECT gram FROM (
-           |    SELECT gram, count(1) AS n FROM g GROUP BY gram
-           |    ORDER BY n DESC, gram LIMIT 10)),
-           |sp AS MATERIALIZED (
-           |  SELECT t.doc_id, i AS s, i + length(gram) - 1 AS e
-           |  FROM t CROSS JOIN top,
-           |    unnest(list_filter(range(1, length(text) - length(gram) + 2),
-           |      i -> substr(text, i, length(gram)) = gram)) AS u(i)),
-           |cov AS (
-           |  SELECT DISTINCT doc_id, p
-           |  FROM sp, unnest(range(s, e + 1)) AS r(p)),
-           |ch AS (
-           |  SELECT doc_id, i, substr(text, i, 1) AS chr
-           |  FROM t, unnest(range(1, length(text) + 1)) AS r(i)),
-           |kept AS (
-           |  SELECT ch.doc_id, string_agg(chr, '' ORDER BY i) AS clean_text
-           |  FROM ch ANTI JOIN cov ON ch.doc_id = cov.doc_id AND ch.i = cov.p
-           |  GROUP BY ch.doc_id),
-           |cnt AS (SELECT doc_id, count(1)::BIGINT AS n_matches
-           |        FROM sp GROUP BY doc_id)
-           |SELECT t.doc_id,
-           |  coalesce(k.clean_text, '') AS clean_text,
-           |  coalesce(c.n_matches, 0)::BIGINT AS n_matches,
-           |  (length(t.text) - length(coalesce(k.clean_text, '')))::BIGINT
-           |    AS n_removed_chars
-           |FROM t LEFT JOIN kept k USING (doc_id) LEFT JOIN cnt c USING (doc_id)
-           |ORDER BY t.doc_id""".stripMargin,
+      "tx_blocklist_scrub" -> blocklistScrubSql,
+
+      // the post-lifecycle live set (write 1–10, ingest 11–12, delete
+      // 1–2) replayed relationally + the same position scan
+      "tx_blocklist_serving" -> blocklistServeSql(),
 
       // The redaction replay: position scan + the strictly-greater island
       // rule over (start, end)-sorted spans (a window max over preceding

@@ -943,6 +943,68 @@ object ScaleBench {
     }
   }
 
+  /** Round-14: decade receipts for the r13 ACT verbs (the `aho` batch
+    * measured counts only).
+    *
+    * (1) The span REWRITE (ahoSpans → exciseSpans / redactSpans) vs
+    * pattern count at fixed corpus (sf0.1): the automaton pass is flat in
+    * patterns and the excision fold is O(matches) per row, so the rewrite
+    * should inherit the near-flat pattern scaling — growing only with
+    * match volume, never with the pattern count itself. The timed
+    * aggregate folds output LENGTHS (the runAho discipline: time the
+    * operator, not the materialization of rewritten text).
+    *
+    * (2) The calibrated-classifier serving chain and the distilled
+    * language-ID classifier at ×1/×10 corpus, via their real query
+    * entries (the runRagMmr design: untimed warm pass per dir builds the
+    * memoized training frames, the timed pass measures train-artifact
+    * write + featurize + broadcast-scored serve; both are row-local over
+    * the corpus with model-sized state, so the decade exponent should
+    * sit near 1 — pure linear corpus cost).
+    */
+  private def runSpans(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    import graft.functions.CrossHash
+    import graft.operators.Text
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .localCheckpoint(true)
+    val toks = CrossHash.tokens(col("text"))
+    val grams = docs
+      .select(explode(CrossHash.wordShingles(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(1000)
+      .collect().map(_.getString(0)).toSeq
+    def time(tag: String, out: org.apache.spark.sql.Column): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      docs.select(out.as("v")).agg(sum(length(col("v")))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SPANS $tag%-10s $sec%7.2f s")
+      sec
+    }
+    Seq(10, 100, 1000).foreach { n =>
+      val p = grams.take(n)
+      def sp = CrossHash.ahoSpans(col("text"), p)
+      val tE = time(s"excise$n", Text.exciseSpans(col("text"), sp))
+      val tR = time(s"redact$n", Text.redactSpans(col("text"), sp))
+      println(f"SPANS patterns=$n%4d  excise $tE%7.2f s  redact $tR%7.2f s")
+    }
+    for (n <- Seq("tx_clf_cal_serving", "tx_langid_clf")) {
+      for (dir <- Seq(src, scaleDir))
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable => println(s"WARM $n $dir failed: $e") }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r1 = SparkEntry.queries(n)(spark, src).count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val r10 = SparkEntry.queries(n)(spark, scaleDir).count()
+      val t10 = (System.nanoTime() - t2) / 1e9
+      println(f"SPANS $n%-20s x1 $t1%7.2f s ($r1%6d rows)  x10 $t10%7.2f s " +
+        f"($r10%6d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1130,6 +1192,11 @@ object ScaleBench {
     }
     if (which == "aho") {
       runAho(spark, src)
+      spark.stop()
+      return
+    }
+    if (which == "spans") {
+      runSpans(spark, src, scaleDir)
       spark.stop()
       return
     }

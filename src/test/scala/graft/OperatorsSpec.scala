@@ -1417,6 +1417,33 @@ class OperatorsSpec extends SparkSpec {
       "filtered probe must apply the same elision as the single probe")
   }
 
+  test("persisted blocklist: set-semantics folds, blue/green rebuild + compact") {
+    import graft.sources.Sinks
+    val prefix = "blk_spec"
+    Sinks.dropTableFamily(spark, prefix, Text.BlocklistSuffixes)
+    Text.writeBlocklist(spark, prefix, Seq("aa", "bb", "cc", "aa")) // dup collapses
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("aa", "bb", "cc"))
+    Text.ingestIntoBlocklist(spark, prefix, Seq("bb", "dd")) // live add = no-op
+    Text.deleteFromBlocklist(spark, prefix, Seq("aa", "zz")) // absent del = no-op
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("bb", "cc", "dd"))
+    // double-delete then re-add: SET semantics, never reference counts
+    Text.deleteFromBlocklist(spark, prefix, Seq("bb"))
+    Text.deleteFromBlocklist(spark, prefix, Seq("bb"))
+    Text.ingestIntoBlocklist(spark, prefix, Seq("bb"))
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("bb", "cc", "dd"))
+    // compact: generation advances, resolved set unchanged, fold input
+    // shrinks to one row per live pattern
+    assert(Text.compactBlocklist(spark, prefix) == 1L)
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("bb", "cc", "dd"))
+    assert(spark.table(s"${prefix}_g1_patterns").count() == 3L)
+    // rebuild replaces wholesale behind the pointer
+    assert(Text.rebuildBlocklist(spark, prefix, Seq("xx")) == 2L)
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("xx"))
+    // automaton-illegal inputs sanitized at the write boundary
+    Text.ingestIntoBlocklist(spark, prefix, Seq("", "y😀y", "yy"))
+    assert(Text.resolveBlocklist(spark, prefix) == Seq("xx", "yy"))
+  }
+
   test("globalRank equals the single-partition window rank, ties broken by id") {
     import spark.implicits._
     // heavy duplication so value-ties straddle would-be bucket boundaries,
