@@ -90,7 +90,7 @@ object TextQueries {
     * boundaries, per-bucket counts) read a materialized frame instead of
     * re-running the LM join chain per pass.
     */
-  private[queries] def kn3ScoredAllFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def kn3ScoredAllFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"kn3_scored_all:$d") {
       Text.scoreAgainstKn3Model(docs(s, d), "doc_id", toks, ensureKn3Base(s, d))
         .withColumnRenamed("id", "doc_id")

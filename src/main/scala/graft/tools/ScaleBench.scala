@@ -943,6 +943,57 @@ object ScaleBench {
     }
   }
 
+  /** Round-14 closing: decade receipt for the CCNet+ curation FLAGSHIP —
+    * the full composed chain (minhash dedup → lang/quality gates →
+    * perplexity tercile gate against the trigram family → calibrated
+    * keep floor → PII fingerprint) at ×1/×10 corpus, plus the standalone
+    * bucketing pass. The untimed warm pass per dir builds the shared
+    * memos (pair edges, the kn3 base + scored frame, the holdout/cal
+    * artifacts), so the timed pass measures the chain's own joins and
+    * gates — the serving composition, not index construction. The
+    * dominant scaling term is the banded minhash self-join (already
+    * decade-pinned at e≈0.78 in the x100 batch); everything downstream
+    * is row-local or broadcast-joined.
+    */
+  private def runCcnet(spark: SparkSession, src: String, scaleDir: String): Unit = {
+    // the bucketing pass ITSELF (exact rank + tercile cut over the frozen
+    // scored frame) — the r13 verdict #1 decade receipt: the query entry
+    // reads a memoized checkpoint, so the operator is timed directly
+    val times = for (dir <- Seq(src, scaleDir)) yield {
+      val scored = graft.queries.TextQueries.kn3ScoredAllFrame(spark, dir)
+      scored.count() // warm the memo (builds the kn3 base on first touch)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = scored.count()
+      val rows = graft.operators.Relational
+        .globalRank(scored, "nll", Seq("doc_id"), "rnk", buckets = 32)
+        .withColumn("bucket",
+          when(col("rnk") <= lit((n + 2) / 3), "head")
+            .when(col("rnk") <= lit((n * 2 + 2) / 3), "middle")
+            .otherwise("tail"))
+        .count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val Seq((t1, r1), (t10, r10)) = times
+    println(f"CCNET bucketing_pass     x1 $t1%7.2f s ($r1%6d rows)  x10 $t10%7.2f s " +
+      f"($r10%6d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
+    for (n <- Seq("tx_ppl_buckets", "d_curate_ccnet")) {
+      for (dir <- Seq(src, scaleDir))
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable => println(s"WARM $n $dir failed: $e") }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r1 = SparkEntry.queries(n)(spark, src).count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val r10 = SparkEntry.queries(n)(spark, scaleDir).count()
+      val t10 = (System.nanoTime() - t2) / 1e9
+      println(f"CCNET $n%-16s x1 $t1%7.2f s ($r1%6d rows)  x10 $t10%7.2f s " +
+        f"($r10%6d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
+    }
+  }
+
   /** Round-14: decade receipts for the r13 ACT verbs (the `aho` batch
     * measured counts only).
     *
@@ -1197,6 +1248,11 @@ object ScaleBench {
     }
     if (which == "spans") {
       runSpans(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "ccnet") {
+      runCcnet(spark, src, scaleDir)
       spark.stop()
       return
     }
