@@ -118,6 +118,11 @@ object LinearModel {
       iters: Int,
       maxRows: Long = 1000000L): Array[Double] = {
     require(iters >= 1 && lr > 0, s"iters=$iters, lr=$lr must be positive")
+    // < Int.MaxValue: limit() takes an Int, and (maxRows + 1).toInt on a
+    // larger value wraps negative → a confusing AnalysisException instead
+    // of this contract error
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows=$maxRows must be in (0, ${Int.MaxValue})")
     val k = xCols.size
     val rows = feats.select((xCols :+ yCol).map(col): _*)
       .limit((maxRows + 1).toInt).collect()

@@ -1439,6 +1439,15 @@ object Text {
     * as the completeness marker. Every verb sanitizes its input
     * ([[graft.functions.CrossHash.sanitizePatterns]]) so the serving
     * automaton never sees an automaton-illegal pattern.
+    *
+    * SINGLE-WRITER contract (r14 ADVICE): the read-live-then-append step
+    * in [[ingestIntoBlocklist]]/[[deleteFromBlocklist]] is not atomic —
+    * two CONCURRENT ingests of the same absent pattern each see it
+    * absent and both append +1 (fold = 2), after which one take-down
+    * leaves the pattern live: a silent right-to-forget failure. Run the
+    * maintenance verbs from one writer at a time (the discipline every
+    * persisted family here assumes — generation cutover is the
+    * concurrency seam, not the append log). Readers are always safe.
     */
   def writeBlocklist(
       spark: org.apache.spark.sql.SparkSession,

@@ -1459,4 +1459,41 @@ class OperatorsSpec extends SparkSpec {
       assert(got == want, s"buckets=$b: exact global rank mismatch")
     }
   }
+
+  test("globalRank splits a degenerate tie (90% one value) across bounded sub-buckets") {
+    import spark.implicits._
+    // one value holds 90% of the corpus — the r14 verdict's scale caveat:
+    // unsplit, that tie mass funnels through ONE per-bucket window task
+    val rows = (1 to 1800).map(i => (5.0, i.toLong)) ++
+      (1801 to 2000).map(i => ((i % 10).toDouble, i.toLong))
+    val df = rows.toDF("v", "id").repartition(8)
+    val got = Relational
+      .globalRankUnits(df, "v", Seq("id"), "rnk", buckets = 32)
+      .localCheckpoint(true)
+    val want = rows.sortBy { case (v, id) => (v, id) }.zipWithIndex
+      .map { case ((v, id), i) => (v, id, i + 1L) }.toSet
+    assert(got.select("v", "id", "rnk").as[(Double, Long, Long)]
+      .collect().toSet == want, "exact global rank mismatch under 90% ties")
+    // the per-task row bound: no (value bucket, sub-bucket) unit may hold
+    // the tie mass — ~n/buckets-sized units, far under half the corpus
+    val maxUnit = got
+      .groupBy("__gr_b", "__gr_m", "__gr_h", "__gr_s")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .agg(org.apache.spark.sql.functions.max("c")).head().getLong(0)
+    assert(maxUnit <= 400,
+      s"degenerate tie mass must split across sub-buckets; max unit $maxUnit")
+  }
+
+  test("globalRank with heavy ties and a non-numeric tie column throws the loud contract error") {
+    import spark.implicits._
+    val rows = (1 to 1800).map(i => (5.0, s"id$i")) ++
+      (1801 to 2000).map(i => ((i % 10).toDouble, s"id$i"))
+    val df = rows.toDF("v", "sid").repartition(8)
+    val e = intercept[IllegalArgumentException] {
+      Relational.globalRank(df, "v", Seq("sid"), "rnk", buckets = 32).count()
+    }
+    assert(e.getMessage.contains("cannot be sub-bucketed"),
+      s"expected the heavy-tie contract message, got: ${e.getMessage}")
+  }
 }
