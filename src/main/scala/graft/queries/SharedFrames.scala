@@ -51,6 +51,11 @@ private[graft] object SharedFrames {
     "langclf_feats" -> (TextQueries.langClfFeatures _),
     "langclf_weights" -> (TextQueries.langClfWeightsFrame _),
     "clf_cal_fit" -> (TextQueries.calibrationFitFrame _),
+    // the flagship's curated-survivor frame (consumed by d_curate_ccnet
+    // AND the r15 emit/funnel compositions — the gate chain must not
+    // re-run once per consumer); depends on minhash_pairs + ppl_buckets
+    // + the holdout/calibration frames above, so it prewarms AFTER them
+    "curate_ccnet" -> (TextQueries.curateCcnetFrame _),
     "basket_items" -> (WarehouseQueries.basketItems _),
     "basket_pairs" -> (WarehouseQueries.basketPairCounts _))
 

@@ -121,6 +121,57 @@ object TextQueries {
         .localCheckpoint(true)
     }
 
+  /** The CCNet+ flagship's curated-survivor frame (doc_id, lang, text,
+    * n_tokens, quality, nll, bucket, cal_keep) — the full gate chain
+    * (dedup survivors → lang allowlist → quality floor → Wenzek §4.3
+    * perplexity gate → calibrated keep floor), memoized once per
+    * (session, corpus) and prewarmed through [[SharedFrames]]:
+    * `d_curate_ccnet` projects it, and the round-15 EMIT composition
+    * (`d_curate_emit`) tokenizes/packs/shards it — without the shared
+    * frame the whole chain would run once per consumer.
+    */
+  private[graft] def curateCcnetFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"curate_ccnet:$d") {
+      val surv = graft.operators.Dedup.keepSurvivors(
+        docs(s, d), "doc_id", DedupQueries.minhashPairEdges(s, d))
+      val gated = surv
+        .withColumn("tk", toks)
+        .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
+        .filter(col("lang").isin("en", "de", "es", "fr")
+          && col("quality") >= 0.5)
+      val ppl = pplBucketsFrame(s, d)
+        .filter(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("nll"), col("bucket"))
+      val cal = LinearModel.isotonicApply(
+          LinearModel.scoreSquashedLinear(
+              classifierFeatures(s, d), ClfXCols, holdoutWeights(s, d))
+            .select(col("doc_id"), col("score"),
+              round(col("score") + 1e-9, 4).as("lvl")),
+          "lvl", calibrationFitFrame(s, d))
+        .select(col("doc_id"),
+          round(col("cal_score") + 1e-9, 7).as("cal_keep"))
+        .filter(col("cal_keep") >= 0.5)
+      gated.join(ppl, Seq("doc_id")).join(cal, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("tk")).cast("long").as("n_tokens"), col("quality"),
+          col("nll"), col("bucket"), col("cal_keep"))
+        .localCheckpoint(true)
+    }
+
+  /** Shared persisted full-corpus ULM tokenizer (the eighth family) —
+    * the frozen artifact the EMIT composition encodes against; built
+    * once per (session, corpus) from the memoized [[ulm2]] pieces (the
+    * training itself prewarms under `shared_frame_builds`).
+    */
+  private[queries] def ensureUlmBase(s: SparkSession, d: String): String = {
+    val prefix = s"ulm_base_${ScratchKeys.forPath(d)}"
+    IndexMemo.ensure(s, s"ulm_base:$d") {
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.UlmSuffixes)
+      Text.writeUlmModel(ulm2(s, d)._1, prefix, maxPieceLen = 4)
+    }
+    prefix
+  }
+
   private[queries] val LangBins = 64
   private[queries] val LangSalt = 19 // all 16 lexicon words land in distinct bins
   private[queries] val LangScale = 32.0
@@ -230,10 +281,12 @@ object TextQueries {
 
   /** The suite's corpus-derived blocklist: top-10 word-bigram phrases by
     * count (ties lexicographic) — blocklist-sized, collected like a
-    * broadcast — SANITIZED to automaton-legal patterns (r13 ADVICE: a
-    * corpus yielding empty or astral grams would otherwise abort the
-    * query at plan-build time where the oracle's position scan just
-    * matches nothing).
+    * broadcast. Automaton-illegal grams (empty, or containing an astral
+    * codepoint the UTF-16 automaton cursor can't pattern on) are
+    * excluded BEFORE the rank (r14 ADVICE: a post-limit sanitize would
+    * silently shrink the top-k and misalign the take/drop lifecycle
+    * slices against the oracle's LIMIT/OFFSET ranks); the oracles rank
+    * the identical universe via the same exclusion predicate.
     */
   private[queries] def top10BigramBlocklist(
       s: SparkSession, d: String): Seq[String] =
@@ -246,9 +299,13 @@ object TextQueries {
     */
   private[queries] def topBigramBlocklist(
       s: SparkSession, d: String, k: Int): Seq[String] =
-    CrossHash.sanitizePatterns(
+    CrossHash.sanitizePatterns( // belt-and-braces: a no-op after the rank-time filter
       docs(s, d).withColumn("__tk", toks)
         .select(explode(CrossHash.wordShingles(col("__tk"), 2)).as("gram"))
+        // the same legality predicate sanitizePatterns applies, moved
+        // BEFORE the rank so both engines rank the same gram universe
+        .filter(col("gram") =!= "" &&
+          !col("gram").rlike("[\\x{10000}-\\x{10FFFF}]"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(k)
         .collect().map(_.getString(0)).toSeq)
@@ -1471,16 +1528,111 @@ object TextQueries {
     // apply, then the gates. Every stage is row-local or a broadcast
     // join against model-sized artifacts once the shared frames exist —
     // the corpus is never shuffled beyond the dedup band join.
-    "d_curate_ccnet" -> ((s, d) => {
+    "d_curate_ccnet" -> ((s, d) =>
+      curateCcnetFrame(s, d)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+          col("nll"), col("bucket"), col("cal_keep"),
+          md5(Text.piiScrub(col("text"))).as("curated_fp"))
+        .orderBy("doc_id")),
+
+    // The end-to-end training-data EMIT (r14 verdict #1) — the pipeline's
+    // actual PRODUCT as one lineage: the flagship's curated survivors →
+    // per-doc token counts under the PERSISTED ULM tokenizer (the eighth
+    // family, frozen on the full corpus) → context-window packing (the
+    // tx_pack_ctx per-shard prefix-sum layout, 512-token windows) →
+    // deterministic training shards on disk (salted-hash membership +
+    // salted-hash internal order) → the emitted rows are the MANIFEST
+    // computed from the WRITTEN files: per shard, doc count, tokenizer
+    // token mass, packed window count, the XOR membership fingerprint,
+    // and an XOR fingerprint of every document's first packed window —
+    // so a write path that dropped/duplicated/misrouted a document OR
+    // perturbed the pack order anywhere flips a fingerprint. The oracle
+    // replays the entire chain: every curation gate, the 2-round
+    // Viterbi-EM tokenizer, the shard assignment, the per-shard packing
+    // prefix sum, and both fingerprints.
+    //
+    // At 100 TB: beyond the flagship's own shuffles the emit adds ONE
+    // shuffle (the shard repartition — the unavoidable deterministic
+    // interleave) and one window per shard (= one packing stream per
+    // writer task, the tx_pack_ctx argument); the tokenizer join is a
+    // vocabulary-sized broadcast.
+    "d_curate_emit" -> ((s, d) => {
+      val cur = curateCcnetFrame(s, d)
+      val prefix = ensureUlmBase(s, d)
+      val words = cur.select(explode(toks).as("word"))
+        .filter(col("word") =!= "").distinct()
+      // vocabulary-sized; materialized before the explode-join (the
+      // tx_ulm_serving projection-boundary discipline)
+      val enc = Text.encodeAgainstUlmModel(words, "word", prefix)
+        .select("word", "n_pieces").localCheckpoint(true)
+      val nTok = cur.select(col("doc_id"), explode(toks).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc, "word")
+        .groupBy("doc_id").agg(sum("n_pieces").cast("long").as("n_toks"))
+      val emitRows = cur.select(col("doc_id"), col("lang"),
+          md5(Text.piiScrub(col("text"))).as("curated_fp"))
+        .join(nTok, Seq("doc_id"))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_emit_").toString
+      try {
+        graft.sources.Sinks.writeTrainingShards(
+          emitRows, "doc_id", scratch, nShards = 8, salt = "emit_v1")
+        val ctx = 512
+        val w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+        val packed = s.read.parquet(scratch)
+          .withColumn("cum", sum("n_toks").over(w))
+          .withColumn("bin_first",
+            floor((col("cum") - col("n_toks")) / ctx).cast("long"))
+        packed.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").cast("long").as("n_tokens"),
+            floor((sum("n_toks") + lit(ctx - 1)) / ctx).cast("long")
+              .as("n_windows"),
+            call_function("bit_xor", CrossHash.h60(
+              concat(lit("emit_v1:fp:"), col("doc_id").cast("string"))))
+              .as("id_fp"),
+            call_function("bit_xor", CrossHash.h60(
+              concat(lit("emit_v1:lfp:"), col("doc_id").cast("string"),
+                lit(":"), col("bin_first").cast("string"))))
+              .as("layout_fp"))
+          .orderBy("shard")
+          // materialize before the scratch dir disappears
+          .localCheckpoint(true)
+      } finally StreamQueries.deleteRecursively(
+        java.nio.file.Paths.get(scratch))
+    }),
+
+    // The FULL curation funnel (r14 verdict #4) — d_curate_ccnet's gates
+    // plus the three quality signals the suite proves separately but the
+    // flagship never consumed: the Gopher repetition gate
+    // (tx_rep_signals' top-word/top-bigram dominance rule), the
+    // boilerplate-coverage floor (tx_boilerplate's top-500 3-gram
+    // blocklist, bp_frac ≤ 0.10), and the duplicated-gram floor
+    // (d_dup_coverage's cross-document 5-gram fraction, dup_frac ≤ 0.5).
+    // Stage order is PINNED (dedup → lang → quality → repetition →
+    // boilerplate → dup-coverage → perplexity → calibrated-keep) by the
+    // per-stage survivor-count certificate: every row carries the funnel
+    // n_s1..n_s8 (count after each cumulative gate), all replayed by the
+    // oracle — a reordered or silently-skipped stage flips a count. All
+    // signal frames are linear aggregations or broadcast joins; beyond
+    // the dedup band join nothing shuffles the corpus by anything but
+    // doc_id.
+    "d_curate_full" -> ((s, d) => {
+      val dd = docs(s, d)
       val surv = graft.operators.Dedup.keepSurvivors(
-        docs(s, d), "doc_id", DedupQueries.minhashPairEdges(s, d))
-      val gated = surv
+          dd, "doc_id", DedupQueries.minhashPairEdges(s, d))
         .withColumn("tk", toks)
         .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
-        .filter(col("lang").isin("en", "de", "es", "fr")
-          && col("quality") >= 0.5)
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+      val rep = Text.repetitionSignals(dd, "doc_id", toks)
+        .select(col("id").as("doc_id"), col("repetitive"))
+      val bp = Text.boilerplateCoverage(dd.withColumn("__tk", toks),
+          "doc_id", CrossHash.wordShingles(col("__tk"), 3), topK = 500)
+        .select(col("id").as("doc_id"), col("bp_frac"))
+      val dup = graft.operators.Dedup.dupGramCoverage(dd, "doc_id", toks,
+          n = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("dup_frac"))
       val ppl = pplBucketsFrame(s, d)
-        .filter(col("bucket") =!= "tail")
         .select(col("doc_id"), col("nll"), col("bucket"))
       val cal = LinearModel.isotonicApply(
           LinearModel.scoreSquashedLinear(
@@ -1490,12 +1642,36 @@ object TextQueries {
           "lvl", calibrationFitFrame(s, d))
         .select(col("doc_id"),
           round(col("cal_score") + 1e-9, 7).as("cal_keep"))
-        .filter(col("cal_keep") >= 0.5)
-      gated.join(ppl, Seq("doc_id")).join(cal, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          size(col("tk")).cast("long").as("n_tokens"), col("quality"),
-          col("nll"), col("bucket"), col("cal_keep"),
-          md5(Text.piiScrub(col("text"))).as("curated_fp"))
+      // short docs have no 3-grams/5-grams → no coverage row → clean 0.0
+      val flags = surv
+        .join(rep, Seq("doc_id"), "left")
+        .join(bp, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
+        .join(cal, Seq("doc_id"), "left")
+        .withColumn("bp_frac", coalesce(col("bp_frac"), lit(0.0)))
+        .withColumn("dup_frac", coalesce(col("dup_frac"), lit(0.0)))
+        .withColumn("g2", col("lang").isin("en", "de", "es", "fr"))
+        .withColumn("g3", col("quality") >= 0.5)
+        .withColumn("g4", !coalesce(col("repetitive"), lit(false)))
+        .withColumn("g5", col("bp_frac") <= 0.10)
+        .withColumn("g6", col("dup_frac") <= 0.5)
+        .withColumn("g7", col("bucket").isNotNull && col("bucket") =!= "tail")
+        .withColumn("g8", col("cal_keep").isNotNull && col("cal_keep") >= 0.5)
+        .localCheckpoint(true) // feeds the funnel agg AND the survivors
+      val gates = Seq("g2", "g3", "g4", "g5", "g6", "g7", "g8")
+      val aggCols = count(lit(1)).as("n_s1") +: (1 to 7).map { i =>
+        val conj = gates.take(i).map(col).reduce(_ && _)
+        sum(when(conj, 1L).otherwise(0L)).as(s"n_s${i + 1}")
+      }
+      val funnel = flags.agg(aggCols.head, aggCols.tail: _*)
+      flags.filter(gates.map(col).reduce(_ && _))
+        .crossJoin(broadcast(funnel))
+        .select(Seq(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality"), col("bp_frac"), col("dup_frac"), col("nll"),
+          col("bucket"), col("cal_keep"),
+          md5(Text.piiScrub(col("text"))).as("curated_fp")) ++
+          (1 to 8).map(i => col(s"n_s$i")): _*)
         .orderBy("doc_id")
     }),
 
@@ -2417,6 +2593,71 @@ object TextQueries {
        |  FROM ste t LEFT JOIN calt c ON c.lvl <= t.lvl
        |  GROUP BY t.doc_id)""".stripMargin
 
+  /** [[ulmChainSql]] without its leading `WITH RECURSIVE` — for composed
+    * oracles that already opened their own recursive WITH list (the
+    * kn3ChainSansT device; CTE names w, sub, seed, s0, pcN, vN, fN,
+    * cntN are collision-checked against the curate chain's).
+    */
+  private def ulmChainSansWith(rounds: Int): String = {
+    val full = ulmChainSql(rounds)
+    val stripped = full.stripPrefix("WITH RECURSIVE\n")
+    require(stripped != full, "ulmChainSql prefix drifted")
+    stripped
+  }
+
+  /** The shared CCNet+ curate replay — the full gate chain ending in the
+    * survivor CTE `cgate(doc_id, lang, text, n_tokens, quality, nll,
+    * bucket, cal7)`: one `t` superset CTE, minhash bands + transitive
+    * closure (dedup survivors), the trigram-KN chain + exact tercile
+    * rank (the perplexity gate), holdout GD + PAV + step apply (the
+    * calibrated keep floor), then the gates. `d_curate_ccnet` projects
+    * cgate; `d_curate_emit` tokenizes/packs/shards it.
+    */
+  private lazy val curateChainSql: String = {
+    val head =
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |""".stripMargin
+    val buckets =
+      """rk AS (
+        |  SELECT doc_id, nll,
+        |    row_number() OVER (ORDER BY nll, doc_id)::BIGINT AS rnk,
+        |    count(1) OVER ()::BIGINT AS n
+        |  FROM scd),
+        |bk AS (
+        |  SELECT doc_id, nll,
+        |    CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+        |         WHEN rnk <= (n * 2 + 2) // 3 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM rk),
+        |""".stripMargin
+    val gate =
+      s""",
+         |q AS (
+         |  SELECT doc_id, lang, text, len(toks)::BIGINT AS n_tokens,
+         |    round(
+         |      least(len(toks) / 50.0, 1.0) * 0.5
+         |      + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
+         |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
+         |              / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS quality
+         |  FROM t
+         |  WHERE NOT EXISTS (SELECT 1 FROM rep r
+         |                    WHERE r.id = t.doc_id AND r.rep < r.id)),
+         |cgate AS (
+         |  SELECT q.doc_id, q.lang, q.text, q.n_tokens, q.quality,
+         |    bk.nll, bk.bucket, ap.cal7
+         |  FROM q JOIN bk USING (doc_id) JOIN ap USING (doc_id)
+         |  WHERE q.lang IN ('en', 'de', 'es', 'fr') AND q.quality >= 0.5
+         |    AND bk.bucket <> 'tail' AND ap.cal7 >= 0.5)""".stripMargin
+    head + DedupQueries.ClusterRepSansToks + ",\n" +
+      kn3ChainSansT("", "") + ",\n" + buckets +
+      classifierCtesSansT(holdout = true) + ",\n" +
+      clfCalChainSansT("sall",
+        "\n       |sall AS (SELECT * FROM sctr UNION ALL SELECT * FROM sc),") +
+      gate
+  }
+
   /** The tx_langid_clf replay: the salted word-bin projection, the
     * lexicon-rule teacher label, the exact train-split centering, all
     * FOUR one-vs-rest GD chains (recursive CTEs over the 65-weight rows
@@ -2525,9 +2766,12 @@ object TextQueries {
        |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
        |  FROM documents),
        |g AS (
-       |  SELECT unnest(list_transform(range(1, len(toks)),
-       |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
-       |  FROM t),
+       |  SELECT gram FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+       |    FROM t)
+       |  WHERE gram <> ''
+       |    AND NOT regexp_matches(gram, '[\\x{10000}-\\x{10FFFF}]')),
        |top AS (
        |  SELECT gram FROM (
        |    SELECT gram, count(1) AS n FROM g GROUP BY gram
@@ -2555,9 +2799,12 @@ object TextQueries {
       |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
       |  FROM documents),
       |g AS (
-      |  SELECT unnest(list_transform(range(1, len(toks)),
-      |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
-      |  FROM t),
+      |  SELECT gram FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+      |    FROM t)
+      |  WHERE gram <> ''
+      |    AND NOT regexp_matches(gram, '[\x{10000}-\x{10FFFF}]')),
       |top AS (
       |  SELECT gram FROM (
       |    SELECT gram, count(1) AS n FROM g GROUP BY gram
@@ -3542,51 +3789,140 @@ object TextQueries {
       // all docs (the calibrated keep floor) — and the final gate SELECT.
       "d_curate_ccnet" -> {
         import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}
-        val head =
-          """WITH RECURSIVE t AS (
-            |  SELECT doc_id, lang, text, regexp_split_to_array(text, '\s+') AS toks
-            |  FROM documents),
-            |""".stripMargin
-        val buckets =
-          """rk AS (
-            |  SELECT doc_id, nll,
-            |    row_number() OVER (ORDER BY nll, doc_id)::BIGINT AS rnk,
-            |    count(1) OVER ()::BIGINT AS n
-            |  FROM scd),
-            |bk AS (
-            |  SELECT doc_id, nll,
-            |    CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
-            |         WHEN rnk <= (n * 2 + 2) // 3 THEN 'middle'
-            |         ELSE 'tail' END AS bucket
-            |  FROM rk),
-            |""".stripMargin
-        val gate =
-          s""",
-             |q AS (
-             |  SELECT doc_id, lang, text, len(toks)::BIGINT AS n_tokens,
-             |    round(
-             |      least(len(toks) / 50.0, 1.0) * 0.5
-             |      + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
-             |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks))
-             |              / 8.0, 1.0) * 0.2 + 0.000000001, 4) AS quality
-             |  FROM t
-             |  WHERE NOT EXISTS (SELECT 1 FROM rep r
-             |                    WHERE r.id = t.doc_id AND r.rep < r.id))
-             |SELECT q.doc_id, q.lang, q.n_tokens, q.quality, bk.nll, bk.bucket,
-             |  ap.cal7 AS cal_keep,
-             |  md5(regexp_replace(regexp_replace(regexp_replace(q.text,
-             |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
-             |    '$PhoneRe', '<PHONE>', 'g')) AS curated_fp
-             |FROM q JOIN bk USING (doc_id) JOIN ap USING (doc_id)
-             |WHERE q.lang IN ('en', 'de', 'es', 'fr') AND q.quality >= 0.5
-             |  AND bk.bucket <> 'tail' AND ap.cal7 >= 0.5
-             |ORDER BY q.doc_id""".stripMargin
-        head + DedupQueries.ClusterRepSansToks + ",\n" +
-          kn3ChainSansT("", "") + ",\n" + buckets +
-          classifierCtesSansT(holdout = true) + ",\n" +
-          clfCalChainSansT("sall",
-            "\n       |sall AS (SELECT * FROM sctr UNION ALL SELECT * FROM sc),") +
-          gate
+        s"""$curateChainSql
+           |SELECT doc_id, lang, n_tokens, quality, nll, bucket,
+           |  cal7 AS cal_keep,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g')) AS curated_fp
+           |FROM cgate
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // The EMIT replay: the full curate chain (above), the 2-round
+      // Viterbi-EM tokenizer chain (the tx_ulm_serving oracle verbatim),
+      // curated-doc token counts under the trained pieces, the salted
+      // shard/order/fingerprint hashes (the d_shard_manifest md5-h60
+      // replay), the per-shard packing prefix sum, and the manifest
+      // aggregate with both XOR fingerprints.
+      "d_curate_emit" ->
+        s"""$curateChainSql,
+           |${ulmChainSansWith(2)},
+           |em_enc AS (SELECT word, fin.np::BIGINT AS n_pieces FROM f2),
+           |em_dt AS (
+           |  SELECT t.doc_id, unnest(t.toks) AS word
+           |  FROM t JOIN cgate USING (doc_id)),
+           |em_tok AS (
+           |  SELECT doc_id, sum(n_pieces)::BIGINT AS n_toks
+           |  FROM em_dt JOIN em_enc USING (word)
+           |  WHERE word <> '' GROUP BY doc_id),
+           |em_sh AS (
+           |  SELECT doc_id, n_toks,
+           |    ('0x' || substr(md5('emit_v1:shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+           |    ('0x' || substr(md5('emit_v1:ord:' || doc_id::VARCHAR), 1, 15))::BIGINT AS ordh,
+           |    ('0x' || substr(md5('emit_v1:fp:' || doc_id::VARCHAR), 1, 15))::BIGINT AS fph
+           |  FROM em_tok),
+           |em_pk AS (
+           |  SELECT doc_id, n_toks, shard, fph,
+           |    sum(n_toks) OVER (PARTITION BY shard ORDER BY ordh, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+           |      AS start_off
+           |  FROM em_sh)
+           |SELECT shard, count(*)::BIGINT AS n_docs,
+           |  sum(n_toks)::BIGINT AS n_tokens,
+           |  ((sum(n_toks) + 511) // 512)::BIGINT AS n_windows,
+           |  bit_xor(fph) AS id_fp,
+           |  bit_xor(('0x' || substr(md5('emit_v1:lfp:' || doc_id::VARCHAR
+           |    || ':' || (start_off // 512)::VARCHAR), 1, 15))::BIGINT)
+           |    AS layout_fp
+           |FROM em_pk GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // The full-funnel replay: the curate chain's survivor/quality/
+      // bucket/calibration CTEs plus the three signal replays
+      // (tx_rep_signals, tx_boilerplate, d_dup_coverage — renamed frs_/
+      // fbp_/fdc_), the cumulative-gate funnel counts, and the gated
+      // final SELECT carrying them as certificate columns.
+      "d_curate_full" -> {
+        import graft.operators.Text.{EmailRe, Ipv4Re, PhoneRe}
+        s"""$curateChainSql,
+           |frs_uc AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+           |frs_u AS (
+           |  SELECT doc_id, sum(c)::BIGINT AS n_words,
+           |    max(c)::BIGINT AS top_word_n
+           |  FROM frs_uc GROUP BY 1),
+           |frs_bc AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |          i -> toks[i] || ' ' || toks[i + 1])) AS g FROM t)
+           |  GROUP BY 1, 2),
+           |frs_b AS (
+           |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+           |    max(c)::BIGINT AS top_bigram_n
+           |  FROM frs_bc GROUP BY 1),
+           |frs AS (
+           |  SELECT u.doc_id,
+           |    (top_word_n * 8 >= n_words
+           |     OR (coalesce(n_bigrams, 0) > 0
+           |         AND coalesce(top_bigram_n, 0) * 20
+           |             >= coalesce(n_bigrams, 0))) AS repetitive
+           |  FROM frs_u u LEFT JOIN frs_b b ON u.doc_id = b.doc_id),
+           |fbp_g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(toks) - 1),
+           |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+           |  FROM t),
+           |fbp_df AS (SELECT gram, count(1) AS df FROM fbp_g GROUP BY gram),
+           |fbp_top AS (SELECT gram FROM fbp_df ORDER BY df DESC, gram LIMIT 500),
+           |fbp AS (
+           |  SELECT doc_id,
+           |    round(sum((gram IN (SELECT gram FROM fbp_top))::INT)::DOUBLE
+           |      / count(1) + 0.000000001, 4) AS bp_frac
+           |  FROM fbp_g GROUP BY doc_id),
+           |fdc_g AS (
+           |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+           |  FROM t, unnest(range(1, len(toks) - 3)) u(i)),
+           |fdc_d AS (SELECT gram FROM fdc_g
+           |          GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |fdc AS (
+           |  SELECT g.doc_id,
+           |    round(count(d.gram)::DOUBLE / count(*) + 0.000000001, 4) AS dup_frac
+           |  FROM fdc_g g LEFT JOIN fdc_d d USING (gram) GROUP BY g.doc_id),
+           |ffl AS (
+           |  SELECT q.doc_id, q.lang, q.text, q.n_tokens, q.quality,
+           |    coalesce(fbp.bp_frac, 0.0) AS bp_frac,
+           |    coalesce(fdc.dup_frac, 0.0) AS dup_frac,
+           |    bk.nll, bk.bucket, ap.cal7,
+           |    (q.lang IN ('en', 'de', 'es', 'fr')) AS g2,
+           |    (q.quality >= 0.5) AS g3,
+           |    (NOT coalesce(frs.repetitive, FALSE)) AS g4,
+           |    (coalesce(fbp.bp_frac, 0.0) <= 0.10) AS g5,
+           |    (coalesce(fdc.dup_frac, 0.0) <= 0.5) AS g6,
+           |    (bk.bucket IS NOT NULL AND bk.bucket <> 'tail') AS g7,
+           |    (ap.cal7 IS NOT NULL AND ap.cal7 >= 0.5) AS g8
+           |  FROM q LEFT JOIN frs USING (doc_id) LEFT JOIN fbp USING (doc_id)
+           |    LEFT JOIN fdc USING (doc_id) LEFT JOIN bk USING (doc_id)
+           |    LEFT JOIN ap USING (doc_id)),
+           |ffn AS (
+           |  SELECT count(*)::BIGINT AS n_s1,
+           |    sum(CASE WHEN g2 THEN 1 ELSE 0 END)::BIGINT AS n_s2,
+           |    sum(CASE WHEN g2 AND g3 THEN 1 ELSE 0 END)::BIGINT AS n_s3,
+           |    sum(CASE WHEN g2 AND g3 AND g4 THEN 1 ELSE 0 END)::BIGINT AS n_s4,
+           |    sum(CASE WHEN g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END)::BIGINT AS n_s5,
+           |    sum(CASE WHEN g2 AND g3 AND g4 AND g5 AND g6 THEN 1 ELSE 0 END)::BIGINT AS n_s6,
+           |    sum(CASE WHEN g2 AND g3 AND g4 AND g5 AND g6 AND g7 THEN 1 ELSE 0 END)::BIGINT AS n_s7,
+           |    sum(CASE WHEN g2 AND g3 AND g4 AND g5 AND g6 AND g7 AND g8 THEN 1 ELSE 0 END)::BIGINT AS n_s8
+           |  FROM ffl)
+           |SELECT f.doc_id, f.lang, f.n_tokens, f.quality, f.bp_frac,
+           |  f.dup_frac, f.nll, f.bucket, f.cal7 AS cal_keep,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(f.text,
+           |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g')) AS curated_fp,
+           |  n.n_s1, n.n_s2, n.n_s3, n.n_s4, n.n_s5, n.n_s6, n.n_s7, n.n_s8
+           |FROM ffl f CROSS JOIN ffn n
+           |WHERE f.g2 AND f.g3 AND f.g4 AND f.g5 AND f.g6 AND f.g7 AND f.g8
+           |ORDER BY f.doc_id""".stripMargin
       },
 
       // Full DoReMi replay: both per-doc NLL chains (the tx_unigram_nll
@@ -3719,9 +4055,12 @@ object TextQueries {
       "tx_blocklist_scan" ->
         s"""$toksCte,
            |g AS (
-           |  SELECT unnest(list_transform(range(1, len(toks)),
-           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
-           |  FROM t),
+           |  SELECT gram FROM (
+           |    SELECT unnest(list_transform(range(1, len(toks)),
+           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |    FROM t)
+           |  WHERE gram <> ''
+           |    AND NOT regexp_matches(gram, '[\\x{10000}-\\x{10FFFF}]')),
            |top AS (
            |  SELECT gram FROM (
            |    SELECT gram, count(1) AS n FROM g GROUP BY gram
@@ -3755,9 +4094,12 @@ object TextQueries {
       "tx_blocklist_redact" ->
         s"""$toksCte,
            |g AS (
-           |  SELECT unnest(list_transform(range(1, len(toks)),
-           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
-           |  FROM t),
+           |  SELECT gram FROM (
+           |    SELECT unnest(list_transform(range(1, len(toks)),
+           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |    FROM t)
+           |  WHERE gram <> ''
+           |    AND NOT regexp_matches(gram, '[\\x{10000}-\\x{10FFFF}]')),
            |top AS (
            |  SELECT gram FROM (
            |    SELECT gram, count(1) AS n FROM g GROUP BY gram
