@@ -75,7 +75,7 @@ object SparkEntry {
       "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_ivfpq_ingest",
       "sim_knn_ivfpq_rebuild", "sim_knn_ivfpq_delete",
       "tx_clf_holdout", "tx_clf_calibrated", "tx_clf_cal_serving",
-      "tx_langid_clf",
+      "tx_langid_clf", "tx_langid_chargram",
       "tx_bm25_indexed", "tx_bm25_ingest", "tx_bm25_delete",
       "tx_bm25_rebuild", "tx_bm25_batch", "tx_bm25_filtered",
       "tx_bm25_elided", "tx_bm25_maxscore", "tx_bm25_batch_maxscore",

@@ -139,6 +139,21 @@ object LinearModel {
     val ys = rows.map(_.getDouble(k))
     val n = rows.length
     val w = Array.fill(k)(0.0)
+    // double→DECIMAL(28,14) exactly as the ORACLE engine casts it:
+    // rint(d · 10¹⁴) — one double multiply, then round-half-even on the
+    // product (measured against DuckDB on 120/120 boundary doubles where
+    // shortest-string HALF_UP and exact-binary rounding disagree; the
+    // r14 word-bin student never hit such a boundary, the r15 char-gram
+    // student's larger-magnitude terms hit them every few thousand casts
+    // and drifted the 50-round chains apart at the 10th decimal).
+    // Bounded |d| < 9.2e4 by the Long mantissa — gradient terms here are
+    // O(scale · fraction) ≈ O(10).
+    def toDecimal14(d: Double): java.math.BigDecimal = {
+      val p = Math.rint(d * 1e14)
+      require(math.abs(p) < Long.MaxValue.toDouble,
+        s"toDecimal14 overflow: $d")
+      java.math.BigDecimal.valueOf(p.toLong, 14)
+    }
     for (_ <- 1 to iters) {
       val sums = Array.fill(k)(java.math.BigDecimal.ZERO)
       var i = 0
@@ -152,9 +167,7 @@ object LinearModel {
         val err = p - ys(i)
         j = 0
         while (j < k) {
-          sums(j) = sums(j).add(java.math.BigDecimal
-            .valueOf((err * ds) * x(j))
-            .setScale(14, java.math.RoundingMode.HALF_UP))
+          sums(j) = sums(j).add(toDecimal14((err * ds) * x(j)))
           j += 1
         }
         i += 1

@@ -50,6 +50,8 @@ private[graft] object SharedFrames {
     "clf_holdout_weights" -> (TextQueries.holdoutWeightsFrame _),
     "langclf_feats" -> (TextQueries.langClfFeatures _),
     "langclf_weights" -> (TextQueries.langClfWeightsFrame _),
+    "langclf_cfeats" -> (TextQueries.langClfCharFeatures _),
+    "langclf_cweights" -> (TextQueries.langClfCharWeightsFrame _),
     "clf_cal_fit" -> (TextQueries.calibrationFitFrame _),
     // the flagship's curated-survivor frame (consumed by d_curate_ccnet
     // AND the r15 emit/funnel compositions — the gate chain must not

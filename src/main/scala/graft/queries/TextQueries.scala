@@ -174,6 +174,13 @@ object TextQueries {
 
   private[queries] val LangBins = 64
   private[queries] val LangSalt = 19 // all 16 lexicon words land in distinct bins
+  private[queries] val LangCharSalt = 23 // the char-3-gram projection's salt
+  // char-gram bin fractions are ~5x smaller than word-bin fractions
+  // (hundreds of grams spread over 64 bins vs ~80 tokens over ~31
+  // vocabulary bins), so the char student needs a proportionally larger
+  // feature scale for the same 50 GD rounds to converge
+  private[queries] val LangCharScale = 128.0
+  private[queries] val LangCharIters = 150
   private[queries] val LangScale = 32.0
   private[queries] val LangClfIters = 50
   private[queries] val LangAgreeFloor = 0.7
@@ -210,46 +217,73 @@ object TextQueries {
     */
   private[queries] def langClfFeatures(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"langclf_feats:$d") {
-      // hash each token ONCE into its bin id (one md5 per token), then
-      // the 64 bin counts are cheap integer filters over the id array —
-      // hashing inside each bin's filter would cost 64 md5s per token
-      val binned = docs(s, d).select(col("doc_id"), toks.as("__tk"))
-        .withColumn("__bins", transform(col("__tk"), t =>
-          pmod(CrossHash.h60Salted(LangSalt, t), lit(LangBins.toLong))))
-      val nTok = size(col("__tk")).cast("double")
-      val raw = (0 until LangBins).map { b =>
-        (size(filter(col("__bins"), v => v === b))
-          .cast("double") / nTok).as(s"r${b + 1}")
-      }
-      val dialScores = Dialects.map { case (name, lex) =>
-        name -> (size(filter(col("__tk"), t => array_contains(typedlit(lex), t)))
-          .cast("double") / nTok)
-      }.toMap
-      val best = greatest(Dialects.map(dd => dialScores(dd._1)): _*)
-      val teacher = Dialects.map(_._1).init.foldRight(
-          lit(Dialects.last._1)) { (name, rest) =>
-        when(dialScores(name) === best, lit(name)).otherwise(rest)
-      }
-      val withRaw = binned.select(
-          Seq(col("doc_id"), teacher.as("dialect")) ++ raw: _*)
-        .localCheckpoint(true)
-      // train-split bin means: exact decimal sums, one double division —
-      // the cross-engine mean device every replayed oracle uses
-      val muRow = withRaw.filter(col("doc_id") % 5 =!= 0)
-        .agg(count(lit(1)).as("n"),
-          (1 to LangBins).map(b =>
-            sum(col(s"r$b").cast("decimal(28,14)")).cast("double")
-              .as(s"s$b")): _*)
-        .head()
-      val n = muRow.getLong(0).toDouble
-      val xs = (1 to LangBins).map { b =>
-        (lit(LangScale) * (col(s"r$b") - lit(muRow.getDouble(b) / n)))
-          .as(s"x$b")
-      }
-      withRaw.select(
-          Seq(col("doc_id"), col("dialect"), lit(1.0).as("x0")) ++ xs: _*)
-        .localCheckpoint(true)
+      langClfFeaturesImpl(s, d, grams = toks, salt = LangSalt,
+        scale = LangScale)
     }
+
+  /** Char-3-gram student features (r14 verdict #7) — fastText's ACTUAL
+    * langid projection (hashed character n-grams) where the word-bin
+    * student is corpus-vocabulary-bound: char-grams transfer to unseen
+    * words/morphology, which is what a real multilingual gate needs.
+    * Same teacher, centering, and scale as [[langClfFeatures]]; only
+    * the hashed gram universe changes.
+    */
+  private[queries] def langClfCharFeatures(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"langclf_cfeats:$d") {
+      langClfFeaturesImpl(s, d,
+        grams = flatten(transform(toks, t =>
+          CrossHash.charGrams(concat(lit("<"), t, lit(">")), 3))),
+        salt = LangCharSalt, scale = LangCharScale)
+    }
+
+  private def langClfFeaturesImpl(
+      s: SparkSession,
+      d: String,
+      grams: org.apache.spark.sql.Column,
+      salt: Int,
+      scale: Double): DataFrame = {
+    // hash each gram ONCE into its bin id (one md5 per gram), then the
+    // 64 bin counts are cheap integer filters over the id array —
+    // hashing inside each bin's filter would cost 64 md5s per gram
+    val binned = docs(s, d)
+      .select(col("doc_id"), toks.as("__tk"), grams.as("__gr"))
+      .withColumn("__bins", transform(col("__gr"), t =>
+        pmod(CrossHash.h60Salted(salt, t), lit(LangBins.toLong))))
+    val den = size(col("__gr")).cast("double")
+    val nTok = size(col("__tk")).cast("double")
+    val raw = (0 until LangBins).map { b =>
+      (size(filter(col("__bins"), v => v === b))
+        .cast("double") / den).as(s"r${b + 1}")
+    }
+    val dialScores = Dialects.map { case (name, lex) =>
+      name -> (size(filter(col("__tk"), t => array_contains(typedlit(lex), t)))
+        .cast("double") / nTok)
+    }.toMap
+    val best = greatest(Dialects.map(dd => dialScores(dd._1)): _*)
+    val teacher = Dialects.map(_._1).init.foldRight(
+        lit(Dialects.last._1)) { (name, rest) =>
+      when(dialScores(name) === best, lit(name)).otherwise(rest)
+    }
+    val withRaw = binned.select(
+        Seq(col("doc_id"), teacher.as("dialect")) ++ raw: _*)
+      .localCheckpoint(true)
+    // train-split bin means: exact decimal sums, one double division —
+    // the cross-engine mean device every replayed oracle uses
+    val muRow = withRaw.filter(col("doc_id") % 5 =!= 0)
+      .agg(count(lit(1)).as("n"),
+        (1 to LangBins).map(b =>
+          sum(col(s"r$b").cast("decimal(28,14)")).cast("double")
+            .as(s"s$b")): _*)
+      .head()
+    val n = muRow.getLong(0).toDouble
+    val xs = (1 to LangBins).map { b =>
+      (lit(scale) * (col(s"r$b") - lit(muRow.getDouble(b) / n)))
+        .as(s"x$b")
+    }
+    withRaw.select(
+        Seq(col("doc_id"), col("dialect"), lit(1.0).as("x0")) ++ xs: _*)
+      .localCheckpoint(true)
+  }
 
   /** The four one-vs-rest weight vectors, trained on the %5≠0 split —
     * memoized like the other training artifacts (shared-frame
@@ -274,10 +308,65 @@ object TextQueries {
 
   private[queries] def langClfWeights(
       s: SparkSession, d: String): Map[String, Seq[Double]] =
-    langClfWeightsFrame(s, d).collect()
+    collectWeights(langClfWeightsFrame(s, d))
+
+  /** The char-gram student's four one-vs-rest weight vectors — same
+    * trainer, split, and rounds as [[langClfWeightsFrame]].
+    */
+  private[queries] def langClfCharWeightsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"langclf_cw:$d") {
+      val tr = langClfCharFeatures(s, d).filter(col("doc_id") % 5 =!= 0)
+      val rows = Dialects.flatMap { case (name, _) =>
+        val w = LinearModel.trainSquashedLinearSampled(
+          tr.withColumn("y", when(col("dialect") === name, 1.0).otherwise(0.0)),
+          LangXCols, "y", lr = ClfLr, iters = LangCharIters)
+        w.zipWithIndex.map { case (wj, j) => (name, j, wj) }
+      }
+      import s.implicits._
+      rows.toDF("dialect", "j", "w").localCheckpoint(true)
+    }
+
+  private[queries] def langClfCharWeights(
+      s: SparkSession, d: String): Map[String, Seq[Double]] =
+    collectWeights(langClfCharWeightsFrame(s, d))
+
+  private def collectWeights(wf: DataFrame): Map[String, Seq[Double]] =
+    wf.collect()
       .groupBy(_.getString(0))
       .map { case (l, rs) =>
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+
+  /** Held-out serving for a distilled langid student: 7dp-rounded
+    * squashed scores per dialect, declaration-order argmax, and the
+    * `agree_ok` held-out teacher-agreement certificate (≥
+    * [[LangAgreeFloor]] vs the ~0.3 base rate — a degenerate fit goes
+    * RED, not quietly green). Shared by the word-bin and char-gram
+    * students.
+    */
+  private def langClfServe(
+      feats: DataFrame, ws: Map[String, Seq[Double]]): DataFrame = {
+    val test = feats.filter(col("doc_id") % 5 === 0)
+    val scores = Dialects.map { case (name, _) =>
+      name -> round(LinearModel.squash(
+        LinearModel.margin(LangXCols.map(col), ws(name))), 7)
+    }.toMap
+    val best = greatest(Dialects.map(dd => scores(dd._1)): _*)
+    val pred = Dialects.map(_._1).init.foldRight(
+        lit(Dialects.last._1)) { (name, rest) =>
+      when(scores(name) === best, lit(name)).otherwise(rest)
+    }
+    val scored = test.select(
+        col("doc_id"), col("dialect"),
+        pred.as("pred_dialect"),
+        best.as("best_score"))
+      .withColumn("is_match", col("pred_dialect") === col("dialect"))
+      .localCheckpoint(true) // feeds the certificate AND the output
+    val agree = scored
+      .agg(avg(when(col("is_match"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    scored.withColumn("agree_ok", lit(agree >= LangAgreeFloor))
+      .orderBy("doc_id")
+  }
 
   /** The suite's corpus-derived blocklist: top-10 word-bigram phrases by
     * count (ties lexicographic) — blocklist-sized, collected like a
@@ -686,30 +775,18 @@ object TextQueries {
     // certifies held-out teacher agreement ≥ 0.7 vs a ~0.3 base rate
     // (measured 0.79/0.82/0.81 at the three SFs — the holdout_acc_ok
     // idiom: a degenerate fit goes RED, not quietly green).
-    "tx_langid_clf" -> ((s, d) => {
-      val ws = langClfWeights(s, d)
-      val test = langClfFeatures(s, d).filter(col("doc_id") % 5 === 0)
-      val scores = Dialects.map { case (name, _) =>
-        name -> round(LinearModel.squash(
-          LinearModel.margin(LangXCols.map(col), ws(name))), 7)
-      }.toMap
-      val best = greatest(Dialects.map(dd => scores(dd._1)): _*)
-      val pred = Dialects.map(_._1).init.foldRight(
-          lit(Dialects.last._1)) { (name, rest) =>
-        when(scores(name) === best, lit(name)).otherwise(rest)
-      }
-      val scored = test.select(
-          col("doc_id"), col("dialect"),
-          pred.as("pred_dialect"),
-          best.as("best_score"))
-        .withColumn("is_match", col("pred_dialect") === col("dialect"))
-        .localCheckpoint(true) // feeds the certificate AND the output
-      val agree = scored
-        .agg(avg(when(col("is_match"), 1.0).otherwise(0.0)))
-        .head().getDouble(0)
-      scored.withColumn("agree_ok", lit(agree >= LangAgreeFloor))
-        .orderBy("doc_id")
-    }),
+    "tx_langid_clf" -> ((s, d) =>
+      langClfServe(langClfFeatures(s, d), langClfWeights(s, d))),
+
+    // The char-3-gram langid student (r14 verdict #7) — the same
+    // distillation pipeline over fastText's actual feature universe:
+    // hashed character 3-grams instead of word unigrams, so the model
+    // transfers to unseen words where the word-bin student is
+    // corpus-vocabulary-bound. Same teacher, split, trainer, rounds,
+    // and held-out agreement certificate; the oracle replays all four
+    // GD chains over the char-gram bins.
+    "tx_langid_chargram" -> ((s, d) =>
+      langClfServe(langClfCharFeatures(s, d), langClfCharWeights(s, d))),
 
     // Quality scoring: volume / fluency-proxy / lexical-weight composite.
     // Rule-distillation linear probe (the FineWeb-Edu-shaped classifier
@@ -1672,6 +1749,57 @@ object TextQueries {
           col("bucket"), col("cal_keep"),
           md5(Text.piiScrub(col("text"))).as("curated_fp")) ++
           (1 to 8).map(i => col(s"n_s$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // DOMAIN-level curation gate (r14 verdict #5) — CCNet curates per
+    // DOMAIN, not per document: every document gets its deterministic
+    // source URL, parse_url(HOST) yields the domain, ONE aggregation
+    // derives the per-domain stat frame (doc count, exact-decimal mean
+    // quality, high-duplication doc count), and the gate blocks the
+    // bottom-3 domains by mean quality PLUS any domain whose
+    // high-duplication fraction exceeds 10% (exact integer comparison —
+    // 10·n_highdup > n_docs, no float boundary). The blocked set
+    // persists through the ELEVENTH family (the blocklist artifact
+    // lifecycle — a domain ban is a maintained legal/quality artifact,
+    // not a per-query collect) and the gate itself is a broadcast
+    // anti-membership filter: at 100 TB the corpus shuffles once on
+    // domain for the stats and never again. The oracle replays the URL
+    // synthesis, the quality and dup-coverage chains, the stat frame,
+    // both block rules, and the final membership filter.
+    "d_domain_gate" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("tk", toks)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id").cast("string")))
+        .withColumn("domain", parse_url(col("url"), lit("HOST")))
+        .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
+      val dup = graft.operators.Dedup
+        .dupGramCoverage(docs(s, d), "doc_id", toks, n = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      // domain-table-sized (|domains| rows) — the broadcast artifact
+      val stats = dd.join(dup, Seq("doc_id"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("dom_docs"),
+          round(sum(col("quality").cast("decimal(28,14)")).cast("double")
+            / count(lit(1)) + 1e-9, 4).as("dom_mean_q"),
+          sum(when(coalesce(col("dup_frac"), lit(0.0)) > 0.5, 1L)
+            .otherwise(0L)).as("dom_highdup"))
+        .localCheckpoint(true)
+      val bottom = stats.orderBy(col("dom_mean_q"), col("domain"))
+        .limit(3).select("domain")
+      val dupBad = stats.filter(col("dom_highdup") * 10 > col("dom_docs"))
+        .select("domain")
+      val blocked = bottom.union(dupBad).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val prefix = s"domblk_${ScratchKeys.forPath(d)}"
+      graft.sources.Sinks.dropTableFamily(s, prefix, Text.BlocklistSuffixes)
+      Text.writeBlocklist(s, prefix, blocked)
+      val live = Text.resolveBlocklist(s, prefix)
+      dd.join(broadcast(stats), Seq("domain"))
+        .filter(!col("domain").isin(live: _*))
+        .select(col("doc_id"), col("domain"), col("dom_docs"),
+          col("dom_mean_q"), col("dom_highdup"),
+          lit(live.size.toLong).as("n_blocked"))
         .orderBy("doc_id")
     }),
 
@@ -2665,16 +2793,36 @@ object TextQueries {
     * label), the 7dp-rounded scoring of the held-out fifth, and the
     * declaration-order argmax. agree_ok pinned TRUE.
     */
-  private def langClfSql: String = {
+  /** The word-unigram bin projection (tx_langid_clf's universe). */
+  private lazy val LangWordBinsSql: String =
+    s"""list_transform(regexp_split_to_array(text, '\\s+'), t ->
+       |      ('0x' || substr(md5('$LangSalt:' || t), 1, 15))::BIGINT
+       |        % $LangBins)""".stripMargin
+
+  /** The char-3-gram bin projection (tx_langid_chargram's universe):
+    * boundary-padded per-token 3-grams — fastText's subword universe
+    * (`<wo`, `wor`, ..., `rd>`), which keeps prefix/suffix signal and
+    * drops cross-word noise grams.
+    */
+  private lazy val LangCharBinsSql: String =
+    // single-|| lines must not LEAD a line here: this fragment embeds in
+    // langClfSql's template whose own stripMargin would eat the first |
+    s"""flatten(list_transform(regexp_split_to_array(text, '\\s+'), t ->
+       |      list_transform(range(1, length(t) + 1), i ->
+       |        ('0x' || substr(md5('$LangCharSalt:' ||
+       |          substr('<' || t || '>', i, 3)), 1, 15))::BIGINT
+       |          % $LangBins)))""".stripMargin
+
+  private def langClfSql(binsSql: String, scale: Double, iters: Int): String = {
     val k = LangBins + 1
     val sig = "(0.5 + (0.5 * m) / (1.0 + abs(m)))"
     val ds = "(0.5 / ((1.0 + abs(m)) * (1.0 + abs(m))))"
     val lr = ClfLr.toString
     val names = Dialects.map(_._1)
-    // bin ids computed ONCE per token (one md5), then 64 integer filters
-    // — a per-bin md5 would cost 64 hashes per token on 5k docs
+    // bin ids computed ONCE per gram (one md5), then 64 integer filters
+    // — a per-bin md5 would cost 64 hashes per gram on 5k docs
     val rdefs = (1 to LangBins).map { b =>
-      s"    len(list_filter(bins, v -> v = ${b - 1}))::DOUBLE / len(toks) AS r$b"
+      s"    len(list_filter(bins, v -> v = ${b - 1}))::DOUBLE / len(bins) AS r$b"
     }.mkString(",\n")
     val fdefs = Dialects.map { case (name, lex) =>
       val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -2687,7 +2835,7 @@ object TextQueries {
     val sums = (1 to LangBins).map(b =>
       s"    sum(CAST(r$b AS DECIMAL(28,14)))::DOUBLE AS s$b").mkString(",\n")
     val xdefs = (1 to LangBins).map(b =>
-      s"    $LangScale * (r$b - (mu.s$b / mu.n)) AS x$b").mkString(",\n")
+      s"    $scale * (r$b - (mu.s$b / mu.n)) AS x$b").mkString(",\n")
     def marginOf(fAlias: String, wAlias: String): String =
       (0 until k).map(j => s"($fAlias.x$j * $wAlias.w$j)")
         .reduceLeft((a, b) => s"($a + $b)")
@@ -2709,9 +2857,9 @@ object TextQueries {
          |    SELECT gd_$l.it, $gsel, $fsel,
          |      CASE WHEN f.dialect = '$l' THEN 1.0 ELSE 0.0 END AS y,
          |      ${marginOf("f", s"gd_$l")} AS m
-         |    FROM gd_$l, lftr f WHERE gd_$l.it < $LangClfIters) z
+         |    FROM gd_$l, lftr f WHERE gd_$l.it < $iters) z
          |  GROUP BY it, $wCols),
-         |fw_$l AS (SELECT $wCols FROM gd_$l WHERE it = $LangClfIters),
+         |fw_$l AS (SELECT $wCols FROM gd_$l WHERE it = $iters),
          |sc_$l AS (
          |  SELECT doc_id, round(0.5 + (0.5 * m) / (1.0 + abs(m)), 7) AS s_$l
          |  FROM (SELECT f.doc_id, ${marginOf("f", "fw")} AS m
@@ -2724,9 +2872,7 @@ object TextQueries {
       .mkString("CASE ", " ", s" ELSE '${names.last}' END")
     s"""WITH RECURSIVE tt AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks,
-       |    list_transform(regexp_split_to_array(text, '\\s+'), t ->
-       |      ('0x' || substr(md5('$LangSalt:' || t), 1, 15))::BIGINT
-       |        % $LangBins) AS bins
+       |    $binsSql AS bins
        |  FROM documents),
        |lr0 AS MATERIALIZED (
        |  SELECT doc_id,
@@ -3146,7 +3292,11 @@ object TextQueries {
            |FROM scored ORDER BY doc_id""".stripMargin,
 
       // all five one-vs-rest GD chains + scoring + argmax, replayed
-      "tx_langid_clf" -> langClfSql,
+      "tx_langid_clf" -> langClfSql(LangWordBinsSql, LangScale, LangClfIters),
+
+      // The char-gram student's replay — identical GD/centering/argmax
+      // machinery over the char-3-gram bin projection.
+      "tx_langid_chargram" -> langClfSql(LangCharBinsSql, LangCharScale, LangCharIters),
 
       "tx_quality_classifier" ->
         s"""$classifierCtes
@@ -3836,6 +3986,52 @@ object TextQueries {
            |    || ':' || (start_off // 512)::VARCHAR), 1, 15))::BIGINT)
            |    AS layout_fp
            |FROM em_pk GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // The domain-gate replay: the synthesized host, the quality and
+      // 5-gram dup-coverage chains, the per-domain stat aggregation
+      // (exact DECIMAL mean), the bottom-3 + high-dup block rules, and
+      // the membership filter.
+      "d_domain_gate" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, source, text,
+           |    regexp_split_to_array(text, '\\s+') AS toks
+           |  FROM documents),
+           |u AS (SELECT doc_id, source || '.example.com' AS domain FROM t),
+           |qd AS (
+           |  SELECT doc_id,
+           |    round(least(len(toks) / 50.0, 1.0) * 0.5
+           |      + (${hitsSql("en")}::DOUBLE / len(toks)) * 0.3
+           |      + least((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+           |               / len(toks)) / 8.0, 1.0) * 0.2 + 0.000000001, 4)
+           |      AS quality
+           |  FROM t),
+           |dg_g AS (
+           |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+           |  FROM t, unnest(range(1, len(toks) - 3)) v(i)),
+           |dg_d AS (SELECT gram FROM dg_g
+           |         GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |dg_c AS (
+           |  SELECT g.doc_id,
+           |    round(count(d.gram)::DOUBLE / count(*) + 0.000000001, 4) AS dup_frac
+           |  FROM dg_g g LEFT JOIN dg_d d USING (gram) GROUP BY g.doc_id),
+           |ds AS (
+           |  SELECT domain, count(*)::BIGINT AS dom_docs,
+           |    round(sum(CAST(quality AS DECIMAL(28,14)))::DOUBLE / count(*)
+           |      + 0.000000001, 4) AS dom_mean_q,
+           |    sum(CASE WHEN coalesce(dup_frac, 0.0) > 0.5 THEN 1 ELSE 0 END)::BIGINT
+           |      AS dom_highdup
+           |  FROM u JOIN qd USING (doc_id) LEFT JOIN dg_c USING (doc_id)
+           |  GROUP BY domain),
+           |bot AS (SELECT domain FROM ds ORDER BY dom_mean_q, domain LIMIT 3),
+           |blk AS (SELECT domain FROM bot
+           |        UNION
+           |        SELECT domain FROM ds WHERE 10 * dom_highdup > dom_docs),
+           |nb AS (SELECT count(*)::BIGINT AS n_blocked FROM blk)
+           |SELECT u.doc_id, u.domain, ds.dom_docs, ds.dom_mean_q,
+           |  ds.dom_highdup, nb.n_blocked
+           |FROM u JOIN ds USING (domain) CROSS JOIN nb
+           |WHERE u.domain NOT IN (SELECT domain FROM blk)
+           |ORDER BY u.doc_id""".stripMargin,
 
       // The full-funnel replay: the curate chain's survivor/quality/
       // bucket/calibration CTEs plus the three signal replays
