@@ -63,7 +63,9 @@ private[graft] object SharedFrames {
 
   /** Build (or touch, on memo hit) every shared frame for (session, dir).
     * `count()` forces any builder that returns a lazily-wrapped
-    * materialized frame without retaining extra state.
+    * materialized frame without retaining extra state. The bench times
+    * each builder individually (`shared_frame_builds.<name>` entries);
+    * this untimed form is for tools that just need the frames warm.
     */
   def prewarm(s: SparkSession, d: String): Unit =
     builders.foreach { case (_, b) => b(s, d).count() }

@@ -994,6 +994,54 @@ object ScaleBench {
     }
   }
 
+  /** Round-15: the flagship's SECOND decade (r14 verdict #8) — the
+    * `ccnet` batch measured x1/x10; this adds the x100 rotation corpus
+    * point (the round-8 `x100` machinery), turning the flagship's
+    * exponent into a two-decade estimate like the dedup/ANN families.
+    * Same measurement discipline as [[runCcnet]]: memos warmed per dir
+    * untimed, cache cleared, then the bucketing pass and the two query
+    * entries timed per scale.
+    */
+  private def runCcnet100(
+      spark: SparkSession, src: String, s10: String, s100: String): Unit = {
+    val dirs = Seq(src, s10, s100)
+    val bp = dirs.map { dir =>
+      val scored = graft.queries.TextQueries.kn3ScoredAllFrame(spark, dir)
+      scored.count() // warm the memo (builds the kn3 base on first touch)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = scored.count()
+      val rows = graft.operators.Relational
+        .globalRank(scored, "nll", Seq("doc_id"), "rnk", buckets = 32)
+        .withColumn("bucket",
+          when(col("rnk") <= lit((n + 2) / 3), "head")
+            .when(col("rnk") <= lit((n * 2 + 2) / 3), "middle")
+            .otherwise("tail"))
+        .count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def exps(ts: Seq[Double]): (Double, Double) =
+      (math.log10(ts(1) / ts.head), math.log10(ts(2) / ts(1)))
+    val (bpE1, bpE2) = exps(bp.map(_._1))
+    println(f"CCNET100 bucketing_pass   x1 ${bp(0)._1}%7.2f s (${bp(0)._2}%7d)  " +
+      f"x10 ${bp(1)._1}%7.2f s (${bp(1)._2}%7d)  x100 ${bp(2)._1}%7.2f s " +
+      f"(${bp(2)._2}%8d)  e(1-10) $bpE1%5.2f  e(10-100) $bpE2%5.2f")
+    for (n <- Seq("tx_ppl_buckets", "d_curate_ccnet")) {
+      val ts = dirs.map { dir =>
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable => println(s"WARM $n $dir failed: $e") }
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (e1, e2) = exps(ts.map(_._1))
+      println(f"CCNET100 $n%-16s x1 ${ts(0)._1}%7.2f s (${ts(0)._2}%7d)  " +
+        f"x10 ${ts(1)._1}%7.2f s (${ts(1)._2}%7d)  x100 ${ts(2)._1}%7.2f s " +
+        f"(${ts(2)._2}%8d)  e(1-10) $e1%5.2f  e(10-100) $e2%5.2f")
+    }
+  }
+
   /** Round-14: decade receipts for the r13 ACT verbs (the `aho` batch
     * measured counts only).
     *
@@ -1253,6 +1301,13 @@ object ScaleBench {
     }
     if (which == "ccnet") {
       runCcnet(spark, src, scaleDir)
+      spark.stop()
+      return
+    }
+    if (which == "ccnet100") {
+      val scale100 = s"${sys.props("java.io.tmpdir")}/graft_scale100"
+      synthesizeScale100(spark, src, scale100)
+      runCcnet100(spark, src, scaleDir, scale100)
       spark.stop()
       return
     }

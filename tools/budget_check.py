@@ -21,9 +21,10 @@ def main():
     baseline = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
     budgets = {}
     # query names always contain an underscore — this keeps scale-table
-    # rows (x1/x10) in other 5-column tables from registering as pins
+    # rows (x1/x10) in other 5-column tables from registering as pins.
+    # Dots admit the per-frame `shared_frame_builds.<name>` entries.
     for m in re.finditer(
-            r"^\| ([a-z0-9]+_[a-z0-9_]+) \| [-0-9.]+ \| [-0-9.]+ \| ([0-9.]+) \| ([0-9.]+) \|$",
+            r"^\| ([a-z0-9]+_[a-z0-9_.]+) \| [-0-9.]+ \| [-0-9.]+ \| ([0-9.]+) \| ([0-9.]+) \|$",
             open(baseline).read(), re.M):
         budgets[m.group(1)] = (float(m.group(2)), float(m.group(3)))
     if not budgets:
