@@ -977,7 +977,16 @@ object ScaleBench {
     val Seq((t1, r1), (t10, r10)) = times
     println(f"CCNET bucketing_pass     x1 $t1%7.2f s ($r1%6d rows)  x10 $t10%7.2f s " +
       f"($r10%6d rows)  ratio ${t10 / t1}%6.2f  exp ${math.log10(t10 / t1)}%5.2f")
-    for (n <- Seq("tx_ppl_buckets", "d_curate_ccnet")) {
+    // r15: the emit/funnel compositions ride the same frames — their
+    // decade receipts land here (warm pass per dir builds the memoized
+    // gates + the persisted ULM base; the timed pass measures the
+    // composition itself: tokenize-join, pack window, shard write +
+    // manifest for the emit; the signal aggregations for the funnel).
+    // d_domain_gate is excluded only because the rotation corpus carries
+    // no `source` column — its scale shape is one domain aggregation +
+    // a broadcast membership filter.
+    for (n <- Seq("tx_ppl_buckets", "d_curate_ccnet", "d_curate_emit",
+        "d_curate_full")) {
       for (dir <- Seq(src, scaleDir))
         try SparkEntry.queries(n)(spark, dir).count()
         catch { case e: Throwable => println(s"WARM $n $dir failed: $e") }

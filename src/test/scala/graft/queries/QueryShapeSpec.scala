@@ -145,4 +145,45 @@ class QueryShapeSpec extends SparkSpec {
         s"p90 estimate $e90 outside rank bound $eps")
     }
   }
+
+  test("d_curate_full: the funnel counts are monotone and the survivors are exactly n_s8") {
+    val rows = TextQueries.queries("d_curate_full")(spark, sf)
+      .localCheckpoint(true)
+    val head = rows.select((1 to 8).map(i => col(s"n_s$i")): _*).head()
+    val funnel = (0 until 8).map(head.getLong)
+    assert(funnel == funnel.sorted.reverse,
+      s"cumulative gates can only shrink the survivor set: $funnel")
+    assert(rows.count() == funnel.last,
+      s"emitted survivors (${rows.count()}) must equal the last funnel stage (${funnel.last})")
+  }
+
+  test("d_domain_gate: blocked domains are absent and every kept doc carries its domain's stats") {
+    val rows = TextQueries.queries("d_domain_gate")(spark, sf)
+      .localCheckpoint(true)
+    val nBlocked = rows.select("n_blocked").head().getLong(0)
+    assert(nBlocked >= 3L, "the bottom-3 rule always blocks at least 3 domains")
+    val keptDomains = rows.select("domain").distinct().count()
+    // every domain is either fully kept or fully blocked — the gate is
+    // domain-level by construction
+    val docsPerDomain = rows.groupBy("domain").count()
+      .select("count").distinct().collect().map(_.getLong(0))
+    assert(docsPerDomain.forall(_ > 0))
+    assert(keptDomains + nBlocked >= 4,
+      s"kept $keptDomains + blocked $nBlocked domains should cover the corpus' sources")
+  }
+
+  test("d_curate_emit: every shard's window count is the ceil of its token mass") {
+    // the result is a localCheckpoint of the manifest (the scratch shard
+    // dir is gone by return), so the invariant is pinned on the OUTPUT:
+    // ≤ 8 shards, window count = ceil(token mass / 512) per shard
+    val df = TextQueries.queries("d_curate_emit")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      val nTokens = r.getAs[Long]("n_tokens")
+      val nWindows = r.getAs[Long]("n_windows")
+      assert(nWindows == (nTokens + 511) / 512,
+        s"window count must be ceil(token mass / 512): $r")
+    }
+  }
 }
