@@ -116,7 +116,12 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val total = results.map(_._2).sum
+    // the dotted `shared_frame_builds.<name>` entries are the aggregate's
+    // own components — counting both in the total would double-count the
+    // absorber (~12% of suite time) and break round-over-round total
+    // comparability, so the total sums the aggregate tier only
+    val total =
+      results.collect { case (n, v) if !n.contains(".") => v }.sum
     val detail = jsonLine(results, total)
     // durable per-rep detail: median is what the driver grades, but the
     // raw reps are what adjudicate "noise vs regression" without re-runs
