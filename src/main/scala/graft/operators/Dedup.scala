@@ -1236,8 +1236,48 @@ object Dedup {
     val e = newEdges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true) // consumed by the contraction joins + the new-node scan
     val contracted = contractedEdges(labels, e)
-    // eager and tiny: one (id, rep) row per touched rep / unseen node
-    val repMap = connectedComponentsStar(contracted, "ra", "rb")
+      .localCheckpoint(true) // consumed by the size guard + the CC below
+    // eager and tiny: one (id, rep) row per touched rep / unseen node.
+    // The contracted graph is metadata-scale BY CONTRACT (one edge per
+    // component-merging event), so when it fits the same bound the
+    // relabel broadcast already enforces, the CC runs as a driver-side
+    // min-rep union-find — one collect of the merge events instead of
+    // O(log n) distributed star rounds whose per-round job overhead
+    // dominates at micro-batch grain (measured r15: ~10 sub-second jobs
+    // per update). Identical output (rep = component minimum, every
+    // contracted-graph node labeled); a mega-batch past the bound takes
+    // the distributed star path unchanged.
+    val repMap =
+      if (contracted.count() <= broadcastRelabelLimit) {
+        val spark = labels.sparkSession
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+        contracted.collect().foreach { row =>
+          val (ra, rb) = (row.getLong(0), row.getLong(1))
+          nodes += ra; nodes += rb
+          val (fa, fb) = (find(ra), find(rb))
+          // union by MIN root — the root is always the component minimum,
+          // so the final find(x) IS the [[connectedComponentsStar]] label
+          if (fa < fb) parent(fb) = fa else if (fb < fa) parent(fa) = fb
+        }
+        val out = nodes.toSeq.map(x => (x, find(x)))
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              out.map { case (id, rep) => org.apache.spark.sql.Row(id, rep) }, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("rep",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          .localCheckpoint(true)
+      } else connectedComponentsStar(contracted, "ra", "rb")
     // rep actually changed — self-labeled rows are relabel no-ops
     val changed = repMap.filter(col("id") =!= col("rep"))
     // repMap is already materialized, so the guard count is a cheap local

@@ -75,45 +75,67 @@ object Similarity {
   def mmrSelect(candidates: DataFrame, kSel: Int, lambda: Double): DataFrame = {
     require(kSel >= 1, s"kSel=$kSel must be >= 1")
     require(lambda > 0.0 && lambda <= 1.0, s"lambda=$lambda must be in (0, 1]")
+    // The greedy rounds run ROW-LOCALLY per query over the packed
+    // candidate array: one shuffle (the groupBy) + one fold, replacing
+    // the former per-round driver loop (kSel rounds x anti-join +
+    // penalty aggregation + window + two checkpoints ≈ 30 sub-second
+    // jobs per call, pure fixed overhead at serving grain — measured
+    // r15). The candidate set is serving-sized BY CONTRACT (a probe's
+    // top-N, never the corpus), so a per-query array is exactly the
+    // scale the operator already assumed; the arithmetic below is
+    // token-for-token the old plan's (same dot/norm evaluation order,
+    // same 7dp rounds, same +1e-9 nudge, same (mmr desc, doc_id asc)
+    // argmax), so picks — and the replay oracles — are bit-identical.
     val cand = candidates.select("query_id", "doc_id", "emb", "rel")
-      .localCheckpoint(true)
-    val pair = cand.as("a")
-      .join(cand.as("b"),
-        col("a.query_id") === col("b.query_id")
-          && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        round(dotD(col("a.emb"), col("b.emb"))
-          / (l2Norm(col("a.emb")) * l2Norm(col("b.emb"))), 7).as("sim"))
-      .localCheckpoint(true)
-    var selected = cand.select("query_id", "doc_id").limit(0)
-    val picks = Seq.newBuilder[DataFrame]
-    for (t <- 1 to kSel) {
-      val pen = pair
-        .join(selected.withColumnRenamed("doc_id", "j"), Seq("query_id", "j"))
-        .groupBy(col("query_id"), col("i").as("doc_id"))
-        .agg(max("sim").as("pen"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("mmr").desc, col("doc_id"))
-      val pick = cand.join(selected, Seq("query_id", "doc_id"), "left_anti")
-        .join(pen, Seq("query_id", "doc_id"), "left")
-        .withColumn("pen", coalesce(col("pen"), lit(0.0)))
-        // the house +1e-9 nudge before rounding: the score is compared
-        // across engines, and a product landing exactly on a half-digit
-        // boundary rounds differently in BigDecimal-HALF_UP vs float
-        // rounding; the shift is monotone so the argmax never changes
-        .withColumn("mmr", round(
-          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen")
-            + lit(1e-9), 7))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("query_id"), lit(t.toLong).as("step"), col("doc_id"),
-          col("rel"), col("pen"), col("mmr"))
-        .localCheckpoint(true)
-      picks += pick
-      selected = selected.unionByName(pick.select("query_id", "doc_id"))
-        .localCheckpoint(true)
-    }
-    picks.result().reduce(_ unionByName _)
+    val accType = "array<struct<step:bigint,doc_id:bigint,rel:double," +
+      "pen:double,mmr:double,emb:array<double>>>"
+    val sel = aggregate(
+      sequence(lit(1), lit(kSel)),
+      array().cast(accType),
+      (acc, t) => {
+        val unpicked = filter(col("__cs"), c =>
+          !exists(acc, p => p.getField("doc_id") === c.getField("doc_id")))
+        val scored = transform(unpicked, c => {
+          // max penalty over the already-selected set; sims rounded to
+          // 7dp BEFORE the max exactly like the old pair table
+          val pen = coalesce(
+            array_max(transform(acc, p =>
+              round(dotD(c.getField("emb"), p.getField("emb"))
+                / (l2Norm(c.getField("emb")) * l2Norm(p.getField("emb"))), 7))),
+            lit(0.0))
+          // the house +1e-9 nudge before rounding: the score is compared
+          // across engines, and a product landing exactly on a half-digit
+          // boundary rounds differently in BigDecimal-HALF_UP vs float
+          // rounding; the shift is monotone so the argmax never changes
+          val mmr = round(
+            lit(lambda) * c.getField("rel") - lit(1.0 - lambda) * pen
+              + lit(1e-9), 7)
+          struct(mmr.as("mmr"),
+            (-c.getField("doc_id")).as("negid"),
+            c.getField("doc_id").as("doc_id"),
+            c.getField("rel").as("rel"), pen.as("pen"),
+            c.getField("emb").as("emb"))
+        })
+        // lexicographic max = (mmr desc, doc_id asc); negid is unique per
+        // candidate so later fields never decide
+        val b = array_max(scored)
+        when(b.isNotNull,
+          concat(acc, array(struct(
+            t.cast("long").as("step"),
+            b.getField("doc_id").as("doc_id"),
+            b.getField("rel").as("rel"),
+            b.getField("pen").as("pen"),
+            b.getField("mmr").as("mmr"),
+            b.getField("emb").as("emb")))))
+          .otherwise(acc)
+      })
+    cand.groupBy("query_id")
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("emb"), col("rel")))).as("__cs"))
+      .select(col("query_id"), explode(sel).as("__p"))
+      .select(col("query_id"), col("__p.step").as("step"),
+        col("__p.doc_id").as("doc_id"), col("__p.rel").as("rel"),
+        col("__p.pen").as("pen"), col("__p.mmr").as("mmr"))
   }
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`,
@@ -347,8 +369,10 @@ object Similarity {
         col("v").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroids(vecs, "vid", "v", cents)
-      val means = assigned.join(vecs, "vid")
+      // carry v through the argmin aggregation instead of joining back
+      // to vecs — one stage fewer per round, same rows
+      val assigned = assignToCentroids(vecs, "vid", "v", cents, keepVec = true)
+      val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         // mean in DECIMAL: double summation order varies with shuffle
         // scheduling, and a last-bit centroid difference can flip a
@@ -414,8 +438,12 @@ object Similarity {
         col("v").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroidsRounded(vecs, "vid", "v", cents)
-      val means = assigned.join(vecs, "vid")
+      // carry v through the argmin aggregation (first() of identical
+      // values per group) instead of joining back to vecs — one stage
+      // fewer per round, same rows (the pqCodebooks shape)
+      val assigned = assignToCentroidsRounded(vecs, "vid", "v", cents,
+        keepVec = true)
+      val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast("decimal(28,14)")).cast("double")
@@ -535,16 +563,20 @@ object Similarity {
     */
   private def assignToCentroidsRounded(
       df: DataFrame, rowId: String, vCol: String, cents: DataFrame,
-      keepDist: Boolean = false): DataFrame = {
+      keepDist: Boolean = false, keepVec: Boolean = false): DataFrame = {
+    val aggs = min(col("dc")).as("dc") +:
+      (if (keepVec) Seq(first(col(vCol)).as(vCol)) else Nil)
     val picked = df.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"),
           (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
-      .select(col(rowId),
+      .select(col(rowId), col(vCol),
         struct(round(col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec")), 7).as("d"),
           col("cid")).as("dc"))
-      .groupBy(rowId).agg(min("dc").as("dc"))
-    if (keepDist) picked.select(col(rowId), col("dc.cid").as("cid"), col("dc.d").as("d"))
-    else picked.select(col(rowId), col("dc.cid").as("cid"))
+      .groupBy(rowId).agg(aggs.head, aggs.tail: _*)
+    val outCols = (col(rowId) +: col("dc.cid").as("cid") +:
+      (if (keepDist) Seq(col("dc.d").as("d")) else Nil)) ++
+      (if (keepVec) Seq(col(vCol)) else Nil)
+    picked.select(outCols: _*)
   }
 
   /** Nearest-centroid assignment: broadcast the centroid table, score
@@ -552,14 +584,19 @@ object Similarity {
     * it), take the lexicographic min of (dist, cid). Returns (rowId, cid).
     */
   private[graft] def assignToCentroids(
-      df: DataFrame, rowId: String, vCol: String, cents: DataFrame): DataFrame =
-    df.crossJoin(broadcast(
+      df: DataFrame, rowId: String, vCol: String, cents: DataFrame,
+      keepVec: Boolean = false): DataFrame = {
+    val aggs = min(col("dc")).as("dc") +:
+      (if (keepVec) Seq(first(col(vCol)).as(vCol)) else Nil)
+    val picked = df.crossJoin(broadcast(
         cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
-      .select(col(rowId),
+      .select(col(rowId), col(vCol),
         struct((col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec"))).as("d"),
           col("cid")).as("dc"))
-      .groupBy(rowId).agg(min("dc").as("dc"))
-      .select(col(rowId), col("dc.cid").as("cid"))
+      .groupBy(rowId).agg(aggs.head, aggs.tail: _*)
+    picked.select((col(rowId) +: col("dc.cid").as("cid") +:
+      (if (keepVec) Seq(col(vCol)) else Nil)): _*)
+  }
 
   /** Multi-assignment variant: each vector is listed under its `nAssign`
     * nearest centroids (SOAR-style dual assignment at nAssign=2 — the
@@ -572,18 +609,24 @@ object Similarity {
     * single-assignment plan so existing parity pins hold bit-for-bit.
     */
   private[graft] def assignToCentroidsMulti(
-      df: DataFrame, rowId: String, vCol: String, cents: DataFrame, nAssign: Int): DataFrame =
-    if (nAssign <= 1) assignToCentroids(df, rowId, vCol, cents)
-    else
+      df: DataFrame, rowId: String, vCol: String, cents: DataFrame, nAssign: Int,
+      keepVec: Boolean = false): DataFrame =
+    if (nAssign <= 1) assignToCentroids(df, rowId, vCol, cents, keepVec)
+    else {
+      val aggs = slice(array_sort(collect_list(col("dc"))), 1, nAssign).as("dcs") +:
+        (if (keepVec) Seq(first(col(vCol)).as(vCol)) else Nil)
       df.crossJoin(broadcast(
           cents.select(col("cid"), col("cvec"), (l2Norm(col("cvec")) * l2Norm(col("cvec"))).as("cn2"))))
-        .select(col(rowId),
+        .select(col(rowId), col(vCol),
           struct((col("cn2") - lit(2.0) * dotD(col(vCol), col("cvec"))).as("d"),
             col("cid")).as("dc"))
         .groupBy(rowId)
-        .agg(slice(array_sort(collect_list(col("dc"))), 1, nAssign).as("dcs"))
-        .select(col(rowId), explode(col("dcs")).as("dc"))
-        .select(col(rowId), col("dc.cid").as("cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select((col(rowId) +: explode(col("dcs")).as("dc") +:
+          (if (keepVec) Seq(col(vCol)) else Nil)): _*)
+        .select((col(rowId) +: col("dc.cid").as("cid") +:
+          (if (keepVec) Seq(col(vCol)) else Nil)): _*)
+    }
 
   /** IVF approximate top-k: corpus vectors are inverted-listed under their
     * nearest centroid; each query probes only its `nprobe` nearest lists
@@ -823,9 +866,10 @@ object Similarity {
       assign: Int = 1): Unit = {
     val cents = ivfCentroids(corpus, idCol, embCol, nlist, iters)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
-      .localCheckpoint(true) // consumed by assignment AND the listed join
-    val listed = c.join(
-        assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign), "neighbor_id")
+      .localCheckpoint(true) // consumed by the assignment's argmin pass
+    // keepVec carries ce through the argmin aggregation — no join back
+    val listed = assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign,
+        keepVec = true)
       .select(col("cid"), col("neighbor_id"), col("ce"))
     graft.sources.Sinks.writeBucketedTable(listed, s"${tablePrefix}_lists", buckets, "cid")
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -953,8 +997,9 @@ object Similarity {
     require(c.filter(!(size(col("ce")) <=> lit(dim))).isEmpty,
       s"appendToIvfIndex: batch contains vectors whose dimension != $dim " +
         s"(dimension of index '$tablePrefix' centroids)")
-    val listed = c.join(
-        assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign), "neighbor_id")
+    // keepVec carries ce through the argmin aggregation — no join back
+    val listed = assignToCentroidsMulti(c, "neighbor_id", "ce", cents, assign,
+        keepVec = true)
       .select(col("cid"), col("neighbor_id"), col("ce"))
     listed.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")

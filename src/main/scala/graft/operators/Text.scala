@@ -629,7 +629,13 @@ object Text {
     * every bigram is OOV.
     */
   private def knScoreAgainstStats(tf: DataFrame, cabStats: DataFrame): DataFrame = {
-    val cab = cabStats
+    // eager-materialized: the type table feeds FOUR plan branches (the
+    // scoring join + ca/nb/glob derivations), and Catalyst does not
+    // dedupe common subtrees — unmaterialized, each branch re-ran the
+    // whole upstream (the corpus bigram explode in the inline path, the
+    // stored-partials fold in serving). Type-table-sized by the
+    // documented scale shape, so the checkpoint is vocab²-bounded.
+    val cab = cabStats.localCheckpoint(true)
     val ca = cab.groupBy("a")
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
     val nb = cab.groupBy("b").agg(count(lit(1)).as("nb"))
@@ -1045,15 +1051,24 @@ object Text {
     */
   private def knTrigramScoreAgainstStats(
       tf: DataFrame, cabcStats: DataFrame): DataFrame = {
-    val cabc = cabcStats
+    // eager-materialized like the bigram scorer's `cab`: SIX plan
+    // branches consume the trigram type table (the scoring join +
+    // ab/g3/cont derivations, cont feeding three more), and without the
+    // checkpoint each branch re-ran the whole upstream — the corpus
+    // trigram explode inline, the stored-partials fold in serving
+    // (measured r15: the st_kn3 parity re-folded `_cabc` ~6× per batch).
+    // Both frames are type-table-bounded, the documented scale shape.
+    val cabc = cabcStats.localCheckpoint(true)
     val ab = cabc.groupBy("a", "b")
       .agg(sum("cabc").as("cab2"), count(lit(1)).as("n3a"))
     val g3 = cabc.agg(
       coalesce(sum(when(col("cabc") === 1, 1L)), lit(0L)).as("n1_3"),
       coalesce(sum(when(col("cabc") === 2, 1L)), lit(0L)).as("n2_3"))
     // continuation table: N1+(·bc) = distinct predecessors per (b,c) —
-    // every lower-order statistic below derives from THIS table
+    // every lower-order statistic below derives from THIS table (four
+    // consumers, so it materializes too)
     val cont = cabc.groupBy("b", "c").agg(count(lit(1)).as("nbc"))
+      .localCheckpoint(true)
     val bmid = cont.groupBy("b")
       .agg(sum("nbc").as("nbdot"), count(lit(1)).as("nbmid"))
     val g2 = cont.agg(
@@ -1560,6 +1575,20 @@ object Text {
       array(struct(lit(0L).as("s"), lit(0).as("np"),
         array().cast("array<string>").as("segs"))),
       (acc, i) => {
+        // Candidate selection as ONE array_max over (s, −np, −k): the
+        // lexicographic max IS the fold's rule — highest score, then
+        // fewest pieces, then the SHORTEST extending piece (−k breaks
+        // the remaining tie to the candidate evaluated first, i.e.
+        // smallest k; −k is unique per candidate so the trailing segs
+        // field is never compared). array_max skips NULL elements
+        // (unreachable/OOV candidates) and returns NULL over an
+        // all-NULL array — exactly the old when-chain's semantics.
+        // Replaces a reduceLeft of 4-way whens whose tree re-embedded
+        // both branches at every step (~3^maxPieceLen candidate
+        // subtree copies): the optimizer walked that tree on EVERY
+        // action, costing ~2.8 s of driver time per encode at sf0.1
+        // (measured round 15; the selection itself is unchanged, so
+        // segmentations are bit-identical and the replay oracles hold).
         val cands = (1 to maxPieceLen).map { k =>
           val piece = word.substr(i - k + 1, lit(k))
           val prev = element_at(acc, i - k + 1)
@@ -1567,17 +1596,16 @@ object Text {
           when(i >= k && plp.isNotNull && prev.isNotNull,
             struct(
               (prev.getField("s") + plp).as("s"),
-              (prev.getField("np") + 1).as("np"),
+              (-(prev.getField("np") + 1)).as("negnp"),
+              lit(-k).as("negk"),
               concat(prev.getField("segs"), array(piece)).as("segs")))
         }
-        val best = cands.reduce { (selCol, c) =>
-          when(c.isNull, selCol)
-            .when(selCol.isNull, c)
-            .when(c.getField("s") > selCol.getField("s")
-              || (c.getField("s") === selCol.getField("s")
-                && c.getField("np") < selCol.getField("np")), c)
-            .otherwise(selCol)
-        }
+        val bestExt = array_max(array(cands: _*))
+        val best = when(bestExt.isNotNull,
+          struct(
+            bestExt.getField("s").as("s"),
+            (-bestExt.getField("negnp")).as("np"),
+            bestExt.getField("segs").as("segs")))
         concat(acc, array(best))
       })
   }

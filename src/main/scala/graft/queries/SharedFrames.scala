@@ -29,6 +29,13 @@ private[graft] object SharedFrames {
     "ivf_base" -> (SimilarityQueries.ivfBaseFrame _),
     "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
     "kmeans_k8_i2" -> (SimilarityQueries.kmeansAssignFrame _),
+    // the fused hybrid-retrieval pair (exact + served) — consumed by BOTH
+    // sim_rag_batch and sim_rag_batch_mmr; the build is one brute pass +
+    // three corpus BM25 passes + the two served probes, and without the
+    // prewarm it lands on whichever consumer runs first. Builds the
+    // exact frame; the served twin is seeded under its own memo key.
+    // Depends on ivf_base (the served dense probe), so it sits after it.
+    "rag_fused" -> ((s, d) => SimilarityQueries.ragBatchFused(s, d)._1),
     "bpe_merges6" -> (TextQueries.bpeMerges6 _),
     // the ULM trainer memo (pieces + segmentations), the frozen DoReMi
     // reference artifacts (full-corpus KN base + unigram cf), and the

@@ -393,7 +393,28 @@ object SimilarityQueries {
     * the shared inverted base, fused identically). Both frames carry
     * (query_id, doc_id, dense_rank, sparse_rank, rrf).
     */
+  /** Both fused retrieval frames, memoized per (session, dir): TWO suite
+    * queries consume the identical build (`sim_rag_batch` certifies the
+    * fused ranking, `sim_rag_batch_mmr` diversifies it), and without the
+    * memo each re-ran the full exact side (one brute pass + three
+    * corpus-wide BM25 passes) AND the served side (IVF batch probe +
+    * batched MaxScore) — the shared-frame discipline (guide §5). The
+    * served frame is checkpointed for the same reason the exact one
+    * always was: the parity consumer reads it twice.
+    */
   private[graft] def ragBatchFused(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val exact = FrameMemo.getOrCompute(s, s"rag_fused_exact:$d") {
+      val (ex, sv) = ragBatchFusedBuild(s, d)
+      FrameMemo.put(s, s"rag_fused_served:$d", sv)
+      ex
+    }
+    val served = FrameMemo.getOrCompute(s, s"rag_fused_served:$d") {
+      ragBatchFusedBuild(s, d)._2
+    }
+    (exact, served)
+  }
+
+  private def ragBatchFusedBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.functions.CrossHash
     import graft.operators.{Text, TextIndex}
     val e = emb(s, d)
@@ -445,7 +466,7 @@ object SimilarityQueries {
         engageMinPostings = 0L)
       .select(col("query_id"), col("id").as("doc_id"),
         col("rank").as("sparse_rank"))
-    (exact, fuse(denseServed, sparseServed))
+    (exact, fuse(denseServed, sparseServed).localCheckpoint(true))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -967,9 +967,13 @@ object StreamQueries {
           try q.processAllAvailable() finally q.stop()
         }
         val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        // eager-materialized: the parity bool consumes it three times
+        // (count + both exceptAll sides) and without the checkpoint each
+        // consumer re-runs the full index probe (guide §5 — reuse)
         val oneShot = Similarity.ivfTopKAgainstIndex(
-          e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
-          k = 3, nprobe = SimilarityQueries.IvfNprobe)
+            e.filter(col("vec_id") % 50 === 0), prefix, "vec_id", "embedding",
+            k = 3, nprobe = SimilarityQueries.IvfNprobe)
+          .localCheckpoint(true)
         val served = streamed.drop("batch_id")
         val parity = served.count() == oneShot.count() &&
           served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
@@ -1089,10 +1093,14 @@ object StreamQueries {
           try q.processAllAvailable() finally q.stop()
         }
         val streamed = s.read.parquet(resultsDir).localCheckpoint(true)
+        // eager-materialized: consumed by the parity bool (count + both
+        // exceptAll sides) AND as the returned frame — four evaluations
+        // of the scoring pass without the checkpoint (guide §5 — reuse)
         val oneShot = LinearModel.scoreSquashedLinear(
             TextQueries.classifierFeatures(s, d),
             TextQueries.ClfXCols, TextQueries.classifierWeights(s, d))
           .select("doc_id", "score", "pred")
+          .localCheckpoint(true)
         val served = streamed.drop("batch_id")
         val parity = served.count() == oneShot.count() &&
           served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty
@@ -1300,9 +1308,13 @@ object StreamQueries {
         val enc = Text.encodeAgainstUlmModel(
             words.select("word").distinct(), "word", prefix)
           .select("word", "n_pieces").localCheckpoint(true)
+        // eager-materialized: consumed by the parity bool (count + both
+        // exceptAll sides) AND as the returned frame — four corpus
+        // explode-join-agg evaluations without the checkpoint (guide §5)
         val oneShot = words.join(enc, "word")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subtoks"))
+          .localCheckpoint(true)
         val served = streamed.select("doc_id", "n_words", "n_subtoks")
         val parity = served.count() == oneShot.count() &&
           served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty

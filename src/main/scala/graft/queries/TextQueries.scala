@@ -613,7 +613,16 @@ object TextQueries {
     */
   private[queries] def classifierWeightsFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"clf_weights:$d") {
-      val w = LinearModel.trainSquashedLinear(
+      // the driver-side BIT-IDENTICAL trainer (the langid students'
+      // trainer — same arithmetic, same GD-replay oracles): the
+      // distributed twin pays Catalyst planning + codegen + job launch
+      // PER ROUND (measured r15: ~0.2 s × 50 rounds ≈ 7 s for a 5000-row
+      // checkpointed frame whose per-round aggregation is microseconds
+      // of actual work), while the training sample of a distillation
+      // pass is bounded by design — the CCNet/fastText offline-sample
+      // contract the loud `maxRows` cap enforces. A corpus past the cap
+      // fails loudly; scoring (the corpus-scan side) stays distributed.
+      val w = LinearModel.trainSquashedLinearSampled(
         classifierFeatures(s, d), ClfXCols, "y", ClfLr, ClfIters)
       s.createDataFrame(w.toSeq.zipWithIndex.map { case (v, j) => (j, v) })
         .toDF("j", "w").localCheckpoint(true)
@@ -630,7 +639,8 @@ object TextQueries {
     */
   private[queries] def holdoutWeightsFrame(s: SparkSession, d: String): DataFrame =
     FrameMemo.getOrCompute(s, s"clf_holdout_weights:$d") {
-      val w = LinearModel.trainSquashedLinear(
+      // driver-side bit-identical trainer — see classifierWeightsFrame
+      val w = LinearModel.trainSquashedLinearSampled(
         classifierFeatures(s, d).filter(col("doc_id") % 5 =!= 0),
         ClfXCols, "y", ClfLr, ClfIters)
       s.createDataFrame(w.toSeq.zipWithIndex.map { case (v, j) => (j, v) })
