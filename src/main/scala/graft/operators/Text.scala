@@ -629,13 +629,14 @@ object Text {
     * every bigram is OOV.
     */
   private def knScoreAgainstStats(tf: DataFrame, cabStats: DataFrame): DataFrame = {
-    // eager-materialized: the type table feeds FOUR plan branches (the
-    // scoring join + ca/nb/glob derivations), and Catalyst does not
-    // dedupe common subtrees — unmaterialized, each branch re-ran the
-    // whole upstream (the corpus bigram explode in the inline path, the
-    // stored-partials fold in serving). Type-table-sized by the
-    // documented scale shape, so the checkpoint is vocab²-bounded.
-    val cab = cabStats.localCheckpoint(true)
+    // NOT materialized (round-15 measurement): the type table feeds four
+    // plan branches, but they all end in the same aggregation exchange,
+    // which Spark's ReuseExchange dedupes within the single scoring job —
+    // an eager localCheckpoint here measured ~2× SLOWER on the inline
+    // path (tx_kn_nll 0.98 → 2.0 s) and leaked block-manager pressure
+    // across the suite (the serving fold per micro-batch gets the same
+    // in-plan reuse).
+    val cab = cabStats
     val ca = cab.groupBy("a")
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
     val nb = cab.groupBy("b").agg(count(lit(1)).as("nb"))
@@ -1051,24 +1052,20 @@ object Text {
     */
   private def knTrigramScoreAgainstStats(
       tf: DataFrame, cabcStats: DataFrame): DataFrame = {
-    // eager-materialized like the bigram scorer's `cab`: SIX plan
-    // branches consume the trigram type table (the scoring join +
-    // ab/g3/cont derivations, cont feeding three more), and without the
-    // checkpoint each branch re-ran the whole upstream — the corpus
-    // trigram explode inline, the stored-partials fold in serving
-    // (measured r15: the st_kn3 parity re-folded `_cabc` ~6× per batch).
-    // Both frames are type-table-bounded, the documented scale shape.
-    val cabc = cabcStats.localCheckpoint(true)
+    // NOT materialized — same ReuseExchange adjudication as the bigram
+    // scorer (see [[knScoreAgainstStats]]): the six consumers share the
+    // fold's exchange within one job, and eager checkpoints here
+    // measured net-negative (tx_kn3_nll 0.97 → 2.4 s) plus suite-wide
+    // block churn.
+    val cabc = cabcStats
     val ab = cabc.groupBy("a", "b")
       .agg(sum("cabc").as("cab2"), count(lit(1)).as("n3a"))
     val g3 = cabc.agg(
       coalesce(sum(when(col("cabc") === 1, 1L)), lit(0L)).as("n1_3"),
       coalesce(sum(when(col("cabc") === 2, 1L)), lit(0L)).as("n2_3"))
     // continuation table: N1+(·bc) = distinct predecessors per (b,c) —
-    // every lower-order statistic below derives from THIS table (four
-    // consumers, so it materializes too)
+    // every lower-order statistic below derives from THIS table
     val cont = cabc.groupBy("b", "c").agg(count(lit(1)).as("nbc"))
-      .localCheckpoint(true)
     val bmid = cont.groupBy("b")
       .agg(sum("nbc").as("nbdot"), count(lit(1)).as("nbmid"))
     val g2 = cont.agg(

@@ -81,6 +81,19 @@ object DedupQueries {
         .localCheckpoint(true)
     }
 
+  /** Shared duplicated-gram coverage frame (word-5-grams, minDocs=2):
+    * THREE queries consume the identical corpus aggregation —
+    * `d_dup_coverage` reports it, `d_curate_full` gates on it, and
+    * `d_domain_gate` folds it into the domain stats. Output is (id,
+    * n_grams, n_dup, dup_frac), doc-count-sized.
+    */
+  private[queries] def dupCoverageFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"dup_cov_w5:$d") {
+      Dedup.dupGramCoverage(t(s, d, "documents"), "doc_id", toks,
+          n = 5, minDocs = 2)
+        .localCheckpoint(true)
+    }
+
   /** Shared MinHash pair-edge frame: `d_minhash_lsh`, `d_clusters` and
     * `d_dedup_keep` all close over the SAME word-3-shingle edge set
     * (k=16, 4 bands, j ≥ 0.7). A real pipeline materializes the pair table
@@ -846,8 +859,7 @@ object DedupQueries {
     // positions is cross-document duplicated. The "mostly duplicated
     // document" gate a curation pipeline thresholds on.
     "d_dup_coverage" -> ((s, d) =>
-      Dedup.dupGramCoverage(t(s, d, "documents"), "doc_id", toks,
-          n = 5, minDocs = 2)
+      dupCoverageFrame(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 

@@ -26,6 +26,12 @@ private[graft] object SharedFrames {
     "simhash_w3" -> (DedupQueries.simhashFrame _),
     "emb_pairs" -> (DedupQueries.embeddingPairEdges _),
     "mh_base" -> (DedupQueries.minhashBaseFrame _),
+    // the three curation signal frames — each consumed by its reporting
+    // query AND the d_curate_full funnel (dup coverage also by
+    // d_domain_gate)
+    "dup_cov_w5" -> (DedupQueries.dupCoverageFrame _),
+    "rep_signals" -> (TextQueries.repSignalsFrame _),
+    "bp_cov3" -> (TextQueries.bpCoverageFrame _),
     "ivf_base" -> (SimilarityQueries.ivfBaseFrame _),
     "ivfpq_base" -> (SimilarityQueries.ivfPqBaseFrame _),
     "kmeans_k8_i2" -> (SimilarityQueries.kmeansAssignFrame _),
@@ -66,7 +72,11 @@ private[graft] object SharedFrames {
     // + the holdout/calibration frames above, so it prewarms AFTER them
     "curate_ccnet" -> (TextQueries.curateCcnetFrame _),
     "basket_items" -> (WarehouseQueries.basketItems _),
-    "basket_pairs" -> (WarehouseQueries.basketPairCounts _))
+    "basket_pairs" -> (WarehouseQueries.basketPairCounts _),
+    // the perceptual-hash frames (PNG / GIF codec round-trip + hash) —
+    // each consumed by its plain AND hot-bucket-capped pair query
+    "mm_img_ahash" -> (TextQueries.mmImageAHashFrame _),
+    "mm_gif_fhash" -> (TextQueries.mmGifFrameAHashFrame _))
 
   /** Build (or touch, on memo hit) every shared frame for (session, dir).
     * `count()` forces any builder that returns a lazily-wrapped

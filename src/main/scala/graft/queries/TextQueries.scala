@@ -430,6 +430,54 @@ object TextQueries {
       .withColumn("n_removed_chars", col("__n0") - length(col("clean_text")))
       .select("doc_id", "clean_text", "n_matches", "n_removed_chars")
 
+  /** Shared Gopher repetition-signal frame — consumed by
+    * `tx_rep_signals` and the `d_curate_full` funnel's g4 gate.
+    * Doc-count-sized.
+    */
+  private[queries] def repSignalsFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"rep_signals:$d") {
+      Text.repetitionSignals(docs(s, d), "doc_id", toks).localCheckpoint(true)
+    }
+
+  /** Shared boilerplate-coverage frame (top-500 word-3-grams by df) —
+    * consumed by `tx_boilerplate` and the `d_curate_full` funnel's g5
+    * gate. Doc-count-sized.
+    */
+  private[queries] def bpCoverageFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"bp_cov3:$d") {
+      Text.boilerplateCoverage(
+          docs(s, d).withColumn("__tk", toks), "doc_id",
+          CrossHash.wordShingles(col("__tk"), 3), topK = 500)
+        .localCheckpoint(true)
+    }
+
+  /** The image perceptual-hash frame (base corpus + planted twins,
+    * PNG encode → decode → 8×8 average-hash), memoized: BOTH banded-pair
+    * queries (`mm_ahash_pairs`, `_capped`) consume the identical frame,
+    * and the codec round-trip is the dominant cost — without the memo
+    * each variant re-encoded and re-decoded the whole corpus. Hash rows
+    * are asset-sized, so the checkpoint is small.
+    */
+  private[queries] def mmImageAHashFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"mm_img_ahash:$d") {
+      val base = Multimodal.synthesizePng(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizePngNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.imageAHash(base.unionByName(twins)).localCheckpoint(true)
+    }
+
+  /** The per-frame GIF hash frame (base + twins, GIF decode → per-frame
+    * average-hash), memoized for the same two-consumer reason
+    * (`mm_video_hash_pairs`, `_capped`). Frame-count-sized rows.
+    */
+  private[queries] def mmGifFrameAHashFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.getOrCompute(s, s"mm_gif_fhash:$d") {
+      val base = Multimodal.synthesizeGif(docs(s, d), "doc_id")
+      val twins = Multimodal.synthesizeGifNearDup(
+        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      Multimodal.gifFrameAHash(base.unionByName(twins)).localCheckpoint(true)
+    }
+
   /** Frozen full-corpus unigram (term, cf) statistics — the second
     * reference artifact of the DoReMi chain, memoized for the same
     * attribution reason as [[ensureKnBase]].
@@ -1281,7 +1329,7 @@ object TextQueries {
     // 1/8 of tokens, or top bigram ≥ 1/20 of bigrams) — flags 202/500
     // documents at sf0.01, so both gate outcomes are exercised.
     "tx_rep_signals" -> ((s, d) =>
-      Text.repetitionSignals(docs(s, d), "doc_id", toks)
+      repSignalsFrame(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -1711,13 +1759,14 @@ object TextQueries {
         .withColumn("tk", toks)
         .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
         .withColumn("n_tokens", size(col("tk")).cast("long"))
-      val rep = Text.repetitionSignals(dd, "doc_id", toks)
+      // the three signal frames are suite-shared (tx_rep_signals /
+      // tx_boilerplate / d_dup_coverage / d_domain_gate consume the
+      // identical corpus aggregations) — memoized, never re-derived here
+      val rep = repSignalsFrame(s, d)
         .select(col("id").as("doc_id"), col("repetitive"))
-      val bp = Text.boilerplateCoverage(dd.withColumn("__tk", toks),
-          "doc_id", CrossHash.wordShingles(col("__tk"), 3), topK = 500)
+      val bp = bpCoverageFrame(s, d)
         .select(col("id").as("doc_id"), col("bp_frac"))
-      val dup = graft.operators.Dedup.dupGramCoverage(dd, "doc_id", toks,
-          n = 5, minDocs = 2)
+      val dup = DedupQueries.dupCoverageFrame(s, d)
         .select(col("id").as("doc_id"), col("dup_frac"))
       val ppl = pplBucketsFrame(s, d)
         .select(col("doc_id"), col("nll"), col("bucket"))
@@ -1783,8 +1832,7 @@ object TextQueries {
           lit(".example.com/doc/"), col("doc_id").cast("string")))
         .withColumn("domain", parse_url(col("url"), lit("HOST")))
         .withColumn("quality", Text.qualityScore(col("text"), col("tk")))
-      val dup = graft.operators.Dedup
-        .dupGramCoverage(docs(s, d), "doc_id", toks, n = 5, minDocs = 2)
+      val dup = DedupQueries.dupCoverageFrame(s, d)
         .select(col("id").as("doc_id"), col("dup_frac"))
       // domain-table-sized (|domains| rows) — the broadcast artifact
       val stats = dd.join(dup, Seq("doc_id"), "left")
@@ -1817,9 +1865,7 @@ object TextQueries {
     // frequency form the blocklist; each document reports what fraction of
     // its distinct grams is blocklisted (the curation gate input).
     "tx_boilerplate" -> ((s, d) =>
-      Text.boilerplateCoverage(
-          docs(s, d).withColumn("__tk", toks), "doc_id",
-          CrossHash.wordShingles(col("__tk"), 3), topK = 500)
+      bpCoverageFrame(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -2114,9 +2160,6 @@ object TextQueries {
     // pairs at the threshold, so equality certifies both the decode
     // fidelity and the banding's losslessness, corpus-wide, each round.
     "mm_ahash_pairs" -> ((s, d) => {
-      val base = Multimodal.synthesizePng(docs(s, d), "doc_id")
-      val twins = Multimodal.synthesizePngNearDup(
-        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
       // τ=3: the planted byte-different twins land at hamming ≤ 2. The
       // non-twin pairs in the result are TRUE perceptual matches of this
       // corpus, not noise: every synthetic raster is the same linear
@@ -2124,8 +2167,7 @@ object TextQueries {
       // images abound and a perceptual hash is SUPPOSED to pair them —
       // which also makes this corpus a worst-case stress of the banded
       // join's bucket handling. Banding stays lossless for any τ ≤ 7.
-      Multimodal.aHashPairs(
-          Multimodal.imageAHash(base.unionByName(twins)), maxHamming = 3)
+      Multimodal.aHashPairs(mmImageAHashFrame(s, d), maxHamming = 3)
         .orderBy("a", "b")
     })
   ,
@@ -2137,15 +2179,10 @@ object TextQueries {
     // lost only if EVERY band it collides in is over-cap (the minhash
     // cap's bound). The oracle replays the capped banding exactly, so
     // the cap's semantics — not just its existence — are hash-verified.
-    "mm_ahash_pairs_capped" -> ((s, d) => {
-      val base = Multimodal.synthesizePng(docs(s, d), "doc_id")
-      val twins = Multimodal.synthesizePngNearDup(
-        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
-      Multimodal.aHashPairs(
-          Multimodal.imageAHash(base.unionByName(twins)),
+    "mm_ahash_pairs_capped" -> ((s, d) =>
+      Multimodal.aHashPairs(mmImageAHashFrame(s, d),
           maxHamming = 3, hotBucketCap = 50)
-        .orderBy("a", "b")
-    })
+        .orderBy("a", "b"))
   ,
     // Video near-dup via frame-hash CONTAINMENT — the clip-level member
     // of the perceptual trio (image aHash, audio energy hash): every
@@ -2158,14 +2195,9 @@ object TextQueries {
     // hash-equality join doubles as the blocking key (one shuffle,
     // O(bucket²)). The oracle replays every frame hash and the
     // containment filter arithmetically.
-    "mm_video_hash_pairs" -> ((s, d) => {
-      val base = Multimodal.synthesizeGif(docs(s, d), "doc_id")
-      val twins = Multimodal.synthesizeGifNearDup(
-        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
-      Multimodal.clipContainmentPairs(
-          Multimodal.gifFrameAHash(base.unionByName(twins)))
-        .orderBy("a", "b")
-    })
+    "mm_video_hash_pairs" -> ((s, d) =>
+      Multimodal.clipContainmentPairs(mmGifFrameAHashFrame(s, d))
+        .orderBy("a", "b"))
   ,
     // Capped video containment — frame hashes shared by > 50 frames
     // corpus-wide (this corpus's shared-gradient degenerate buckets)
@@ -2173,14 +2205,10 @@ object TextQueries {
     // C(50, 2) per hash; a clip pair is lost only when too few of its
     // shared frames survive the cap to clear the 2·m ≥ nf bar. The
     // oracle replays the capped banding exactly.
-    "mm_video_hash_pairs_capped" -> ((s, d) => {
-      val base = Multimodal.synthesizeGif(docs(s, d), "doc_id")
-      val twins = Multimodal.synthesizeGifNearDup(
-        docs(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
-      Multimodal.clipContainmentPairs(
-          Multimodal.gifFrameAHash(base.unionByName(twins)), hotBucketCap = 50)
-        .orderBy("a", "b")
-    })
+    "mm_video_hash_pairs_capped" -> ((s, d) =>
+      Multimodal.clipContainmentPairs(mmGifFrameAHashFrame(s, d),
+          hotBucketCap = 50)
+        .orderBy("a", "b"))
   ,
     // Audio PERCEPTUAL near-dup — the WAV sibling of mm_ahash_pairs:
     // every 25th clip gets a planted twin whose sample 0 is bumped by

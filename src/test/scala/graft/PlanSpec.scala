@@ -226,7 +226,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("boilerplate blocklist is a bounded top-K broadcast back to the gram frame") {
-    val p = plan("tx_boilerplate")
+    // the suite query now reads the memoized signal frame (an
+    // RDD-scan plan) — audit the lazy operator pipeline the frame build
+    // executes instead, the cdcContainmentPlan discipline
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("__tk", graft.functions.CrossHash.tokens(
+        org.apache.spark.sql.functions.col("text")))
+    val p = graft.operators.Text.boilerplateCoverage(docs, "doc_id",
+        graft.functions.CrossHash.wordShingles(
+          org.apache.spark.sql.functions.col("__tk"), 3), topK = 500)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"top-K df must be partial-topK-merge, not a full sort:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast blocklist in:\n$p")
