@@ -31,9 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // wall-clock strings in the JVM default zone — on a non-UTC host the
   // UTC-pinned assertions would otherwise shift by the host offset
   "-Duser.timezone=UTC",
-  // 16g default: the full bench suite (~100 queries, streaming state
+  // 24g default: the full bench suite (~300 queries, streaming state
   // stores, memoized checkpoint blocks) runs in ONE JVM; at 8g the tail of
   // the suite ran GC-pressured and multi-stage queries measured 2-3x their
-  // isolated cost. The box has 128 GiB; SPARK_DRIVER_MEM still overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // isolated cost, and at 16g the round-15 suite (more soft-held memoized
+  // frames after the shared-frame dedup work) showed pass-2/3 soft-ref
+  // clearing — a cleared FrameMemo entry rebuilds its frame on whichever
+  // consumer runs next (d_dedup_keep reps 1.9/3.9/4.1 s in the r15-opt
+  // run-A receipt), exactly the misattribution the prewarm exists to
+  // prevent. The box has 128 GiB; SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
